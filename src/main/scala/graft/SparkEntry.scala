@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def modules: Seq[Seq[Q]] = Seq(
-    ops.PostingLines.queries
+    ops.PostingLines.queries,
+    ops.Relational.queries
   )
 
   def all: Seq[Q] = modules.flatten
