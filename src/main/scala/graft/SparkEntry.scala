@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[Seq[Q]] = Seq(
     ops.PostingLines.queries,
-    ops.Relational.queries
+    ops.Relational.queries,
+    ops.TextOps.queries,
+    ops.Dedup.queries,
+    ops.Similarity.queries
   )
 
   def all: Seq[Q] = modules.flatten

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic text/vector kernels shared by the dedup + similarity
+  * operators, implemented as native Catalyst expressions with `doGenCode`
+  * so the hot loops stay inside WholeStageCodegen (no UDF serialization,
+  * no boxing). Each kernel is also expressible in DuckDB 1.0 SQL
+  * (list_reduce / list_transform) — the oracle queries mirror these
+  * formulas exactly.
+  */
+object Hashing {
+  /** Polynomial rolling hash: acc = (acc*31 + codepoint) mod 1e9+7, seed 7.
+    * 30-bit output. Mirrors the oracle's
+    * `list_reduce(list_prepend(7, chars), (a,b) -> (a*31+b) % 1000000007)`.
+    */
+  final val Mod  = 1000000007L
+  final val Seed = 7L
+
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = Seed
+    var i   = 0
+    while (i < str.length) {
+      acc = (acc * 31L + str.charAt(i).toLong) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  /** 30-bit SimHash over pre-hashed tokens: bit j set iff the count of
+    * tokens with bit j set exceeds those without.
+    */
+  def simHash30(hashes: ArrayData): Long = {
+    val n   = hashes.numElements()
+    var sig = 0L
+    var j   = 0
+    while (j < 30) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += (if (((hashes.getLong(i) >> j) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      if (s > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Dot product of two float vectors, accumulated in double, sequential
+    * order (matches DuckDB's list_dot_product on ::DOUBLE[] to ~1 ulp).
+    */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n   = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i   = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+/** poly_hash(string) → long. Codegen: a single static call, stays in WSCG. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** sim_hash30(array<long>) → long. */
+case class SimHash30(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.simHash30(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simHash30($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash30 =
+    copy(child = newChild)
+}
+
+/** dot_ff(array<float>, array<float>) → double. */
+case class DotFF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.dotFF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFF =
+    copy(left = l, right = r)
+}
+
+/** Column-level API for the expression pack. */
+object exprs {
+  private def c(e: Expression): Column = GraftSqlBridge.column(e)
+  private def e(col: Column): Expression = GraftSqlBridge.expression(col)
+
+  def poly_hash(s: Column): Column            = c(PolyHash(e(s)))
+  def sim_hash30(hashes: Column): Column      = c(SimHash30(e(hashes)))
+  def dot_ff(a: Column, b: Column): Column    = c(DotFF(e(a), e(b)))
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Hashing
+import graft.functions.exprs._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  *  - [[q_cosine_topk]]: brute-force cosine top-k for a probe subset —
+  *    the correctness baseline, oracle-checked against DuckDB
+  *    list_dot_product. Probes are broadcast; candidates stream through a
+  *    codegen'd [[graft.functions.DotFF]] (no shuffle of the big side).
+  *  - [[annLshTopK]]: the scale path — 8 deterministic random-hyperplane
+  *    sign bits bucket every vector (narrow map); probes search only their
+  *    own bucket plus all 1-bit-flip neighbors (multiprobe), so the
+  *    candidate set shrinks ~256/9-fold. At 100 TB the bucket join
+  *    shuffles by bucket id instead of cross-joining.
+  *
+  * Cosine values are rounded to 6 dp before ranking (ties broken by
+  * candidate id) so rank order is engine-independent.
+  */
+object Similarity {
+
+  final val NumPlanes = 8
+  final val Dim       = 64
+
+  /** Deterministic pseudo-random hyperplanes derived from PolyHash —
+    * reproducible across engines/sessions without an RNG.
+    */
+  private[ops] val planes: Seq[Array[Float]] =
+    (0 until NumPlanes).map { j =>
+      Array.tabulate(Dim) { i =>
+        val h = Hashing.polyHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$j:$i"))
+        ((h % 2001L) - 1000L).toFloat / 1000.0f
+      }
+    }
+
+  /** 8-bit LSH bucket id of an embedding column. */
+  private[ops] def bucket(v: Column): Column =
+    (0 until NumPlanes).map { j =>
+      when(dot_ff(v, typedlit(planes(j).toSeq)) > 0d, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot_ff(col("embedding"), col("embedding"))))
+
+  /** Brute-force cosine top-k (k=10) for probes vec_id % 100 = 0. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("nrm").as("pn"))
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
+    val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+    val w    = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("c_id"))
+    cands.join(broadcast(probes), col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"), cosR.as("cos_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("p_id"), col("rank"), col("c_id"), col("cos_r"))
+      .orderBy("p_id", "rank")
+  }
+
+  /** LSH-bucketed ANN top-k: same contract as [[cosineTopK]] but searching
+    * only the probe's bucket ∪ 1-bit-flip buckets. Not oracle-checked
+    * (bucket recall is approximate); ScalaTest measures recall vs brute force.
+    */
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir)).withColumn("bkt", bucket(col("embedding")))
+    val probeBuckets = array(
+      (col("bkt") +: (0 until NumPlanes).map(j =>
+        col("bkt").bitwiseXOR(lit(1 << j)))): _*)
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("nrm").as("pn"),
+        explode(probeBuckets).as("bkt"))
+    val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+    val w    = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("c_id"))
+    e.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"),
+        col("bkt"))
+      .join(probes, Seq("bkt"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"), cosR.as("cos_r"))
+      .distinct() // a pair can match via several probed buckets
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("p_id"), col("rank"), col("c_id"), col("cos_r"))
+      .orderBy("p_id", "rank")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_cosine_topk",
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), d AS (
+        |  SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+        |         round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos_r
+        |  FROM n p, n c
+        |  WHERE p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id
+        |)
+        |SELECT p_id, rank, c_id, cos_r FROM (
+        |  SELECT p_id, c_id, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY p_id
+        |           ORDER BY cos_r DESC, c_id) AS INTEGER) AS rank
+        |  FROM d)
+        |WHERE rank <= 10 ORDER BY p_id, rank""".stripMargin)(cosineTopK),
+
+    // Embedding-cosine near-dup over consecutive-id pairs (exact slice).
+    Q("q_embed_neardup",
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+        |FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+        |ORDER BY v1""".stripMargin) { (s, dir) =>
+      val e = withNorm(Tables.embeddings(s, dir))
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("av"), col("nrm").as("an"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("bv"), col("nrm").as("bn"))
+      a.join(b, col("v2") === col("v1") + 1)
+        .select(col("v1"), col("v2"),
+          round(dot_ff(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos_r"))
+        .orderBy("v1")
+    },
+
+    Q.noOracle("q_ann_lsh_topk")(annLshTopK)
+  )
+}

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for a training-data pipeline (north star):
+  * word counts, per-language stats, exact dedup, token counting, quality
+  * scoring, heuristic language-ID, sessionization, tumbling windows.
+  * All narrow per-document transforms (no shuffle except the final
+  * aggregations) — at 100 TB these scale linearly with input splits.
+  */
+object TextOps {
+
+  private val EnStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val EsStops = Seq("el", "la", "de", "y", "que", "los")
+  private val DeStops = Seq("der", "die", "das", "und", "ist", "von")
+
+  private def stopsLit(ws: Seq[String]): Column = array(ws.map(lit): _*)
+  private def stopsSql(ws: Seq[String]): String = ws.mkString("['", "', '", "']")
+
+  /** Occurrences of `stops` words among whitespace tokens. */
+  private def hits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => array_contains(stopsLit(stops), t)))
+  private def hitsSql(stops: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopsSql(stops)}, t))) AS INTEGER)"
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Seq[Q] = Seq(
+
+    // Tokenize + explode + count: the canonical wordcount, top-100.
+    Q("q_wordcount",
+      """SELECT tok, count(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(100)
+    },
+
+    // Per-language corpus statistics.
+    Q("q_lang_stats",
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       (CAST(sum(n_chars) AS BIGINT) / count(*)) AS avg_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          countDistinct("source").as("n_sources"))
+        .withColumn("avg_chars", col("sum_chars") / col("n_docs"))
+        .select("lang", "n_docs", "sum_chars", "avg_chars", "n_sources")
+        .orderBy("lang")
+    },
+
+    // Exact dedup: hash-groupBy on full text, keep lowest doc_id.
+    Q("q_dedup_docs_exact",
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), length(col("text")).as("n_chars"))
+        .orderBy("keep_id")
+    },
+
+    // Token counting: whitespace + regex token classes.
+    Q("q_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS alpha_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS num_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).as("alpha_tokens"),
+        regexp_count(col("text"), lit("[0-9]+")).as("num_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length / stopword-density heuristics. All ratios are
+    // exact-integer divisions → bit-identical doubles cross-engine.
+    Q("q_quality_score",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+         |  CAST(length(text) AS INTEGER) AS n_char,
+         |  ${hitsSql(EnStops)} AS stop_hits,
+         |  (${hitsSql(EnStops)} / CAST(len(string_split(text, ' ')) AS INTEGER)) AS stop_ratio,
+         |  (CAST(length(replace(text, ' ', '')) AS INTEGER) / CAST(len(string_split(text, ' ')) AS INTEGER)) AS avg_tok_len,
+         |  ((${hitsSql(EnStops)} / CAST(len(string_split(text, ' ')) AS INTEGER)) * 0.5 +
+         |   (CASE WHEN (CAST(length(replace(text, ' ', '')) AS INTEGER) / CAST(len(string_split(text, ' ')) AS INTEGER)) >= 3
+         |          AND (CAST(length(replace(text, ' ', '')) AS INTEGER) / CAST(len(string_split(text, ' ')) AS INTEGER)) <= 8
+         |         THEN 0.5 ELSE 0.0 END)) AS score
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks      = split(col("text"), " ")
+      val nTok      = size(toks)
+      val stopHits  = hits(toks, EnStops)
+      val stopRatio = stopHits / nTok
+      val avgTokLen = length(regexp_replace(col("text"), " ", "")) / nTok
+      Tables.documents(s, dir).select(
+        col("doc_id"), nTok.as("n_tok"), length(col("text")).as("n_char"),
+        stopHits.as("stop_hits"), stopRatio.as("stop_ratio"),
+        avgTokLen.as("avg_tok_len"),
+        (stopRatio * lit(0.5) +
+          when(avgTokLen >= 3 && avgTokLen <= 8, lit(0.5)).otherwise(lit(0.0)))
+          .as("score"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic language ID: stopword-set occurrence voting with a
+    // deterministic priority tiebreak.
+    Q("q_lang_id",
+      s"""SELECT doc_id, lang,
+         |  ${hitsSql(EnStops)} AS en_hits, ${hitsSql(EsStops)} AS es_hits,
+         |  ${hitsSql(DeStops)} AS de_hits,
+         |  (CASE WHEN ${hitsSql(EnStops)} >= ${hitsSql(EsStops)}
+         |         AND ${hitsSql(EnStops)} >= ${hitsSql(DeStops)}
+         |         AND ${hitsSql(EnStops)} > 0 THEN 'en'
+         |        WHEN ${hitsSql(EsStops)} >= ${hitsSql(DeStops)}
+         |         AND ${hitsSql(EsStops)} > 0 THEN 'es'
+         |        WHEN ${hitsSql(DeStops)} > 0 THEN 'de'
+         |        ELSE 'und' END) AS pred
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val en   = hits(toks, EnStops)
+      val es   = hits(toks, EsStops)
+      val de   = hits(toks, DeStops)
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+        when(en >= es && en >= de && en > 0, "en")
+          .when(es >= de && es > 0, "es")
+          .when(de > 0, "de")
+          .otherwise("und").as("pred"))
+        .orderBy("doc_id")
+    },
+
+    // Gaps-and-islands sessionization over events (30-minute gap), the
+    // batch analogue of streaming session windows.
+    Q("q_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS isnew
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, us,
+        |         CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM y
+        |)
+        |SELECT user_id, sess, count(*) AS n,
+        |       CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us
+        |FROM z GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin) {
+      (s, dir) =>
+        val us   = unix_micros(col("ts").cast("timestamp"))
+        val w    = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+        val gap  = us - lag(us, 1).over(w)
+        val isNew = when(gap.isNull || gap > 1800000000L, 1).otherwise(0)
+        val sess = sum(isNew).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        Tables.events(s, dir)
+          .select(col("user_id"), us.as("us"), sess.as("sess"))
+          .groupBy("user_id", "sess")
+          .agg(count(lit(1)).as("n"), min("us").as("start_us"), max("us").as("end_us"))
+          .orderBy("user_id", "sess")
+    },
+
+    // Tumbling 1-hour windows via Spark's window() — the batch twin of the
+    // Structured Streaming tumbling aggregation (graft.streaming).
+    Q("q_tumbling_hourly",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"),
+          countDistinct("user_id").as("n_users"))
+        .select(unix_micros(col("window.start")).as("hour_us"),
+          col("n"), col("value_cents"), col("n_users"))
+        .orderBy("hour_us")
+    }
+  )
+}
