@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator smoke on sf0.001: every declared query builds a plan, runs,
+  * and yields a sane result (the exact-value gate is the DuckDB oracle —
+  * scripts/check.py / the driver's t2).
+  */
+class QueriesSpec extends SparkSpec {
+
+  SparkEntry.all.foreach { q =>
+    test(s"${q.name} runs and returns rows") {
+      val df = q.build(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("flagship entry fills every geometry column on surviving rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.filter(col("geom").isNull || col("lenm").isNull || col("sogkt").isNull)
+      .count() === 0)
+    assert(df.filter(col("duration") === 0).count() === 0)
+  }
+
+  test("pipeline invariants: lenm >= 0 and sogkt == lenm/duration*1.94384") {
+    val df  = SparkEntry.entry(spark)
+    assert(df.filter(col("lenm") < 0).count() === 0)
+    val bad = df.filter(
+      abs(col("sogkt") - col("lenm") / col("duration") * lit(1.94384)) > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  test("merge is idempotent: re-running on merged output changes nothing") {
+    import ops.Segments
+    val merged = SparkEntry.entry(spark)
+    // every row now has geom — the pending filter selects nothing
+    assert(merged.filter(col("geom").isNull).count() === 0)
+  }
+
+  test("dedup pairs are symmetric-free and above threshold") {
+    val pairs = SparkEntry.queries("q_dedup_minhash_pairs")(spark, sfDir)
+    assert(pairs.filter(col("d1") >= col("d2")).count() === 0)
+    assert(pairs.filter(col("jac") < ops.Dedup.JaccardTau).count() === 0)
+  }
+
+  test("jaccard is within [0,1] and inter <= uni") {
+    val j = SparkEntry.queries("q_jaccard_pairs")(spark, sfDir)
+    assert(j.filter(col("jac") < 0 || col("jac") > 1).count() === 0)
+    assert(j.filter(col("inter") > col("uni")).count() === 0)
+  }
+
+  test("cosine topk: ranks are 1..k per probe, cosine within [-1,1]") {
+    val t = SparkEntry.queries("q_cosine_topk")(spark, sfDir)
+    assert(t.filter(col("cos_r") < -1.000001 || col("cos_r") > 1.000001).count() === 0)
+    val perProbe = t.groupBy("p_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perProbe.filter(col("n") =!= col("mx")).count() === 0)
+  }
+
+  test("ann lsh topk is a subset-quality approximation of brute force") {
+    val bf  = SparkEntry.queries("q_cosine_topk")(spark, sfDir)
+      .select(col("p_id"), col("c_id"))
+    val ann = SparkEntry.queries("q_ann_lsh_topk")(spark, sfDir)
+      .select(col("p_id"), col("c_id"))
+    val recall = ann.join(bf, Seq("p_id", "c_id"), "left_semi").count().toDouble /
+      bf.count().toDouble
+    assert(recall > 0.1, s"ANN recall collapsed: $recall")
+  }
+}
