@@ -13,7 +13,8 @@ object SparkEntry {
     ops.Relational.queries,
     ops.TextOps.queries,
     ops.Dedup.queries,
-    ops.Similarity.queries
+    ops.Similarity.queries,
+    ops.Multimodal.queries
   )
 
   def all: Seq[Q] = modules.flatten

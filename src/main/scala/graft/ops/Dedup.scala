@@ -53,7 +53,7 @@ object Dedup {
   // ---- DuckDB mirrors -----------------------------------------------------
 
   /** Polynomial hash of an arbitrary SQL string expression, char by char. */
-  private def hashSql(e: String): String =
+  def hashSql(e: String): String =
     s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
        |  list_transform(range(1, length($e) + 1),
        |    i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))),

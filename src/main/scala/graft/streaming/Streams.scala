@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream (SURVEY §2.2):
+  * watermarked tumbling/sliding/session windows, within-watermark dedup,
+  * and arbitrary stateful sessionization via flatMapGroupsWithState.
+  *
+  * Every transform takes the events frame (batch or streaming — the same
+  * logical plan runs in both modes; the watermark is applied only when the
+  * input is streaming). The batch twins are oracle-checked
+  * (q_tumbling_hourly, q_sessionize); the streaming runs are
+  * MemoryStream-tested (StreamingSpec) for watermark/late-data semantics.
+  *
+  * Scale: windowed aggregations shuffle by (window, key) with map-side
+  * partial aggregation; state stores are per-key and bounded by the
+  * watermark TTL — the layout that survives wide clusters.
+  */
+object Streams {
+
+  final val WatermarkDelay = "10 minutes"
+  final val SessionGap     = "30 minutes"
+
+  private def maybeWatermark(events: DataFrame): DataFrame =
+    if (events.isStreaming) events.withWatermark("ts", WatermarkDelay) else events
+
+  /** Tumbling 1-hour counts/sums — streaming twin of q_tumbling_hourly. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    maybeWatermark(events)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_micros(col("window.start")).as("hour_us"), col("n"),
+        col("value_cents"))
+
+  /** Sliding 1-hour windows every 15 minutes, per event type. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    maybeWatermark(events)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("event_type"), col("n"))
+
+  /** Native session windows (30-minute gap) per user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    maybeWatermark(events)
+      .groupBy(session_window(col("ts"), SessionGap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"), col("n"))
+
+  /** Exactly-once-per-id dedup bounded by the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", WatermarkDelay)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  // ---- arbitrary stateful processing --------------------------------------
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class SessionState(startUs: Long, lastUs: Long, n: Int)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n: Int)
+
+  final val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Gaps-and-islands sessionizer with explicit state: emits a session when
+    * a same-user event arrives more than 30 minutes after the previous one
+    * (the still-open final session stays in state). Mirrors q_sessionize
+    * minus each user's trailing open session.
+    */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st  = state.getOption.orNull
+          // full microsecond precision: getTime is millis; sub-ms lives in nanos
+          def usOf(e: Event): Long =
+            Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
+          // events within a micro-batch arrive unordered: sort by event time
+          it.toSeq.sortBy(e => (usOf(e), e.event_id)).foreach { e =>
+            val us = usOf(e)
+            st match {
+              case null =>
+                st = SessionState(us, us, 1)
+              case s if us - s.lastUs > SessionGapUs =>
+                out += SessionOut(userId, s.startUs, s.lastUs, s.n)
+                st = SessionState(us, us, 1)
+              case s =>
+                st = SessionState(s.startUs, math.max(s.lastUs, us), s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}

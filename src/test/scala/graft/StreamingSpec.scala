@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Streaming semantics via MemoryStream: batch-vs-stream equivalence,
+  * watermark late-data drops, stateful sessionization (SURVEY §5.2.4).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def runToMemory(df: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def loadEvents: Seq[Event] =
+    Tables.events(spark, sfDir).as[Event].collect().toSeq.sortBy(_.event_id)
+
+  test("streaming tumbling hourly (complete mode) equals the batch twin") {
+    val events = loadEvents
+    val ms     = MemoryStream[Event](spark)
+    // feed in two micro-batches so the watermark machinery engages
+    val (a, b) = events.splitAt(events.size / 2)
+    ms.addData(a); ms.addData(b)
+    val got = runToMemory(Streams.tumblingHourly(ms.toDF()), "tumbling_complete",
+      mode = "complete")
+    val want = Streams.tumblingHourly(Tables.events(spark, sfDir))
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
+
+  test("append mode with watermark drops data later than the delay") {
+    val ms = MemoryStream[Event](spark)
+    def ev(id: Long, min: Long) = Event(id, ts(min), 1L, "x", 1.0, "{}")
+    // batch 1: events at minute 5 and 75 → watermark = 75 - 10 = 65, which
+    // is past the END of the hour-0 window [0, 60)
+    ms.addData(ev(1, 5), ev(2, 75))
+    val q = Streams.tumblingHourly(ms.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("late_drop").start()
+    q.processAllAvailable()
+    // batch 2: a late event at minute 10 — its window [0, 60) closed at
+    // watermark 65 → the row must be DROPPED, and hour-0 finalizes with
+    // only the on-time event
+    ms.addData(ev(3, 10))
+    q.processAllAvailable()
+    // advance watermark far enough to finalize every window
+    ms.addData(ev(4, 300))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_drop").orderBy("hour_us").collect()
+    val hour0 = rows.find(_.getLong(0) === 0L)
+    assert(hour0.isDefined, "hour-0 window never finalized")
+    assert(hour0.get.getLong(1) === 1L,
+      s"late event leaked into finalized window: ${rows.mkString(",")}")
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    val ms = MemoryStream[Event](spark)
+    def ev(id: Long, min: Long) = Event(id, ts(min), 1L, "x", 1.0, "{}")
+    ms.addData(ev(1, 1), ev(1, 1), ev(2, 2))
+    ms.addData(ev(2, 2), ev(3, 3))
+    val got = runToMemory(Streams.dedupEvents(ms.toDF()), "dedup_stream")
+    assert(got.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("stateful sessionizer matches batch sessionize minus open tail sessions") {
+    val events = loadEvents
+    val ms     = MemoryStream[Event](spark)
+    val (a, b) = events.splitAt(events.size / 2)
+    ms.addData(a); ms.addData(b)
+    val got = runToMemory(Streams.sessionizeStateful(ms.toDS()).toDF(), "sessions_stateful")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n").cast("long"))
+    val batch = SparkEntry.queries("q_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n"))
+    // streaming emits only CLOSED sessions: batch minus the last session of
+    // each user
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("start_us").desc)
+    val batchClosed = batch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") =!= 1).drop("rn")
+    assert(got.except(batchClosed).count() === 0,
+      "stateful emitted a session batch doesn't have")
+    assert(batchClosed.except(got).count() === 0,
+      "stateful missed a closed session")
+  }
+
+  test("streaming session windows produce positive-length per-user sessions") {
+    val ms = MemoryStream[Event](spark)
+    ms.addData(loadEvents)
+    ms.addData(Event(99999L, ts(100000), 1L, "x", 1.0, "{}")) // advance watermark
+    val got = runToMemory(Streams.sessionWindows(ms.toDF()), "session_windows")
+    assert(got.count() > 0)
+    assert(got.filter(col("end_us") <= col("start_us")).count() === 0)
+  }
+}
