@@ -14,7 +14,8 @@ object SparkEntry {
     ops.TextOps.queries,
     ops.Dedup.queries,
     ops.Similarity.queries,
-    ops.Multimodal.queries
+    ops.Multimodal.queries,
+    ops.Extras.queries
   )
 
   def all: Seq[Q] = modules.flatten

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.exprs.dot_ff
+
+/** Remaining SURVEY §2.2 operator categories: as-of join, range (non-equi)
+  * join, CUBE, lag/lead deltas, array higher-order functions, approximate
+  * aggregates (HLL / quantile sketch).
+  */
+object Extras {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def usOf(c: Column): Column  = unix_micros(c.cast("timestamp"))
+
+  val queries: Seq[Q] = Seq(
+
+    // As-of join, composed as a conditional window aggregate (SURVEY §2.2
+    // joins row): for every event, the latest STRICTLY-EARLIER purchase by
+    // the same user. No join at all — the classic union+window as-of trick
+    // degenerates to one window because both sides share the events scan.
+    Q("q_asof_last_purchase",
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |       max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_us
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val us = usOf(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), us.as("us"),
+        max(when(col("event_type") === "purchase", us)).over(w).as("last_purchase_us"))
+        .orderBy("event_id")
+    },
+
+    // Range join: non-equi condition against a small literal dimension —
+    // Spark broadcasts the dim and evaluates the band predicate in-stage.
+    Q("q_range_join_buckets",
+      """WITH dim(label, lo, hi) AS (VALUES
+        |  ('tiny', 0.0, 50.0), ('small', 50.0, 100.0),
+        |  ('mid', 100.0, 200.0), ('big', 200.0, 1000.0))
+        |SELECT label, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events JOIN dim ON value >= lo AND value < hi
+        |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dim = Seq(("tiny", 0.0, 50.0), ("small", 50.0, 100.0),
+        ("mid", 100.0, 200.0), ("big", 200.0, 1000.0)).toDF("label", "lo", "hi")
+      Tables.events(s, dir)
+        .join(broadcast(dim), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("label")
+    },
+
+    // CUBE over two dimensions of the orders⋈customer star.
+    Q("q_cube_sales",
+      """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+        |       coalesce(c_mktsegment, 'ALL') AS seg, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (o_orderpriority, c_mktsegment)
+        |ORDER BY pri, seg""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .cube(col("o_orderpriority"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          col("n"), col("total_cents"))
+        .orderBy("pri", "seg")
+    },
+
+    // lag/lead deltas per user (exact integer cents).
+    Q("q_lag_lead_delta",
+      """WITH x AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT event_id,
+        |       vc - lag(vc) OVER (PARTITION BY user_id ORDER BY us, event_id) AS delta_prev,
+        |       lead(vc) OVER (PARTITION BY user_id ORDER BY us, event_id) - vc AS delta_next
+        |FROM x ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val us = usOf(col("ts"))
+      val vc = cents(col("value"))
+      val w  = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+      Tables.events(s, dir).select(
+        col("event_id"),
+        (vc - lag(vc, 1).over(w)).as("delta_prev"),
+        (lead(vc, 1).over(w) - vc).as("delta_next"))
+        .orderBy("event_id")
+    },
+
+    // Array higher-order functions over the embeddings vectors.
+    Q("q_array_funcs",
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INTEGER) AS dim,
+        |       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |       round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq_norm,
+        |       CAST(list_max(embedding) AS DOUBLE) AS mx
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        round(dot_ff(col("embedding"), col("embedding")), 6).as("sq_norm"),
+        array_max(col("embedding")).cast("double").as("mx"))
+        .orderBy("vec_id")
+    },
+
+    // Approximate aggregates: HLL distinct + quantile sketch. Sketch
+    // internals are engine-specific → rows-only check; QueriesSpec bounds
+    // them against exact values.
+    Q.noOracle("q_approx_stats") { (s, dir) =>
+      Tables.orders(s, dir).agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+    }
+  )
+}

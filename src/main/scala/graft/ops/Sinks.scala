@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Sinks (SURVEY §2.2): the reference's per-day batching + per-day commit
+  * (sql_to_line.py:91,126) maps to date-partitioned parquet with per-task
+  * atomic commits; its UPDATE-merge maps to an idempotent foreachBatch
+  * overwrite of the touched partitions.
+  *
+  * Scale: `partitionBy(date)` gives partition pruning to every downstream
+  * reader and bounds any reprocessing to one day — exactly the reference's
+  * unit of recovery. (Delta/Iceberg MERGE is the production path; not
+  * available offline.)
+  */
+object Sinks {
+
+  /** Batch: write a frame partitioned by the calendar day of `tsCol`. */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, outDir: String): Unit =
+    df.withColumn("date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("date")
+      .parquet(outDir)
+
+  /** Streaming: per-micro-batch append into date partitions, stamped with
+    * the micro-batch id. Parquet append is at-least-once on replay — a
+    * checkpoint-restart rerun of the last batch can double-append, and
+    * readers dedupe on (batch_id, key) or take max(batch_id). (Partition
+    * overwrite would instead LOSE rows for days spanning two batches;
+    * exactly-once needs a transactional table format — Delta/Iceberg MERGE,
+    * the production path, unavailable offline.)
+    */
+  def streamToPartitionedParquet(stream: DataFrame, tsCol: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("date", to_date(col(tsCol)))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Append)
+          .partitionBy("date")
+          .parquet(outDir)
+      }
+      .start()
+}

@@ -52,6 +52,16 @@ class QueriesSpec extends SparkSpec {
     assert(nTok === nHash, "hash collision in vocabulary — hashed set ops unsound")
   }
 
+  test("approximate aggregates land near their exact counterparts") {
+    val r = SparkEntry.queries("q_approx_stats")(spark, sfDir).collect().head
+    val approxC = r.getAs[Long]("approx_custs").toDouble
+    val exactC  = r.getAs[Long]("exact_custs").toDouble
+    assert(math.abs(approxC / exactC - 1) < 0.05, s"HLL off: $approxC vs $exactC")
+    val approxM = r.getAs[Double]("approx_median")
+    val exactM  = r.getAs[Double]("exact_median")
+    assert(math.abs(approxM / exactM - 1) < 0.05, s"quantile off: $approxM vs $exactM")
+  }
+
   test("jaccard is within [0,1] and inter <= uni") {
     val j = SparkEntry.queries("q_jaccard_pairs")(spark, sfDir)
     assert(j.filter(col("jac") < 0 || col("jac") > 1).count() === 0)

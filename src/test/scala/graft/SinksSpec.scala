@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.{PostingLines, Sinks}
+import graft.streaming.Streams.Event
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sinks").toString
+
+  test("date-partitioned write round-trips and prunes partitions") {
+    val out    = tmp()
+    val merged = PostingLines.merged(spark, sfDir)
+    Sinks.writePartitionedByDay(merged.drop("geom"), "starttime", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === merged.count())
+    // partition layout exists on disk (date=YYYY-MM-DD dirs)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("date="))
+    assert(dirs.length > 1, "expected one directory per day")
+    // a date filter prunes: read of one partition returns only that day
+    val day = dirs.head.getName.stripPrefix("date=")
+    val one = spark.read.parquet(out).filter(col("date") === day)
+    assert(one.count() > 0 && one.count() < merged.count())
+  }
+
+  test("streaming foreachBatch sink lands micro-batches in date partitions") {
+    val out  = tmp()
+    val ckpt = tmp()
+    val ms   = MemoryStream[Event](spark)
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+    val (a, b) = events.splitAt(events.size / 2)
+    ms.addData(a)
+    val q = Sinks.streamToPartitionedParquet(ms.toDF(), "ts", out, ckpt)
+    q.processAllAvailable()
+    ms.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() === events.size.toLong)
+    assert(back.select("date").distinct().count() > 1)
+  }
+}
