@@ -15,7 +15,8 @@ object SparkEntry {
     ops.Dedup.queries,
     ops.Similarity.queries,
     ops.Multimodal.queries,
-    ops.Extras.queries
+    ops.Extras.queries,
+    ops.Advanced.queries
   )
 
   def all: Seq[Q] = modules.flatten

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Advanced engine surface: skew-salted aggregation, the SQL entry point
+  * (GROUPING SETS), and a typed Aggregator UDAF — each oracle-checked
+  * against a plain formulation, proving the optimized path is semantics-
+  * preserving.
+  */
+object Advanced {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Typed UDAF: sum of squared deviations from zero in integer cents² —
+    * exact integer arithmetic end-to-end, so the oracle is plain SQL.
+    * Demonstrates Aggregator[IN, BUF, OUT] with partial merge (map-side
+    * combine happens automatically).
+    */
+  object SumSqCents extends Aggregator[Long, Long, Long] {
+    def zero: Long                       = 0L
+    def reduce(b: Long, a: Long): Long   = b + a * a
+    def merge(b1: Long, b2: Long): Long  = b1 + b2
+    def finish(b: Long): Long            = b
+    def bufferEncoder: Encoder[Long]     = Encoders.scalaLong
+    def outputEncoder: Encoder[Long]     = Encoders.scalaLong
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Skew-salted aggregation: events.user_id is pathologically skewed
+    // (~15 users for the whole table). Phase 1 aggregates on
+    // (user_id, salt) — 32-way fan-out of each hot key — phase 2 merges
+    // partials. The oracle is the UNSALTED aggregation: identical results
+    // prove the rewrite is semantics-preserving. Salt must not affect
+    // float totals → integer cents make the partial sums reassociable.
+    Q("q_skew_salted_agg",
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val salted = Tables.events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(32)))
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pc"),
+          max(cents(col("value"))).as("pm"))
+      salted.groupBy("user_id")
+        .agg(sum(col("pn")).as("n"), sum(col("pc")).as("value_cents"),
+          max(col("pm")).as("max_cents"))
+        .orderBy("user_id")
+    },
+
+    // SQL entry point: the same engine drives spark.sql(...) text — here a
+    // GROUPING SETS aggregation (finer-grained than ROLLUP/CUBE).
+    Q("q_sql_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, pri""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, pri""".stripMargin)
+    },
+
+    // Typed Aggregator UDAF over integer cents (per market segment).
+    Q("q_udaf_sumsq",
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+        |              * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sumsq_cents
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, dir) =>
+        val sumsq = udaf(SumSqCents)
+        Tables.customer(s, dir)
+          .groupBy("c_mktsegment")
+          .agg(sumsq(cents(col("c_acctbal"))).as("sumsq_cents"))
+          .orderBy("c_mktsegment")
+    }
+  )
+}

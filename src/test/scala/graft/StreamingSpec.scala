@@ -95,6 +95,17 @@ class StreamingSpec extends SparkSpec {
       "stateful missed a closed session")
   }
 
+  test("sliding windows: each event lands in 4 overlapping 1h/15m windows") {
+    val ms = MemoryStream[Event](spark)
+    ms.addData(Event(1, ts(30), 1L, "x", 1.0, "{}"))
+    ms.addData(Event(2, ts(100000), 1L, "x", 1.0, "{}")) // advance watermark
+    val got = runToMemory(Streams.slidingCounts(ms.toDF()), "sliding")
+      .filter(col("win_us") < 100000L * 60000000L)
+    // minute-30 event belongs to windows starting at -30, -15, 0, +15
+    assert(got.count() === 4,
+      s"expected 4 overlapping windows: ${got.collect().mkString(",")}")
+  }
+
   test("streaming session windows produce positive-length per-user sessions") {
     val ms = MemoryStream[Event](spark)
     ms.addData(loadEvents)
