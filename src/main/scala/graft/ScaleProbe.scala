@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: replicates `events` N× with shifted ids (unique keys,
+  * same distribution) and times the flagship pipeline + representative
+  * heavy operators at each multiple. Linear wall-time growth = the plan has
+  * no super-linear stage (the 100 TB posture check, SURVEY §7.6).
+  *
+  *   sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 1 4 10"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 4, 10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(n: Int): DataFrame = {
+      val ev = Tables.events(spark, sfDir)
+      (0 until n).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000L)))
+        .reduce(_.union(_))
+    }
+
+    // warmup
+    SparkEntry.entry(spark).count()
+
+    for (m <- mults) {
+      val ev = replicate(m)
+      ev.createOrReplaceTempView("events_scaled")
+      def timed(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n  = f
+        println(f"[scale] x$m%-3d $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+      }
+      // flagship geometry pipeline over the synthesized segments at m×
+      timed("flagship_pipeline") {
+        graft.ops.PostingLines.mergedFrom(graft.ops.Segments.fromEvents(ev)).count()
+      }
+      timed("grouped_agg") {
+        ev.groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)), sum(round(col("value") * 100).cast("long"))).count()
+      }
+      timed("window_sessionize") {
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(us, col("event_id"))
+        ev.select(col("user_id"), us.as("us"),
+          sum(when(us - lag(us, 1).over(w) > 1800000000L || lag(us, 1).over(w).isNull, 1)
+            .otherwise(0)).over(w.rowsBetween(Long.MinValue, 0)).as("sess"))
+          .groupBy("user_id", "sess").count().count()
+      }
+    }
+    spark.stop()
+  }
+}

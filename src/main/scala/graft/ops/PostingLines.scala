@@ -44,12 +44,16 @@ object PostingLines {
   }
 
   /** Flagship: the full main table after one pipeline run — in-row form. */
-  def merged(spark: SparkSession, sfDir: String): DataFrame = {
+  def merged(spark: SparkSession, sfDir: String): DataFrame =
+    mergedFrom(Segments.df(spark, sfDir))
+
+  /** In-row merge over an arbitrary segments frame (scale probes, tests). */
+  def mergedFrom(seg: DataFrame): DataFrame = {
     val (se, sn, ee, en) = projected
     val lenm             = lengthM(se, sn, ee, en)
     val newGeom = struct(
       se.as("sx"), sn.as("sy"), ee.as("ex"), en.as("ey"), lit(3005).as("srid"))
-    cleaned(spark, sfDir)
+    seg.filter(col("duration") =!= 0)
       .withColumn("geom", coalesce(col("geom"), newGeom))
       .withColumn("lenm", coalesce(col("lenm"), lenm))
       .withColumn("sogkt", coalesce(col("sogkt"), sogKt(lenm, col("duration"))))

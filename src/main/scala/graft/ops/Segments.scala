@@ -48,8 +48,11 @@ object Segments {
     * struct. Narrow map over `events` — no shuffle; Catalyst prunes unused
     * event columns down to the parquet scan.
     */
-  def df(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev        = Tables.events(spark, sfDir)
+  def df(spark: SparkSession, sfDir: String): DataFrame =
+    fromEvents(Tables.events(spark, sfDir))
+
+  /** Same synthesis over an arbitrary events frame (scale probes, tests). */
+  def fromEvents(ev: DataFrame): DataFrame = {
     val slon      = startLon(col("user_id"))
     val slat      = startLat(col("event_id"))
     val elon      = endLon(col("user_id"), col("value"))

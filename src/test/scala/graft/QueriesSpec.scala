@@ -30,6 +30,16 @@ class QueriesSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("in-row merge and reference-shaped update-join merge are equivalent") {
+    import ops.PostingLines
+    val flat = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("segmentid"), col("geom.sx"), col("geom.sy"), col("geom.ex"),
+      col("geom.ey"), col("geom.srid"), col("lenm"), col("sogkt"))
+    val a = flat(PostingLines.merged(spark, sfDir))
+    val b = flat(PostingLines.mergedViaJoin(spark, sfDir))
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
   test("merge is idempotent: re-running on merged output changes nothing") {
     import ops.Segments
     val merged = SparkEntry.entry(spark)
