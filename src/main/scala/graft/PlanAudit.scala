@@ -22,14 +22,16 @@ object PlanAudit {
     SparkEntry.all.sortBy(_.name).foreach { q =>
       try {
         val plan  = q.build(spark, sfDir).queryExecution.executedPlan.toString
-        val xchg  = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+        // ReusedExchange re-reads an existing shuffle — not a new exchange
+        val xchg  = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(plan).length
         val bcast = "BroadcastExchange".r.findAllIn(plan).length
         val sort  = raw"\bSort\b".r.findAllIn(plan).length
         val cart  = if (plan.contains("CartesianProduct")) "CARTESIAN!" else ""
         val bnlj  = if (plan.contains("BroadcastNestedLoopJoin")) "bnlj" else ""
         println(f"${q.name}%-26s $xchg%4d $bcast%5d $sort%4d  $cart$bnlj")
       } catch {
-        case e: Throwable => println(f"${q.name}%-26s  ERROR ${e.getMessage.take(60)}")
+        case e: Throwable =>
+          println(f"${q.name}%-26s  ERROR ${String.valueOf(e.getMessage).take(60)}")
       }
     }
     spark.stop()

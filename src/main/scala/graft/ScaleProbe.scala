@@ -35,7 +35,6 @@ object ScaleProbe {
 
     for (m <- mults) {
       val ev = replicate(m)
-      ev.createOrReplaceTempView("events_scaled")
       def timed(label: String)(f: => Long): Unit = {
         val t0 = System.nanoTime()
         val n  = f

@@ -25,18 +25,22 @@ object StreamDemo {
     val events = Tables.events(spark, sfDir).as[Event].collect().toSeq.sortBy(_.event_id)
     val (a, b) = events.splitAt(events.size / 2)
 
+    // start each query BEFORE the second addData so the two blocks arrive as
+    // genuinely separate micro-batches (watermark advances between them)
     val ms = MemoryStream[Event](spark)
-    ms.addData(a); ms.addData(b)
     val q1 = Streams.tumblingHourly(ms.toDF()).writeStream
       .outputMode("complete").format("memory").queryName("tumbling").start()
-    q1.processAllAvailable(); q1.stop()
+    ms.addData(a); q1.processAllAvailable()
+    ms.addData(b); q1.processAllAvailable()
+    q1.stop()
     println(s"[stream] tumbling hourly windows: ${spark.table("tumbling").count()}")
 
     val ms2 = MemoryStream[Event](spark)
-    ms2.addData(a); ms2.addData(b)
     val q2 = Streams.sessionizeStateful(ms2.toDS()).toDF().writeStream
       .outputMode("append").format("memory").queryName("sessions").start()
-    q2.processAllAvailable(); q2.stop()
+    ms2.addData(a); q2.processAllAvailable()
+    ms2.addData(b); q2.processAllAvailable()
+    q2.stop()
     println(s"[stream] closed sessions emitted: ${spark.table("sessions").count()}")
 
     spark.table("tumbling").orderBy("hour_us").show(3)

@@ -50,6 +50,28 @@ object Dedup {
       concat_ws(",", transform(slice(sig, b * BandRows + 1, lit(BandRows)),
         x => x.cast("string"))))
 
+  /** Token-set cluster frame, memoized per (session, sfDir). The cluster
+    * table feeds 5 branches (members, sizes, bands, both join sides) and is
+    * tiny (≪ docs) — cache it instead of recomputing the groupBy+hash per
+    * branch (the reference's temp-table analog, sql_to_line.py:161-202).
+    * Memoization bounds storage memory to one cached frame per dataset even
+    * when the query is built repeatedly in one session.
+    */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def clusterFrame(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    clusterCache.getOrElseUpdate((s, dir), docs
+      .groupBy(array_sort(dtoks).as("t"))
+      .agg(collect_list(col("doc_id")).as("ms"))
+      // tokens pre-hashed once per cluster, sorted: set ops become O(n)
+      // merge walks on longs (PolyHash is injective on the corpus
+      // vocabulary — asserted by QueriesSpec)
+      .withColumn("th", array_sort(transform(col("t"), t => poly_hash(t))))
+      .withColumn("sig", minhashSigsOf(col("th")))
+      .withColumn("cid", array_min(col("ms")))
+      .cache())
+
   // ---- DuckDB mirrors -----------------------------------------------------
 
   /** Polynomial hash of an arbitrary SQL string expression, char by char. */
@@ -132,21 +154,8 @@ object Dedup {
       // At 100 TB: clusters ≪ docs shuffle by token-set hash, cluster-pair
       // join is broadcast-sized, and the final explode is embarrassingly
       // parallel.
-      val docs = Tables.documents(s, dir)
-      val clusters = docs
-        .groupBy(array_sort(dtoks).as("t"))
-        .agg(collect_list(col("doc_id")).as("ms"))
-        // tokens pre-hashed once per cluster, sorted: set ops become O(n)
-        // merge walks on longs (PolyHash is injective on the corpus
-        // vocabulary — asserted by DedupSpec)
-        .withColumn("th", array_sort(transform(col("t"), t => poly_hash(t))))
-        .withColumn("sig", minhashSigsOf(col("th")))
-        .withColumn("cid", array_min(col("ms")))
-        // the cluster table feeds 5 branches (members, sizes, bands, both
-        // join sides); it is tiny (≪ docs) — cache it instead of recomputing
-        // the groupBy+hash per branch (the reference's temp-table analog,
-        // sql_to_line.py:161-202)
-        .cache()
+      val docs     = Tables.documents(s, dir)
+      val clusters = clusterFrame(s, dir, docs)
 
       // member table: one slim (cid, doc) row per doc — pair fan-out happens
       // INSIDE joins on cid, so wide arrays never ride along with pair rows

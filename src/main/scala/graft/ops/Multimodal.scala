@@ -47,7 +47,7 @@ object Multimodal {
         val len = m.payload.length
         DecodedMedia(m.media_id, m.kind, m.payload,
           width = 16 + len % 64,
-          height = 16 + (len * 7) % 64,
+          height = (16 + (len.toLong * 7) % 64).toInt, // long: no wrap at ~307MB payloads
           sample_rate = 8000 + (len % 3) * 4000,
           n_frames = 1 + len % 30)
       }

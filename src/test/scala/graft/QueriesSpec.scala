@@ -53,6 +53,14 @@ class QueriesSpec extends SparkSpec {
     assert(pairs.filter(col("jac") < ops.Dedup.JaccardTau).count() === 0)
   }
 
+  test("documents corpus is pure ASCII (byte==char parity precondition)") {
+    // Multimodal oracles equate byte length/values with DuckDB's character
+    // semantics, and poly_hash equates charAt with ascii(); both need ASCII.
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(!col("text").rlike("^[\\x01-\\x7F]*$")).count()
+    assert(nonAscii === 0, "non-ASCII text would break byte/char oracle parity")
+  }
+
   test("polyHash is injective on the corpus vocabulary (dedup precondition)") {
     import graft.functions.exprs.poly_hash
     val toks = Tables.documents(spark, sfDir)

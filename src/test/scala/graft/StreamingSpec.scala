@@ -24,17 +24,30 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  /** Feed two genuinely separate micro-batches: start the query, drain
+    * batch 1, then add batch 2 — so the watermark advances BETWEEN batches
+    * (both addData calls before start() would coalesce into one batch).
+    */
+  private def runTwoBatches(df: DataFrame, name: String, mode: String,
+      ms: MemoryStream[Event], a: Seq[Event], b: Seq[Event]): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    ms.addData(a)
+    q.processAllAvailable()
+    ms.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   private def loadEvents: Seq[Event] =
     Tables.events(spark, sfDir).as[Event].collect().toSeq.sortBy(_.event_id)
 
   test("streaming tumbling hourly (complete mode) equals the batch twin") {
     val events = loadEvents
     val ms     = MemoryStream[Event](spark)
-    // feed in two micro-batches so the watermark machinery engages
     val (a, b) = events.splitAt(events.size / 2)
-    ms.addData(a); ms.addData(b)
-    val got = runToMemory(Streams.tumblingHourly(ms.toDF()), "tumbling_complete",
-      mode = "complete")
+    val got = runTwoBatches(Streams.tumblingHourly(ms.toDF()), "tumbling_complete",
+      "complete", ms, a, b)
     val want = Streams.tumblingHourly(Tables.events(spark, sfDir))
     assert(got.count() === want.count())
     assert(got.except(want).count() === 0 && want.except(got).count() === 0)
@@ -65,12 +78,11 @@ class StreamingSpec extends SparkSpec {
       s"late event leaked into finalized window: ${rows.mkString(",")}")
   }
 
-  test("dropDuplicatesWithinWatermark emits each event_id once") {
+  test("dropDuplicatesWithinWatermark dedups within AND across micro-batches") {
     val ms = MemoryStream[Event](spark)
     def ev(id: Long, min: Long) = Event(id, ts(min), 1L, "x", 1.0, "{}")
-    ms.addData(ev(1, 1), ev(1, 1), ev(2, 2))
-    ms.addData(ev(2, 2), ev(3, 3))
-    val got = runToMemory(Streams.dedupEvents(ms.toDF()), "dedup_stream")
+    val got = runTwoBatches(Streams.dedupEvents(ms.toDF()), "dedup_stream", "append",
+      ms, Seq(ev(1, 1), ev(1, 1), ev(2, 2)), Seq(ev(2, 2), ev(3, 3)))
     assert(got.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
@@ -78,8 +90,9 @@ class StreamingSpec extends SparkSpec {
     val events = loadEvents
     val ms     = MemoryStream[Event](spark)
     val (a, b) = events.splitAt(events.size / 2)
-    ms.addData(a); ms.addData(b)
-    val got = runToMemory(Streams.sessionizeStateful(ms.toDS()).toDF(), "sessions_stateful")
+    // two real micro-batches: state must carry sessions across the boundary
+    val got = runTwoBatches(Streams.sessionizeStateful(ms.toDS()).toDF(),
+      "sessions_stateful", "append", ms, a, b)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n").cast("long"))
     val batch = SparkEntry.queries("q_sessionize")(spark, sfDir)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n"))
@@ -97,9 +110,9 @@ class StreamingSpec extends SparkSpec {
 
   test("sliding windows: each event lands in 4 overlapping 1h/15m windows") {
     val ms = MemoryStream[Event](spark)
-    ms.addData(Event(1, ts(30), 1L, "x", 1.0, "{}"))
-    ms.addData(Event(2, ts(100000), 1L, "x", 1.0, "{}")) // advance watermark
-    val got = runToMemory(Streams.slidingCounts(ms.toDF()), "sliding")
+    val got = runTwoBatches(Streams.slidingCounts(ms.toDF()), "sliding", "append",
+      ms, Seq(Event(1, ts(30), 1L, "x", 1.0, "{}")),
+      Seq(Event(2, ts(100000), 1L, "x", 1.0, "{}"))) // batch 2 advances watermark
       .filter(col("win_us") < 100000L * 60000000L)
     // minute-30 event belongs to windows starting at -30, -15, 0, +15
     assert(got.count() === 4,
@@ -108,9 +121,9 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming session windows produce positive-length per-user sessions") {
     val ms = MemoryStream[Event](spark)
-    ms.addData(loadEvents)
-    ms.addData(Event(99999L, ts(100000), 1L, "x", 1.0, "{}")) // advance watermark
-    val got = runToMemory(Streams.sessionWindows(ms.toDF()), "session_windows")
+    val got = runTwoBatches(Streams.sessionWindows(ms.toDF()), "session_windows",
+      "append", ms, loadEvents,
+      Seq(Event(99999L, ts(100000), 1L, "x", 1.0, "{}"))) // advances watermark
     assert(got.count() > 0)
     assert(got.filter(col("end_us") <= col("start_us")).count() === 0)
   }
