@@ -71,6 +71,37 @@ object Advanced {
           |ORDER BY status, pri""".stripMargin)
     },
 
+    // Pivot (wide aggregation): order counts + cents per priority, one
+    // column group per order status. Spark pivot ≡ SQL conditional
+    // aggregation, which is exactly the oracle formulation.
+    Q("q_pivot_status",
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS f_n,
+        |  count(*) FILTER (o_orderstatus = 'O') AS o_n,
+        |  count(*) FILTER (o_orderstatus = 'P') AS p_n,
+        |  coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (o_orderstatus = 'F') AS BIGINT), 0) AS f_cents,
+        |  coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (o_orderstatus = 'O') AS BIGINT), 0) AS o_cents,
+        |  coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (o_orderstatus = 'P') AS BIGINT), 0) AS p_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        val piv = Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("cents"))
+        piv.select(col("o_orderpriority"),
+          // pivot yields NULL (not 0) for empty cells — match FILTER's 0
+          coalesce(col("F_n"), lit(0L)).as("f_n"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"),
+          coalesce(col("F_cents"), lit(0L)).as("f_cents"),
+          coalesce(col("O_cents"), lit(0L)).as("o_cents"),
+          coalesce(col("P_cents"), lit(0L)).as("p_cents"))
+          .orderBy("o_orderpriority")
+    },
+
     // Typed Aggregator UDAF over integer cents (per market segment).
     Q("q_udaf_sumsq",
       """SELECT c_mktsegment,

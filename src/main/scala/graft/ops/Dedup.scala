@@ -103,14 +103,17 @@ object Dedup {
           .orderBy("doc_id")
     },
 
-    // MinHash signatures, one row per (doc, permutation).
+    // MinHash signatures, one row per (doc, permutation). Token hashes are
+    // materialized in their own projection first — inlining them would
+    // re-run PolyHash once per permutation (16× the work).
     Q("q_minhash_sigs",
       s"""$hsCte
          |SELECT doc_id, CAST(i AS INTEGER) AS i, CAST($sigExpr AS BIGINT) AS sig
          |FROM hs_t, range(0, $NumPerms) t(i)
          |ORDER BY doc_id, i""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(minhashSigs).as(Seq("i", "sig")))
+        .select(col("doc_id"), tokenHashes.as("hs"))
+        .select(col("doc_id"), posexplode(minhashSigsOf(col("hs"))).as(Seq("i", "sig")))
         .orderBy("doc_id", "i")
     },
 
