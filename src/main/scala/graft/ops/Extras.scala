@@ -111,6 +111,29 @@ object Extras {
         .orderBy("vec_id")
     },
 
+    // Native as-of join — the custom LogicalPlan/Strategy/SparkPlan operator
+    // (graft.plans.AsOfJoin): for each event, the latest order of customer
+    // user_id at or before the event time. Order timestamps are offset by
+    // o_orderkey µs so the as-of target is unique per (custkey, ts) —
+    // otherwise ties would be engine-arbitrary. Oracle: DuckDB native
+    // ASOF LEFT JOIN.
+    Q("q_asof_join_native",
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |     r AS (SELECT o_custkey, o_orderkey,
+        |                  epoch_us(o_orderdate) + o_orderkey AS ous FROM orders)
+        |SELECT event_id, us, o_orderkey, ous
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.us >= r.ous
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val l = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), usOf(col("ts")).as("us"))
+      val r = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) + col("o_orderkey")).as("ous"))
+      graft.plans.AsOfJoin(l, r, l("user_id"), r("o_custkey"), l("us"), r("ous"))
+        .select(col("event_id"), col("us"), col("o_orderkey"), col("ous"))
+        .orderBy("event_id")
+    },
+
     // Approximate aggregates: HLL distinct + quantile sketch. Sketch
     // internals are engine-specific → rows-only check; QueriesSpec bounds
     // them against exact values.

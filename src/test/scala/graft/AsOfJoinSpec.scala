@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches an independent window-rank formulation on real data") {
+    val l = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val r = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) + col("o_orderkey")).as("ous"))
+    val got = AsOfJoin(l, r, l("user_id"), r("o_custkey"), l("us"), r("ous"))
+      .select(col("event_id"), col("o_orderkey"), col("ous"))
+    // reference: join all candidates, keep max-ous per event (left outer)
+    val w = Window.partitionBy(col("event_id")).orderBy(col("ous").desc)
+    val want = l.join(r, l("user_id") === r("o_custkey") && r("ous") <= l("us"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"), col("ous"))
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
+
+  test("unmatched keys and too-early timestamps yield nulls") {
+    val l = Seq((1L, 10L), (1L, 3L), (2L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "a"), (1L, 9L, "b"), (3L, 1L, "c")).toDF("k2", "t2", "v")
+    val got = AsOfJoin(l, r, l("k"), r("k2"), l("t"), r("t2"))
+      .select(col("k"), col("t"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(got === Set((1L, 10L, "b"), (1L, 3L, null), (2L, 100L, null)))
+  }
+
+  test("plans as one exchange + sort per side (sort-merge shape)") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "a")).toDF("k2", "t2", "v")
+    val plan = AsOfJoin(l, r, l("k"), r("k2"), l("t"), r("t2"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // nodeName strips the Exec suffix
+    assert("(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(plan).length === 2, plan)
+  }
+
+  test("inclusive boundary: rightTs == leftTs matches") {
+    val l = Seq((1L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "v")
+    val got = AsOfJoin(l, r, l("k"), r("k2"), l("t"), r("t2")).select("v").head()
+    assert(got.getString(0) === "x")
+  }
+}
