@@ -16,7 +16,8 @@ object SparkEntry {
     ops.Similarity.queries,
     ops.Multimodal.queries,
     ops.Extras.queries,
-    ops.Advanced.queries
+    ops.Advanced.queries,
+    ops.Corpus.queries
   )
 
   def all: Seq[Q] = modules.flatten

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** The end of the dedup pipeline: collapse near-duplicate documents into
+  * connected components and keep one representative per component, then
+  * compose keepers with the quality/language filters into the final
+  * training corpus — what a 100 TB data pipeline actually ships.
+  */
+object Corpus {
+
+  /** Char-3-gram shingle set of a text column (the n-gram in n-gram
+    * Jaccard; distinct shingles = set semantics).
+    */
+  private def shingles(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - 2, lit(1))),
+      i => text.substr(i, lit(3))))
+
+  /** Connected components over the MinHash near-dup graph by iterative
+    * min-label propagation — run on the CLUSTER graph (every member of a
+    * token-set cluster is pairwise near-dup, so doc components ≡ cluster
+    * components fanned out to members). The cluster graph is ~30k edges
+    * where the doc-pair graph is ~1.8M at sf0.1; each round is one shuffle
+    * by cluster id (the standard large-graph CC layout; localCheckpoint
+    * keeps the plan from growing per iteration).
+    *
+    * Returns (doc_id, keeper) — keeper = min doc id of the component —
+    * memoized per (session, dir) so downstream pipelines reuse it.
+    */
+  private val componentCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def nearDupComponents(spark: SparkSession, dir: String,
+      maxIters: Int = 15): DataFrame =
+    componentCache.getOrElseUpdate((spark, dir), {
+      val cp = Dedup.qualifyingClusterPairs(spark, dir).select(col("cid"), col("cid2"))
+      val edges = cp.union(cp.select(col("cid2").as("cid"), col("cid").as("cid2")))
+        .localCheckpoint()
+      val clusters = Dedup.clusterFrame(spark, dir)
+      var labels = clusters.select(col("cid"), col("cid").as("keeper")).localCheckpoint()
+      // labels only ever decrease, so sum(keeper) is a monotone convergence
+      // witness (one cheap action per round instead of a join)
+      var prevSum = Long.MaxValue
+      var curSum  = labels.agg(sum(col("keeper"))).head().getLong(0)
+      var iter    = 0
+      while (curSum < prevSum && iter < maxIters) {
+        // neighbor-min alone needs O(diameter) rounds — chains in this
+        // corpus exceed any fixed budget. Adding pointer jumping
+        // (keeper := keeper of keeper) gives O(log n) convergence.
+        val viaNeighbors = edges
+          .join(labels.select(col("cid").as("cid2"), col("keeper").as("nk")), "cid2")
+          .groupBy(col("cid")).agg(min(col("nk")).as("nk"))
+        val parents = labels.select(col("cid").as("pcid"), col("keeper").as("jk"))
+        val viaJump = labels.join(parents, col("keeper") === col("pcid"))
+          .select(col("cid"), col("jk"))
+        val updated = labels
+          .join(viaNeighbors, Seq("cid"), "left_outer")
+          .join(viaJump, Seq("cid"), "left_outer")
+          .select(col("cid"), least(col("keeper"),
+            coalesce(col("nk"), col("keeper")),
+            coalesce(col("jk"), col("keeper"))).as("keeper"))
+          .localCheckpoint(false) // lazy: the sum below is the round's one job
+        labels = updated
+        prevSum = curSum
+        curSum = labels.agg(sum(col("keeper"))).head().getLong(0)
+        iter += 1
+      }
+      require(curSum == prevSum,
+        s"connected components did not converge in $maxIters rounds")
+      // fan cluster labels out to members (cid = min member id, so the
+      // component keeper is automatically the min doc id)
+      clusters.select(col("cid"), explode(col("ms")).as("doc_id"))
+        .join(labels, "cid")
+        .select(col("doc_id"), col("keeper"))
+        .localCheckpoint()
+    })
+
+  /** The composed corpus-preparation pipeline: near-dup collapse to
+    * keepers ∧ English ∧ quality floor. Everything upstream is narrow or
+    * key-partitioned; this is the operator a user calls.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = nearDupComponents(spark, dir)
+      .filter(col("doc_id") === col("keeper")).select("doc_id")
+    val toks      = split(col("text"), " ")
+    val quality   = TextOps.enStopHits(toks) / size(toks)
+    Tables.documents(spark, dir)
+      .join(keepers, "doc_id")
+      .filter(col("lang") === "en" && quality >= 0.05)
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Character-3-gram (shingle) Jaccard over consecutive-id pairs — the
+    // n-gram flavor of near-dup scoring (word-token flavor: q_jaccard_pairs).
+    Q("q_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(length(text) - 2, 1) + 1),
+        |           i -> substr(text, CAST(i AS INTEGER), 3))) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS inter,
+        |       CAST(len(list_distinct(list_concat(a.s, b.s))) AS INTEGER) AS uni,
+        |       (len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s)))) AS jac
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY d1""".stripMargin) { (s, dir) =>
+      val sh = Tables.documents(s, dir).select(col("doc_id"), shingles(col("text")).as("s"))
+      val a  = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
+      val b  = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
+      val inter = size(array_intersect(col("s1"), col("s2")))
+      val uni   = size(array_union(col("s1"), col("s2")))
+      a.join(b, col("d2") === col("d1") + 1)
+        .select(col("d1"), col("d2"), inter.as("inter"), uni.as("uni"),
+          (inter / uni).as("jac"))
+        .orderBy("d1")
+    },
+
+    // Near-dup connected components (iterative — not SQL-expressible in
+    // one statement → rows-only check; properties asserted in CorpusSpec).
+    Q.noOracle("q_dedup_components") { (s, dir) =>
+      nearDupComponents(s, dir).orderBy("doc_id")
+    },
+
+    // The composed training-corpus pipeline (rows-only).
+    Q.noOracle("q_training_corpus") { (s, dir) =>
+      trainingCorpus(s, dir).orderBy("doc_id")
+    }
+  )
+}

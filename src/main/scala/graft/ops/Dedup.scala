@@ -60,6 +60,9 @@ object Dedup {
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  private[ops] def clusterFrame(s: SparkSession, dir: String): DataFrame =
+    clusterFrame(s, dir, Tables.documents(s, dir))
+
   private def clusterFrame(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
     clusterCache.getOrElseUpdate((s, dir), docs
       .groupBy(array_sort(dtoks).as("t"))
@@ -91,6 +94,33 @@ object Dedup {
 
   private val sigExpr =
     "list_min(list_transform(hs, h -> (h * (2 * i + 1) + (101 * i + 17)) % 1000000007))"
+
+  /** Qualifying near-dup CLUSTER pairs (cid < cid2): band collision →
+    * signature agreement → exact Jaccard. The doc-level pair set is exactly
+    * the member cross-product of these plus all intra-cluster pairs, so
+    * graph algorithms (connected components) can run on this tiny graph.
+    */
+  private[ops] def qualifyingClusterPairs(s: SparkSession, dir: String): DataFrame = {
+    val clusters = clusterFrame(s, dir)
+    val bandRows = clusters.select(col("cid"),
+      posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    val cand = bandRows.join(
+      bandRows.select(col("cid").as("cid2"), col("band").as("band2"),
+        col("key").as("key2")),
+      col("band") === col("band2") && col("key") === col("key2") &&
+        col("cid") < col("cid2"))
+      .select("cid", "cid2").distinct()
+    val left  = clusters.select(col("cid"), col("th").as("h1"), col("sig").as("sig1"))
+    val right = clusters.select(col("cid").as("cid2"), col("th").as("h2"),
+      col("sig").as("sig2"))
+    val inter = graft.functions.exprs.intersect_count_sorted(col("h1"), col("h2"))
+    val uni   = size(col("h1")) + size(col("h2")) - inter
+    cand.join(left, "cid").join(right, "cid2")
+      .select(col("cid"), col("cid2"),
+        graft.functions.exprs.count_equal(col("sig1"), col("sig2")).as("sig_agree"),
+        inter.as("inter"), uni.as("uni"), (inter / uni).as("jac"))
+      .filter(col("sig_agree") >= MinSigAgree && col("jac") >= JaccardTau)
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -157,8 +187,7 @@ object Dedup {
       // At 100 TB: clusters ≪ docs shuffle by token-set hash, cluster-pair
       // join is broadcast-sized, and the final explode is embarrassingly
       // parallel.
-      val docs     = Tables.documents(s, dir)
-      val clusters = clusterFrame(s, dir, docs)
+      val clusters = clusterFrame(s, dir)
 
       // member table: one slim (cid, doc) row per doc — pair fan-out happens
       // INSIDE joins on cid, so wide arrays never ride along with pair rows
@@ -173,28 +202,9 @@ object Dedup {
         .select(col("d").as("d1"), col("d2"), lit(NumPerms).as("sig_agree"),
           col("n").as("inter"), col("n").as("uni"), (col("n") / col("n")).as("jac"))
 
-      // inter-cluster: band-collision candidates, judged once per CLUSTER
-      // pair, then fanned out to member pairs via two joins
-      val bandRows = clusters.select(col("cid"),
-        posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
-      val candClusters = bandRows.join(
-        bandRows.select(col("cid").as("cid2"), col("band").as("band2"),
-          col("key").as("key2")),
-        col("band") === col("band2") && col("key") === col("key2") &&
-          col("cid") < col("cid2"))
-        .select("cid", "cid2").distinct()
-      val left  = clusters.select(col("cid"), col("th").as("h1"), col("sig").as("sig1"))
-      val right = clusters.select(col("cid").as("cid2"), col("th").as("h2"),
-        col("sig").as("sig2"))
-      val inter = graft.functions.exprs.intersect_count_sorted(col("h1"), col("h2"))
-      val uni   = size(col("h1")) + size(col("h2")) - inter // |A∪B| identity
-      val qp = candClusters
-        .join(left, "cid").join(right, "cid2")
-        .select(col("cid"), col("cid2"),
-          graft.functions.exprs.count_equal(col("sig1"), col("sig2")).as("sig_agree"),
-          inter.as("inter"), uni.as("uni"), (inter / uni).as("jac"))
-        .filter(col("sig_agree") >= MinSigAgree && col("jac") >= JaccardTau)
-      val interPairs = qp
+      // inter-cluster: judged once per CLUSTER pair
+      // (qualifyingClusterPairs), then fanned out to member pairs via joins
+      val interPairs = qualifyingClusterPairs(s, dir)
         .join(memAll.select(col("cid"), col("d").as("da")), "cid")
         .join(memAll.select(col("cid").as("cid2"), col("d").as("db")), "cid2")
         .select(least(col("da"), col("db")).as("d1"),

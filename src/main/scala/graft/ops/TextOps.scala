@@ -23,6 +23,9 @@ object TextOps {
   /** Occurrences of `stops` words among whitespace tokens. */
   private def hits(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => array_contains(stopsLit(stops), t)))
+
+  /** English stopword occurrence count (shared with the corpus pipeline). */
+  def enStopHits(toks: Column): Column = hits(toks, EnStops)
   private def hitsSql(stops: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopsSql(stops)}, t))) AS INTEGER)"
 

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Corpus
+
+class CorpusSpec extends SparkSpec {
+
+  private lazy val labels = Corpus.nearDupComponents(spark, sfDir).cache()
+  private lazy val pairs = SparkEntry.queries("q_dedup_minhash_pairs")(spark, sfDir)
+    .select("d1", "d2").cache()
+
+  test("every near-dup pair lands in one component") {
+    val l1 = labels.select(col("doc_id").as("d1"), col("keeper").as("k1"))
+    val l2 = labels.select(col("doc_id").as("d2"), col("keeper").as("k2"))
+    val split = pairs.join(l1, "d1").join(l2, "d2").filter(col("k1") =!= col("k2"))
+    assert(split.count() === 0, "a near-dup pair was split across components")
+  }
+
+  test("keepers are component minima and self-labeled") {
+    assert(labels.filter(col("keeper") > col("doc_id")).count() === 0)
+    val keeperRows = labels.select(col("keeper").as("doc_id")).distinct()
+    val selfLabel = keeperRows.join(labels, "doc_id")
+      .filter(col("keeper") =!= col("doc_id"))
+    assert(selfLabel.count() === 0, "a keeper's own label is not itself")
+  }
+
+  test("component labels match a driver-side union-find (ground truth)") {
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (d, k) =>
+      assert(find(d) === k, s"doc $d: engine keeper $k != union-find ${find(d)}")
+    }
+  }
+
+  test("training corpus: keepers only, english only, subset of documents") {
+    val corpus = Corpus.trainingCorpus(spark, sfDir).cache()
+    assert(corpus.count() > 0)
+    assert(corpus.filter(col("lang") =!= "en").count() === 0)
+    val dropped = labels.filter(col("doc_id") =!= col("keeper")).select("doc_id")
+    assert(corpus.join(dropped, "doc_id").count() === 0,
+      "a non-keeper near-dup survived into the corpus")
+  }
+}
