@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object SqlShell {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: runMain graft.SqlShell \"<sql>\" [sfDir]")
+      sys.exit(2)
+    }
     val sql   = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()

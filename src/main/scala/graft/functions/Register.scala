@@ -7,16 +7,30 @@ import graft.geo.StAsWkt
   * `graft.functions.Register(spark)` → `SELECT poly_hash(text) FROM docs`.
   */
 object Register {
+  private def arity[T](name: String, n: Int)(
+      f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => T)(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): T = {
+    require(es.length == n,
+      s"$name expects $n argument(s), got ${es.length}")
+    f(es)
+  }
+
   def apply(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("poly_hash", es => PolyHash(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("sim_hash30", es => SimHash30(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_ff", es => DotFF(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("count_equal", es => CountEqual(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("poly_hash",
+      arity("poly_hash", 1)(es => PolyHash(es.head)), "scala_udf")
+    reg.createOrReplaceTempFunction("sim_hash30",
+      arity("sim_hash30", 1)(es => SimHash30(es.head)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_ff",
+      arity("dot_ff", 2)(es => DotFF(es(0), es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("count_equal",
+      arity("count_equal", 2)(es => CountEqual(es(0), es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("intersect_count_sorted",
-      es => IntersectCountSorted(es(0), es(1)), "scala_udf")
+      arity("intersect_count_sorted", 2)(es => IntersectCountSorted(es(0), es(1))),
+      "scala_udf")
     reg.createOrReplaceTempFunction("byte_histogram16",
-      es => ByteHistogram16(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("st_as_wkt", es => StAsWkt(es.head), "scala_udf")
+      arity("byte_histogram16", 1)(es => ByteHistogram16(es.head)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_as_wkt",
+      arity("st_as_wkt", 1)(es => StAsWkt(es.head)), "scala_udf")
   }
 }

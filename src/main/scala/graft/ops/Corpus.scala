@@ -31,11 +31,11 @@ object Corpus {
     * memoized per (session, dir) so downstream pipelines reuse it.
     */
   private val componentCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
   def nearDupComponents(spark: SparkSession, dir: String,
       maxIters: Int = 15): DataFrame =
-    componentCache.getOrElseUpdate((spark, dir), {
+    componentCache.getOrElseUpdate((spark, dir, maxIters), {
       val cp = Dedup.qualifyingClusterPairs(spark, dir).select(col("cid"), col("cid2"))
       val edges = cp.union(cp.select(col("cid2").as("cid"), col("cid").as("cid2")))
         .localCheckpoint()
@@ -43,8 +43,11 @@ object Corpus {
       var labels = clusters.select(col("cid"), col("cid").as("keeper")).localCheckpoint()
       // labels only ever decrease, so sum(keeper) is a monotone convergence
       // witness (one cheap action per round instead of a join)
+      // coalesce: sum over zero rows is NULL (empty corpus must not NPE)
+      def labelSum(): Long =
+        labels.agg(coalesce(sum(col("keeper")), lit(0L))).head().getLong(0)
       var prevSum = Long.MaxValue
-      var curSum  = labels.agg(sum(col("keeper"))).head().getLong(0)
+      var curSum  = labelSum()
       var iter    = 0
       while (curSum < prevSum && iter < maxIters) {
         // neighbor-min alone needs O(diameter) rounds — chains in this
@@ -65,7 +68,7 @@ object Corpus {
           .localCheckpoint(false) // lazy: the sum below is the round's one job
         labels = updated
         prevSum = curSum
-        curSum = labels.agg(sum(col("keeper"))).head().getLong(0)
+        curSum = labelSum()
         iter += 1
       }
       require(curSum == prevSum,
@@ -78,19 +81,24 @@ object Corpus {
         .localCheckpoint()
     })
 
-  /** The composed corpus-preparation pipeline: near-dup collapse to
-    * keepers ∧ English ∧ quality floor. Everything upstream is narrow or
-    * key-partitioned; this is the operator a user calls.
+  /** The composed corpus-preparation pipeline: quality/language filters
+    * FIRST, then one representative per near-dup component among the
+    * SURVIVORS (min doc id). Filtering after keeper selection would drop a
+    * whole component whenever its global min-id member fails the filters
+    * even though another member passes — the representative must be chosen
+    * from the filtered set.
     */
   def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val keepers = nearDupComponents(spark, dir)
-      .filter(col("doc_id") === col("keeper")).select("doc_id")
-    val toks      = split(col("text"), " ")
-    val quality   = TextOps.enStopHits(toks) / size(toks)
-    Tables.documents(spark, dir)
-      .join(keepers, "doc_id")
+    val toks    = split(col("text"), " ")
+    val quality = TextOps.enStopHits(toks) / size(toks)
+    val filtered = Tables.documents(spark, dir)
       .filter(col("lang") === "en" && quality >= 0.05)
       .select("doc_id", "lang", "n_chars")
+    val reps = filtered
+      .join(nearDupComponents(spark, dir), "doc_id")
+      .groupBy("keeper").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    filtered.join(reps, "doc_id")
   }
 
   val queries: Seq[Q] = Seq(

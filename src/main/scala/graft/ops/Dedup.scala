@@ -61,10 +61,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[ops] def clusterFrame(s: SparkSession, dir: String): DataFrame =
-    clusterFrame(s, dir, Tables.documents(s, dir))
-
-  private def clusterFrame(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
-    clusterCache.getOrElseUpdate((s, dir), docs
+    clusterCache.getOrElseUpdate((s, dir), Tables.documents(s, dir)
       .groupBy(array_sort(dtoks).as("t"))
       .agg(collect_list(col("doc_id")).as("ms"))
       // tokens pre-hashed once per cluster, sorted: set ops become O(n)

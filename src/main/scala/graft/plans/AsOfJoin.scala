@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -66,10 +66,15 @@ case class AsOfJoinExec(
     val lt     = BindReferences.bindReference(leftTs, left.output)
     val rk     = BindReferences.bindReference(rightKey, right.output)
     val rt     = BindReferences.bindReference(rightTs, right.output)
+    val outputAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
-      val rBuf    = rIt.buffered
+      // skip right rows with NULL key/ts up front — SQL as-of semantics:
+      // NULL never matches (and primitive orderings would unbox null to 0)
+      val rBuf = rIt.filter(r => rk.eval(r) != null && rt.eval(r) != null).buffered
       val nullRow = new GenericInternalRow(nRight)
       val joined  = new JoinedRow
+      // parents (shuffle writers, collect) require UnsafeRow output
+      val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
       // last consumed right row and its key: valid for a left row iff the
       // keys match (rows are consumed in (key, ts) order, so it is the
       // max-ts right row with ts <= current left ts for that key)
@@ -78,18 +83,24 @@ case class AsOfJoinExec(
       lIt.map { lrow =>
         val k = lk.eval(lrow)
         val t = lt.eval(lrow)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val cmp  = keyOrd.compare(rk.eval(head).asInstanceOf[Any], k)
-          if (cmp < 0 || (cmp == 0 && tsOrd.compare(rt.eval(head).asInstanceOf[Any], t) <= 0)) {
-            val r = rBuf.next()
-            lastKey = rk.eval(r)
-            lastRow = r.copy()
-          } else advance = false
+        if (k == null || t == null) toUnsafe(joined(lrow, nullRow))
+        else {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val cmp  = keyOrd.compare(rk.eval(head).asInstanceOf[Any], k)
+            if (cmp < 0 || (cmp == 0 && tsOrd.compare(rt.eval(head).asInstanceOf[Any], t) <= 0)) {
+              // copy FIRST, then evaluate the key from the copy — the
+              // iterator may reuse its row buffer (e.g. spill readers),
+              // which would corrupt buffer-backed keys like UTF8String
+              lastRow = rBuf.next().copy()
+              lastKey = rk.eval(lastRow)
+            } else advance = false
+          }
+          if (lastRow != null && keyOrd.compare(lastKey, k) == 0)
+            toUnsafe(joined(lrow, lastRow))
+          else toUnsafe(joined(lrow, nullRow))
         }
-        if (lastRow != null && keyOrd.compare(lastKey, k) == 0) joined(lrow, lastRow)
-        else joined(lrow, nullRow)
       }
     }
   }

@@ -42,6 +42,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert("(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(plan).length === 2, plan)
   }
 
+  test("output feeds shuffle/collect consumers directly (UnsafeRow contract)") {
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "a")).toDF("k2", "t2", "v")
+    val j = AsOfJoin(l, r, l("k"), r("k2"), l("t"), r("t2"))
+    // no projection in between: aggregate + bare collect both require
+    // UnsafeRow from the exec
+    assert(j.groupBy("k").count().count() === 2)
+    assert(j.collect().length === 2)
+  }
+
+  test("NULL keys and timestamps never match (including against key 0)") {
+    val l = Seq((Some(0L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((0L, 5L, "zero")).toDF("k2", "t2", "v")
+    val got = AsOfJoin(l, r, l("k"), r("k2"), l("t"), r("t2"))
+      .select(col("k"), col("v")).collect()
+      .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0), x.getString(1))).toSet
+    assert(got === Set((0L, "zero"), (-1L, null), (1L, null)))
+  }
+
   test("inclusive boundary: rightTs == leftTs matches") {
     val l = Seq((1L, 5L)).toDF("k", "t")
     val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "v")

@@ -41,12 +41,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
-  test("training corpus: keepers only, english only, subset of documents") {
+  test("training corpus: english only, exactly one representative per component") {
     val corpus = Corpus.trainingCorpus(spark, sfDir).cache()
     assert(corpus.count() > 0)
     assert(corpus.filter(col("lang") =!= "en").count() === 0)
-    val dropped = labels.filter(col("doc_id") =!= col("keeper")).select("doc_id")
-    assert(corpus.join(dropped, "doc_id").count() === 0,
-      "a non-keeper near-dup survived into the corpus")
+    // no two corpus docs share a near-dup component
+    val withComp = corpus.join(labels, "doc_id")
+    val dupComps = withComp.groupBy("keeper").count().filter(col("count") > 1)
+    assert(dupComps.count() === 0, "two near-dups survived into the corpus")
+    // and a component with ANY filtered survivor IS represented (filter
+    // runs BEFORE dedup, so a failing min-id member can't sink its component)
+    val toks = split(col("text"), " ")
+    val survivors = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en" &&
+        ops.TextOps.enStopHits(toks) / size(toks) >= 0.05)
+      .select("doc_id")
+    val survivorComps   = survivors.join(labels, "doc_id").select("keeper").distinct()
+    val representedComps = withComp.select("keeper").distinct()
+    assert(survivorComps.except(representedComps).count() === 0,
+      "a component with an eligible member has no corpus representative")
   }
 }
