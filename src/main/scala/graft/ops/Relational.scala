@@ -234,6 +234,57 @@ object Relational {
           .orderBy("event_type")
     },
 
+    // TPC-H Q3 shape: 3-way join, filter both sides, grouped revenue, top-k.
+    Q("q_tpch_q3_shipping",
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir)
+          .filter(to_date(col("o_orderdate")) < to_date(lit("1998-03-15"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .filter(to_date(col("l_shipdate")) > to_date(lit("1998-03-15"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("revenue_e4"))
+        .select(col("l_orderkey"), col("revenue_e4"),
+          to_date(col("o_orderdate")).as("odate"), col("o_orderpriority"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey")).limit(20)
+    },
+
+    // TPC-H Q5 shape: 5-way star join (two broadcast dims), per-nation
+    // revenue.
+    Q("q_tpch_q5_region",
+      """SELECT n_name,
+        |       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("revenue_e4"))
+        .orderBy("n_name")
+    },
+
     // CASE WHEN bucketing + aggregation.
     Q("q_case_when_buckets",
       s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'

@@ -52,6 +52,17 @@ object Streams {
       .select(col("user_id"), unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"), col("n"))
 
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (per-user order counts). The static side is re-planned per micro-batch
+    * (Spark's stream-static join contract); at scale it is a broadcast or
+    * key-partitioned join exactly like its batch twin.
+    */
+  def enrichWithStatic(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(userDim, events("user_id") === userDim("dim_user_id"), "left_outer")
+      .select(events("event_id"), events("ts"), events("user_id"),
+        events("event_type"), events("value"),
+        coalesce(userDim("n_orders"), lit(0L)).as("n_orders"))
+
   /** Exactly-once-per-id dedup bounded by the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     if (events.isStreaming)

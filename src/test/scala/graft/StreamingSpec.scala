@@ -119,6 +119,26 @@ class StreamingSpec extends SparkSpec {
       s"expected 4 overlapping windows: ${got.collect().mkString(",")}")
   }
 
+  test("stream-static join enriches each micro-batch against the static dim") {
+    val dim = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("dim_user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ms  = MemoryStream[Event](spark)
+    val events = loadEvents
+    val (a, b) = events.splitAt(events.size / 2)
+    // an unmatched user (every real user_id has orders — custkeys start at 0)
+    val stray = Event(77777L, ts(1), 99999L, "x", 1.0, "{}")
+    val got = runTwoBatches(Streams.enrichWithStatic(ms.toDF(), dim),
+      "stream_static", "append", ms, a, b :+ stray)
+    assert(got.count() === events.size.toLong + 1)
+    // batch twin must agree exactly on the real events
+    val want = Streams.enrichWithStatic(Tables.events(spark, sfDir), dim)
+    val gotReal = got.filter(col("event_id") =!= 77777L)
+    assert(gotReal.except(want).count() === 0 && want.except(gotReal).count() === 0)
+    // unmatched dim key → coalesced 0, not null
+    assert(got.filter(col("event_id") === 77777L).head().getLong(5) === 0L)
+  }
+
   test("streaming session windows produce positive-length per-user sessions") {
     val ms = MemoryStream[Event](spark)
     val got = runTwoBatches(Streams.sessionWindows(ms.toDF()), "session_windows",
