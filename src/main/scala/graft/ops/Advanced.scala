@@ -71,6 +71,55 @@ object Advanced {
           |ORDER BY status, pri""".stripMargin)
     },
 
+    // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
+    // share the linear-interpolation definition; rounded 4 dp to absorb
+    // any last-ulp drift in the interpolation arithmetic.
+    Q("q_percentiles",
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+          .orderBy("o_orderstatus")
+    },
+
+    // Statistical moments derived from EXACT integer sums. Integer DOLLARS
+    // (not cents) so Σd² stays far below 2^63 at any realistic scale
+    // (cents² sums overflow int64 around sf0.1 — DuckDB would promote to
+    // HUGEINT while Spark wraps, a silent cross-engine split). Variance is
+    // computed division-first ((Σd/n)·Σd, both engines in the same order)
+    // so the intermediate never leaves double range.
+    Q("q_stats_moments",
+      """WITH x AS (SELECT o_orderstatus,
+        |                  CAST(round(o_totalprice) AS BIGINT) AS d
+        |           FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(d) AS BIGINT) AS sum_d,
+        |       CAST(sum(d * d) AS BIGINT) AS sumsq_d,
+        |       (CAST(sum(d) AS BIGINT) / count(*)) AS mean_d,
+        |       ((CAST(sum(d * d) AS BIGINT)
+        |          - (CAST(sum(d) AS BIGINT) / count(*)) * CAST(sum(d) AS BIGINT))
+        |        / (count(*) - 1)) AS var_d
+        |FROM x GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        val d = round(col("o_totalprice")).cast("long")
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(d).as("sum_d"), sum(d * d).as("sumsq_d"))
+          .select(col("o_orderstatus"), col("n"), col("sum_d"), col("sumsq_d"),
+            (col("sum_d") / col("n")).as("mean_d"),
+            ((col("sumsq_d") - (col("sum_d") / col("n")) * col("sum_d"))
+              / (col("n") - 1)).as("var_d"))
+          .orderBy("o_orderstatus")
+    },
+
     // Pivot (wide aggregation): order counts + cents per priority, one
     // column group per order status. Spark pivot ≡ SQL conditional
     // aggregation, which is exactly the oracle formulation.
