@@ -1,0 +1,45 @@
+package graft
+
+/** Locks in the physical-plan properties the engine relies on (SURVEY §4):
+  * filter pushdown into parquet, column pruning, broadcast dimension joins,
+  * top-k without a global sort. A regression here costs nothing at test
+  * scale and everything at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("pricing summary pushes the date filter into the parquet scan") {
+    val p = plan("q_agg_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed:\n${p.take(2000)}")
+  }
+
+  test("pricing summary prunes to only the needed lineitem columns") {
+    val p = plan("q_agg_pricing_summary")
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_partkey"),
+      s"column pruning regressed: $readSchema")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q_join_broadcast_dims").contains("BroadcastHashJoin"))
+    assert(plan("q_tpch_q5_region").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!"(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).hasNext,
+      "top-k should not shuffle")
+  }
+
+  test("no declared query plans a cartesian product") {
+    SparkEntry.all.foreach { q =>
+      val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} went cartesian")
+    }
+  }
+}

@@ -29,6 +29,38 @@ class SinksSpec extends SparkSpec {
     assert(one.count() > 0 && one.count() < merged.count())
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    // clean any leftover managed-table locations from a previous JVM
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sinks.writeBucketed(Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice"), "orders_b", "o_orderkey")
+    Sinks.writeBucketed(Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity"), "lineitem_b", "l_orderkey")
+    // force sort-merge (no broadcast) so the assertion proves bucketing —
+    // not a broadcast — eliminated the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!"(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(plan).hasNext,
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("streaming foreachBatch sink lands micro-batches in date partitions") {
     val out  = tmp()
     val ckpt = tmp()
