@@ -93,6 +93,28 @@ object Multimodal {
         .orderBy("media_id", "bin")
     },
 
+    // Resize stub: downsample the payload to a fixed 16-"pixel" thumbnail
+    // by strided sampling (the real system calls the codec's scaler here),
+    // then fingerprint it. Exercises the resize plumbing end-to-end; the
+    // oracle recomputes the strided sample from the text view.
+    Q("q_media_thumbs",
+      s"""WITH t AS (
+         |  SELECT doc_id AS media_id, text,
+         |         greatest(length(text) // 16, 1) AS stride
+         |  FROM documents)
+         |SELECT media_id,
+         |       ${Dedup.hashSql(
+                  "list_reduce(list_transform(range(0, 16), i -> substr(text, CAST(i * stride + 1 AS INTEGER), 1)), (a, b) -> a || b)")} AS thumb_hash
+         |FROM t ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val n      = length(col("payload").cast("string"))
+      val stride = greatest(floor(n / 16).cast("int"), lit(1))
+      val thumb = concat_ws("", transform(sequence(lit(0), lit(15)),
+        i => col("payload").cast("string").substr(i * stride + 1, lit(1))))
+      encode(s, dir)
+        .select(col("media_id"), poly_hash(thumb).as("thumb_hash"))
+        .orderBy("media_id")
+    },
+
     // Frame sampling for video payloads: fixed-stride slices, each
     // fingerprinted — the shuffle-free scan layout for frame-level dedup.
     Q("q_media_frames",

@@ -61,6 +61,18 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("csv and json sources round-trip the relational schema") {
+    val out  = tmp()
+    val src  = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    src.write.mode("overwrite").json(s"$out/json")
+    val csvBack = spark.read.option("header", "true")
+      .schema(src.schema).csv(s"$out/csv")
+    val jsonBack = spark.read.schema(src.schema).json(s"$out/json")
+    assert(csvBack.except(src).count() === 0 && src.except(csvBack).count() === 0)
+    assert(jsonBack.except(src).count() === 0 && src.except(jsonBack).count() === 0)
+  }
+
   test("streaming foreachBatch sink lands micro-batches in date partitions") {
     val out  = tmp()
     val ckpt = tmp()
