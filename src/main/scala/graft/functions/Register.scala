@@ -32,5 +32,10 @@ object Register {
       arity("byte_histogram16", 1)(es => ByteHistogram16(es.head)), "scala_udf")
     reg.createOrReplaceTempFunction("st_as_wkt",
       arity("st_as_wkt", 1)(es => StAsWkt(es.head)), "scala_udf")
+    reg.createOrReplaceTempFunction("shingles",
+      arity("shingles", 2) { es =>
+        require(es(1).foldable, "shingles: k must be a literal")
+        ShingleGenerator(es.head, es(1).eval().asInstanceOf[Number].intValue())
+      }, "scala_udf")
   }
 }

@@ -62,6 +62,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Set((0L, "zero"), (-1L, null), (1L, null)))
   }
 
+  test("string keys order correctly (interpreted ordering + buffer copy path)") {
+    val l = Seq(("alpha", 10L), ("beta", 10L), ("gamma", 10L)).toDF("k", "t")
+    val r = Seq(("alpha", 5L, 1), ("beta", 3L, 2), ("beta", 7L, 3), ("delta", 1L, 4))
+      .toDF("k2", "t2", "v")
+    val got = AsOfJoin(l, r, l("k"), r("k2"), l("t"), r("t2"))
+      .select(col("k"), col("v")).collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1 else x.getInt(1))).toSet
+    assert(got === Set(("alpha", 1), ("beta", 3), ("gamma", -1)))
+  }
+
   test("inclusive boundary: rightTs == leftTs matches") {
     val l = Seq((1L, 5L)).toDF("k", "t")
     val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "v")
