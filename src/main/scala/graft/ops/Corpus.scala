@@ -129,6 +129,21 @@ object Corpus {
         .orderBy("d1")
     },
 
+    // Top character 3-grams corpus-wide, produced by the custom
+    // ShingleGenerator UDTF (lazy row stream — no per-doc shingle arrays).
+    Q("q_shingle_topk",
+      """SELECT sh, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |                i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+        |  FROM documents)
+        |GROUP BY sh ORDER BY n DESC, sh LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(graft.functions.ShingleGenerator.shingles(col("text"), 3)
+          .as(Seq("pos", "sh")))
+        .groupBy("sh").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("sh")).limit(20)
+    },
+
     // Near-dup connected components (iterative — not SQL-expressible in
     // one statement → rows-only check; properties asserted in CorpusSpec).
     Q.noOracle("q_dedup_components") { (s, dir) =>
