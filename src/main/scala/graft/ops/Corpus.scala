@@ -37,10 +37,15 @@ object Corpus {
       maxIters: Int = 15): DataFrame =
     componentCache.getOrElseUpdate((spark, dir, maxIters), {
       val cp = Dedup.qualifyingClusterPairs(spark, dir).select(col("cid"), col("cid2"))
+      // the cluster graph is tiny (≪ docs): right-size the iterative frames
+      // to a few partitions so each CC round is a handful of tasks, not
+      // shuffle.partitions× empty ones (at real scale this would stay
+      // key-partitioned — the loop structure is unchanged)
       val edges = cp.union(cp.select(col("cid2").as("cid"), col("cid").as("cid2")))
-        .localCheckpoint()
+        .repartition(4, col("cid")).localCheckpoint()
       val clusters = Dedup.clusterFrame(spark, dir)
-      var labels = clusters.select(col("cid"), col("cid").as("keeper")).localCheckpoint()
+      var labels = clusters.select(col("cid"), col("cid").as("keeper"))
+        .repartition(4, col("cid")).localCheckpoint()
       // labels only ever decrease, so sum(keeper) is a monotone convergence
       // witness (one cheap action per round instead of a join)
       // coalesce: sum over zero rows is NULL (empty corpus must not NPE)
