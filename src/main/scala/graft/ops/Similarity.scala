@@ -16,10 +16,11 @@ import graft.functions.exprs._
   *    codegen'd [[graft.functions.DotFF]] (no shuffle of the big side).
   *  - [[annLshTopK]]: the scale path — multi-table random-hyperplane LSH
   *    (4 independent tables × 6 sign bits, narrow map) with 1-bit
-  *    multiprobe. Measured recall@10 ≈ 0.56 vs brute force on the
-  *    near-random test vectors while scanning ~⅓ of candidates. At 100 TB
-  *    the (table, bucket) join shuffles small int keys instead of
-  *    cross-joining embeddings.
+  *    multiprobe. Measured recall@10 vs brute force on the near-random
+  *    test vectors: 1×8-bit tables 0.26; 4×6-bit 0.56 (~⅓ candidates,
+  *    the shipped point); 8×6-bit 0.62 (~90% candidates — diminishing).
+  *    At 100 TB the (table, bucket) join shuffles small int keys instead
+  *    of cross-joining embeddings.
   *
   * Cosine values are rounded to 6 dp before ranking (ties broken by
   * candidate id) so rank order is engine-independent.
