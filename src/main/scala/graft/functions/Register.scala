@@ -34,8 +34,13 @@ object Register {
       arity("st_as_wkt", 1)(es => StAsWkt(es.head)), "scala_udf")
     reg.createOrReplaceTempFunction("shingles",
       arity("shingles", 2) { es =>
+        require(es.head.dataType == org.apache.spark.sql.types.StringType,
+          s"shingles: first argument must be STRING, got ${es.head.dataType.sql}")
         require(es(1).foldable, "shingles: k must be a literal")
-        ShingleGenerator(es.head, es(1).eval().asInstanceOf[Number].intValue())
+        val kv = es(1).eval()
+        require(kv != null && kv.isInstanceOf[Number],
+          s"shingles: k must be a non-null integer literal, got $kv")
+        ShingleGenerator(es.head, kv.asInstanceOf[Number].intValue())
       }, "scala_udf")
   }
 }

@@ -4,8 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -34,10 +33,14 @@ case class ShingleGenerator(child: Expression, k: Int)
     if (v == null) Iterator.empty
     else {
       val s = v.asInstanceOf[UTF8String].toString
-      val n = math.max(s.length - k + 1, if (s.isEmpty) 0 else 1)
+      // shingle by CODE POINTS, matching substr() semantics in Spark and
+      // DuckDB — UTF-16 code-unit slicing would split surrogate pairs
+      val cps = s.codePoints().toArray
+      val n   = math.max(cps.length - k + 1, if (cps.isEmpty) 0 else 1)
       (0 until n).iterator.map { i =>
+        val end = math.min(i + k, cps.length)
         InternalRow(i, UTF8String.fromString(
-          s.substring(i, math.min(i + k, s.length))))
+          new String(cps, i, end - i)))
       }
     }
   }

@@ -70,6 +70,9 @@ object Corpus {
           .select(col("cid"), least(col("keeper"),
             coalesce(col("nk"), col("keeper")),
             coalesce(col("jk"), col("keeper"))).as("keeper"))
+          // re-narrow every round: the joins above widen to
+          // shuffle.partitions, and the checkpoint would freeze that width
+          .repartition(4, col("cid"))
           .localCheckpoint(false) // lazy: the sum below is the round's one job
         labels = updated
         prevSum = curSum
@@ -140,9 +143,13 @@ object Corpus {
       """SELECT sh, count(*) AS n FROM (
         |  SELECT unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |                i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
-        |  FROM documents)
+        |  FROM documents WHERE length(text) > 0)
         |GROUP BY sh ORDER BY n DESC, sh LIMIT 20""".stripMargin) { (s, dir) =>
+      // the generator emits nothing for '' while the range-formulation
+      // emits one '' shingle — the length(text) > 0 guard (both sides)
+      // keeps parity for any future corpus with empty docs
       Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
         .select(graft.functions.ShingleGenerator.shingles(col("text"), 3)
           .as(Seq("pos", "sh")))
         .groupBy("sh").agg(count(lit(1)).as("n"))

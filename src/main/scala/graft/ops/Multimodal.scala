@@ -106,11 +106,13 @@ object Multimodal {
          |       ${Dedup.hashSql(
                   "list_reduce(list_transform(range(0, 16), i -> substr(text, CAST(i * stride + 1 AS INTEGER), 1)), (a, b) -> a || b)")} AS thumb_hash
          |FROM t ORDER BY media_id""".stripMargin) { (s, dir) =>
-      val n      = length(col("payload").cast("string"))
-      val stride = greatest(floor(n / 16).cast("int"), lit(1))
+      val stride = greatest(floor(length(col("txt")) / 16).cast("int"), lit(1))
       val thumb = concat_ws("", transform(sequence(lit(0), lit(15)),
-        i => col("payload").cast("string").substr(i * stride + 1, lit(1))))
+        i => col("txt").substr(i * stride + 1, lit(1))))
       encode(s, dir)
+        // project the string view ONCE — inlining the cast would re-decode
+        // the payload 17x per row
+        .withColumn("txt", col("payload").cast("string"))
         .select(col("media_id"), poly_hash(thumb).as("thumb_hash"))
         .orderBy("media_id")
     },
