@@ -134,6 +134,59 @@ object Extras {
         .orderBy("event_id")
     },
 
+    // Correlated scalar subquery → Catalyst decorrelates it into a join
+    // (the one optimizer rewrite nothing else in the inventory exercises).
+    Q("q_correlated_subquery",
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey
+        |    AND o_totalprice > 200000) AS n_big
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders_v WHERE o_custkey = c_custkey
+          |    AND o_totalprice > 200000) AS n_big
+          |FROM customer_v ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Bag-semantics set ops (ALL variants — the distinct forms are
+    // q_setops_keys).
+    Q("q_setops_all",
+      """SELECT 'i' AS tag, k FROM (
+        |  SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'e' AS tag, k FROM (
+        |  SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey FROM customer)
+        |ORDER BY tag, k""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+      val i = o.intersectAll(c).select(lit("i").as("tag"), col("k"))
+      val e = o.exceptAll(c).select(lit("e").as("tag"), col("k"))
+      i.union(e).orderBy("tag", "k")
+    },
+
+    // RANGE window frame: for each order, total cents of all SAME-customer
+    // orders within ±30 days of it (value-based frame, not row-based).
+    Q("q_window_range_frame",
+      """WITH x AS (SELECT o_custkey, o_orderkey,
+        |                  epoch_us(o_orderdate) AS us,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |       CAST(sum(vc) OVER (PARTITION BY o_custkey ORDER BY us
+        |         RANGE BETWEEN 2592000000000 PRECEDING AND 2592000000000 FOLLOWING)
+        |         AS BIGINT) AS nearby_cents
+        |FROM x ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val us = unix_micros(col("o_orderdate").cast("timestamp"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(us)
+        .rangeBetween(-2592000000000L, 2592000000000L)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("nearby_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Approximate aggregates: HLL distinct + quantile sketch. Sketch
     // internals are engine-specific → rows-only check; QueriesSpec bounds
     // them against exact values.
