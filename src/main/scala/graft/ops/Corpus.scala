@@ -33,19 +33,57 @@ object Corpus {
   private val componentCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
+  /** Drop this session's memoized component frames (checkpoint blocks are
+    * released by the ContextCleaner once unreferenced). Pairs with
+    * [[Dedup.clearCaches]] — see `graft.ops` cache lifecycle note there.
+    */
+  def clearCaches(s: SparkSession): Unit =
+    componentCache.keys.filter(_._1 eq s).foreach(componentCache.remove)
+
+  /** Partition count for one CC round's frames: enough tasks to keep each
+    * under ~64k edge rows, clamped to [1, 2×defaultParallelism]. A literal
+    * width either starves a big graph or fans a tiny one out into
+    * mostly-empty tasks; the edge count is measured, not assumed.
+    */
+  private def ccWidth(spark: SparkSession, edgeRows: Long): Int = {
+    val byData = edgeRows / 65536L + 1L
+    val cap    = spark.sparkContext.defaultParallelism.toLong * 2L
+    math.max(1L, math.min(byData, cap)).toInt
+  }
+
   def nearDupComponents(spark: SparkSession, dir: String,
       maxIters: Int = 15): DataFrame =
     componentCache.getOrElseUpdate((spark, dir, maxIters), {
+      // AQE re-plans every stage of every round — pure overhead on the
+      // loop's tiny pre-partitioned jobs (the frames are explicitly sized
+      // by ccWidth below, so there is nothing for AQE to fix). All
+      // materialization happens inside this block, so the toggle cannot
+      // leak into other queries' execution.
+      val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try nearDupComponentsLoop(spark, dir, maxIters)
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    })
+
+  private def nearDupComponentsLoop(spark: SparkSession, dir: String,
+      maxIters: Int): DataFrame = {
       val cp = Dedup.qualifyingClusterPairs(spark, dir).select(col("cid"), col("cid2"))
-      // the cluster graph is tiny (≪ docs): right-size the iterative frames
-      // to a few partitions so each CC round is a handful of tasks, not
-      // shuffle.partitions× empty ones (at real scale this would stay
-      // key-partitioned — the loop structure is unchanged)
-      val edges = cp.union(cp.select(col("cid2").as("cid"), col("cid").as("cid2")))
-        .repartition(4, col("cid")).localCheckpoint()
+      // the cluster graph is usually ≪ docs but can itself be large at
+      // 100 TB: right-size the iterative frames from the MEASURED edge
+      // count so each CC round is a handful of full tasks, not
+      // shuffle.partitions× empty ones (the checkpoint that sizes the loop
+      // materializes the edge list anyway, so the count is free)
+      val edges0 = cp.union(cp.select(col("cid2").as("cid"), col("cid").as("cid2")))
+        .select(col("cid"), col("cid2").as("src"))
+        .localCheckpoint()
+      val width = ccWidth(spark, edges0.count())
+      // edges pre-partitioned by the probe key: every round's big join then
+      // matches labels' (cid-renamed-src) partitioning — ZERO edge shuffle
+      // per round; only label rows (≤ one per cluster) move
+      val edges = edges0.repartition(width, col("src")).localCheckpoint()
       val clusters = Dedup.clusterFrame(spark, dir)
       var labels = clusters.select(col("cid"), col("cid").as("keeper"))
-        .repartition(4, col("cid")).localCheckpoint()
+        .repartition(width, col("cid")).localCheckpoint()
       // labels only ever decrease, so sum(keeper) is a monotone convergence
       // witness (one cheap action per round instead of a join)
       // coalesce: sum over zero rows is NULL (empty corpus must not NPE)
@@ -55,26 +93,26 @@ object Corpus {
       var curSum  = labelSum()
       var iter    = 0
       while (curSum < prevSum && iter < maxIters) {
-        // neighbor-min alone needs O(diameter) rounds — chains in this
-        // corpus exceed any fixed budget. Adding pointer jumping
-        // (keeper := keeper of keeper) gives O(log n) convergence.
-        val viaNeighbors = edges
-          .join(labels.select(col("cid").as("cid2"), col("keeper").as("nk")), "cid2")
-          .groupBy(col("cid")).agg(min(col("nk")).as("nk"))
-        val parents = labels.select(col("cid").as("pcid"), col("keeper").as("jk"))
-        val viaJump = labels.join(parents, col("keeper") === col("pcid"))
-          .select(col("cid"), col("jk"))
-        val updated = labels
-          .join(viaNeighbors, Seq("cid"), "left_outer")
-          .join(viaJump, Seq("cid"), "left_outer")
-          .select(col("cid"), least(col("keeper"),
-            coalesce(col("nk"), col("keeper")),
-            coalesce(col("jk"), col("keeper"))).as("keeper"))
-          // re-narrow every round: the joins above widen to
-          // shuffle.partitions, and the checkpoint would freeze that width
-          .repartition(4, col("cid"))
+        // One fused round: a node probes the labels of (a) its neighbors
+        // and (b) its own keeper — (b) is pointer jumping (keeper :=
+        // keeper-of-keeper), without which min-propagation needs
+        // O(diameter) rounds on chain graphs; with it, O(log n).
+        // label(keeper) ≤ keeper (labels are monotone), so the jump row
+        // both subsumes least(keeper, …) and guarantees every cid
+        // aggregates at least one row — no left-outer fallback needed.
+        val holders = labels.select(col("cid").as("src"), col("keeper").as("lbl"))
+        val nbr  = edges.join(holders, "src").select(col("cid"), col("lbl"))
+        val jump = labels.select(col("cid"), col("keeper").as("src"))
+          .join(holders, "src").select(col("cid"), col("lbl"))
+        labels = nbr.union(jump)
+          // groupBy BEFORE re-narrowing: partial aggregation crushes the
+          // per-edge messages map-side, so the round's shuffle moves ≤ one
+          // row per (partition, cluster), not one per edge
+          .groupBy(col("cid")).agg(min(col("lbl")).as("keeper"))
+          // re-narrow every round: the agg widens to shuffle.partitions and
+          // the checkpoint would freeze that width
+          .repartition(width, col("cid"))
           .localCheckpoint(false) // lazy: the sum below is the round's one job
-        labels = updated
         prevSum = curSum
         curSum = labelSum()
         iter += 1
@@ -87,7 +125,7 @@ object Corpus {
         .join(labels, "cid")
         .select(col("doc_id"), col("keeper"))
         .localCheckpoint()
-    })
+  }
 
   /** The composed corpus-preparation pipeline: quality/language filters
     * FIRST, then one representative per near-dup component among the

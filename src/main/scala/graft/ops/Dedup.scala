@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Hashing
@@ -29,6 +28,9 @@ object Dedup {
   /** Candidate prefilter: signature components agreeing (estimates Jaccard). */
   final val MinSigAgree = 14
   final val JaccardTau  = 0.9
+  /** JaccardTau as an exact rational (9/10) for integer prefilters. */
+  final val TauNum = 9
+  final val TauDen = 10
 
   // ---- Spark side ---------------------------------------------------------
 
@@ -50,27 +52,41 @@ object Dedup {
       concat_ws(",", transform(slice(sig, b * BandRows + 1, lit(BandRows)),
         x => x.cast("string"))))
 
-  /** Token-set cluster frame, memoized per (session, sfDir). The cluster
-    * table feeds 5 branches (members, sizes, bands, both join sides) and is
-    * tiny (≪ docs) — cache it instead of recomputing the groupBy+hash per
-    * branch (the reference's temp-table analog, sql_to_line.py:161-202).
-    * Memoization bounds storage memory to one cached frame per dataset even
-    * when the query is built repeatedly in one session.
+  /** Memoized per-(session, dir) frames. The cluster table feeds 5 branches
+    * (members, sizes, bands, both join sides) and is tiny (≪ docs) — cache
+    * it instead of recomputing the groupBy+hash per branch (the reference's
+    * temp-table analog, sql_to_line.py:161-202). Memoization bounds storage
+    * memory to one cached frame per dataset even when the query is built
+    * repeatedly in one session. Assumes the parquet under `dir` is immutable
+    * for the session — call [[clearCaches]] after a rewrite or before
+    * discarding the session so its storage blocks can be freed.
     */
-  private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private[ops] def clusterFrame(s: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate((s, dir), Tables.documents(s, dir)
-      .groupBy(array_sort(dtoks).as("t"))
+  private def memoized(s: SparkSession, dir: String, key: String)
+      (f: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, key), f.cache())
+
+  /** Unpersist and drop every frame memoized for `s` (all dirs). */
+  def clearCaches(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(_.unpersist(false))
+    }
+
+  private[graft] def clusterFrame(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "clusters")(Tables.documents(s, dir)
+      // group key = sorted per-token hashes, not the token strings: the
+      // grouping is equivalent (PolyHash is injective on the corpus
+      // vocabulary — asserted by QueriesSpec) but the shuffle moves long
+      // arrays instead of string arrays and sorts longs instead of strings;
+      // downstream set ops are O(n) merge walks on the same sorted arrays
+      .select(col("doc_id"),
+        array_sort(transform(dtoks, t => poly_hash(t))).as("th"))
+      .groupBy(col("th"))
       .agg(collect_list(col("doc_id")).as("ms"))
-      // tokens pre-hashed once per cluster, sorted: set ops become O(n)
-      // merge walks on longs (PolyHash is injective on the corpus
-      // vocabulary — asserted by QueriesSpec)
-      .withColumn("th", array_sort(transform(col("t"), t => poly_hash(t))))
       .withColumn("sig", minhashSigsOf(col("th")))
-      .withColumn("cid", array_min(col("ms")))
-      .cache())
+      .withColumn("cid", array_min(col("ms"))))
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
@@ -96,27 +112,51 @@ object Dedup {
     * signature agreement → exact Jaccard. The doc-level pair set is exactly
     * the member cross-product of these plus all intra-cluster pairs, so
     * graph algorithms (connected components) can run on this tiny graph.
+    * Memoized: both the pair query and the CC edge list consume it, and the
+    * band self-join is the expensive stage of the dedup pipeline.
     */
-  private[ops] def qualifyingClusterPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def qualifyingClusterPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "qpairs")(qualifyingClusterPairsPlan(s, dir))
+
+  private def qualifyingClusterPairsPlan(s: SparkSession, dir: String): DataFrame = {
     val clusters = clusterFrame(s, dir)
-    val bandRows = clusters.select(col("cid"),
+    val bandRows = clusters.select(col("cid"), size(col("th")).as("n"),
       posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    // jac ≥ τ forces |A∩B| ≤ min and |A∪B| ≥ max, hence min/max ≥ τ: push
+    // that size bound into the band join itself so most colliding pairs die
+    // on two ints before any dedup or array work. Integer form (τ = 9/10)
+    // — a double `n ≥ 0.9·n2` would wrongly drop exact-boundary pairs like
+    // |A|=90 ⊂ |B|=100 whose jac is exactly 0.9.
     val cand = bandRows.join(
-      bandRows.select(col("cid").as("cid2"), col("band").as("band2"),
-        col("key").as("key2")),
+      bandRows.select(col("cid").as("cid2"), col("n").as("n2"),
+        col("band").as("band2"), col("key").as("key2")),
       col("band") === col("band2") && col("key") === col("key2") &&
-        col("cid") < col("cid2"))
-      .select("cid", "cid2").distinct()
-    val left  = clusters.select(col("cid"), col("th").as("h1"), col("sig").as("sig1"))
-    val right = clusters.select(col("cid").as("cid2"), col("th").as("h2"),
-      col("sig").as("sig2"))
+        col("cid") < col("cid2") &&
+        least(col("n"), col("n2")) * TauDen >= greatest(col("n"), col("n2")) * TauNum)
+      .select("cid", "cid2")
+    // NOT distinct'ed here: a pair collides in at most NumBands (=2) bands,
+    // and re-verifying a duplicate is cheaper than shuffling millions of
+    // candidate rows through a pre-dedup — the tiny qualifying output is
+    // distinct'ed instead.
+    // Two-phase verify: the 16-long signatures travel to EVERY candidate
+    // pair (cheap, auto-broadcast-sized); the full token-hash arrays join
+    // only the pairs that survive the signature-agreement prefilter — at
+    // scale the wide arrays never ride along with the raw candidate set.
+    val sigL = clusters.select(col("cid"), col("sig").as("sig1"))
+    val sigR = clusters.select(col("cid").as("cid2"), col("sig").as("sig2"))
+    val agreed = cand.join(sigL, "cid").join(sigR, "cid2")
+      .select(col("cid"), col("cid2"),
+        graft.functions.exprs.count_equal(col("sig1"), col("sig2")).as("sig_agree"))
+      .filter(col("sig_agree") >= MinSigAgree)
+    val thL = clusters.select(col("cid"), col("th").as("h1"))
+    val thR = clusters.select(col("cid").as("cid2"), col("th").as("h2"))
     val inter = graft.functions.exprs.intersect_count_sorted(col("h1"), col("h2"))
     val uni   = size(col("h1")) + size(col("h2")) - inter
-    cand.join(left, "cid").join(right, "cid2")
-      .select(col("cid"), col("cid2"),
-        graft.functions.exprs.count_equal(col("sig1"), col("sig2")).as("sig_agree"),
+    agreed.join(thL, "cid").join(thR, "cid2")
+      .select(col("cid"), col("cid2"), col("sig_agree"),
         inter.as("inter"), uni.as("uni"), (inter / uni).as("jac"))
-      .filter(col("sig_agree") >= MinSigAgree && col("jac") >= JaccardTau)
+      .filter(col("jac") >= JaccardTau)
+      .distinct()
   }
 
   val queries: Seq[Q] = Seq(
@@ -191,7 +231,7 @@ object Dedup {
       val memAll = clusters.select(col("cid"), explode(col("ms")).as("d"))
 
       // intra-cluster: identical token sets → sig_agree = 16, jac = 1.0
-      val nPer = clusters.select(col("cid"), size(col("t")).as("n"))
+      val nPer = clusters.select(col("cid"), size(col("th")).as("n"))
       val intra = memAll
         .join(memAll.select(col("cid"), col("d").as("d2")), "cid")
         .filter(col("d") < col("d2"))
@@ -251,10 +291,15 @@ object Dedup {
          |       CAST(bit_count(xor(sig, lead(sig) OVER (ORDER BY doc_id))) AS INTEGER) AS ham_next
          |FROM sg ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val sig = sim_hash30(transform(toks, t => poly_hash(t)))
-      val w   = Window.orderBy("doc_id")
-      Tables.documents(s, dir)
-        .select(col("doc_id"), sig.as("sig"))
-        .withColumn("ham_next", bit_count(col("sig").bitwiseXOR(lead(col("sig"), 1).over(w))))
+      // "next doc" = key-partitioned self-join on doc_id + 1 (doc ids are
+      // dense, same contract q_jaccard_pairs relies on). A global
+      // Window.orderBy("doc_id") computes the same lead() but funnels the
+      // whole table through ONE task — the textbook scale-killer.
+      val sg  = Tables.documents(s, dir).select(col("doc_id"), sig.as("sig"))
+      val nxt = sg.select((col("doc_id") - 1).as("doc_id"), col("sig").as("sig_next"))
+      sg.join(nxt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("sig"),
+          bit_count(col("sig").bitwiseXOR(col("sig_next"))).as("ham_next"))
         .orderBy("doc_id")
     }
   )

@@ -42,4 +42,18 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"${q.name} went cartesian")
     }
   }
+
+  test("no declared query uses a non-partitioned window") {
+    // Window.orderBy with no partitionBy funnels every row through a single
+    // task — the one plan shape that silently stops scaling (the round-1
+    // q_simhash bug). Checked on the optimized logical plan so AQE wrapping
+    // can't hide it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.all.foreach { q =>
+      val bad = q.build(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"${q.name} has a global (non-partitioned) window")
+    }
+  }
 }

@@ -102,4 +102,19 @@ class QueriesSpec extends SparkSpec {
       bf.count().toDouble
     assert(recall > 0.3, s"ANN recall collapsed: $recall")
   }
+
+  test("screen+rerank ANN: recall@10 >= 0.7 at <= 1/3 candidates (sf0.01)") {
+    // measured at sf0.01 (not the tiny sf0.001 where 10 of ~100 candidates
+    // make recall statistics meaningless); the candidate budget is
+    // structural: shortlist = ceil((n-1)/ScreenDen) per probe
+    val dir = "/root/testdata/sf0.01"
+    assert(ops.Similarity.ScreenDen >= 3, "candidate budget exceeds 1/3")
+    val bf = SparkEntry.queries("q_cosine_topk")(spark, dir)
+      .select(col("p_id"), col("c_id"))
+    val sc = SparkEntry.queries("q_ann_screen_topk")(spark, dir)
+      .select(col("p_id"), col("c_id"))
+    val recall = sc.join(bf, Seq("p_id", "c_id"), "left_semi").count().toDouble /
+      bf.count().toDouble
+    assert(recall >= 0.7, s"screen recall@10: $recall")
+  }
 }
