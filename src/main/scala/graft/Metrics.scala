@@ -1,0 +1,79 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query engine observability (SURVEY §2 R23). The reference's one
+  * operational virtue is structured per-batch logs (sql_to_line.py:30-36,
+  * 113-131: rows touched, batch id, timings); this is the engine analog:
+  * a SparkListener that attributes executor task metrics — shuffle bytes,
+  * spill, peak execution memory, input records, CPU time — to the logical
+  * query that ran them, keyed by a job-local property so concurrent
+  * queries on one session don't cross-contaminate. Bench dumps the
+  * snapshot into its JSON line (per-query shuffle/spill bytes).
+  */
+final class QueryStats {
+  val tasks             = new LongAdder
+  val inputRecords      = new LongAdder
+  val shuffleReadBytes  = new LongAdder
+  val shuffleWriteBytes = new LongAdder
+  val memorySpilled     = new LongAdder
+  val diskSpilled       = new LongAdder
+  val cpuTimeNs         = new LongAdder
+  @volatile var peakExecutionMemory = 0L
+
+  private[graft] def bumpPeak(p: Long): Unit = synchronized {
+    if (p > peakExecutionMemory) peakExecutionMemory = p
+  }
+}
+
+/** Attributes task metrics to queries via [[Metrics.QueryKey]]: the job's
+  * local properties carry the query name (set by [[Metrics.observe]]); job
+  * start maps its stages to that name; task end folds the task's metrics
+  * into the owning query's accumulators. Listener callbacks are
+  * asynchronous — flush the bus (GraftSparkBridge.waitListenerBus) before
+  * reading a snapshot.
+  */
+final class QueryMetricsListener extends SparkListener {
+  private val stageToQuery = TrieMap.empty[Int, String]
+  private val stats        = TrieMap.empty[String, QueryStats]
+
+  override def onJobStart(js: SparkListenerJobStart): Unit = {
+    val q = Option(js.properties).map(_.getProperty(Metrics.QueryKey)).orNull
+    if (q != null) js.stageIds.foreach(sid => stageToQuery.put(sid, q))
+  }
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+    stageToQuery.get(te.stageId).foreach { q =>
+      val m = te.taskMetrics
+      if (m != null) {
+        val s = stats.getOrElseUpdate(q, new QueryStats)
+        s.tasks.increment()
+        s.inputRecords.add(m.inputMetrics.recordsRead)
+        s.shuffleReadBytes.add(m.shuffleReadMetrics.totalBytesRead)
+        s.shuffleWriteBytes.add(m.shuffleWriteMetrics.bytesWritten)
+        s.memorySpilled.add(m.memoryBytesSpilled)
+        s.diskSpilled.add(m.diskBytesSpilled)
+        s.cpuTimeNs.add(m.executorCpuTime)
+        s.bumpPeak(m.peakExecutionMemory)
+      }
+    }
+
+  /** Current per-query stats (live objects — read after a bus flush). */
+  def snapshot: Map[String, QueryStats] = stats.readOnlySnapshot().toMap
+}
+
+object Metrics {
+  /** Job-local property carrying the logical query name. */
+  final val QueryKey = "graft.query.name"
+
+  /** Run `f` with all jobs it spawns attributed to `name`. */
+  def observe[T](spark: SparkSession, name: String)(f: => T): T = {
+    spark.sparkContext.setLocalProperty(QueryKey, name)
+    try f finally spark.sparkContext.setLocalProperty(QueryKey, null)
+  }
+}
