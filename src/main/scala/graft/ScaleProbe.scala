@@ -48,14 +48,46 @@ object ScaleProbe {
         ev.groupBy(to_date(col("ts")).as("d"))
           .agg(count(lit(1)), sum(round(col("value") * 100).cast("long"))).count()
       }
-      timed("window_sessionize") {
+      def sessionize(df: DataFrame): Long = {
         val us = unix_micros(col("ts").cast("timestamp"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id")).orderBy(us, col("event_id"))
-        ev.select(col("user_id"), us.as("us"),
+        df.select(col("user_id"), us.as("us"),
           sum(when(us - lag(us, 1).over(w) > 1800000000L || lag(us, 1).over(w).isNull, 1)
             .otherwise(0)).over(w.rowsBetween(Long.MinValue, 0)).as("sess"))
           .groupBy("user_id", "sess").count().count()
+      }
+      // replicate() shifts user_id per replica, so key cardinality grows
+      // with data — per-key windows keep their parallelism (the assumption
+      // SCALING.md documents for real corpora)
+      timed("window_sessionize")(sessionize(ev))
+      // the adversarial posture check: SAME data volume but key cardinality
+      // pinned at the base ~15 users — window parallelism is capped at the
+      // key count no matter the cluster size (gaps-and-islands is inherently
+      // per-key sequential; there is no salting rewrite that preserves
+      // lag() across salt boundaries)
+      timed("window_sessionize_fixedkeys") {
+        sessionize(ev.withColumn("user_id", pmod(col("user_id"), lit(15L))))
+      }
+      // CC loop on an m×-replicated cluster graph (disjoint replicas, ids
+      // shifted): isolates the iterative loop's scaling from the MinHash
+      // pipeline. Rounds must stay flat (disjoint copies of the same
+      // components); wall time must grow ~linearly.
+      timed("cc_loop_replicated") {
+        val off = 1000000000L
+        val cl = graft.ops.Dedup.clusterFrame(spark, sfDir).select(col("cid"), col("ms"))
+        val qp = graft.ops.Dedup.qualifyingClusterPairs(spark, sfDir)
+          .select(col("cid"), col("cid2"))
+        val clN = (0 until m).map(i => cl.select(
+          (col("cid") + lit(off * i)).as("cid"),
+          transform(col("ms"), x => x + lit(off * i)).as("ms"))).reduce(_.union(_))
+        val qpN = (0 until m).map(i => qp.select(
+          (col("cid") + lit(off * i)).as("cid"),
+          (col("cid2") + lit(off * i)).as("cid2"))).reduce(_.union(_))
+        val (res, rounds) = graft.ops.Corpus.componentsOf(spark, clN, qpN)
+        val n = res.count()
+        println(s"[scale] x$m   cc_loop rounds=$rounds")
+        n
       }
     }
     spark.stop()

@@ -10,6 +10,26 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** R10 (sql_to_line.py:163-170): catalog existence check — the
+    * reference probes pg_tables before creating/inserting into staging.
+    */
+  def exists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+
+  /** Generic JDBC source (R1: auth_class.py:4-20 + sql_to_line.py:17-22).
+    * The reference reads a live Postgres; this is the same surface through
+    * Spark's JDBC source with explicit options (credentials come in via
+    * `props`, e.g. user/password/driver — never baked into code). Extra
+    * useful options at scale: partitionColumn/lowerBound/upperBound/
+    * numPartitions for parallel reads. Offline container → untestable
+    * end-to-end; the option plumbing is unit-tested (SourcesSpec).
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty): DataFrame =
+    props.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    ) { case (r, (k, v)) => r.option(k, v) }.load()
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
     * Read it as raw nanos and truncate to microseconds with exact integer
     * division (`div`) — the same ns→µs truncation DuckDB's parquet reader

@@ -24,12 +24,14 @@ object Hashing {
   final val Seed = 7L
 
   def polyHash(s: UTF8String): Long = {
-    val str = s.toString
+    // iterate Unicode CODE POINTS, not UTF-16 code units: the DuckDB
+    // oracle's ascii(substr(..)) is codepoint-based, so supplementary-
+    // plane characters must hash as one value, not a surrogate pair
+    // (identical to code units for ASCII/BMP input)
+    val it  = s.toString.codePoints().iterator()
     var acc = Seed
-    var i   = 0
-    while (i < str.length) {
-      acc = (acc * 31L + str.charAt(i).toLong) % Mod
-      i += 1
+    while (it.hasNext) {
+      acc = (acc * 31L + it.nextInt().toLong) % Mod
     }
     acc
   }

@@ -14,15 +14,19 @@ object Advanced {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Typed UDAF: sum of squared deviations from zero in integer cents² —
-    * exact integer arithmetic end-to-end, so the oracle is plain SQL.
-    * Demonstrates Aggregator[IN, BUF, OUT] with partial merge (map-side
-    * combine happens automatically).
+  /** Typed UDAF: sum of squared integer values — exact integer arithmetic
+    * end-to-end, so the oracle is plain SQL. Demonstrates
+    * Aggregator[IN, BUF, OUT] with partial merge (map-side combine happens
+    * automatically). Inputs must be pre-scaled so Σx² stays far below 2^63
+    * (q_udaf_sumsq feeds integer DOLLARS, like q_stats_moments — cents²
+    * sums overflow int64 near sf≈5, where Spark wraps silently but DuckDB
+    * promotes to HUGEINT: a silent cross-engine split); addExact makes any
+    * residual overflow fail loudly instead of diverging from the oracle.
     */
-  object SumSqCents extends Aggregator[Long, Long, Long] {
+  object SumSqLong extends Aggregator[Long, Long, Long] {
     def zero: Long                       = 0L
-    def reduce(b: Long, a: Long): Long   = b + a * a
-    def merge(b1: Long, b2: Long): Long  = b1 + b2
+    def reduce(b: Long, a: Long): Long   = Math.addExact(b, Math.multiplyExact(a, a))
+    def merge(b1: Long, b2: Long): Long  = Math.addExact(b1, b2)
     def finish(b: Long): Long            = b
     def bufferEncoder: Encoder[Long]     = Encoders.scalaLong
     def outputEncoder: Encoder[Long]     = Encoders.scalaLong
@@ -151,17 +155,18 @@ object Advanced {
           .orderBy("o_orderpriority")
     },
 
-    // Typed Aggregator UDAF over integer cents (per market segment).
+    // Typed Aggregator UDAF over integer dollars (per market segment) —
+    // dollars, not cents, for the magnitude budget (see SumSqLong).
     Q("q_udaf_sumsq",
       """SELECT c_mktsegment,
-        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
-        |              * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sumsq_cents
+        |       CAST(sum(CAST(round(c_acctbal) AS BIGINT)
+        |              * CAST(round(c_acctbal) AS BIGINT)) AS BIGINT) AS sumsq_dollars
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
       (s, dir) =>
-        val sumsq = udaf(SumSqCents)
+        val sumsq = udaf(SumSqLong)
         Tables.customer(s, dir)
           .groupBy("c_mktsegment")
-          .agg(sumsq(cents(col("c_acctbal"))).as("sumsq_cents"))
+          .agg(sumsq(round(col("c_acctbal")).cast("long")).as("sumsq_dollars"))
           .orderBy("c_mktsegment")
     }
   )

@@ -53,7 +53,17 @@ object Corpus {
 
   def nearDupComponents(spark: SparkSession, dir: String,
       maxIters: Int = 15): DataFrame =
-    componentCache.getOrElseUpdate((spark, dir, maxIters), {
+    componentCache.getOrElseUpdate((spark, dir, maxIters),
+      componentsOf(spark, Dedup.clusterFrame(spark, dir),
+        Dedup.qualifyingClusterPairs(spark, dir), maxIters)._1)
+
+  /** The CC loop over an explicit cluster graph: `clusters` needs
+    * (cid, ms); `pairs` needs (cid, cid2). Returns the (doc_id, keeper)
+    * frame and the number of rounds run — exposed so ScaleProbe can drive
+    * the loop on replicated graphs without re-running the MinHash pipeline.
+    */
+  private[graft] def componentsOf(spark: SparkSession, clusters: DataFrame,
+      pairs: DataFrame, maxIters: Int = 15): (DataFrame, Int) = {
       // AQE re-plans every stage of every round — pure overhead on the
       // loop's tiny pre-partitioned jobs (the frames are explicitly sized
       // by ccWidth below, so there is nothing for AQE to fix). All
@@ -61,13 +71,13 @@ object Corpus {
       // leak into other queries' execution.
       val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try nearDupComponentsLoop(spark, dir, maxIters)
+      try componentsLoop(spark, clusters, pairs, maxIters)
       finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-    })
+  }
 
-  private def nearDupComponentsLoop(spark: SparkSession, dir: String,
-      maxIters: Int): DataFrame = {
-      val cp = Dedup.qualifyingClusterPairs(spark, dir).select(col("cid"), col("cid2"))
+  private def componentsLoop(spark: SparkSession, clusters: DataFrame,
+      pairs: DataFrame, maxIters: Int): (DataFrame, Int) = {
+      val cp = pairs.select(col("cid"), col("cid2"))
       // the cluster graph is usually ≪ docs but can itself be large at
       // 100 TB: right-size the iterative frames from the MEASURED edge
       // count so each CC round is a handful of full tasks, not
@@ -81,7 +91,6 @@ object Corpus {
       // matches labels' (cid-renamed-src) partitioning — ZERO edge shuffle
       // per round; only label rows (≤ one per cluster) move
       val edges = edges0.repartition(width, col("src")).localCheckpoint()
-      val clusters = Dedup.clusterFrame(spark, dir)
       var labels = clusters.select(col("cid"), col("cid").as("keeper"))
         .repartition(width, col("cid")).localCheckpoint()
       // labels only ever decrease, so sum(keeper) is a monotone convergence
@@ -121,10 +130,10 @@ object Corpus {
         s"connected components did not converge in $maxIters rounds")
       // fan cluster labels out to members (cid = min member id, so the
       // component keeper is automatically the min doc id)
-      clusters.select(col("cid"), explode(col("ms")).as("doc_id"))
+      (clusters.select(col("cid"), explode(col("ms")).as("doc_id"))
         .join(labels, "cid")
         .select(col("doc_id"), col("keeper"))
-        .localCheckpoint()
+        .localCheckpoint(), iter)
   }
 
   /** The composed corpus-preparation pipeline: quality/language filters

@@ -23,6 +23,30 @@ object Sinks {
       .partitionBy("date")
       .parquet(outDir)
 
+  /** Day-scoped idempotent merge (replaceWhere-style): overwrite exactly
+    * the date partitions present in `updates` — dynamic partition
+    * overwrite — leaving every other day untouched. This is the
+    * reference's UPDATE-in-place recovery unit (sql_to_line.py:91,126,
+    * 230-234) without a transactional table format: a replayed merge
+    * rewrites the same days with the same rows, so double-runs produce
+    * identical partition contents (exactly-once per day), where a plain
+    * append would duplicate and a static overwrite would drop the
+    * untouched days.
+    *
+    * Caller contract: `updates` must carry COMPLETE days — the merge
+    * replaces each touched day wholesale.
+    */
+  def mergeDays(updates: DataFrame, tsCol: String, outDir: String): Unit = {
+    val spark  = updates.sparkSession
+    val before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try updates.withColumn("date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("date")
+      .parquet(outDir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+  }
+
   /** Batch: write two tables bucketed by their join key. Readers joining
     * on that key get co-located partitions — the join plans with ZERO
     * exchanges (the 100 TB answer to repeated fact-fact joins: pay the

@@ -29,6 +29,21 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression) extends BinaryNode {
+  // this node bypasses the analyzer's type coercion, so enforce type
+  // agreement at construction: an INT-vs-BIGINT key pair would hash-
+  // partition the sides incompatibly and then die as an opaque
+  // ClassCastException inside the interpreted ordering at runtime
+  require(!(leftKey.resolved && rightKey.resolved) ||
+    org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftKey.dataType, rightKey.dataType, ignoreNullability = true),
+    s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}" +
+      " — cast one side explicitly")
+  require(!(leftTs.resolved && rightTs.resolved) ||
+    org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftTs.dataType, rightTs.dataType, ignoreNullability = true),
+    s"as-of join timestamp types differ: ${leftTs.dataType} vs ${rightTs.dataType}" +
+      " — cast one side explicitly")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

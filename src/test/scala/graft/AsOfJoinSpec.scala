@@ -24,6 +24,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.except(want).count() === 0 && want.except(got).count() === 0)
   }
 
+  test("mismatched key/ts types fail fast at construction, not at runtime") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1, 5L, "a")).toDF("k2", "t2", "v") // k2 is INT, not BIGINT
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(l, r, l("k"), r("k2"), l("t"), r("t2"))
+    }
+    assert(e.getMessage.contains("key types differ"), e.getMessage)
+    val r2 = Seq((1L, "x", "a")).toDF("k2", "t2", "v") // ts is STRING
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin(l, r2, l("k"), r2("k2"), l("t"), r2("t2"))
+    }
+    assert(e2.getMessage.contains("timestamp types differ"), e2.getMessage)
+  }
+
   test("unmatched keys and too-early timestamps yield nulls") {
     val l = Seq((1L, 10L), (1L, 3L), (2L, 100L)).toDF("k", "t")
     val r = Seq((1L, 5L, "a"), (1L, 9L, "b"), (3L, 1L, "c")).toDF("k2", "t2", "v")

@@ -18,6 +18,13 @@ class HashingSpec extends SparkSpec {
     assert(Hashing.polyHash(UTF8String.fromString("")) === 7L)
   }
 
+  test("polyHash treats supplementary-plane characters as one code point") {
+    // U+1F600 (😀) = code point 128512: one term, not a surrogate pair —
+    // matching DuckDB's codepoint-based ascii(substr(..)) oracle formula
+    assert(Hashing.polyHash(UTF8String.fromString(new String(
+      Character.toChars(0x1F600)))) === (7L * 31L + 128512L) % Hashing.Mod)
+  }
+
   test("polyHash expression evaluates through the engine with codegen") {
     import spark.implicits._
     val out = Seq("hello", "", "the").toDF("s")

@@ -61,6 +61,36 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("mergeDays overwrites only the touched day and is idempotent on replay") {
+    val out  = tmp()
+    val base = Tables.events(spark, sfDir).select("event_id", "user_id", "value", "ts")
+    Sinks.writePartitionedByDay(base, "ts", out)
+    val before      = spark.read.parquet(out)
+    val days        = before.select("date").distinct().as[java.sql.Date].collect().sorted
+    assert(days.length > 1, "need several days to prove day scoping")
+    val target      = days.head
+    val beforeCount = before.count() // materialize BEFORE the overwrite
+    val otherBefore = before.filter(col("date") =!= target)
+      .agg(sum(col("event_id"))).head().getLong(0)
+    // merge a full replacement of ONE day with doubled values
+    val updates = base.filter(to_date(col("ts")) === target)
+      .withColumn("value", col("value") * 2)
+    Sinks.mergeDays(updates, "ts", out)
+    def snap() = {
+      val df = spark.read.parquet(out)
+      (df.count(),
+        df.filter(col("date") =!= target).agg(sum(col("event_id"))).head().getLong(0),
+        df.filter(col("date") === target)
+          .agg(sum(round(col("value") * 100).cast("long"))).head().getLong(0))
+    }
+    val first = snap()
+    assert(first._1 === beforeCount, "row count must be preserved")
+    assert(first._2 === otherBefore, "untouched days must not change")
+    // replay the identical merge: contents must be bit-identical
+    Sinks.mergeDays(updates, "ts", out)
+    assert(snap() === first, "replayed merge changed partition contents")
+  }
+
   test("csv and json sources round-trip the relational schema") {
     val out  = tmp()
     val src  = Tables.nation(spark, sfDir)
