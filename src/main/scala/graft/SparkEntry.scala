@@ -17,7 +17,8 @@ object SparkEntry {
     ops.Multimodal.queries,
     ops.Extras.queries,
     ops.Advanced.queries,
-    ops.Corpus.queries
+    ops.Corpus.queries,
+    ops.Sampling.queries
   )
 
   def all: Seq[Q] = modules.flatten

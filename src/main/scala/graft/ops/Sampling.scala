@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deterministic sampling / dataset-split operators for a training-data
+  * pipeline. Everything is keyed on a pure-integer hash of `doc_id`, so:
+  *
+  *  - membership is REPRODUCIBLE: re-running over the same corpus (or a
+  *    grown corpus) keeps every previously-assigned document in the same
+  *    split — the property that keeps eval sets uncontaminated as a 100 TB
+  *    corpus is re-ingested (a `rand()` sample would reshuffle membership
+  *    every run and leak test docs into training);
+  *  - the operator is a NARROW per-row filter — no shuffle, no sort, no
+  *    state; it composes with scans at full input parallelism and the
+  *    predicate is Catalyst-visible (constant-folds into the scan stage);
+  *  - the same arithmetic runs in any engine (the DuckDB oracle executes
+  *    the identical formula), so split assignments can be validated
+  *    cross-system — how a real migration would prove parity.
+  *
+  * Hash: doc_id is split at bit 31 into low/high parts, each mixed by an
+  * LCG-style multiplier, mod M = 2^31-1. All intermediate products stay
+  * below 2^62 for ANY non-negative int64 id, so the arithmetic never
+  * overflows in either engine (DuckDB errors on bigint overflow; Spark wraps silently —
+  * the overflow-safe form is the only one that is cross-engine exact;
+  * reference analog: the reference's deterministic per-day batching,
+  * sql_to_line.py:113-131, is this same idea keyed on date instead of id).
+  */
+object Sampling {
+
+  final val M  = 2147483647L // 2^31 - 1 (Mersenne prime)
+  final val A  = 1103515245L // glibc LCG multiplier
+  final val B  = 48271L      // MINSTD multiplier
+  final val C  = 12345L
+
+  final val H = 2147483648L // 2^31: power-of-two half-split (lo = low 31 bits)
+
+  /** Overflow-safe deterministic bucket in [0, 100) from an int64 id. */
+  def bucket100(id: Column): Column = {
+    val lo = pmod(id, lit(H))
+    val hi = shiftright(id, 31)
+    pmod(lo * lit(A) + hi * lit(B) + lit(C), lit(M)) % lit(100L)
+  }
+
+  /** The identical formula in DuckDB SQL (BIGINT-exact; `//` by 2^31
+    * equals Spark's `shiftright(id, 31)` for non-negative ids).
+    */
+  def bucket100Sql(id: String): String =
+    s"((($id % $H) * $A + ($id // $H) * $B + $C) % $M) % 100"
+
+  private def split(b: Column): Column =
+    when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+
+  private def splitSql(b: String): String =
+    s"(CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' ELSE 'test' END)"
+
+  val queries: Seq[Q] = Seq(
+
+    // Per-document deterministic sample membership: the full assignment
+    // frame (hash bucket + 10%-sample flag), cell-exact cross-engine.
+    Q("q_sample_hash",
+      s"""SELECT doc_id,
+         |       CAST(${bucket100Sql("doc_id")} AS BIGINT) AS bucket,
+         |       (${bucket100Sql("doc_id")} < 10) AS in_sample
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val b = bucket100(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), b.as("bucket"), (b < 10).as("in_sample"))
+        .orderBy("doc_id")
+    },
+
+    // 80/10/10 train/valid/test split: per-split corpus statistics prove
+    // the fractions land and the split is language-balanced (hash buckets
+    // are independent of content). The split column itself is the same
+    // narrow expression — downstream writers partition on it.
+    Q("q_split_train_test",
+      s"""WITH s AS (
+         |  SELECT ${splitSql(bucket100Sql("doc_id"))} AS split, n_chars, lang
+         |  FROM documents
+         |)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       count(DISTINCT lang) AS n_langs
+         |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(split(bucket100(col("doc_id"))).as("split"), col("n_chars"), col("lang"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("split")
+    },
+
+    // Stratified deterministic sample: the SAME 10% hash gate applied
+    // within each language stratum — per-stratum sampled/total counts.
+    // Because the hash is content-independent, each stratum's sampled
+    // fraction concentrates around 10% without a per-stratum pass
+    // (single aggregation; no shuffle beyond it).
+    Q("q_stratified_sample",
+      s"""SELECT lang,
+         |       count(*) AS n_total,
+         |       CAST(sum(CASE WHEN ${bucket100Sql("doc_id")} < 10
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(bucket100(col("doc_id")) < 10, 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }
+  )
+}

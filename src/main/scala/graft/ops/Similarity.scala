@@ -22,6 +22,9 @@ import graft.functions.exprs._
   *  - `q_ann_screen_topk` ([[screenTopK]]): partial-dot screen + exact
   *    re-rank — recall@10 = 0.82 at 20% fully-scored candidates on the
   *    same vectors (measured), the better trade on unstructured data.
+  *  - `q_ann_ivf_topk` ([[annIvfTopK]]): IVF — k-means-lite coarse
+  *    quantizer (deterministic Lloyd), nearest-cell index, nprobe cell
+  *    scan. The learned-partition shape that wins on clustered corpora.
   *
   * Cosine values are rounded to 6 dp before ranking (ties broken by
   * candidate id) so rank order is engine-independent.
@@ -200,6 +203,89 @@ object Similarity {
     rankTopK(scored)
   }
 
+  final val IvfCells  = 16
+  final val IvfProbes = 4
+  final val IvfIters  = 2
+
+  /** k-means-lite (Lloyd) centroids over the embedding column:
+    * deterministic init (the first k vectors by vec_id — no RNG, so runs
+    * are reproducible), then `iters` assignment/update rounds. Model state
+    * is k×64 floats — it is SUPPOSED to live on the driver and broadcast
+    * back as literals each round (the standard Lloyd layout: assignment is
+    * a narrow map over broadcast centroids, update is one groupBy(cell));
+    * this is model-state collect, not data collect — the collected frame
+    * is O(k·dim) regardless of corpus size.
+    */
+  private[ops] def kmeansCentroids(s: SparkSession, dir: String,
+      k: Int = IvfCells, iters: Int = IvfIters): Array[Array[Double]] = {
+    val e = Tables.embeddings(s, dir)
+    var cents: Array[Array[Double]] = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val means = e
+        .select(cellOf(col("embedding"), cents).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("a"))
+        .select(col("cell"), transform(col("a"), p => p("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // an emptied cell keeps its previous centroid
+      cents = Array.tabulate(k)(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell id (argmax cosine; ties → lowest cell). */
+  private def cellOf(v: Column, cents: Array[Array[Double]]): Column = {
+    val scores = centScores(v, cents)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Per-centroid cosine scores of `v` (centroid norms folded in driver-side). */
+  private def centScores(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      dot_ff(v, typedlit(c.map(_.toFloat).toSeq)) / lit(if (n == 0) 1.0 else n)
+    }: _*)
+
+  /** The `IvfProbes` best cells for a probe vector, best-first. */
+  private def probeCells(v: Column, cents: Array[Array[Double]]): Column = {
+    val scores = centScores(v, cents)
+    slice(transform(
+      array_sort(transform(sequence(lit(0), lit(cents.length - 1)), i =>
+        struct((-element_at(scores, i + 1)).as("s"), i.as("i")))),
+      x => x("i").cast("int")), 1, IvfProbes)
+  }
+
+  /** IVF (inverted-file) ANN top-k: k-means-lite coarse quantizer, each
+    * vector indexed under its nearest centroid's cell, probes scan their
+    * [[IvfProbes]]-of-[[IvfCells]] nearest cells — the third ANN shape
+    * (cell join ≈ LSH's bucket join, but cells are LEARNED from the data,
+    * so on clustered corpora recall concentrates far above the candidate
+    * fraction; on these isotropic test vectors it, like LSH, tracks the
+    * scanned fraction — measured and asserted in QueriesSpec). At 100 TB:
+    * assignment is a narrow map (centroids broadcast), the index is a
+    * plain int column (re-usable across queries; partition/bucket by it
+    * for locality), and a probe's cost is the probed cells' rows only.
+    */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(s, dir)
+    val e = withNorm(Tables.embeddings(s, dir))
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), cellOf(col("embedding"), cents).as("cell"))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("nrm").as("pn"),
+        explode(probeCells(col("embedding"), cents)).as("cell"))
+    val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+    // each candidate lives in exactly ONE cell → no pair dedup needed
+    rankTopK(cands.join(probes, Seq("cell"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), cosR.as("cos_r"), col("c_id")))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_cosine_topk",
       """WITH n AS (
@@ -241,6 +327,8 @@ object Similarity {
 
     Q.noOracle("q_ann_lsh_topk")(annLshTopK),
 
-    Q.noOracle("q_ann_screen_topk")(screenTopK)
+    Q.noOracle("q_ann_screen_topk")(screenTopK),
+
+    Q.noOracle("q_ann_ivf_topk")(annIvfTopK)
   )
 }

@@ -143,6 +143,50 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // TF-IDF top-3 terms per document — the classic relevance-weighting
+    // layout: explode to tokens, TF = per-(doc, tok) count, DF = per-tok
+    // distinct-doc count, score = tf · ln(N/df). Every stage is keyed by
+    // high-cardinality columns (doc_id or tok) so it parallelizes with the
+    // corpus; the DF side is Θ(vocab) rows — broadcast-sized after the
+    // aggregation, so the TF⋈DF join ships only the small side. ln() is
+    // libm-tainted → the score is rounded to 6 dp BEFORE ranking (house
+    // rounding policy), ties broken by token, so rank order is
+    // engine-independent.
+    Q("q_tfidf_top_terms",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+        |), n AS (
+        |  SELECT count(*) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |)
+        |SELECT doc_id, rnk, tok, tf, df, tfidf FROM (
+        |  SELECT doc_id, tok, tf, df, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, tok) AS INTEGER) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf   = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df   = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val n    = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rnk")
+    },
+
     // Gaps-and-islands sessionization over events (30-minute gap), the
     // batch analogue of streaming session windows.
     Q("q_sessionize",

@@ -117,4 +117,22 @@ class QueriesSpec extends SparkSpec {
       bf.count().toDouble
     assert(recall >= 0.7, s"screen recall@10: $recall")
   }
+
+  test("IVF ANN: recall tracks the probed-cell fraction on isotropic vectors") {
+    val dir = "/root/testdata/sf0.01"
+    val bf = SparkEntry.queries("q_cosine_topk")(spark, dir)
+      .select(col("p_id"), col("c_id"))
+    val ivf = SparkEntry.queries("q_ann_ivf_topk")(spark, dir)
+      .select(col("p_id"), col("c_id"))
+    val recall = ivf.join(bf, Seq("p_id", "c_id"), "left_semi").count().toDouble /
+      bf.count().toDouble
+    // isotropic vectors are IVF's worst case (no cluster structure to
+    // learn): recall ≈ scanned fraction = IvfProbes/IvfCells = 0.25.
+    // Anything far below that would mean the cell join/assignment is broken.
+    assert(recall >= 0.15, s"IVF recall@10 collapsed: $recall")
+    // every probe must still return a full top-10
+    val n = SparkEntry.queries("q_ann_ivf_topk")(spark, dir)
+      .groupBy("p_id").count().agg(min("count")).head().getLong(0)
+    assert(n === 10L, s"probe with short result list: $n")
+  }
 }
