@@ -56,6 +56,32 @@ object Extras {
         .orderBy("label")
     },
 
+    // Interval self-join: per event, how many same-user events occurred in
+    // the preceding 5 minutes — the batch oracle twin of the streaming
+    // stream-stream interval join (Streams.intervalJoin; same key + time
+    // bound, state pruned by watermark there). Plans as one equi-shuffle on
+    // user_id with the time range as residual — the standard interval-join
+    // shape. Parallelism tracks user cardinality (see SCALING.md's window-
+    // skew posture); for low-key corpora the scale rewrite is banding:
+    // join on (user_id, floor(us / 5min)) ∪ (user_id, band+1), which
+    // restores key cardinality at ≤2× join fan.
+    Q("q_interval_join_events",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT l.event_id AS l_id, CAST(count(r.event_id) AS BIGINT) AS n_recent
+        |FROM e l LEFT JOIN e r
+        |  ON l.user_id = r.user_id AND r.us >= l.us - 300000000 AND r.us < l.us
+        |GROUP BY l.event_id ORDER BY l_id""".stripMargin) { (s, dir) =>
+      val base = Tables.events(s, dir)
+      val l = base.select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        usOf(col("ts")).as("l_us"))
+      val r = base.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        usOf(col("ts")).as("r_us"))
+      l.join(r, col("l_user") === col("r_user") &&
+          col("r_us") >= col("l_us") - 300000000L && col("r_us") < col("l_us"), "left")
+        .groupBy("l_id").agg(count(col("r_id")).as("n_recent"))
+        .orderBy("l_id")
+    },
+
     // CUBE over two dimensions of the orders⋈customer star.
     Q("q_cube_sales",
       """SELECT coalesce(o_orderpriority, 'ALL') AS pri,

@@ -187,6 +187,113 @@ object TextOps {
         .orderBy("doc_id", "rnk")
     },
 
+    // Repetition signals (Gopher-style quality filters): per-doc fraction
+    // of bigram mass in the single most-frequent bigram, and fraction of
+    // trigram occurrences belonging to repeated trigrams. High values flag
+    // boilerplate/spam for corpus filtering. Grams are built per-row from
+    // the token array (transform+slice — narrow, no shuffle); both
+    // aggregations key on doc_id, so parallelism scales with the corpus.
+    // Integer counts are emitted alongside the rounded fractions so any
+    // cross-engine drift is attributable.
+    Q("q_repetition_grams",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |                 i -> array_to_string(t[i:i+1], ' '))) AS g
+        |  FROM t WHERE len(t) >= 2
+        |), bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+        |bs AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, CAST(max(c) AS BIGINT) AS top2
+        |  FROM bc GROUP BY doc_id
+        |), tr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |                 i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM t WHERE len(t) >= 3
+        |), tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY doc_id, g),
+        |ts AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+        |  FROM tc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(bs.n2, 0) AS n2, coalesce(bs.top2, 0) AS top2,
+        |       coalesce(ts.n3, 0) AS n3, coalesce(ts.dup3, 0) AS dup3,
+        |       round(CASE WHEN bs.n2 > 0 THEN CAST(bs.top2 AS DOUBLE) / bs.n2 ELSE 0 END, 6) AS top2_frac,
+        |       round(CASE WHEN ts.n3 > 0 THEN CAST(ts.dup3 AS DOUBLE) / ts.n3 ELSE 0 END, 6) AS dup3_frac
+        |FROM documents d
+        |LEFT JOIN bs ON d.doc_id = bs.doc_id
+        |LEFT JOIN ts ON d.doc_id = ts.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val t    = split(col("text"), " ")
+      // per-row gram list; empty when the doc is shorter than k tokens
+      // (sequence(1, n-k+1) would COUNT DOWN for n < k — Spark's sequence
+      // reverses when start > stop, hence the explicit size guard)
+      def grams(k: Int): Column =
+        when(size(col("t")) >= k,
+          transform(sequence(lit(1), size(col("t")) - (k - 1)),
+            i => concat_ws(" ", slice(col("t"), i, lit(k)))))
+          .otherwise(array().cast("array<string>"))
+      val toks = docs.select(col("doc_id"), t.as("t"))
+      val bs = toks.select(col("doc_id"), explode(grams(2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n2"), max("c").as("top2"))
+      val ts3 = toks.select(col("doc_id"), explode(grams(3)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n3"), sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"))
+      docs.select(col("doc_id"))
+        .join(bs, Seq("doc_id"), "left").join(ts3, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n2"), lit(0L)).as("n2"), coalesce(col("top2"), lit(0L)).as("top2"),
+          coalesce(col("n3"), lit(0L)).as("n3"), coalesce(col("dup3"), lit(0L)).as("dup3"),
+          round(when(col("n2") > 0, col("top2").cast("double") / col("n2")).otherwise(0.0), 6)
+            .as("top2_frac"),
+          round(when(col("n3") > 0, col("dup3").cast("double") / col("n3")).otherwise(0.0), 6)
+            .as("dup3_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Eval-set decontamination: flag training documents sharing any 8-gram
+    // with the held-out test split (the leading cause of benchmark
+    // contamination is duplicated text crossing the split). Composes the
+    // deterministic hash split (Sampling.bucket100 — so the split is
+    // reproducible across runs AND engines) with per-row gram generation.
+    // The test side is small by construction (10% of docs, distinct grams)
+    // → broadcast; the train side never shuffles its grams. At 100 TB the
+    // gram join key would be a 64-bit hash of the gram rather than the
+    // string (same layout, narrower shuffle); strings keep the oracle
+    // engine-exact here.
+    Q("q_decontaminate",
+      s"""WITH t AS (
+         |  SELECT doc_id, ${Sampling.bucket100Sql("doc_id")} AS b,
+         |         string_split(text, ' ') AS t
+         |  FROM documents
+         |), g AS (
+         |  SELECT DISTINCT doc_id, b,
+         |         unnest(list_transform(range(1, len(t) - 6),
+         |                i -> array_to_string(t[i:i+7], ' '))) AS gram
+         |  FROM t WHERE len(t) >= 8
+         |), tr AS (SELECT doc_id, gram FROM g WHERE b < 90),
+         |te AS (SELECT DISTINCT gram FROM g WHERE b >= 90)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM tr JOIN te USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val t    = split(col("text"), " ")
+      val g = docs.select(col("doc_id"), Sampling.bucket100(col("doc_id")).as("b"), t.as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), col("b"),
+          explode(transform(sequence(lit(1), size(col("t")) - 7),
+            i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
+        .distinct()
+      val tr = g.filter(col("b") < 90).select("doc_id", "gram")
+      val te = g.filter(col("b") >= 90).select("gram").distinct()
+      tr.join(broadcast(te), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
     // Gaps-and-islands sessionization over events (30-minute gap), the
     // batch analogue of streaming session windows.
     Q("q_sessionize",

@@ -63,6 +63,31 @@ object Streams {
         events("event_type"), events("value"),
         coalesce(userDim("n_orders"), lit(0L)).as("n_orders"))
 
+  /** Stream-stream interval join: pair each left event with same-user
+    * right-stream events from its preceding 5 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on both sides —
+    * Spark's requirement for state cleanup in stream-stream joins: each
+    * side's state store retains only rows inside watermark + interval, so
+    * state is bounded no matter how long the streams run. The batch twin
+    * (identical condition) is oracle-checked as q_interval_join_events.
+    * Scale: one co-partitioned stateful shuffle of both streams on
+    * user_id.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = maybeWatermark(left)
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+        col("user_id").as("l_user"))
+    val r = maybeWatermark(right)
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user"))
+    l.join(r,
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("r_ts") < col("l_ts"))
+      .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
+        unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+  }
+
   /** Exactly-once-per-id dedup bounded by the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     if (events.isStreaming)

@@ -139,6 +139,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("event_id") === 77777L).head().getLong(5) === 0L)
   }
 
+  test("stream-stream interval join pairs within 5 minutes, same user, across batches") {
+    val msL = MemoryStream[Event](spark)
+    val msR = MemoryStream[Event](spark)
+    def ev(id: Long, min: Long, user: Long) = Event(id, ts(min), user, "x", 1.0, "{}")
+    val joined = Streams.intervalJoin(msL.toDF(), msR.toDF())
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("interval_join").start()
+    // batch 1: left event at minute 10 (user 1); right events at 6, 8 (user 1),
+    // 9 (user 2 — wrong user), 10 (same instant — excluded by r.ts < l.ts)
+    msL.addData(ev(100, 10, 1))
+    msR.addData(ev(1, 6, 1), ev(2, 8, 1), ev(3, 9, 2), ev(4, 10, 1))
+    q.processAllAvailable()
+    // batch 2: right event at minute 7 arrives LATE but within watermark
+    // (10 min delay) → state must still hold the left row; plus a right
+    // event outside the 5-minute bound
+    msR.addData(ev(5, 7, 1), ev(6, 4, 1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("interval_join")
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((100L, 1L), (100L, 2L), (100L, 5L)),
+      s"interval join pairs wrong: $got")
+  }
+
+  test("batch twin of intervalJoin agrees with q_interval_join_events pair counts") {
+    val ev    = Tables.events(spark, sfDir)
+    val pairs = Streams.intervalJoin(ev, ev)
+      .groupBy(col("l_id")).agg(count(lit(1)).as("n_recent"))
+    val want = SparkEntry.queries("q_interval_join_events")(spark, sfDir)
+      .filter(col("n_recent") > 0)
+    assert(pairs.except(want).count() === 0 && want.except(pairs).count() === 0)
+  }
+
   test("streaming session windows produce positive-length per-user sessions") {
     val ms = MemoryStream[Event](spark)
     val got = runTwoBatches(Streams.sessionWindows(ms.toDF()), "session_windows",
