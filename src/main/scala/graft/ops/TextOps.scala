@@ -286,11 +286,14 @@ object TextOps {
         .select(col("doc_id"), col("b"),
           explode(transform(sequence(lit(1), size(col("t")) - 7),
             i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
-        .distinct()
+      // join BEFORE dedup: only grams that actually hit the broadcast test
+      // set reach the shuffle (rare by construction), then countDistinct
+      // dedups the survivors — the bulk train grams never leave their
+      // input partition
       val tr = g.filter(col("b") < 90).select("doc_id", "gram")
       val te = g.filter(col("b") >= 90).select("gram").distinct()
       tr.join(broadcast(te), "gram")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))
         .orderBy("doc_id")
     },
 

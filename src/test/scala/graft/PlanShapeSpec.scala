@@ -36,6 +36,25 @@ class PlanShapeSpec extends SparkSpec {
       "top-k should not shuffle")
   }
 
+  test("deterministic sampling computes narrowly (no hash-partition shuffle)") {
+    // the split predicate must stay a per-row expression that composes with
+    // the scan: the ONLY allowed exchange is the rangepartitioning sort of
+    // the final presentation ORDER BY (oracle-compare determinism), never a
+    // hashpartitioning of the data itself
+    val p = plan("q_sample_hash")
+    assert(!p.contains("hashpartitioning"),
+      s"sampling should not hash-shuffle:\n${p.take(1500)}")
+  }
+
+  test("decontamination joins train grams against a BROADCAST test set") {
+    // the train-side grams must meet the eval set via broadcast — a
+    // sort-merge join here would shuffle the full training corpus's grams
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      s"train grams are being shuffled for the join:\n${p.take(1500)}")
+  }
+
   test("no declared query plans a cartesian product") {
     SparkEntry.all.foreach { q =>
       val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
