@@ -159,6 +159,78 @@ object Dedup {
       .distinct()
   }
 
+  /** The qualifying near-dup pair frame (d1 < d2, sig_agree ≥ MinSigAgree,
+    * jac ≥ JaccardTau) — the output of the LSH pipeline, shared by
+    * q_dedup_minhash_pairs and q_neardup_degree.
+    */
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // MinHash signatures and Jaccard depend only on the distinct-token
+    // SET, so first collapse docs into token-set equivalence clusters.
+    // On a heavily-duplicated corpus the qualifying-pair output is
+    // Θ(cluster²) — unavoidable — but this layout does ALL similarity
+    // work (signatures, band collisions, agreement, exact Jaccard) once
+    // per cluster PAIR; per doc pair only codegen'd enumeration remains.
+    // At 100 TB: clusters ≪ docs shuffle by token-set hash, cluster-pair
+    // join is broadcast-sized, and the final explode is embarrassingly
+    // parallel.
+    val clusters = clusterFrame(s, dir)
+
+    // member table: one slim (cid, doc) row per doc — pair fan-out happens
+    // INSIDE joins on cid, so wide arrays never ride along with pair rows
+    val memAll = clusters.select(col("cid"), explode(col("ms")).as("d"))
+
+    // intra-cluster: identical token sets → sig_agree = 16, jac = 1.0
+    val nPer = clusters.select(col("cid"), size(col("th")).as("n"))
+    val intra = memAll
+      .join(memAll.select(col("cid"), col("d").as("d2")), "cid")
+      .filter(col("d") < col("d2"))
+      .join(broadcast(nPer), "cid")
+      .select(col("d").as("d1"), col("d2"), lit(NumPerms).as("sig_agree"),
+        col("n").as("inter"), col("n").as("uni"), (col("n") / col("n")).as("jac"))
+
+    // inter-cluster: judged once per CLUSTER pair
+    // (qualifyingClusterPairs), then fanned out to member pairs via joins
+    val interPairs = qualifyingClusterPairs(s, dir)
+      .join(memAll.select(col("cid"), col("d").as("da")), "cid")
+      .join(memAll.select(col("cid").as("cid2"), col("d").as("db")), "cid2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"),
+        col("sig_agree"), col("inter"), col("uni"), col("jac"))
+
+    intra.union(interPairs)
+  }
+
+  /** The full LSH-pipeline oracle SQL, minus final SELECT — `WITH`-prefix
+    * chain shared by q_dedup_minhash_pairs and q_neardup_degree.
+    */
+  private def minhashPairsCtes: String =
+    s"""$hsCte, sig_t AS (
+       |  SELECT doc_id, list_transform(range(0, $NumPerms), i -> $sigExpr) AS sig
+       |  FROM hs_t
+       |), band_t AS (
+       |  SELECT doc_id, b,
+       |         array_to_string(sig[(b * $BandRows + 1):(b * $BandRows + $BandRows)], ',') AS key
+       |  FROM sig_t, range(0, $NumBands) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM band_t l JOIN band_t r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+       |), est AS (
+       |  SELECT d1, d2,
+       |         CAST(len(list_filter(list_transform(range(1, $NumPerms + 1),
+       |           i -> sa.sig[i] = sb.sig[i]), x -> x)) AS INTEGER) AS sig_agree
+       |  FROM cand JOIN sig_t sa ON sa.doc_id = d1 JOIN sig_t sb ON sb.doc_id = d2
+       |), tk AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+       |), pairs_t AS (
+       |  SELECT d1, d2, sig_agree,
+       |         CAST(len(list_intersect(a.t, b.t)) AS INTEGER) AS inter,
+       |         CAST(len(list_distinct(list_concat(a.t, b.t))) AS INTEGER) AS uni,
+       |         (len(list_intersect(a.t, b.t)) / len(list_distinct(list_concat(a.t, b.t)))) AS jac
+       |  FROM est JOIN tk a ON a.doc_id = d1 JOIN tk b ON b.doc_id = d2
+       |  WHERE sig_agree >= $MinSigAgree
+       |    AND (len(list_intersect(a.t, b.t)) / len(list_distinct(list_concat(a.t, b.t)))) >= $JaccardTau
+       |)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Whole-document fingerprint (rolling polynomial hash over all chars).
@@ -189,66 +261,34 @@ object Dedup {
     // Jaccard verify. Only (band,key) rows and signatures shuffle — full
     // texts never move; at 100 TB each stage is a key-partitioned join.
     Q("q_dedup_minhash_pairs",
-      s"""$hsCte, sig_t AS (
-         |  SELECT doc_id, list_transform(range(0, $NumPerms), i -> $sigExpr) AS sig
-         |  FROM hs_t
-         |), band_t AS (
-         |  SELECT doc_id, b,
-         |         array_to_string(sig[(b * $BandRows + 1):(b * $BandRows + $BandRows)], ',') AS key
-         |  FROM sig_t, range(0, $NumBands) t(b)
-         |), cand AS (
-         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-         |  FROM band_t l JOIN band_t r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
-         |), est AS (
-         |  SELECT d1, d2,
-         |         CAST(len(list_filter(list_transform(range(1, $NumPerms + 1),
-         |           i -> sa.sig[i] = sb.sig[i]), x -> x)) AS INTEGER) AS sig_agree
-         |  FROM cand JOIN sig_t sa ON sa.doc_id = d1 JOIN sig_t sb ON sb.doc_id = d2
-         |), tk AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+      s"""$minhashPairsCtes
+         |SELECT d1, d2, sig_agree, inter, uni, jac
+         |FROM pairs_t ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      minhashPairs(s, dir).orderBy("d1", "d2")
+    },
+
+    // Near-dup degree histogram over the qualifying-pair graph: how many
+    // docs have exactly `deg` near-duplicates — the shape that tells you
+    // whether duplication is a few huge boilerplate clusters (heavy tail)
+    // or many small ones, and thus what dedup will actually delete. Both
+    // aggregations key on doc_id / deg; the pair frame reuses the cached
+    // cluster pipeline, so only the enumeration re-runs.
+    Q("q_neardup_degree",
+      s"""$minhashPairsCtes, deg_t AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT d1 AS doc_id FROM pairs_t
+         |    UNION ALL
+         |    SELECT d2 AS doc_id FROM pairs_t)
+         |  GROUP BY doc_id
          |)
-         |SELECT d1, d2, sig_agree,
-         |       CAST(len(list_intersect(a.t, b.t)) AS INTEGER) AS inter,
-         |       CAST(len(list_distinct(list_concat(a.t, b.t))) AS INTEGER) AS uni,
-         |       (len(list_intersect(a.t, b.t)) / len(list_distinct(list_concat(a.t, b.t)))) AS jac
-         |FROM est JOIN tk a ON a.doc_id = d1 JOIN tk b ON b.doc_id = d2
-         |WHERE sig_agree >= $MinSigAgree
-         |  AND (len(list_intersect(a.t, b.t)) / len(list_distinct(list_concat(a.t, b.t)))) >= $JaccardTau
-         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      // MinHash signatures and Jaccard depend only on the distinct-token
-      // SET, so first collapse docs into token-set equivalence clusters.
-      // On a heavily-duplicated corpus the qualifying-pair output is
-      // Θ(cluster²) — unavoidable — but this layout does ALL similarity
-      // work (signatures, band collisions, agreement, exact Jaccard) once
-      // per cluster PAIR; per doc pair only codegen'd enumeration remains.
-      // At 100 TB: clusters ≪ docs shuffle by token-set hash, cluster-pair
-      // join is broadcast-sized, and the final explode is embarrassingly
-      // parallel.
-      val clusters = clusterFrame(s, dir)
-
-      // member table: one slim (cid, doc) row per doc — pair fan-out happens
-      // INSIDE joins on cid, so wide arrays never ride along with pair rows
-      val memAll = clusters.select(col("cid"), explode(col("ms")).as("d"))
-
-      // intra-cluster: identical token sets → sig_agree = 16, jac = 1.0
-      val nPer = clusters.select(col("cid"), size(col("th")).as("n"))
-      val intra = memAll
-        .join(memAll.select(col("cid"), col("d").as("d2")), "cid")
-        .filter(col("d") < col("d2"))
-        .join(broadcast(nPer), "cid")
-        .select(col("d").as("d1"), col("d2"), lit(NumPerms).as("sig_agree"),
-          col("n").as("inter"), col("n").as("uni"), (col("n") / col("n")).as("jac"))
-
-      // inter-cluster: judged once per CLUSTER pair
-      // (qualifyingClusterPairs), then fanned out to member pairs via joins
-      val interPairs = qualifyingClusterPairs(s, dir)
-        .join(memAll.select(col("cid"), col("d").as("da")), "cid")
-        .join(memAll.select(col("cid").as("cid2"), col("d").as("db")), "cid2")
-        .select(least(col("da"), col("db")).as("d1"),
-          greatest(col("da"), col("db")).as("d2"),
-          col("sig_agree"), col("inter"), col("uni"), col("jac"))
-
-      intra.union(interPairs).orderBy("d1", "d2")
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM deg_t GROUP BY deg ORDER BY deg""".stripMargin) { (s, dir) =>
+      val p = minhashPairs(s, dir)
+      p.select(col("d1").as("doc_id"))
+        .union(p.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_docs"))
+        .orderBy("deg")
     },
 
     // Exact n-gram (word 1-gram set) Jaccard over consecutive-id pairs —

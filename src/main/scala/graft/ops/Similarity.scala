@@ -207,19 +207,25 @@ object Similarity {
   final val IvfProbes = 4
   final val IvfIters  = 2
 
-  /** k-means-lite (Lloyd) centroids over the embedding column:
-    * deterministic init (the first k vectors by vec_id — no RNG, so runs
-    * are reproducible), then `iters` assignment/update rounds. Model state
-    * is k×64 floats — it is SUPPOSED to live on the driver and broadcast
-    * back as literals each round (the standard Lloyd layout: assignment is
-    * a narrow map over broadcast centroids, update is one groupBy(cell));
-    * this is model-state collect, not data collect — the collected frame
-    * is O(k·dim) regardless of corpus size.
+  /** Every `TrainSampleMod`-th vector trains the quantizer. */
+  final val TrainSampleMod = 3
+
+  /** k-means-lite (Lloyd) centroids over a deterministic SAMPLE of the
+    * embedding column (every [[TrainSampleMod]]-th vec_id — no RNG, so runs
+    * are reproducible): quantizer training only needs enough points to
+    * place k centroids, so at 100 TB the Lloyd rounds run over a fixed-size
+    * sample while the full corpus is only ever touched by the one narrow
+    * assignment pass. Model state is k×64 floats — it is SUPPOSED to live
+    * on the driver and broadcast back as literals each round (the standard
+    * Lloyd layout: assignment is a narrow map over broadcast centroids,
+    * update is one groupBy(cell)); this is model-state collect, not data
+    * collect — the collected frame is O(k·dim) regardless of corpus size.
     */
   private[ops] def kmeansCentroids(s: SparkSession, dir: String,
       k: Int = IvfCells, iters: Int = IvfIters): Array[Array[Double]] = {
     val e = Tables.embeddings(s, dir)
-    var cents: Array[Array[Double]] = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .filter(col("vec_id") % TrainSampleMod === 0)
+    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {

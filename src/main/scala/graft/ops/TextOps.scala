@@ -175,7 +175,10 @@ object TextOps {
       val docs = Tables.documents(s, dir)
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tf   = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df   = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      // tf rows are distinct (doc, tok) pairs by construction, so DF is a
+      // plain count over them — reuses the tf shuffle instead of a second
+      // explode + countDistinct pass over every raw token
+      val df   = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n    = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
         .select(col("doc_id"), col("tok"), col("tf"), col("df"),

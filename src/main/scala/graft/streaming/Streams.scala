@@ -72,8 +72,14 @@ object Streams {
     * (identical condition) is oracle-checked as q_interval_join_events.
     * Scale: one co-partitioned stateful shuffle of both streams on
     * user_id.
+    *
+    * `joinType` may be "left_outer": unmatched left rows emit null-padded
+    * once the watermark passes their join window (the engine can only then
+    * prove no match will arrive) — the streaming analog of the batch
+    * twin's LEFT JOIN.
     */
-  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val l = maybeWatermark(left)
       .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
         col("user_id").as("l_user"))
@@ -83,7 +89,8 @@ object Streams {
     l.join(r,
         col("l_user") === col("r_user") &&
           col("r_ts") >= col("l_ts") - expr("INTERVAL 5 MINUTES") &&
-          col("r_ts") < col("l_ts"))
+          col("r_ts") < col("l_ts"),
+        joinType)
       .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
         unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
   }

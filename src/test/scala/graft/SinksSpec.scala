@@ -29,6 +29,32 @@ class SinksSpec extends SparkSpec {
     assert(one.count() > 0 && one.count() < merged.count())
   }
 
+  test("compactDays shrinks small-file partitions without changing contents") {
+    val out  = tmp()
+    val base = Tables.events(spark, sfDir).select("event_id", "user_id", "value", "ts")
+    // force a pathological small-file layout: many tasks per day
+    base.repartition(24).withColumn("date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    def fileCount() = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("date="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val filesBefore = fileCount()
+    val sumBefore   = spark.read.parquet(out)
+      .agg(sum("event_id"), sum(round(col("value") * 100).cast("long")))
+      .head()
+    // huge target size → every day compacts to ONE file
+    val (days, b, a) = Sinks.compactDays(spark, out, targetBytes = 1L << 40)
+    assert(days > 0 && b === filesBefore && a < b, s"($days, $b, $a)")
+    assert(fileCount() === a, "reported file count disagrees with disk")
+    val sumAfter = spark.read.parquet(out)
+      .agg(sum("event_id"), sum(round(col("value") * 100).cast("long")))
+      .head()
+    assert(sumAfter === sumBefore, "compaction changed the data")
+    // idempotent: a second run finds nothing to do
+    val (days2, b2, a2) = Sinks.compactDays(spark, out, targetBytes = 1L << 40)
+    assert(days2 === 0 && b2 === a2 && b2 === a, s"($days2, $b2, $a2)")
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // clean any leftover managed-table locations from a previous JVM
     Seq("orders_b", "lineitem_b").foreach { t =>

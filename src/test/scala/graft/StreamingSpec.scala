@@ -163,6 +163,31 @@ class StreamingSpec extends SparkSpec {
       s"interval join pairs wrong: $got")
   }
 
+  test("left-outer interval join emits null-padded rows after the watermark closes the window") {
+    val msL = MemoryStream[Event](spark)
+    val msR = MemoryStream[Event](spark)
+    def ev(id: Long, min: Long, user: Long) = Event(id, ts(min), user, "x", 1.0, "{}")
+    val joined = Streams.intervalJoin(msL.toDF(), msR.toDF(), "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("interval_outer").start()
+    // left event at minute 10 with a match; left event at minute 12 without
+    msL.addData(ev(100, 10, 1), ev(101, 12, 2))
+    msR.addData(ev(1, 8, 1))
+    q.processAllAvailable()
+    // advance both watermarks far past minute 12 + delay so the engine can
+    // prove no match will ever arrive for event 101
+    msL.addData(ev(999, 1000, 9))
+    msR.addData(ev(998, 1000, 9))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("interval_outer")
+      .filter(col("l_id").isin(100L, 101L))
+      .select(col("l_id"), col("r_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(rows === Seq((100L, 1L), (101L, -1L)),
+      s"outer join rows wrong: $rows")
+  }
+
   test("batch twin of intervalJoin agrees with q_interval_join_events pair counts") {
     val ev    = Tables.events(spark, sfDir)
     val pairs = Streams.intervalJoin(ev, ev)
