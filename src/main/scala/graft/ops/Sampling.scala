@@ -91,6 +91,33 @@ object Sampling {
         .orderBy("split")
     },
 
+    // Weighted source mixing — the training-mix operator: each source gets
+    // its own keep-rate (here derived deterministically from the source
+    // name's numeric suffix; in production a config map), applied through
+    // the SAME per-doc hash gate, so (a) mixture weights are exact in
+    // expectation, (b) membership is reproducible doc-by-doc, (c) a doc's
+    // fate never depends on other docs — the filter stays a narrow
+    // expression at any corpus size. Zero-rate sources prove exclusion.
+    Q("q_source_mix",
+      s"""WITH d AS (
+         |  SELECT source,
+         |         ((CAST(substr(source, 4) AS BIGINT) * 5) % 100) AS rate,
+         |         ${bucket100Sql("doc_id")} AS b
+         |  FROM documents
+         |)
+         |SELECT source, CAST(max(rate) AS BIGINT) AS rate_pct,
+         |       count(*) AS n_total,
+         |       CAST(sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val rate = (substring(col("source"), 4, 10).cast("long") * 5) % 100
+      Tables.documents(s, dir)
+        .select(col("source"), rate.as("rate"), bucket100(col("doc_id")).as("b"))
+        .groupBy("source")
+        .agg(max("rate").as("rate_pct"), count(lit(1)).as("n_total"),
+          sum(when(col("b") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // Stratified deterministic sample: the SAME 10% hash gate applied
     // within each language stratum — per-stratum sampled/total counts.
     // Because the hash is content-independent, each stratum's sampled

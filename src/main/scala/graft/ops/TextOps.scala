@@ -190,6 +190,51 @@ object TextOps {
         .orderBy("doc_id", "rnk")
     },
 
+    // Unigram-LM log-probability scoring — the perplexity-proxy quality
+    // filter: score each doc by Σ tf·ln(p(tok)) under the corpus's own
+    // unigram distribution (very low scores ≈ gibberish/outlier docs; the
+    // cheap stand-in for model-based filtering). The vocab table is
+    // broadcast-sized after aggregation; everything else keys on doc_id.
+    // Cross-engine exactness: each token's ln(p) is snapped to integer
+    // MICRO-nats first (the integer-cents rule applied to log space), so
+    // per-doc sums are exact integers — no FP addition-order drift.
+    Q("q_unigram_logprob",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        |), wc AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS t FROM wc
+        |), lp AS (
+        |  SELECT tok, CAST(round(ln(CAST(n AS DOUBLE) / t) * 1000000) AS BIGINT) AS lp_micro
+        |  FROM wc CROSS JOIN tot
+        |)
+        |SELECT tf.doc_id,
+        |       CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+        |       CAST(sum(tf.tf * lp.lp_micro) AS BIGINT) AS sum_lp_micro,
+        |       (CAST(sum(tf.tf * lp.lp_micro) AS BIGINT) / CAST(sum(tf.tf) AS BIGINT)) AS avg_lp_micro
+        |FROM tf JOIN lp USING (tok)
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf   = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val wc   = tf.groupBy("tok").agg(sum("tf").as("n"))
+      val tot  = wc.agg(sum("n").as("t"))
+      val lp   = wc.crossJoin(broadcast(tot))
+        .select(col("tok"),
+          round(log(col("n").cast("double") / col("t")) * 1000000).cast("long")
+            .as("lp_micro"))
+      tf.join(broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tok"),
+          sum(col("tf") * col("lp_micro")).as("sum_lp_micro"))
+        .select(col("doc_id"), col("n_tok"), col("sum_lp_micro"),
+          (col("sum_lp_micro") / col("n_tok")).as("avg_lp_micro"))
+        .orderBy("doc_id")
+    },
+
     // Repetition signals (Gopher-style quality filters): per-doc fraction
     // of bigram mass in the single most-frequent bigram, and fraction of
     // trigram occurrences belonging to repeated trigrams. High values flag
