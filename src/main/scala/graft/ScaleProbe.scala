@@ -69,6 +69,17 @@ object ScaleProbe {
       timed("window_sessionize_fixedkeys") {
         sessionize(ev.withColumn("user_id", pmod(col("user_id"), lit(15L))))
       }
+      // decontamination on an m×-replicated corpus (fresh doc_ids → fresh
+      // hash-split membership per replica): gram generation is narrow, the
+      // eval side stays broadcast-sized (~10% of docs), so wall time must
+      // track corpus size linearly
+      timed("decontaminate") {
+        val docs = Tables.documents(spark, sfDir)
+        val dN = (0 until m).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+          .reduce(_.union(_))
+        graft.ops.TextOps.decontaminateFrom(dN).count()
+      }
       // CC loop on an m×-replicated cluster graph (disjoint replicas, ids
       // shifted): isolates the iterative loop's scaling from the MinHash
       // pipeline. Rounds must stay flat (disjoint copies of the same

@@ -82,6 +82,39 @@ object Extras {
         .orderBy("l_id")
     },
 
+    // The BANDED interval join: identical semantics (and the IDENTICAL
+    // oracle SQL) as q_interval_join_events, but the join key is
+    // (user_id, 5-minute band) instead of bare user_id — any qualifying
+    // pair spans at most one band boundary, so l joins r's band and
+    // band+1 (disjoint → union, no dedup). This restores join-key
+    // cardinality when the entity key alone is low-cardinality: parallelism
+    // becomes #users × #bands instead of #users, at ≤2× join fan — the
+    // scale rewrite the plain version's comment names, shipped and proven
+    // hash-identical.
+    Q("q_interval_join_banded",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT l.event_id AS l_id, CAST(count(r.event_id) AS BIGINT) AS n_recent
+        |FROM e l LEFT JOIN e r
+        |  ON l.user_id = r.user_id AND r.us >= l.us - 300000000 AND r.us < l.us
+        |GROUP BY l.event_id ORDER BY l_id""".stripMargin) { (s, dir) =>
+      val W = 300000000L // 5 minutes in µs
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), usOf(col("ts")).as("us"))
+      val l = base.select(col("event_id").as("l_id"), col("user_id"),
+        col("us").as("l_us"), floor(col("us") / W).as("band"))
+      val r = base.select(col("event_id").as("r_id"), col("user_id"),
+        col("us").as("r_us"), floor(col("us") / W).as("band"))
+      val rNext = r.withColumn("band", col("band") + 1)
+      val inRange = col("r_us") >= col("l_us") - W && col("r_us") < col("l_us")
+      val hits = l.join(r, Seq("user_id", "band")).filter(inRange)
+        .union(l.join(rNext, Seq("user_id", "band")).filter(inRange))
+        .groupBy("l_id").agg(count(lit(1)).as("n"))
+      base.select(col("event_id").as("l_id"))
+        .join(hits, Seq("l_id"), "left")
+        .select(col("l_id"), coalesce(col("n"), lit(0L)).as("n_recent"))
+        .orderBy("l_id")
+    },
+
     // CUBE over two dimensions of the orders⋈customer star.
     Q("q_cube_sales",
       """SELECT coalesce(o_orderpriority, 'ALL') AS pri,

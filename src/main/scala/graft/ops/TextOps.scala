@@ -31,6 +31,26 @@ object TextOps {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Core of q_decontaminate over an explicit documents frame (needs
+    * doc_id + text) — exposed so ScaleProbe can drive it on replicated
+    * corpora. Join BEFORE dedup: only grams that actually hit the
+    * broadcast test set reach the shuffle (rare by construction), then
+    * countDistinct dedups the survivors — the bulk train grams never
+    * leave their input partition.
+    */
+  private[graft] def decontaminateFrom(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val g = docs.select(col("doc_id"), Sampling.bucket100(col("doc_id")).as("b"), t.as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("b"),
+        explode(transform(sequence(lit(1), size(col("t")) - 7),
+          i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
+    val tr = g.filter(col("b") < 90).select("doc_id", "gram")
+    val te = g.filter(col("b") >= 90).select("gram").distinct()
+    tr.join(broadcast(te), "gram")
+      .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Tokenize + explode + count: the canonical wordcount, top-100.
@@ -327,22 +347,7 @@ object TextOps {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM tr JOIN te USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val t    = split(col("text"), " ")
-      val g = docs.select(col("doc_id"), Sampling.bucket100(col("doc_id")).as("b"), t.as("t"))
-        .filter(size(col("t")) >= 8)
-        .select(col("doc_id"), col("b"),
-          explode(transform(sequence(lit(1), size(col("t")) - 7),
-            i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
-      // join BEFORE dedup: only grams that actually hit the broadcast test
-      // set reach the shuffle (rare by construction), then countDistinct
-      // dedups the survivors — the bulk train grams never leave their
-      // input partition
-      val tr = g.filter(col("b") < 90).select("doc_id", "gram")
-      val te = g.filter(col("b") >= 90).select("gram").distinct()
-      tr.join(broadcast(te), "gram")
-        .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))
-        .orderBy("doc_id")
+      decontaminateFrom(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Gaps-and-islands sessionization over events (30-minute gap), the
