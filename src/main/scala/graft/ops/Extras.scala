@@ -82,6 +82,76 @@ object Extras {
         .orderBy("l_id")
     },
 
+    // Ordered funnel (view → click → purchase) per user: each stage's
+    // timestamp is the earliest event STRICTLY AFTER the previous stage —
+    // the sequential-conversion analysis engines bolt on as a special
+    // operator, here as three user-keyed min-aggregations chained by
+    // broadcast joins (user-level aggregates are tiny next to events).
+    Q("q_funnel_stages",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), usOf(col("ts")).as("us"))
+      val u = ev.select("user_id").distinct()
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t_view"))
+      val c = ev.join(broadcast(v), "user_id")
+        .filter(col("event_type") === "click" && col("us") > col("t_view"))
+        .groupBy("user_id").agg(min("us").as("t_click"))
+      val p = ev.join(broadcast(c), "user_id")
+        .filter(col("event_type") === "purchase" && col("us") > col("t_click"))
+        .groupBy("user_id").agg(min("us").as("t_purchase"))
+      u.join(broadcast(v), Seq("user_id"), "left")
+        .join(broadcast(c), Seq("user_id"), "left")
+        .join(broadcast(p), Seq("user_id"), "left")
+        .orderBy("user_id")
+    },
+
+    // Cohort retention over orders: cohort = month of a customer's first
+    // order; cell (cohort, month offset) counts distinct returning
+    // customers. Two user-keyed aggregations + one broadcast join — the
+    // whole matrix is Θ(months²) rows regardless of order volume.
+    Q("q_cohort_retention",
+      """WITH f AS (
+        |  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+        |  FROM orders GROUP BY o_custkey
+        |), x AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders
+        |)
+        |SELECT cohort, CAST(datediff('month', cohort, m) AS INTEGER) AS offset_m,
+        |       count(DISTINCT x.o_custkey) AS n_custs
+        |FROM x JOIN f ON x.o_custkey = f.o_custkey
+        |GROUP BY cohort, offset_m ORDER BY cohort, offset_m""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), trunc(col("o_orderdate"), "month").as("m"))
+      val f = o.groupBy("o_custkey").agg(min("m").as("cohort"))
+      o.join(broadcast(f), "o_custkey")
+        .select(col("o_custkey"), col("cohort"),
+          months_between(col("m"), col("cohort")).cast("int").as("offset_m"))
+        .groupBy("cohort", "offset_m")
+        .agg(countDistinct("o_custkey").as("n_custs"))
+        .orderBy("cohort", "offset_m")
+    },
+
     // The BANDED interval join: identical semantics (and the IDENTICAL
     // oracle SQL) as q_interval_join_events, but the join key is
     // (user_id, 5-minute band) instead of bare user_id — any qualifying

@@ -117,6 +117,27 @@ object Multimodal {
         .orderBy("media_id")
     },
 
+    // Exact binary dedup: group identical payloads by md5 of the raw
+    // bytes — the first pass of any media-dedup pipeline (cheap, catches
+    // byte-identical re-uploads before any perceptual hashing). The digest
+    // is computed per-row (narrow); only (digest, id) pairs shuffle, never
+    // payloads. Oracle parity: the payload IS the UTF-8 encoding of
+    // documents.text, and DuckDB's md5(VARCHAR) hashes the string's UTF-8
+    // bytes — identical input bytes, identical digest.
+    Q("q_media_dedup",
+      """SELECT md5(text) AS digest,
+        |       min(doc_id) AS keep_id,
+        |       count(*) AS n_copies,
+        |       CAST(min(strlen(text)) AS INTEGER) AS n_bytes
+        |FROM documents
+        |GROUP BY md5(text) ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      encode(s, dir)
+        .groupBy(md5(col("payload")).as("digest"))
+        .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          min(length(col("payload"))).as("n_bytes"))
+        .orderBy("keep_id")
+    },
+
     // Frame sampling for video payloads: fixed-stride slices, each
     // fingerprinted — the shuffle-free scan layout for frame-level dedup.
     Q("q_media_frames",
