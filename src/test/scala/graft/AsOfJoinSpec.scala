@@ -24,6 +24,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.except(want).count() === 0 && want.except(got).count() === 0)
   }
 
+  test("GraftExtensions registers the as-of strategy via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    // a session built WITH the extensions and WITHOUT the experimental
+    // fallback must still plan AsOfJoinPlan → AsOfJoinExec
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne old, "expected a fresh session for the extensions test")
+      assert(s2.experimental.extraStrategies.isEmpty,
+        "fallback path must stay uninstalled for this test to prove anything")
+      import org.apache.spark.sql.GraftSqlBridge
+      val l = s2.range(3).selectExpr("id AS k", "id * 10 AS t")
+      val r = s2.range(3).selectExpr("id AS k2", "id * 10 - 5 AS t2", "id AS v")
+      val df = GraftSqlBridge.ofRows(s2, graft.plans.AsOfJoinPlan(
+        GraftSqlBridge.logicalPlan(l), GraftSqlBridge.logicalPlan(r),
+        GraftSqlBridge.expression(l("k")), GraftSqlBridge.expression(r("k2")),
+        GraftSqlBridge.expression(l("t")), GraftSqlBridge.expression(r("t2"))))
+      // the exec node renders with "Exec" stripped
+      assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin "),
+        df.queryExecution.executedPlan.toString.take(800))
+      assert(df.count() === 3)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("mismatched key/ts types fail fast at construction, not at runtime") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1, 5L, "a")).toDF("k2", "t2", "v") // k2 is INT, not BIGINT

@@ -12,6 +12,33 @@ class SourcesSpec extends SparkSpec {
     spark.catalog.dropTempView("r10_probe")
   }
 
+  test("malformed JSON rows are quarantined, not dropped or fatal (PERMISSIVE)") {
+    // a 100 TB ingest ALWAYS contains malformed rows; the engine's posture
+    // is PERMISSIVE with an explicit quarantine column — bad rows are
+    // preserved for triage, good rows parse, and the job never dies
+    // mid-scan (FAILFAST) or silently loses data (DROPMALFORMED)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "badrec").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "v": "ok"}""",
+        """{"id": 2, "v": """,          // truncated — malformed
+        """{"id": 3, "v": "also ok"}"""))
+    val schema = "id BIGINT, v STRING, _corrupt_record STRING"
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // corrupt-record column requires a materialized parse
+    try {
+      assert(df.count() === 3)
+      val good = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      val bad  = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+      assert(good.count() === 2 && bad.count() === 1)
+      assert(bad.head().getAs[String]("_corrupt_record").contains("\"id\": 2"))
+    } finally df.unpersist()
+  }
+
   test("jdbc source plumbing reaches JDBC driver resolution") {
     // no JDBC driver on the classpath: the failure must be driver
     // resolution for OUR url — proving url/dbtable options reached
