@@ -77,3 +77,38 @@ object Metrics {
     try f finally spark.sparkContext.setLocalProperty(QueryKey, null)
   }
 }
+
+/** Streaming twin of [[QueryMetricsListener]] (R23 for the streaming
+  * plane): per-micro-batch input rows, processed-rows/sec, state-store
+  * rows and watermark, keyed by query name — what an operator watches to
+  * know a stream is keeping up (input rate vs processing rate) and that
+  * state is bounded (rows stable once the watermark advances). Attach via
+  * `spark.streams.addListener`.
+  */
+final class StreamMetricsListener
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  final case class BatchStats(batchId: Long, inputRows: Long,
+      stateRows: Long, watermark: String)
+
+  private val batches = TrieMap.empty[String, List[BatchStats]]
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p  = e.progress
+    val st = if (p.stateOperators == null) 0L
+      else p.stateOperators.map(_.numRowsTotal).sum
+    val wm = Option(p.eventTime).flatMap(m => Option(m.get("watermark"))).getOrElse("")
+    val bs = BatchStats(p.batchId, p.numInputRows, st, wm)
+    batches.updateWith(p.name match { case null => p.id.toString; case n => n }) {
+      case Some(xs) => Some(bs :: xs)
+      case None     => Some(bs :: Nil)
+    }
+  }
+
+  /** Newest-first batch stats per query name. */
+  def snapshot: Map[String, List[BatchStats]] = batches.readOnlySnapshot().toMap
+}

@@ -197,6 +197,32 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.except(want).count() === 0 && want.except(pairs).count() === 0)
   }
 
+  test("stream metrics listener records per-batch rows, state size and watermark") {
+    val listener = new StreamMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val ms = MemoryStream[Event](spark)
+      def ev(id: Long, min: Long) = Event(id, ts(min), 1L, "x", 1.0, "{}")
+      val q = Streams.tumblingHourly(ms.toDF()).writeStream
+        .outputMode("append").format("memory").queryName("obs_stream").start()
+      ms.addData(ev(1, 5), ev(2, 30))
+      q.processAllAvailable()
+      ms.addData(ev(3, 300))
+      q.processAllAvailable()
+      q.stop()
+      // streaming listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 10000000000L
+      def recorded = listener.snapshot.getOrElse("obs_stream", Nil)
+      while (recorded.map(_.inputRows).sum < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val got = recorded
+      assert(got.map(_.inputRows).sum === 3, s"missing batches: $got")
+      // the windowed aggregation holds state; the watermark advanced
+      assert(got.exists(_.stateRows > 0), s"no state recorded: $got")
+      assert(got.exists(_.watermark.nonEmpty), s"no watermark recorded: $got")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming session windows produce positive-length per-user sessions") {
     val ms = MemoryStream[Event](spark)
     val got = runTwoBatches(Streams.sessionWindows(ms.toDF()), "session_windows",
