@@ -95,6 +95,55 @@ object Sinks {
     (days, before, after)
   }
 
+  /** SCD Type-2 merge: fold a batch of dimension `updates` (one row per
+    * key, stamped `eff_ts` microseconds) into a versioned history table
+    * with (`valid_from`, `valid_to`, `is_current`). Rows whose tracked
+    * attributes are unchanged pass through untouched; changed keys close
+    * their current version (`valid_to` = eff_ts, is_current = false) and
+    * append a new open version; unseen keys insert as new open versions.
+    * This is the UPDATE-then-INSERT history pattern the reference's
+    * in-place merge (sql_to_line.py:230-234) cannot express — and the
+    * standard way a warehouse tracks attribute changes over time.
+    *
+    * Pure DataFrame → DataFrame (caller persists, e.g. via [[mergeDays]]
+    * keyed on valid_from): one key-partitioned join + unions, no windows,
+    * no collect — history size is Θ(changes), parallelism is by key.
+    *
+    * `history` schema: key, attrs..., valid_from, valid_to (null = open),
+    * is_current. `updates` schema: key, attrs...
+    */
+  def scd2Merge(history: DataFrame, updates: DataFrame, key: String,
+      attrs: Seq[String], effTs: Long): DataFrame = {
+    val closed  = history.filter(!col("is_current"))
+    val current = history.filter(col("is_current"))
+    val up      = updates.select((key +: attrs).map(col): _*)
+
+    val changedCond = attrs.map(a => !(col(a) <=> col(s"u_$a"))).reduce(_ || _)
+    val uKeyed = up.select(col(key).as("u_key") +:
+      attrs.map(a => col(a).as(s"u_$a")): _*)
+    val joined = current.join(uKeyed, col(key) === col("u_key"), "full_outer")
+
+    // current rows with no update, or an identical update → unchanged
+    val untouched = joined.filter(col(key).isNotNull &&
+        (col("u_key").isNull || !changedCond))
+      .select(current.columns.map(col): _*)
+    // current rows superseded by a differing update → closed out
+    val closedOut = joined.filter(col(key).isNotNull && col("u_key").isNotNull &&
+        changedCond)
+      .select(current.columns.map(col): _*)
+      .withColumn("valid_to", lit(effTs))
+      .withColumn("is_current", lit(false))
+    // differing updates + brand-new keys → new open versions
+    val opened = joined.filter(col("u_key").isNotNull &&
+        (col(key).isNull || changedCond))
+      .select(col("u_key").as(key) +: attrs.map(a => col(s"u_$a").as(a)): _*)
+      .withColumn("valid_from", lit(effTs))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+
+    closed.unionByName(untouched).unionByName(closedOut).unionByName(opened)
+  }
+
   /** Batch: write two tables bucketed by their join key. Readers joining
     * on that key get co-located partitions — the join plans with ZERO
     * exchanges (the 100 TB answer to repeated fact-fact joins: pay the

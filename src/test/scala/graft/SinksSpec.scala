@@ -55,6 +55,38 @@ class SinksSpec extends SparkSpec {
     assert(days2 === 0 && b2 === a2 && b2 === a, s"($days2, $b2, $a2)")
   }
 
+  test("scd2Merge versions changed keys, inserts new ones, and leaves the rest alone") {
+    import spark.implicits._
+    def hist(rows: (Long, String, Long, Option[Long], Boolean)*) =
+      rows.toDF("k", "seg", "valid_from", "valid_to", "is_current")
+        .withColumn("valid_to", col("valid_to").cast("long"))
+    // key 1: has prior closed history + an open version; key 2: open only
+    val h0 = hist(
+      (1L, "OLD", 100L, Some(200L), false),
+      (1L, "A", 200L, None, true),
+      (2L, "B", 150L, None, true))
+    val updates = Seq((1L, "A2"), (3L, "C")).toDF("k", "seg")
+    val h1 = Sinks.scd2Merge(h0, updates, "k", Seq("seg"), effTs = 300L)
+
+    val rows = h1.orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(rows === Seq(
+      (1L, "OLD", 100L, Some(200L), false), // prior history untouched
+      (1L, "A", 200L, Some(300L), false),   // superseded version closed
+      (1L, "A2", 300L, None, true),         // new version opened
+      (2L, "B", 150L, None, true),          // unchanged key passes through
+      (3L, "C", 300L, None, true)))         // brand-new key inserted
+    // exactly one open version per key, always
+    assert(h1.filter(col("is_current")).groupBy("k").count()
+      .filter(col("count") =!= 1).count() === 0)
+
+    // idempotent on replay of the SAME batch: identical attribute values
+    // produce no new versions
+    val h2 = Sinks.scd2Merge(h1, updates, "k", Seq("seg"), effTs = 400L)
+    assert(h2.orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq === rows)
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // clean any leftover managed-table locations from a previous JVM
     Seq("orders_b", "lineitem_b").foreach { t =>
