@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.LongAdder
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-query engine observability (SURVEY §2 R23). The reference's one
@@ -40,12 +40,22 @@ final class QueryStats {
   */
 final class QueryMetricsListener extends SparkListener {
   private val stageToQuery = TrieMap.empty[Int, String]
+  private val jobToStages  = TrieMap.empty[Int, Seq[Int]]
   private val stats        = TrieMap.empty[String, QueryStats]
 
   override def onJobStart(js: SparkListenerJobStart): Unit = {
     val q = Option(js.properties).map(_.getProperty(Metrics.QueryKey)).orNull
-    if (q != null) js.stageIds.foreach(sid => stageToQuery.put(sid, q))
+    if (q != null) {
+      js.stageIds.foreach(sid => stageToQuery.put(sid, q))
+      jobToStages.put(js.jobId, js.stageIds)
+    }
   }
+
+  // prune the stage→query index when its job finishes (task-end events for
+  // a stage precede its job's end) — a long-lived session must not accrete
+  // one entry per stage forever
+  override def onJobEnd(je: SparkListenerJobEnd): Unit =
+    jobToStages.remove(je.jobId).foreach(_.foreach(stageToQuery.remove))
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
     stageToQuery.get(te.stageId).foreach { q =>
@@ -92,6 +102,11 @@ final class StreamMetricsListener
   final case class BatchStats(batchId: Long, inputRows: Long,
       stateRows: Long, watermark: String)
 
+  /** Newest batches kept per query — a 1 s-trigger stream produces ~86k
+    * batches/day; unbounded history would be a slow leak.
+    */
+  final val MaxBatchesPerQuery = 1024
+
   private val batches = TrieMap.empty[String, List[BatchStats]]
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -104,7 +119,7 @@ final class StreamMetricsListener
     val wm = Option(p.eventTime).flatMap(m => Option(m.get("watermark"))).getOrElse("")
     val bs = BatchStats(p.batchId, p.numInputRows, st, wm)
     batches.updateWith(p.name match { case null => p.id.toString; case n => n }) {
-      case Some(xs) => Some(bs :: xs)
+      case Some(xs) => Some((bs :: xs).take(MaxBatchesPerQuery))
       case None     => Some(bs :: Nil)
     }
   }

@@ -27,11 +27,16 @@ object Hashing {
     // iterate Unicode CODE POINTS, not UTF-16 code units: the DuckDB
     // oracle's ascii(substr(..)) is codepoint-based, so supplementary-
     // plane characters must hash as one value, not a surrogate pair
-    // (identical to code units for ASCII/BMP input)
-    val it  = s.toString.codePoints().iterator()
+    // (identical to code units for ASCII/BMP input). Plain index loop —
+    // this is the hottest kernel (once per token per document); a
+    // codePoints() stream would pay pipeline + iterator dispatch per call
+    val str = s.toString
     var acc = Seed
-    while (it.hasNext) {
-      acc = (acc * 31L + it.nextInt().toLong) % Mod
+    var i   = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp.toLong) % Mod
+      i += Character.charCount(cp)
     }
     acc
   }

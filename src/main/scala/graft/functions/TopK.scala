@@ -27,10 +27,23 @@ class TopKAgg(k: Int) extends Aggregator[ScoredCand, TopKBuf, TopKPairs] {
   private def beats(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
     c1 > c2 || (c1 == c2 && i1 < i2)
 
-  def zero: TopKBuf = new TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+  // buffers start small and DOUBLE up to k as rows actually arrive: with a
+  // large k (the screen path uses k ≈ n/5) a partition often holds far
+  // fewer than k candidates per key, and eagerly k-sized zero-padded
+  // arrays would make every shuffled partial buffer k-sized regardless of
+  // fill — more bytes than the pair shuffle the aggregator exists to avoid
+  def zero: TopKBuf = {
+    val cap = math.min(k, 16)
+    new TopKBuf(new Array[Double](cap), new Array[Long](cap), 0)
+  }
 
   def reduce(b: TopKBuf, a: ScoredCand): TopKBuf = {
     if (b.n < k || beats(a.cos, a.id, b.cs(b.n - 1), b.ids(b.n - 1))) {
+      if (b.n == b.cs.length && b.n < k) {
+        val cap = math.min(k, b.cs.length * 2)
+        b.cs  = java.util.Arrays.copyOf(b.cs, cap)
+        b.ids = java.util.Arrays.copyOf(b.ids, cap)
+      }
       // insertion into a ≤k sorted array: find slot, shift tail right
       var i = if (b.n < k) b.n else k - 1
       while (i > 0 && beats(a.cos, a.id, b.cs(i - 1), b.ids(i - 1))) {

@@ -225,9 +225,14 @@ object Similarity {
       k: Int = IvfCells, iters: Int = IvfIters): Array[Array[Double]] = {
     val e = Tables.embeddings(s, dir)
       .filter(col("vec_id") % TrainSampleMod === 0)
+    // a tiny corpus can sample fewer than k vectors: clamp the cell count
+    // to what the sample provides (downstream sizes itself off the
+    // returned array, so fewer cells just means coarser partitioning)
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val kEff = cents.length
+    require(kEff > 0, "IVF quantizer needs at least one training vector")
     for (_ <- 0 until iters) {
       val means = e
         .select(cellOf(col("embedding"), cents).as("cell"),
@@ -239,7 +244,7 @@ object Similarity {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       // an emptied cell keeps its previous centroid
-      cents = Array.tabulate(k)(i => means.getOrElse(i, cents(i)))
+      cents = Array.tabulate(kEff)(i => means.getOrElse(i, cents(i)))
     }
     cents
   }

@@ -62,34 +62,43 @@ object Sinks {
     */
   def compactDays(spark: org.apache.spark.sql.SparkSession, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
-    val root = new java.io.File(outDir)
-    val dayDirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("date="))
-    def parquetsOf(d: java.io.File) =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet"))
+    import org.apache.hadoop.fs.Path
+    // Hadoop FS API, not java.io: the operator must work wherever the
+    // write path does (hdfs://, s3a://, file://)
+    val root = new Path(outDir)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+    def parquetsOf(d: Path) =
+      fs.listStatus(d).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     var before = 0
     var after  = 0
     var days   = 0
-    dayDirs.foreach { d =>
+    dayDirs.foreach { st =>
+      val d     = st.getPath
       val files = parquetsOf(d)
       before += files.length
-      val bytes  = files.map(_.length()).sum
+      val bytes  = files.map(_.getLen).sum
       val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       if (files.length > target) {
         days += 1
         // rewrite THIS day only: read the one partition dir, coalesce to
-        // the target width, atomically swap via a temp dir next to it
-        val day = spark.read.parquet(d.getAbsolutePath)
-        val tmp = new java.io.File(root, s".compact_tmp_${d.getName}")
+        // the target width, then swap — new files move IN first (their
+        // UUID names can't collide with the old ones), originals are
+        // deleted after. A crash mid-swap leaves the day readable
+        // (duplicated at worst, and the duplicate window is the move
+        // loop, not the full rewrite); it never leaves the day empty.
+        val day = spark.read.parquet(d.toString)
+        val tmp = new Path(root, s".compact_tmp_${d.getName}")
         day.repartition(target).write.mode(SaveMode.Overwrite)
-          .parquet(tmp.getAbsolutePath)
-        files.foreach(_.delete())
-        parquetsOf(tmp).foreach { f =>
-          java.nio.file.Files.move(f.toPath, new java.io.File(d, f.getName).toPath)
-        }
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-        after += target
+          .parquet(tmp.toString)
+        val produced = parquetsOf(tmp)
+        produced.foreach(f => fs.rename(f.getPath, new Path(d, f.getPath.getName)))
+        files.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(tmp, true)
+        // report what the rewrite actually produced (an empty input
+        // partition writes fewer than `target` files)
+        after += produced.length
       } else after += files.length
     }
     (days, before, after)
@@ -115,27 +124,31 @@ object Sinks {
   def scd2Merge(history: DataFrame, updates: DataFrame, key: String,
       attrs: Seq[String], effTs: Long): DataFrame = {
     val closed  = history.filter(!col("is_current"))
+    // side-presence markers, NOT key nullness: a null dimension key never
+    // joins (null ≠ null) but its history row must still pass through —
+    // key-as-sentinel would silently delete it on every merge
     val current = history.filter(col("is_current"))
-    val up      = updates.select((key +: attrs).map(col): _*)
+      .withColumn("c_present", lit(true))
+    val uKeyed = updates.select(col(key).as("u_key") +:
+      attrs.map(a => col(a).as(s"u_$a")): _*)
+      .withColumn("u_present", lit(true))
 
     val changedCond = attrs.map(a => !(col(a) <=> col(s"u_$a"))).reduce(_ || _)
-    val uKeyed = up.select(col(key).as("u_key") +:
-      attrs.map(a => col(a).as(s"u_$a")): _*)
-    val joined = current.join(uKeyed, col(key) === col("u_key"), "full_outer")
+    val joined  = current.join(uKeyed, col(key) === col("u_key"), "full_outer")
+    val matched = col("c_present").isNotNull && col("u_present").isNotNull
 
-    // current rows with no update, or an identical update → unchanged
-    val untouched = joined.filter(col(key).isNotNull &&
-        (col("u_key").isNull || !changedCond))
-      .select(current.columns.map(col): _*)
+    // current rows with no (joinable) update, or an identical update
+    val untouched = joined.filter(col("c_present").isNotNull &&
+        (!matched || !changedCond))
+      .select(history.columns.map(col): _*)
     // current rows superseded by a differing update → closed out
-    val closedOut = joined.filter(col(key).isNotNull && col("u_key").isNotNull &&
-        changedCond)
-      .select(current.columns.map(col): _*)
+    val closedOut = joined.filter(matched && changedCond)
+      .select(history.columns.map(col): _*)
       .withColumn("valid_to", lit(effTs))
       .withColumn("is_current", lit(false))
-    // differing updates + brand-new keys → new open versions
-    val opened = joined.filter(col("u_key").isNotNull &&
-        (col(key).isNull || changedCond))
+    // differing updates + keys with no current version → new open versions
+    val opened = joined.filter(col("u_present").isNotNull &&
+        (!matched || changedCond))
       .select(col("u_key").as(key) +: attrs.map(a => col(s"u_$a").as(a)): _*)
       .withColumn("valid_from", lit(effTs))
       .withColumn("valid_to", lit(null).cast("long"))
