@@ -221,7 +221,7 @@ object Similarity {
     * update is one groupBy(cell)); this is model-state collect, not data
     * collect — the collected frame is O(k·dim) regardless of corpus size.
     */
-  private[ops] def kmeansCentroids(s: SparkSession, dir: String,
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String,
       k: Int = IvfCells, iters: Int = IvfIters): Array[Array[Double]] = {
     val e = Tables.embeddings(s, dir)
       .filter(col("vec_id") % TrainSampleMod === 0)
@@ -250,7 +250,7 @@ object Similarity {
   }
 
   /** Nearest-centroid cell id (argmax cosine; ties → lowest cell). */
-  private def cellOf(v: Column, cents: Array[Array[Double]]): Column = {
+  private[graft] def cellOf(v: Column, cents: Array[Array[Double]]): Column = {
     val scores = centScores(v, cents)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
@@ -263,7 +263,7 @@ object Similarity {
     }: _*)
 
   /** The `IvfProbes` best cells for a probe vector, best-first. */
-  private def probeCells(v: Column, cents: Array[Array[Double]]): Column = {
+  private[graft] def probeCells(v: Column, cents: Array[Array[Double]]): Column = {
     val scores = centScores(v, cents)
     slice(transform(
       array_sort(transform(sequence(lit(0), lit(cents.length - 1)), i =>

@@ -102,6 +102,22 @@ object Streams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Streaming twin of exact document dedup (q_dedup_docs_exact) for an
+    * ingest pipeline: drop re-uploads whose CONTENT fingerprint
+    * (codegen'd PolyHash of the text) was already seen within the
+    * watermark. State is one fingerprint per distinct doc inside the
+    * watermark horizon — bounded — and the fingerprint is 8 bytes of
+    * state per doc instead of the full text. Expects (`text`, `ingest_ts`)
+    * columns.
+    */
+  def dedupDocsByFingerprint(docs: DataFrame): DataFrame = {
+    val fp = docs.withColumn("fp", graft.functions.exprs.poly_hash(col("text")))
+    if (fp.isStreaming)
+      fp.withWatermark("ingest_ts", WatermarkDelay)
+        .dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
+
   // ---- arbitrary stateful processing --------------------------------------
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -197,6 +197,23 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.except(want).count() === 0 && want.except(pairs).count() === 0)
   }
 
+  test("streaming fingerprint dedup drops content re-uploads across micro-batches") {
+    val ms = MemoryStream[StreamingSpec.Doc](spark)
+    def Doc(id: Long, text: String, t: Timestamp) = StreamingSpec.Doc(id, text, t)
+    val q = Streams.dedupDocsByFingerprint(ms.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("doc_dedup").start()
+    // batch 1: two distinct texts + an in-batch re-upload (different doc_id!)
+    ms.addData(Doc(1, "alpha beta", ts(1)), Doc(2, "gamma", ts(2)),
+      Doc(3, "alpha beta", ts(3)))
+    q.processAllAvailable()
+    // batch 2: a cross-batch re-upload and one genuinely new doc
+    ms.addData(Doc(4, "gamma", ts(4)), Doc(5, "delta", ts(5)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("doc_dedup").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 2L, 5L), s"wrong survivors: $kept")
+  }
+
   test("stream metrics listener records per-batch rows, state size and watermark") {
     val listener = new StreamMetricsListener
     spark.streams.addListener(listener)
@@ -231,4 +248,8 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.filter(col("end_us") <= col("start_us")).count() === 0)
   }
+}
+
+object StreamingSpec {
+  case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
 }
