@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus build CLI: the full training-data pipeline composed
+  * from the shipped operators and materialized to disk —
+  *
+  *   documents → quality/language filter → near-dup representative
+  *   selection (MinHash + connected components) → deterministic
+  *   train/valid/test split → parquet partitioned by split.
+  *
+  * This is the artifact a training job actually consumes: readers of one
+  * split prune to its partition; split membership is the reproducible
+  * integer hash (re-ingest keeps eval sets uncontaminated); each stage is
+  * the same code the oracle-checked queries run.
+  *
+  *   sbt "runMain graft.CorpusBuild /root/testdata/sf0.001 /tmp/corpus_out"
+  */
+object CorpusBuild {
+
+  /** The composed corpus with its split column (no I/O — testable). */
+  def corpusWithSplit(spark: SparkSession, sfDir: String) = {
+    val b = ops.Sampling.bucket100(col("doc_id"))
+    ops.Corpus.trainingCorpus(spark, sfDir)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+  }
+
+  def build(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    corpusWithSplit(spark, sfDir)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("split")
+      .parquet(outDir)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir  = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "/tmp/corpus_out"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark, sfDir, outDir)
+    val back = spark.read.parquet(outDir)
+    back.groupBy("split").count().orderBy("split").collect()
+      .foreach(r => println(s"[corpus] ${r.getString(0)}: ${r.getLong(1)} docs"))
+    spark.stop()
+  }
+}

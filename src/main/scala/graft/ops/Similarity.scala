@@ -298,6 +298,31 @@ object Similarity {
   }
 
   val queries: Seq[Q] = Seq(
+
+    // Per-label embedding centroids — the distributed tensor-mean shape
+    // (label profiling, per-class centroids for classification or IVF
+    // seeding): explode to (label, pos, x), aggregate with map-side
+    // partials keyed by (label, pos) — vectors never shuffle, only
+    // labels×dim partial rows. Components are snapped to integer
+    // micro-units BEFORE summing (the integer-cents rule), so sums are
+    // exact in any partition/merge order and the mean is an exact-integer
+    // division — cross-engine deterministic with no FP-order drift.
+    Q("q_label_centroids",
+      s"""SELECT label, CAST(i AS INTEGER) AS pos,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(round(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+         |       (CAST(sum(CAST(round(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) / count(*)) AS avg_micro
+         |FROM embeddings, range(0, $Dim) t(i)
+         |GROUP BY label, i ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x").cast("double") * 1000000).cast("long")).as("sum_micro"))
+        .select(col("label"), col("pos").cast("int").as("pos"), col("n"),
+          col("sum_micro"), (col("sum_micro") / col("n")).as("avg_micro"))
+        .orderBy("label", "pos")
+    },
     Q("q_cosine_topk",
       """WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

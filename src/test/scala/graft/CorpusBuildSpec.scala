@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end corpus build: query ≡ materialized output. */
+class CorpusBuildSpec extends SparkSpec {
+
+  test("corpus build writes split partitions that reproduce the corpus query") {
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "corpus").toString
+    CorpusBuild.build(spark, sfDir, out)
+    val back = spark.read.parquet(out)
+    // split partitions exist on disk
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("split=")).map(_.getName).sorted
+    assert(dirs.nonEmpty, "expected split= partition dirs")
+    // materialized rows ≡ the q_training_corpus inventory
+    val want = SparkEntry.queries("q_training_corpus")(spark, sfDir)
+      .select("doc_id")
+    assert(back.count() === want.count())
+    assert(back.select("doc_id").except(want).count() === 0)
+    // the split column matches the deterministic hash for every row
+    val b = ops.Sampling.bucket100(col("doc_id"))
+    val expected = when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    assert(back.filter(col("split") =!= expected).count() === 0)
+    // a single-split read prunes partitions
+    val one = spark.read.parquet(out).filter(col("split") === dirs.head.stripPrefix("split="))
+    assert("PartitionFilters: \\[[^\\]]*split".r
+      .findFirstIn(one.queryExecution.executedPlan.toString).isDefined,
+      "split filter did not reach PartitionFilters")
+  }
+}
