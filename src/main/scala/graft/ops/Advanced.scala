@@ -155,6 +155,79 @@ object Advanced {
           .orderBy("o_orderpriority")
     },
 
+    // UNPIVOT (melt): the inverse of q_pivot_status — wide status columns
+    // back to (priority, status, n) rows via stack(); DuckDB mirrors with
+    // a UNION ALL spine. Narrow row-local reshape: no shuffle beyond the
+    // source aggregation.
+    Q("q_unpivot_status",
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    count(*) FILTER (o_orderstatus = 'F') AS f_n,
+        |    count(*) FILTER (o_orderstatus = 'O') AS o_n,
+        |    count(*) FILTER (o_orderstatus = 'P') AS p_n
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'F' AS status, f_n AS n FROM w
+        |  UNION ALL SELECT o_orderpriority, 'O', o_n FROM w
+        |  UNION ALL SELECT o_orderpriority, 'P', p_n FROM w
+        |) ORDER BY o_orderpriority, status""".stripMargin) { (s, dir) =>
+      val w = Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"), coalesce(col("F"), lit(0L)).as("f_n"),
+          coalesce(col("O"), lit(0L)).as("o_n"), coalesce(col("P"), lit(0L)).as("p_n"))
+      w.select(col("o_orderpriority"),
+        expr("stack(3, 'F', f_n, 'O', o_n, 'P', p_n) AS (status, n)"))
+        .orderBy("o_orderpriority", "status")
+    },
+
+    // Edit-distance (Levenshtein) over consecutive-id doc-prefix pairs —
+    // the character-level near-dup family member (MinHash/SimHash are
+    // token/bit-level). Bounded to 80-char prefixes: edit distance is
+    // O(len²) per pair, so production use screens candidates first (LSH)
+    // and bounds lengths — exactly what this query demonstrates.
+    Q("q_levenshtein_pairs",
+      """WITH p AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+        |ORDER BY d1""".stripMargin) { (s, dir) =>
+      val p = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
+      val a = p.select(col("doc_id").as("d1"), col("t").as("t1"))
+      val b = p.select(col("doc_id").as("d2"), col("t").as("t2"))
+      a.join(b, col("d2") === col("d1") + 1)
+        .select(col("d1"), col("d2"), levenshtein(col("t1"), col("t2")).as("dist"))
+        .orderBy("d1")
+    },
+
+    // Gap-filled daily counts: LEFT JOIN a generated date spine so days
+    // with zero events still appear — the resample/zero-fill shape every
+    // time-series consumer needs. The spine derives from the measured
+    // min/max day (two-row aggregate, broadcast); density is restored
+    // without a window or driver loop.
+    Q("q_gap_fill_daily",
+      """WITH b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+        |), spine AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b
+        |), daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY day
+        |)
+        |SELECT spine.day, coalesce(daily.n, 0) AS n
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY spine.day""".stripMargin) { (s, dir) =>
+      val ev    = Tables.events(s, dir).select(to_date(col("ts")).as("day"))
+      val b     = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = b.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val daily = ev.groupBy("day").agg(count(lit(1)).as("n"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day")
+    },
+
     // Typed Aggregator UDAF over integer dollars (per market segment) —
     // dollars, not cents, for the magnitude budget (see SumSqLong).
     Q("q_udaf_sumsq",
