@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object CorpusBuild {
 
-  /** The composed corpus with its split column (no I/O — testable). */
-  def corpusWithSplit(spark: SparkSession, sfDir: String) = {
-    val b = ops.Sampling.bucket100(col("doc_id"))
+  /** The composed corpus with its split column (no I/O — testable). The
+    * split is [[ops.Sampling.split]] — the SAME expression the
+    * oracle-checked q_split_train_test runs, so the materialized corpus
+    * can never drift from the verified split definition.
+    */
+  def corpusWithSplit(spark: SparkSession, sfDir: String) =
     ops.Corpus.trainingCorpus(spark, sfDir)
-      .withColumn("split",
-        when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
-  }
+      .withColumn("split", ops.Sampling.split(ops.Sampling.bucket100(col("doc_id"))))
 
   def build(spark: SparkSession, sfDir: String, outDir: String): Unit =
     corpusWithSplit(spark, sfDir)

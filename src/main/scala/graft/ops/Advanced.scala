@@ -187,15 +187,24 @@ object Advanced {
     // the character-level near-dup family member (MinHash/SimHash are
     // token/bit-level). Bounded to 80-char prefixes: edit distance is
     // O(len²) per pair, so production use screens candidates first (LSH)
-    // and bounds lengths — exactly what this query demonstrates.
+    // and bounds lengths — exactly what this query demonstrates. Inputs
+    // are projected to ASCII first (both engines): DuckDB's levenshtein
+    // edits BYTES while Spark's edits CODEPOINTS, so a multibyte char
+    // would silently split the engines — the same byte-vs-codepoint trap
+    // polyHash guards against.
     Q("q_levenshtein_pairs",
-      """WITH p AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents)
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         substr(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 80) AS t
+        |  FROM documents
+        |)
         |SELECT a.doc_id AS d1, b.doc_id AS d2,
         |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
         |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
         |ORDER BY d1""".stripMargin) { (s, dir) =>
       val p = Tables.documents(s, dir)
-        .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), 1, 80).as("t"))
       val a = p.select(col("doc_id").as("d1"), col("t").as("t1"))
       val b = p.select(col("doc_id").as("d2"), col("t").as("t2"))
       a.join(b, col("d2") === col("d1") + 1)

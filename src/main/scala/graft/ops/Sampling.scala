@@ -49,7 +49,7 @@ object Sampling {
   def bucket100Sql(id: String): String =
     s"((($id % $H) * $A + ($id // $H) * $B + $C) % $M) % 100"
 
-  private def split(b: Column): Column =
+  private[graft] def split(b: Column): Column =
     when(b < 80, "train").when(b < 90, "valid").otherwise("test")
 
   private def splitSql(b: String): String =

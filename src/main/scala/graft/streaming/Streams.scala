@@ -103,19 +103,29 @@ object Streams {
     else events.dropDuplicates("event_id")
 
   /** Streaming twin of exact document dedup (q_dedup_docs_exact) for an
-    * ingest pipeline: drop re-uploads whose CONTENT fingerprint
-    * (codegen'd PolyHash of the text) was already seen within the
-    * watermark. State is one fingerprint per distinct doc inside the
-    * watermark horizon — bounded — and the fingerprint is 8 bytes of
-    * state per doc instead of the full text. Expects (`text`, `ingest_ts`)
-    * columns.
+    * ingest pipeline: drop re-uploads whose CONTENT fingerprint was
+    * already seen within the watermark. The fingerprint is xxhash64 of
+    * the text — a genuine 64-bit space (expected silent collisions at
+    * 100k docs/window ≈ 3e-10; PolyHash's ~30-bit output would lose real
+    * documents at that rate) — so state is 8 honest bytes per distinct
+    * doc inside the watermark horizon. Streaming keeps the first arrival
+    * per fingerprint (ingest order IS the dedup semantic); the batch
+    * fallback keeps min(doc_id) per fingerprint — the same deterministic
+    * keeper rule as q_dedup_docs_exact, where dropDuplicates would keep
+    * an arbitrary partition-order-dependent row. Expects (`doc_id`,
+    * `text`, `ingest_ts`) columns.
     */
   def dedupDocsByFingerprint(docs: DataFrame): DataFrame = {
-    val fp = docs.withColumn("fp", graft.functions.exprs.poly_hash(col("text")))
+    val fp = docs.withColumn("fp", xxhash64(col("text")))
     if (fp.isStreaming)
       fp.withWatermark("ingest_ts", WatermarkDelay)
         .dropDuplicatesWithinWatermark("fp")
-    else fp.dropDuplicates("fp")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      fp.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
   }
 
   // ---- arbitrary stateful processing --------------------------------------

@@ -8,6 +8,11 @@ class CorpusBuildSpec extends SparkSpec {
   test("corpus build writes split partitions that reproduce the corpus query") {
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "corpus").toString
+    try testBody(out)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  private def testBody(out: String): Unit = {
     CorpusBuild.build(spark, sfDir, out)
     val back = spark.read.parquet(out)
     // split partitions exist on disk
@@ -19,9 +24,8 @@ class CorpusBuildSpec extends SparkSpec {
       .select("doc_id")
     assert(back.count() === want.count())
     assert(back.select("doc_id").except(want).count() === 0)
-    // the split column matches the deterministic hash for every row
-    val b = ops.Sampling.bucket100(col("doc_id"))
-    val expected = when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    // the split column matches the shared deterministic split expression
+    val expected = ops.Sampling.split(ops.Sampling.bucket100(col("doc_id")))
     assert(back.filter(col("split") =!= expected).count() === 0)
     // a single-split read prunes partitions
     val one = spark.read.parquet(out).filter(col("split") === dirs.head.stripPrefix("split="))
