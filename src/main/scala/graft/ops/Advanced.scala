@@ -155,6 +155,27 @@ object Advanced {
           .orderBy("o_orderpriority")
     },
 
+    // Equi-width value histogram over events.value: pure-arithmetic
+    // bucketing (floor(value / width), clamped) — deterministic in both
+    // engines without relying on width_bucket dialects. One partial+final
+    // aggregation; Θ(buckets) output regardless of volume.
+    Q("q_value_histogram",
+      """WITH h AS (
+        |  SELECT least(CAST(floor(value / 50) AS BIGINT), 19) AS bucket
+        |  FROM events
+        |)
+        |SELECT bucket, bucket * 50 AS lo, (bucket + 1) * 50 AS hi,
+        |       count(*) AS n
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(least(floor(col("value") / 50).cast("long"), lit(19L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"), (col("bucket") * 50).as("lo"),
+          ((col("bucket") + 1) * 50).as("hi"), col("n"))
+        .orderBy("bucket")
+    },
+
     // UNPIVOT (melt): the inverse of q_pivot_status — wide status columns
     // back to (priority, status, n) rows via stack(); DuckDB mirrors with
     // a UNION ALL spine. Narrow row-local reshape: no shuffle beyond the

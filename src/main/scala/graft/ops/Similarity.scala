@@ -234,17 +234,19 @@ object Similarity {
     val kEff = cents.length
     require(kEff > 0, "IVF quantizer needs at least one training vector")
     for (_ <- 0 until iters) {
+      // one aggregation per round: collect the k×dim (cell, pos, mean)
+      // rows and assemble centroid arrays driver-side — the second
+      // groupBy(cell)+collect_list pass would be a whole extra shuffle
+      // just to reshape O(k·dim) rows the driver holds anyway
       val means = e
         .select(cellOf(col("embedding"), cents).as("cell"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("a"))
-        .select(col("cell"), transform(col("a"), p => p("m")).as("c"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      // an emptied cell keeps its previous centroid
-      cents = Array.tabulate(kEff)(i => means.getOrElse(i, cents(i)))
+      val next = Array.tabulate(kEff)(i => cents(i).clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // an emptied cell keeps its previous centroid (its slots untouched)
+      cents = next
     }
     cents
   }
