@@ -69,6 +69,32 @@ object ScaleProbe {
       timed("window_sessionize_fixedkeys") {
         sessionize(ev.withColumn("user_id", pmod(col("user_id"), lit(15L))))
       }
+      // interval join, BOTH layouts, on fixed-key data (user_id pinned to
+      // the base ~15 users — the adversarial case): the plain equi-join
+      // evaluates every same-user pair, Θ(rows²/keys) — run at x1 only —
+      // while the banded (user, 5-min band) join touches only adjacent
+      // bands, Θ(rows × band-occupancy), and stays linear at any m
+      def intervalCount(banded: Boolean, df: DataFrame): Long = {
+        val W = 300000000L
+        val base = df.select(col("event_id"),
+          pmod(col("user_id"), lit(15L)).as("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val l = base.select(col("event_id").as("l_id"), col("user_id"),
+          col("us").as("l_us"), floor(col("us") / W).as("band"))
+        val r = base.select(col("event_id").as("r_id"), col("user_id"),
+          col("us").as("r_us"), floor(col("us") / W).as("band"))
+        val inRange = col("r_us") >= col("l_us") - W && col("r_us") < col("l_us")
+        val hits =
+          if (banded)
+            l.join(r, Seq("user_id", "band")).filter(inRange)
+              .union(l.join(r.withColumn("band", col("band") + 1),
+                Seq("user_id", "band")).filter(inRange))
+          else
+            l.drop("band").join(r.drop("band"), Seq("user_id")).filter(inRange)
+        hits.count()
+      }
+      if (m == 1) timed("interval_plain_fixedkeys")(intervalCount(banded = false, ev))
+      timed("interval_banded_fixedkeys")(intervalCount(banded = true, ev))
       // decontamination on an m×-replicated corpus (fresh doc_ids → fresh
       // hash-split membership per replica): gram generation is narrow, the
       // eval side stays broadcast-sized (~10% of docs), so wall time must
