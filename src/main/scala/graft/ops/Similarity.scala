@@ -78,22 +78,13 @@ object Similarity {
     * leave the map side. (Sub-scan candidate generation is the ANN path:
     * [[annLshTopK]] / q_cosine_topk_ann.)
     */
-  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir))
-    val probes = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("nrm").as("pn"))
-    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-      col("nrm").as("cn"))
-    val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
-    val scored = cands.join(broadcast(probes), col("p_id") =!= col("c_id"))
-      .select(col("p_id"), cosR.as("cos_r"), col("c_id"))
-    rankTopK(scored)
-  }
+  def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    cosineTopKFrom(Tables.embeddings(s, dir))
 
   /** (p_id, cos_r, c_id) → exact per-probe top-10 with dense rank columns,
     * via partial top-k aggregation (see [[cosineTopK]]).
     */
-  private def rankTopK(scored: DataFrame): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(10))
     scored
       .groupBy("p_id").agg(topk(col("cos_r"), col("c_id")).as("tk"))
@@ -236,6 +227,15 @@ object Similarity {
     * isotropic test vectors 2483/2495 pairs fully scored (99.5%);
     * constructed 40-cluster vectors 173/9990 (1.7% — 98.3% of full dots
     * never happen), both exact — asserted in QueriesSpec.
+    *
+    * Honest FLOPs accounting: the saving counts FULL 64-dim dots only.
+    * The 24-dim partial dot runs over every pair TWICE (once feeding the
+    * bound aggregation, once in the prune pass — the lazy DAG recomputes
+    * rather than cache an N×P frame), so total multiply work is
+    * ≥ 2·(24/64) = 75% of brute force even at perfect pruning; the real
+    * win at scale is that survivors — the only rows that carry full
+    * embeddings through the re-rank — shrink to the probes'
+    * neighborhoods.
     */
   def cosineTopKPruned(s: SparkSession, dir: String): DataFrame =
     rankTopK(prunedSurvivorsFrom(Tables.embeddings(s, dir)))

@@ -142,15 +142,8 @@ class QueriesSpec extends SparkSpec {
       }).as("embedding"))
     val bf = ops.Similarity.cosineTopKFrom(emb)
     val sv = ops.Similarity.prunedSurvivorsFrom(emb)
-    val pr = {
-      // rankTopK is private: rank survivors through the public query path
-      // shape — survivors already carry (p_id, cos_r, c_id)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("p_id").orderBy(col("cos_r").desc, col("c_id"))
-      sv.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= 10)
-        .select("p_id", "rank", "c_id", "cos_r")
-    }
+    // rank through the SAME TopKAgg path production uses
+    val pr = ops.Similarity.rankTopK(sv)
     assert(pr.except(bf).count() === 0 && bf.except(pr).count() === 0,
       "pruned result diverged from brute force on clustered vectors")
     val allPairs  = 10L * 999L // 10 probes (vec_id % 100 == 0) × 999 candidates

@@ -161,6 +161,20 @@ class SinksSpec extends SparkSpec {
     assert(jsonBack.except(src).count() === 0 && src.except(jsonBack).count() === 0)
   }
 
+  test("orc source round-trips with predicate pushdown reaching the scan") {
+    val out = tmp()
+    val src = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    src.write.mode("overwrite").orc(s"$out/orc")
+    val back = spark.read.orc(s"$out/orc")
+    assert(back.except(src).count() === 0 && src.except(back).count() === 0)
+    // columnar-format parity with parquet: filters must push into the scan
+    val plan = back.filter(col("o_custkey") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)"),
+      s"ORC pushdown missing:\n${plan.take(900)}")
+  }
+
   test("streaming foreachBatch sink lands micro-batches in date partitions") {
     val out  = tmp()
     val ckpt = tmp()
