@@ -1,0 +1,117 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import graft.functions.{ScoredCand, TopKAgg, TopKPairs}
+import graft.ops.Sampling
+
+/** Property-based hardening of the pure kernels: randomized inputs catch
+  * the edge cases example tests miss (extreme ids, adversarial merge
+  * orders, duplicate scores). Runs WITHOUT Spark — these are the JVM-side
+  * algorithms underneath the operators.
+  */
+class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def check(name: String)(p: Prop): Unit = {
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  // ---- Sampling.bucket100: overflow-safe, in-range, engine-mirrorable ----
+
+  test("bucket100 arithmetic never overflows and lands in [0, 100) for any non-negative id") {
+    // mirror the Column expression exactly in BigInt (the Column itself is
+    // asserted against DuckDB by the oracle; this pins the JVM math model)
+    def bucketBig(id: Long): BigInt = {
+      val lo = BigInt(id) % Sampling.H
+      val hi = BigInt(id) >> 31
+      val mixed = lo * Sampling.A + hi * Sampling.B + Sampling.C
+      // every intermediate must fit a signed 64-bit long — the property
+      // that lets Spark AND DuckDB run the same formula without promotion
+      assert(mixed.isValidLong, s"intermediate overflow for id=$id")
+      (mixed % Sampling.M) % 100
+    }
+    check("bucket100") {
+      Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { id =>
+        val b = bucketBig(id)
+        b >= 0 && b < 100
+      }
+    }
+    // pin the extremes explicitly
+    Seq(0L, 1L, Int.MaxValue.toLong, 1L << 31, (1L << 31) - 1, Long.MaxValue)
+      .foreach(id => assert(bucketBig(id) >= 0 && bucketBig(id) < 100))
+  }
+
+  // ---- TopKAgg: equals a sort-based reference under any merge order ----
+
+  private def refTopK(xs: Seq[ScoredCand], k: Int): Seq[(Double, Long)] =
+    xs.map(c => (c.cos, c.id)).sortBy { case (c, i) => (-c, i) }.take(k)
+
+  private def bufToSeq(p: TopKPairs): Seq[(Double, Long)] =
+    p.cs.zip(p.ids).toSeq
+
+  test("TopKAgg(k) equals the sort-based top-k for any inputs, k, and partition split") {
+    val candGen = for {
+      cos <- Gen.chooseNum(-1.0, 1.0)
+      // small id domain on purpose: forces duplicate ids AND (via rounded
+      // cos below) duplicate scores, exercising the tie-break path
+      id <- Gen.chooseNum(0L, 50L)
+    } yield {
+      // normalize -0.0 → 0.0: the aggregator (like IEEE ==) treats them
+      // equal and tie-breaks by id, while a total-order sort reference
+      // (java.lang.Double.compare) would put -0.0 first — the engine's
+      // scores come from round(), which already returns +0.0
+      val c = math.rint(cos * 20) / 20.0
+      ScoredCand(if (c == 0.0) 0.0 else c, id)
+    }
+    check("topk-agg") {
+      Prop.forAll(Gen.listOf(candGen), Gen.chooseNum(1, 30),
+        Gen.chooseNum(0, 100)) { (xs, k, splitPct) =>
+        val agg = new TopKAgg(k)
+        // split into two partitions at an arbitrary point, reduce each,
+        // merge — the distributed execution shape
+        val cut      = xs.length * splitPct / 100
+        val (a, b)   = xs.splitAt(cut)
+        val bufA     = a.foldLeft(agg.zero)(agg.reduce)
+        val bufB     = b.foldLeft(agg.zero)(agg.reduce)
+        val merged   = agg.merge(bufA, bufB)
+        bufToSeq(agg.finish(merged)) == refTopK(xs, k)
+      }
+    }
+  }
+
+  test("TopKAgg merge is insensitive to which side is the accumulator") {
+    val candGen = Gen.chooseNum(0, 1000).map(i =>
+      ScoredCand((i % 7).toDouble, i.toLong))
+    check("topk-merge-symmetry") {
+      Prop.forAll(Gen.listOf(candGen), Gen.listOf(candGen)) { (a, b) =>
+        val agg = new TopKAgg(10)
+        val ab = agg.finish(agg.merge(
+          a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+        val ba = agg.finish(agg.merge(
+          b.foldLeft(agg.zero)(agg.reduce), a.foldLeft(agg.zero)(agg.reduce)))
+        bufToSeq(ab) == bufToSeq(ba)
+      }
+    }
+  }
+
+  // ---- polyHash: codepoint model, mod range, reference agreement --------
+
+  test("polyHash equals a BigInt reference model over arbitrary unicode strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(s: String): Long = {
+      var acc = BigInt(graft.functions.Hashing.Seed)
+      s.codePoints().toArray.foreach { cp =>
+        acc = (acc * 31 + cp) % graft.functions.Hashing.Mod
+      }
+      acc.toLong
+    }
+    check("polyhash-model") {
+      Prop.forAll(Gen.listOf(Gen.chooseNum(0x20, 0x10FFFF)
+        .suchThat(cp => cp < 0xD800 || cp > 0xDFFF))) { cps =>
+        val s = cps.map(Character.toChars(_).mkString).mkString
+        val h = graft.functions.Hashing.polyHash(UTF8String.fromString(s))
+        h == ref(s) && h >= 0 && h < graft.functions.Hashing.Mod
+      }
+    }
+  }
+}
