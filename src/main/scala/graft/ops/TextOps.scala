@@ -210,6 +210,60 @@ object TextOps {
         .orderBy("doc_id", "rnk")
     },
 
+    // Vocabulary coverage curve (top-100): what fraction of all token
+    // occurrences the top-r vocabulary covers — the tokenizer-sizing
+    // curve. A naive rank is a GLOBAL ordered window (the one plan shape
+    // PlanShapeSpec forbids); this is the scale-correct two-level
+    // decomposition: (1) per-count-value aggregates (distinct count
+    // values are provably O(√N) since counts sum to N) joined above-self
+    // to get tokens/mass strictly ahead, (2) a window PARTITIONED BY the
+    // count value for within-count tie ranks by token. Global rank =
+    // ahead + within; cumulative mass = mass_ahead + n·within. The DuckDB
+    // oracle runs the naive global-window form — hash equality proves the
+    // decomposition.
+    Q("q_vocab_coverage",
+      """WITH wc AS (
+        |  SELECT tok, count(*) AS n FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok
+        |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM wc),
+        |r AS (
+        |  SELECT tok, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk,
+        |         CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM wc
+        |)
+        |SELECT rnk, tok, CAST(n AS BIGINT) AS n, cum,
+        |       round(CAST(cum AS DOUBLE) / t.total, 6) AS coverage
+        |FROM r CROSS JOIN t
+        |WHERE rnk <= 100 ORDER BY rnk""".stripMargin) { (s, dir) =>
+      val wc = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = wc.agg(sum("n").as("total"))
+      // per-count-value rollup: how many tokens and how much mass at each n
+      val perN = wc.groupBy("n")
+        .agg(count(lit(1)).as("toks_at"), sum("n").as("mass_at"))
+      // strictly-ahead aggregates via a small self-join (d distinct count
+      // values → d² pairs, d = O(√N)); left join keeps the top count value
+      val ahead = perN.alias("a")
+        .join(perN.alias("b"), col("b.n") > col("a.n"), "left")
+        .groupBy(col("a.n").as("n"))
+        .agg(coalesce(sum(col("b.toks_at")), lit(0L)).as("toks_ahead"),
+          coalesce(sum(col("b.mass_at")), lit(0L)).as("mass_ahead"))
+      val w = Window.partitionBy("n").orderBy("tok")
+      wc.join(broadcast(ahead), "n")
+        .withColumn("within", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(total))
+        .select((col("toks_ahead") + col("within")).as("rnk"), col("tok"), col("n"),
+          (col("mass_ahead") + col("n") * col("within")).as("cum"),
+          round((col("mass_ahead") + col("n") * col("within")).cast("double")
+            / col("total"), 6).as("coverage"))
+        .filter(col("rnk") <= 100)
+        .orderBy("rnk")
+    },
+
     // Unigram-LM log-probability scoring — the perplexity-proxy quality
     // filter: score each doc by Σ tf·ln(p(tok)) under the corpus's own
     // unigram distribution (very low scores ≈ gibberish/outlier docs; the
