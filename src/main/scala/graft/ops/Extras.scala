@@ -82,6 +82,53 @@ object Extras {
         .orderBy("l_id")
     },
 
+    // Per-group argmax (mode): each user's most frequent event type,
+    // deterministic tie-break (higher count, then lexicographic type).
+    // Window partitioned by user — parallelism scales with users.
+    Q("q_top_event_per_user",
+      """SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id")
+    },
+
+    // Rolling 7-day average of daily event counts WITHOUT a window: the
+    // daily aggregate (one row per day) joins its own trailing 6 days by
+    // a range condition — a global RANGE-frame window over the daily
+    // frame would funnel it through one task (the forbidden plan shape);
+    // the self-join keys shuffle by day and fan ≤7×, scaling with the
+    // calendar. Oracle uses the naive window form — hash equality proves
+    // the rewrite.
+    Q("q_rolling_7day_avg",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY day
+        |)
+        |SELECT day, n,
+        |       round(avg(n) OVER (ORDER BY day
+        |         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 6)
+        |         AS avg7
+        |FROM daily ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val trail = daily.select(col("day").as("d2"), col("n").as("n2"))
+      daily.join(trail,
+          col("d2") <= col("day") && col("d2") >= date_sub(col("day"), 6))
+        .groupBy("day")
+        .agg(max(when(col("d2") === col("day"), col("n"))).as("n"),
+          round(avg("n2"), 6).as("avg7"))
+        .select("day", "n", "avg7")
+        .orderBy("day")
+    },
+
     // Ordered funnel (view → click → purchase) per user: each stage's
     // timestamp is the earliest event STRICTLY AFTER the previous stage —
     // the sequential-conversion analysis engines bolt on as a special
