@@ -161,22 +161,29 @@ object Extras {
       val u = ev.select("user_id").distinct()
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("us").as("t_view"))
-      val c = ev.join(broadcast(v), "user_id")
+      // v/c/p are per-USER aggregates — Θ(users) rows, data-proportional.
+      // No broadcast hint: all four joins share the user_id hash partitioning
+      // (one shuffle, reused), and AQE still picks broadcast at runtime while
+      // a side measures small, without pinning an OOM at billion-user scale.
+      val c = ev.join(v, "user_id")
         .filter(col("event_type") === "click" && col("us") > col("t_view"))
         .groupBy("user_id").agg(min("us").as("t_click"))
-      val p = ev.join(broadcast(c), "user_id")
+      val p = ev.join(c, "user_id")
         .filter(col("event_type") === "purchase" && col("us") > col("t_click"))
         .groupBy("user_id").agg(min("us").as("t_purchase"))
-      u.join(broadcast(v), Seq("user_id"), "left")
-        .join(broadcast(c), Seq("user_id"), "left")
-        .join(broadcast(p), Seq("user_id"), "left")
+      u.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
         .orderBy("user_id")
     },
 
     // Cohort retention over orders: cohort = month of a customer's first
     // order; cell (cohort, month offset) counts distinct returning
-    // customers. Two user-keyed aggregations + one broadcast join — the
-    // whole matrix is Θ(months²) rows regardless of order volume.
+    // customers. Two user-keyed aggregations + one join — the output
+    // matrix is Θ(months²) rows regardless of order volume. The first-order
+    // frame f is Θ(customers), so it gets no broadcast hint: both sides hash
+    // on o_custkey (f is already partitioned that way by its groupBy) and AQE
+    // may still broadcast while customers are genuinely few.
     Q("q_cohort_retention",
       """WITH f AS (
         |  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
@@ -191,7 +198,7 @@ object Extras {
       val o = Tables.orders(s, dir)
         .select(col("o_custkey"), trunc(col("o_orderdate"), "month").as("m"))
       val f = o.groupBy("o_custkey").agg(min("m").as("cohort"))
-      o.join(broadcast(f), "o_custkey")
+      o.join(f, "o_custkey")
         .select(col("o_custkey"), col("cohort"),
           months_between(col("m"), col("cohort")).cast("int").as("offset_m"))
         .groupBy("cohort", "offset_m")
