@@ -179,12 +179,15 @@ object Dedup {
     // INSIDE joins on cid, so wide arrays never ride along with pair rows
     val memAll = clusters.select(col("cid"), explode(col("ms")).as("d"))
 
-    // intra-cluster: identical token sets → sig_agree = 16, jac = 1.0
+    // intra-cluster: identical token sets → sig_agree = 16, jac = 1.0.
+    // nPer is Θ(clusters) — data-proportional on a diverse corpus — so no
+    // broadcast hint: all three frames hash on cid (co-partitioned join)
+    // and AQE broadcasts at runtime while the cluster table measures small.
     val nPer = clusters.select(col("cid"), size(col("th")).as("n"))
     val intra = memAll
       .join(memAll.select(col("cid"), col("d").as("d2")), "cid")
       .filter(col("d") < col("d2"))
-      .join(broadcast(nPer), "cid")
+      .join(nPer, "cid")
       .select(col("d").as("d1"), col("d2"), lit(NumPerms).as("sig_agree"),
         col("n").as("inter"), col("n").as("uni"), (col("n") / col("n")).as("jac"))
 

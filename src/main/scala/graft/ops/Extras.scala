@@ -133,7 +133,8 @@ object Extras {
     // timestamp is the earliest event STRICTLY AFTER the previous stage —
     // the sequential-conversion analysis engines bolt on as a special
     // operator, here as three user-keyed min-aggregations chained by
-    // broadcast joins (user-level aggregates are tiny next to events).
+    // hash-partitioned joins on user_id (AQE may broadcast at runtime
+    // while a side measures small; nothing is hint-pinned).
     Q("q_funnel_stages",
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v AS (
@@ -162,9 +163,10 @@ object Extras {
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("us").as("t_view"))
       // v/c/p are per-USER aggregates — Θ(users) rows, data-proportional.
-      // No broadcast hint: all four joins share the user_id hash partitioning
-      // (one shuffle, reused), and AQE still picks broadcast at runtime while
-      // a side measures small, without pinning an OOM at billion-user scale.
+      // No broadcast hint: every join keys on user_id, so the exchanges are
+      // co-partitioned and eligible for reuse, and AQE still picks broadcast
+      // at runtime while a side measures small, without pinning an OOM at
+      // billion-user scale.
       val c = ev.join(v, "user_id")
         .filter(col("event_type") === "click" && col("us") > col("t_view"))
         .groupBy("user_id").agg(min("us").as("t_click"))

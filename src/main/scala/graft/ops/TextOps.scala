@@ -33,10 +33,14 @@ object TextOps {
 
   /** Core of q_decontaminate over an explicit documents frame (needs
     * doc_id + text) — exposed so ScaleProbe can drive it on replicated
-    * corpora. Join BEFORE dedup: only grams that actually hit the
-    * broadcast test set reach the shuffle (rare by construction), then
-    * countDistinct dedups the survivors — the bulk train grams never
-    * leave their input partition.
+    * corpora. Join BEFORE dedup: train grams meet the eval-gram set
+    * directly, then countDistinct dedups only the survivors. No broadcast
+    * hint on `te`: under the declared 90/10 split it is corpus-proportional,
+    * so pinning a broadcast would OOM at 100 TB. Because `te` is distinct-ed
+    * in its own stage, AQE sees its true size at runtime and converts the
+    * join to broadcast exactly while the eval set is genuinely small (the
+    * common production case), keeping the train grams shuffle-free — and
+    * degrades to a hash join, never a driver OOM, when it is not.
     */
   private[graft] def decontaminateFrom(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
@@ -47,7 +51,7 @@ object TextOps {
           i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
     val tr = g.filter(col("b") < 90).select("doc_id", "gram")
     val te = g.filter(col("b") >= 90).select("gram").distinct()
-    tr.join(broadcast(te), "gram")
+    tr.join(te, "gram")
       .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))
   }
 
@@ -200,7 +204,11 @@ object TextOps {
       // explode + countDistinct pass over every raw token
       val df   = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n    = docs.agg(count(lit(1)).as("n"))
-      val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+      // df is vocab-sized — slow-growing but unbounded at 100 TB, so no
+      // broadcast hint (AQE converts at runtime while it measures small);
+      // both tf and df hash on tok, so the unhinted join is co-partitioned.
+      // n is a single row: the hint is a constant, always safe.
+      val scored = tf.join(df, "tok").crossJoin(broadcast(n))
         .select(col("doc_id"), col("tok"), col("tf"), col("df"),
           round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
@@ -300,7 +308,10 @@ object TextOps {
         .select(col("tok"),
           round(log(col("n").cast("double") / col("t")) * 1000000).cast("long")
             .as("lp_micro"))
-      tf.join(broadcast(lp), "tok")
+      // lp is vocab-sized (one row per distinct token) — no broadcast hint;
+      // tf and lp both hash on tok so the join is co-partitioned, and AQE
+      // still broadcasts at runtime while the vocabulary measures small.
+      tf.join(lp, "tok")
         .groupBy("doc_id")
         .agg(sum("tf").as("n_tok"),
           sum(col("tf") * col("lp_micro")).as("sum_lp_micro"))

@@ -46,13 +46,57 @@ class PlanShapeSpec extends SparkSpec {
       s"sampling should not hash-shuffle:\n${p.take(1500)}")
   }
 
-  test("decontamination joins train grams against a BROADCAST test set") {
-    // the train-side grams must meet the eval set via broadcast — a
-    // sort-merge join here would shuffle the full training corpus's grams
-    val p = plan("q_decontaminate")
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
-    assert(!p.contains("SortMergeJoin"),
-      s"train grams are being shuffled for the join:\n${p.take(1500)}")
+  test("decontamination carries no pinned broadcast of the eval-gram set") {
+    // te (distinct eval grams) is corpus-proportional under the declared
+    // 90/10 split — a pinned broadcast is exactly the 100 TB OOM shape.
+    // The hint must stay OUT of the logical plan; AQE converts the join to
+    // broadcast at runtime while the eval set measures genuinely small.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("q_decontaminate")(spark, sfDir)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"q_decontaminate pins ${hints.size} broadcast hint(s)")
+    // join-before-dedup shape must survive: the per-doc aggregate sits
+    // ABOVE the gram join, so bulk train grams are filtered by the join
+    // before the countDistinct dedup ever shuffles them
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val aggAboveJoin = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.collectFirst { case j: Join => j }.nonEmpty => a
+    }
+    assert(aggAboveJoin.nonEmpty, "decontaminate lost its join-before-dedup shape")
+  }
+
+  test("broadcast hints appear only on provably bounded join sides") {
+    // The analog of the no-global-window lock: an unconditional broadcast
+    // hint on a data-proportional frame runs fine at sf0.1 and OOMs at
+    // 100 TB. Only these queries may pin a broadcast, each with a
+    // scale-invariance argument for the hinted side:
+    //   - q_range_join_buckets: 4-row literal bucket dim
+    //   - q_join_broadcast_dims / q_tpch_q5_region: nation (25) / region
+    //     (5) — fixed-cardinality TPC-H dims, invariant under SF
+    //   - q_tfidf_top_terms / q_unigram_logprob: single-row COUNT/SUM
+    //     aggregates (corpus size / token mass)
+    //   - q_vocab_coverage: per-distinct-count-value aggregate — counts sum
+    //     to total token mass N, so distinct values are O(sqrt N) (~3M rows
+    //     i.e. a few MB even at 100 TB) — plus a single-row total
+    //   - similarity/ANN top-k family: the hinted side is the PROBE batch —
+    //     the user-supplied query workload, bounded by construction (the
+    //     fixture derives it as 1% of vec_ids only for testability)
+    val allowed = Set(
+      "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
+      "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
+      "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk",
+      "q_ann_screen_topk", "q_ann_ivf_topk")
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    SparkEntry.all.foreach { q =>
+      val hints = q.build(spark, sfDir).queryExecution.analyzed.collect {
+        case h: ResolvedHint => h
+      }
+      if (!allowed(q.name))
+        assert(hints.isEmpty,
+          s"${q.name} pins ${hints.size} broadcast hint(s) — either the side is " +
+            "data-proportional (remove the hint, let AQE decide) or it is provably " +
+            "bounded (add it to the allowlist above WITH the argument)")
+    }
   }
 
   test("no declared query plans a cartesian product") {
