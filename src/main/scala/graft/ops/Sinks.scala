@@ -174,10 +174,9 @@ object Sinks {
   /** Streaming: per-micro-batch append into date partitions, stamped with
     * the micro-batch id. Parquet append is at-least-once on replay — a
     * checkpoint-restart rerun of the last batch can double-append, and
-    * readers dedupe on (batch_id, key) or take max(batch_id). (Partition
-    * overwrite would instead LOSE rows for days spanning two batches;
-    * exactly-once needs a transactional table format — Delta/Iceberg MERGE,
-    * the production path, unavailable offline.)
+    * readers dedupe on (batch_id, key) or take max(batch_id). For the
+    * exactly-once unit of recovery (the reference's per-day commit,
+    * sql_to_line.py:126), use [[streamToPartitionedParquetExactlyOnce]].
     */
   def streamToPartitionedParquet(stream: DataFrame, tsCol: String, outDir: String,
       checkpointDir: String): StreamingQuery =
@@ -191,4 +190,83 @@ object Sinks {
           .parquet(outDir)
       }
       .start()
+
+  /** Streaming with an exactly-once commit protocol over plain parquet —
+    * the manifest/commit-log story a transactional table format (Delta/
+    * Iceberg, the production path, unavailable offline) would provide,
+    * reduced to its essentials. Per micro-batch, [[commitBatch]]:
+    *
+    *   1. no-ops if `outDir/_manifests/batch-<id>` exists (replay of a
+    *      fully committed batch);
+    *   2. deletes any `b<id>-*` files a crashed attempt left in the date
+    *      partitions (partial publication is keyed by file-name prefix,
+    *      so cleanup needs no undo log);
+    *   3. stages the batch to a hidden dir, then moves each file into its
+    *      final date partition under the `b<id>-` prefix;
+    *   4. commit point: atomically renames the manifest marker into place.
+    *
+    * A checkpoint replay therefore converges to IDENTICAL partition
+    * contents no matter where the previous attempt died — before the
+    * manifest rename the batch is re-published from scratch (step 2
+    * removes the partial files), after it the batch is skipped whole.
+    * State per batch is one empty marker file; `_manifests` and the
+    * `.staging-*` dirs are underscore/dot-prefixed, which parquet readers
+    * ignore. Same unit-of-recovery guarantee as the reference's per-day
+    * batch commit (sql_to_line.py:126), extended to streaming.
+    */
+  def streamToPartitionedParquetExactlyOnce(stream: DataFrame, tsCol: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, tsCol, outDir)
+      }
+      .start()
+
+  /** Idempotent per-micro-batch commit — the foreachBatch body of
+    * [[streamToPartitionedParquetExactlyOnce]], exposed so the replay
+    * contract is directly testable (SinksSpec kill-and-replay).
+    */
+  def commitBatch(batch: DataFrame, batchId: Long, tsCol: String,
+      outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark     = batch.sparkSession
+    val root      = new Path(outDir)
+    val fs        = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = new Path(root, "_manifests")
+    // zero-padded so a lexical listing is also the commit order
+    val manifest  = new Path(manifests, f"batch-$batchId%020d")
+    if (fs.exists(manifest)) return
+    val prefix = s"b$batchId-"
+    // a previous attempt of THIS batch may have died mid-publish: its
+    // partial files all carry the b<id>- prefix, so they are removable
+    // without any record of how far it got
+    if (fs.exists(root)) fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .foreach { d =>
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    val staging = new Path(root, s".staging-batch-$batchId")
+    batch.withColumn("date", to_date(col(tsCol)))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("date")
+      .parquet(staging.toString)
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .foreach { d =>
+        val dest = new Path(root, d.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.rename(f.getPath, new Path(dest, prefix + f.getPath.getName)))
+      }
+    fs.delete(staging, true)
+    fs.mkdirs(manifests)
+    val tmp = new Path(manifests, s".tmp-$batchId")
+    fs.create(tmp, true).close()
+    fs.rename(tmp, manifest)
+  }
 }

@@ -128,6 +128,80 @@ object Streams {
     }
   }
 
+  // ---- stream-stream as-of join --------------------------------------------
+
+  case class AsOfIn(kind: Int, id: Long, key: Long, ts: Timestamp)
+  case class TsId(us: Long, id: Long)
+  case class AsOfBuf(lefts: Seq[TsId], rights: Seq[TsId])
+  case class AsOfOut(user_id: Long, l_id: Long, l_us: Long,
+      r_id: Option[Long], r_us: Option[Long])
+
+  /** Stream-stream AS-OF join: for each left event, the LATEST right event
+    * of the same key with r_ts <= l_ts (ties broken by larger id), null-
+    * padded when no right precedes it — the streaming twin of the native
+    * batch operator ([[graft.plans.AsOfJoin]] / q_asof_join_native), which
+    * Spark's built-in stream-stream join cannot express (an interval join
+    * needs a two-sided time bound; "latest before" has none on the right).
+    *
+    * Both inputs (columns `event_id`, `user_id`, `ts`) are watermarked and
+    * co-shuffled once on the key into flatMapGroupsWithState. A left row
+    * emits when the watermark passes its event time — only then has every
+    * right with r_ts <= l_ts either arrived or been dropped as late (the
+    * watermark completeness contract), so the emitted match is final and
+    * output mode is Append. State per key is bounded by the same contract:
+    * pending lefts above the watermark, rights at-or-above it, plus ONE
+    * dominating right below it (for any future left, the latest right below
+    * the watermark beats every older one — older rights are evicted each
+    * trigger). An event-time timeout on the earliest pending left re-invokes
+    * idle keys, so flushes never wait for new same-key data.
+    *
+    * Scale: one stateful hash exchange per side on the key; state is O(in-
+    * flight window), not O(history); per-trigger work per key is sort-merge
+    * over that bounded buffer.
+    */
+  def asOfJoinStream(left: DataFrame, right: DataFrame): Dataset[AsOfOut] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame, kind: Int) =
+      maybeWatermark(df).select(lit(kind).as("kind"), col("event_id").as("id"),
+        col("user_id").as("key"), col("ts"))
+    prep(left, 0).unionByName(prep(right, 1)).as[AsOfIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsOfIn], state: GroupState[AsOfBuf]) =>
+          // full microsecond precision (getTime is ms; sub-ms lives in nanos)
+          def usOf(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+          val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          var lefts  = st.lefts
+          var rights = st.rights
+          it.foreach { e =>
+            val rec = TsId(usOf(e.ts), e.id)
+            if (e.kind == 0) lefts = lefts :+ rec else rights = rights :+ rec
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          // emittable once the watermark passes the left's event time (ms
+          // floor: the watermark clock is milliseconds)
+          val (ready, pending) = lefts.partition(_.us / 1000 < wmMs)
+          val rs = rights.sortBy(r => (r.us, r.id))
+          val out = ready.sortBy(l => (l.us, l.id)).map { l =>
+            val m = rs.filter(_.us <= l.us).lastOption
+            AsOfOut(key, l.id, l.us, m.map(_.id), m.map(_.us))
+          }
+          val (below, atOrAbove) = rs.partition(_.us / 1000 < wmMs)
+          val kept = below.takeRight(1) ++ atOrAbove
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(pending, kept))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(wmMs + 1, pending.map(_.us / 1000).min + 1))
+          }
+          out.iterator
+      }
+  }
+
   // ---- arbitrary stateful processing --------------------------------------
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

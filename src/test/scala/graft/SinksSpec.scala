@@ -191,4 +191,68 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === events.size.toLong)
     assert(back.select("date").distinct().count() > 1)
   }
+
+  test("exactly-once sink: kill-and-replay of the last micro-batch is a no-op or converges") {
+    val out    = tmp()
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value", "ts")
+    val b0 = events.filter(col("event_id") % 2 === 0)
+    val b1 = events.filter(col("event_id") % 2 === 1)
+    Sinks.commitBatch(b0, 0L, "ts", out)
+    Sinks.commitBatch(b1, 1L, "ts", out)
+    def files() = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("date="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getName}")).sorted.toSeq
+    def rows() = spark.read.parquet(out)
+      .select("event_id", "batch_id").as[(Long, Long)].collect().sorted.toSeq
+    val wantFiles = files()
+    val wantRows  = rows()
+    assert(wantRows.map(_._1) === events.select("event_id").as[Long].collect().sorted.toSeq)
+
+    // replay of a FULLY committed batch (manifest present): byte-level no-op
+    Sinks.commitBatch(b1, 1L, "ts", out)
+    assert(files() === wantFiles, "committed replay touched files")
+
+    // crash AFTER publishing but BEFORE the manifest rename (the classic
+    // double-append window): simulate by deleting only the manifest — the
+    // replay must remove the orphaned b1- files and re-publish exactly once
+    val manifests = new java.io.File(out, "_manifests")
+    // local FS adds .crc shadows; only the batch-* markers are the protocol
+    assert(manifests.listFiles().map(_.getName).filter(_.startsWith("batch-"))
+      .sorted.toSeq === Seq("batch-" + "0" * 20, "batch-" + "0" * 19 + "1"))
+    assert(new java.io.File(manifests, "batch-" + "0" * 19 + "1").delete())
+    Sinks.commitBatch(b1, 1L, "ts", out)
+    assert(rows() === wantRows, "replay after lost manifest duplicated or lost rows")
+
+    // crash MID-publish: some b1- files landed, manifest absent — replay
+    // must clean the partial set and converge to identical contents
+    assert(new java.io.File(manifests, "batch-" + "0" * 19 + "1").delete())
+    val someB1 = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("date="))
+      .flatMap(_.listFiles().filter(_.getName.startsWith("b1-"))).head
+    assert(someB1.delete())
+    Sinks.commitBatch(b1, 1L, "ts", out)
+    assert(rows() === wantRows, "replay after partial publish diverged")
+  }
+
+  test("exactly-once streaming sink lands batches once with one manifest per batch") {
+    val out  = tmp()
+    val ckpt = tmp()
+    val ms   = MemoryStream[Event](spark)
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+    val (a, b) = events.splitAt(events.size / 2)
+    ms.addData(a)
+    val q = Sinks.streamToPartitionedParquetExactlyOnce(ms.toDF(), "ts", out, ckpt)
+    q.processAllAvailable()
+    ms.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    // _manifests and .staging are hidden from the parquet reader
+    val back = spark.read.parquet(out)
+    assert(back.count() === events.size.toLong)
+    assert(back.select("event_id").distinct().count() === events.size.toLong)
+    val manifests = new java.io.File(out, "_manifests").listFiles().map(_.getName)
+    assert(manifests.count(_.startsWith("batch-")) === 2, manifests.mkString(","))
+  }
 }

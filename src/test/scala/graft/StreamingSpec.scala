@@ -197,6 +197,69 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.except(want).count() === 0 && want.except(pairs).count() === 0)
   }
 
+  test("stream-stream as-of join emits the latest preceding right once the watermark passes") {
+    val msL = MemoryStream[Event](spark)
+    val msR = MemoryStream[Event](spark)
+    def ev(id: Long, min: Long, user: Long) = Event(id, ts(min), user, "x", 1.0, "{}")
+    val q = Streams.asOfJoinStream(msL.toDF(), msR.toDF()).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("asof_stream").start()
+    // user 1 has rights at 5, 8, 12; user 2 has none
+    msL.addData(ev(100, 10, 1), ev(101, 20, 2))
+    msR.addData(ev(1, 5, 1), ev(2, 8, 1), ev(3, 12, 1))
+    q.processAllAvailable()
+    // a later left + right arrive in a second batch — state must carry the
+    // user-1 rights across the boundary
+    msL.addData(ev(102, 18, 1))
+    msR.addData(ev(4, 15, 1))
+    q.processAllAvailable()
+    // sentinels push the watermark far past every real event → flush
+    msL.addData(ev(999, 100000, 9))
+    msR.addData(ev(998, 100000, 9))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_stream")
+      .select(col("l_id"), coalesce(col("r_id"), lit(-1L))).as[(Long, Long)]
+      .collect().sorted.toSeq
+    // 100@10 → right 2@8 (latest ≤ 10); 101 (user 2) → null; 102@18 → right
+    // 4@15 (15 beats 12); sentinel left 999 stays pending, never emitted
+    assert(got === Seq((100L, 2L), (101L, -1L), (102L, 4L)), s"as-of rows wrong: $got")
+  }
+
+  test("stream-stream as-of join matches batch q_asof_join_native on replayed data") {
+    val msL = MemoryStream[Event](spark)
+    val msR = MemoryStream[Event](spark)
+    // replay the SAME inputs the batch query reads: events as the left
+    // stream; orders (ts offset by o_orderkey µs, exactly like the query)
+    // as the right stream
+    val lefts  = loadEvents
+    val rights = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("event_id"),
+        timestamp_micros(unix_micros(col("o_orderdate").cast("timestamp"))
+          + col("o_orderkey")).as("ts"),
+        col("o_custkey").as("user_id"), lit("x").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .as[Event].collect().toSeq
+    val q = Streams.asOfJoinStream(msL.toDF(), msR.toDF()).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("asof_replay").start()
+    msL.addData(lefts)
+    msR.addData(rights)
+    q.processAllAvailable()
+    // watermark sentinel far past every real event — flushes all real lefts
+    val far = new Timestamp(4102444800000L) // 2100-01-01
+    msL.addData(Event(999999L, far, 999999L, "x", 1.0, "{}"))
+    msR.addData(Event(999998L, far, 999999L, "x", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_replay")
+      .filter(col("l_id") =!= 999999L)
+      .select(col("l_id").as("event_id"), col("l_us").as("us"),
+        col("r_id").as("o_orderkey"), col("r_us").as("ous"))
+    val want = SparkEntry.queries("q_asof_join_native")(spark, sfDir)
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+      "streaming as-of diverged from the batch native operator")
+  }
+
   test("streaming fingerprint dedup drops content re-uploads across micro-batches") {
     val ms = MemoryStream[StreamingSpec.Doc](spark)
     def Doc(id: Long, text: String, t: Timestamp) = StreamingSpec.Doc(id, text, t)
