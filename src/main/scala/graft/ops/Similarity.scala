@@ -14,11 +14,15 @@ import graft.functions.exprs._
   *    and a partial top-k Aggregator keeps the scored pairs map-side —
   *    the shuffle is O(partitions × probes × k), not N×P.
   *  - `q_ann_lsh_topk` ([[annLshTopK]]): multi-table random-hyperplane
-  *    LSH with query-directed multiprobe — the sub-scan lookup shape.
-  *    Measured recall@10 at sf0.01 (isotropic test vectors, a worst case
-  *    for LSH): 6×6-bit tables, 4 probes/table → 0.54 at 37% candidates;
-  *    parameter sweeps stay pinned near the candidate fraction because
-  *    the corpus has no cluster structure for buckets to exploit.
+  *    LSH with query-directed multiprobe — the sub-scan lookup shape FOR
+  *    CLUSTERED CORPORA (the realistic near-dup/embedding regime).
+  *    Measured on a constructed 40-cluster fixture (QueriesSpec): 6×8-bit
+  *    tables, 4 probes/table → recall@10 = 1.0 at 31% candidates (gate:
+  *    ≥0.7 at ≤⅓, asserted). On the isotropic test corpus — a worst case
+  *    with no structure for buckets to exploit — the same operator tracks
+  *    its candidate fraction (0.54 at 37% with the 6-bit default);
+  *    [[screenTopK]] is the better trade there. Bucket width is the
+  *    corpus knob: 2^planes must exceed the cluster count.
   *  - `q_ann_screen_topk` ([[screenTopK]]): partial-dot screen + exact
   *    re-rank — recall@10 = 0.82 at 20% fully-scored candidates on the
   *    same vectors (measured), the better trade on unstructured data.
@@ -108,8 +112,15 @@ object Similarity {
     * explode to narrow (tbl, bkt) rows, probes are broadcast-sized).
     */
   private[graft] def lshScored(s: SparkSession, dir: String,
+      numTables: Int, numPlanes: Int, probesPerTable: Int): DataFrame =
+    lshScoredFrom(Tables.embeddings(s, dir), numTables, numPlanes, probesPerTable)
+
+  /** [[lshScored]] over an explicit (vec_id, embedding) frame — lets the
+    * clustered-fixture recall gate (QueriesSpec) drive the same operator.
+    */
+  private[graft] def lshScoredFrom(emb: DataFrame,
       numTables: Int, numPlanes: Int, probesPerTable: Int): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir))
+    val e = withNorm(emb)
       .withColumn("bkts", array((0 until numTables).map(t =>
         bucket(col("embedding"), t, numPlanes)): _*))
     val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
@@ -309,9 +320,13 @@ object Similarity {
     * collect — the collected frame is O(k·dim) regardless of corpus size.
     */
   private[graft] def kmeansCentroids(s: SparkSession, dir: String,
+      k: Int = IvfCells, iters: Int = IvfIters): Array[Array[Double]] =
+    kmeansCentroidsFrom(Tables.embeddings(s, dir), k, iters)
+
+  /** [[kmeansCentroids]] over an explicit (vec_id, embedding) frame. */
+  private[graft] def kmeansCentroidsFrom(emb: DataFrame,
       k: Int = IvfCells, iters: Int = IvfIters): Array[Array[Double]] = {
-    val e = Tables.embeddings(s, dir)
-      .filter(col("vec_id") % TrainSampleMod === 0)
+    val e = emb.filter(col("vec_id") % TrainSampleMod === 0)
     // a tiny corpus can sample fewer than k vectors: clamp the cell count
     // to what the sample provides (downstream sizes itself off the
     // returned array, so fewer cells just means coarser partitioning)
@@ -371,9 +386,13 @@ object Similarity {
     * plain int column (re-usable across queries; partition/bucket by it
     * for locality), and a probe's cost is the probed cells' rows only.
     */
-  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
-    val cents = kmeansCentroids(s, dir)
-    val e = withNorm(Tables.embeddings(s, dir))
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame =
+    annIvfTopKFrom(Tables.embeddings(s, dir))
+
+  /** [[annIvfTopK]] over an explicit (vec_id, embedding) frame. */
+  private[graft] def annIvfTopKFrom(emb: DataFrame): DataFrame = {
+    val cents = kmeansCentroidsFrom(emb)
+    val e = withNorm(emb)
     val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
       col("nrm").as("cn"), cellOf(col("embedding"), cents).as("cell"))
     val probes = e.filter(col("vec_id") % 100 === 0)

@@ -61,4 +61,17 @@ class CorpusSpec extends SparkSpec {
     assert(survivorComps.except(representedComps).count() === 0,
       "a component with an eligible member has no corpus representative")
   }
+
+  test("clearCaches releases the memoized cluster-pipeline storage") {
+    // materialize the memoized pipeline frames (idempotent if already run)
+    Corpus.nearDupComponents(spark, sfDir).count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before > 0, "expected memoized frames to be persisted")
+    ops.Dedup.clearCaches(spark)
+    Corpus.clearCaches(spark)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after < before, s"clearCaches released no storage ($before -> $after)")
+    // the pipeline repopulates transparently after the release
+    assert(Corpus.nearDupComponents(spark, sfDir).count() > 0)
+  }
 }

@@ -126,20 +126,28 @@ class QueriesSpec extends SparkSpec {
       "pruned result diverged from brute force")
   }
 
+  /** Constructed clustered corpus — the regime ANN indexes exist for:
+    * 40 clusters × 25 members, each member = cluster base + small noise
+    * (deterministic arithmetic, no RNG), so every probe's kth cosine is
+    * high (~0.9). Probes are vec_id % 100 == 0 → 10 probes × 999
+    * candidates. Shared by the bound-pruning, LSH and IVF recall gates.
+    */
+  private def clusteredEmb = spark.range(1000).select(col("id").as("vec_id"),
+    transform(sequence(lit(0), lit(63)), i => {
+      val cluster = col("vec_id") % 40
+      val base    = sin(cluster * lit(37) + i * lit(13))       // cluster signature
+      val noise   = sin(col("vec_id") * lit(101) + i * lit(7)) // per-member jitter
+      (base + noise * lit(0.15)).cast("float")
+    }).as("embedding"))
+
+  private def recallOf(ann: org.apache.spark.sql.DataFrame,
+      bf: org.apache.spark.sql.DataFrame): Double =
+    ann.select("p_id", "c_id").join(bf.select("p_id", "c_id"),
+      Seq("p_id", "c_id"), "left_semi").count().toDouble /
+      bf.count().toDouble
+
   test("on clustered vectors the tail bound prunes the bulk of the scan, still exactly") {
-    // constructed clustered corpus — the regime the bound exists for:
-    // 40 clusters × 25 members, each member = cluster base + small noise
-    // (deterministic arithmetic, no RNG), so every probe's kth cosine is
-    // high (~0.9) and the Cauchy–Schwarz tail bound can reject
-    // cross-cluster pairs without full-scoring them
-    import spark.implicits._
-    val emb = spark.range(1000).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)), i => {
-        val cluster = col("vec_id") % 40
-        val base    = sin(cluster * lit(37) + i * lit(13))       // cluster signature
-        val noise   = sin(col("vec_id") * lit(101) + i * lit(7)) // per-member jitter
-        (base + noise * lit(0.15)).cast("float")
-      }).as("embedding"))
+    val emb = clusteredEmb
     val bf = ops.Similarity.cosineTopKFrom(emb)
     val sv = ops.Similarity.prunedSurvivorsFrom(emb)
     // rank through the SAME TopKAgg path production uses
@@ -150,6 +158,53 @@ class QueriesSpec extends SparkSpec {
     val survivors = sv.count()
     assert(survivors < allPairs / 2,
       s"bound pruned under half on clustered data: $survivors of $allPairs")
+  }
+
+  test("LSH ANN: recall@10 >= 0.7 at <= 1/3 candidates on clustered vectors") {
+    // the regime LSH is FOR: cluster members share sign patterns, so
+    // same-cluster neighbors collide in some table with near-certainty
+    // while cross-cluster candidates spread across buckets. (On isotropic
+    // vectors the same operator tracks its candidate fraction — measured
+    // in the subset-quality test above; that is a property of structure-
+    // free data, not of the index.)
+    val emb = clusteredEmb
+    val bf  = ops.Similarity.cosineTopKFrom(emb)
+    // bucket width is THE corpus knob: 2^planes must exceed the cluster
+    // count or distinct clusters are forced to share buckets. This fixture
+    // has 40 clusters in 1000 vectors → 8 planes (256 buckets); the 6-plane
+    // production default targets the larger embeddings corpora. Tables and
+    // probes are the production values. Measured sweep (recall, fraction):
+    // 6 planes (0.43 frac), 8 → (1.0, 0.31), 10 → (1.0, 0.26).
+    val scored = ops.Similarity.lshScoredFrom(emb,
+      ops.Similarity.NumTables, 8, ops.Similarity.AnnProbes)
+    val candFraction = scored.count().toDouble / (10.0 * 999.0)
+    val recall = recallOf(ops.Similarity.rankTopK(scored), bf)
+    assert(recall >= 0.7, s"LSH recall@10 on clustered vectors: $recall")
+    assert(candFraction <= 1.0 / 3,
+      s"LSH candidate fraction exceeded 1/3: $candFraction")
+  }
+
+  test("IVF ANN: recall >= 2x scanned fraction on clustered vectors") {
+    // learned cells concentrate each cluster into one cell, so a probe's
+    // own cell carries almost all of its true top-10 — recall must sit far
+    // above the scanned-row fraction (the isotropic lower bound, asserted
+    // separately below, is recall ≈ fraction)
+    val emb   = clusteredEmb
+    val bf    = ops.Similarity.cosineTopKFrom(emb)
+    val ivf   = ops.Similarity.annIvfTopKFrom(emb)
+    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
+    // scanned fraction = rows in probed cells / all candidate rows
+    val cells = emb.select(col("vec_id"),
+      ops.Similarity.cellOf(col("embedding"), cents).as("cell"))
+    val probed = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("p_id"),
+        explode(ops.Similarity.probeCells(col("embedding"), cents)).as("cell"))
+    val scanned = probed.join(cells, "cell").filter(col("p_id") =!= col("vec_id")).count()
+    val fraction = scanned.toDouble / (10.0 * 999.0)
+    val recall   = recallOf(ivf, bf)
+    assert(recall >= 2 * fraction,
+      s"IVF recall $recall under 2x scanned fraction $fraction on clustered vectors")
+    assert(recall >= 0.7, s"IVF recall@10 on clustered vectors: $recall")
   }
 
   test("IVF cell index works as a partitioned-parquet layout with partition pruning") {
