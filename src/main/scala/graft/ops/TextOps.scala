@@ -38,9 +38,13 @@ object TextOps {
     * hint on `te`: under the declared 90/10 split it is corpus-proportional,
     * so pinning a broadcast would OOM at 100 TB. Because `te` is distinct-ed
     * in its own stage, AQE sees its true size at runtime and converts the
-    * join to broadcast exactly while the eval set is genuinely small (the
-    * common production case), keeping the train grams shuffle-free — and
-    * degrades to a hash join, never a driver OOM, when it is not.
+    * join to broadcast while the eval set is genuinely small (the common
+    * production case). Honest cost note: that conversion happens AFTER the
+    * map stages run, so the train-gram side still pays its shuffle WRITE
+    * either way — AQE's local shuffle reader only skips the exchange/
+    * shuffle-read. The trade vs a pinned hint is bounded memory, not zero
+    * I/O; when `te` measures large the plan degrades to a hash join, never
+    * a driver OOM.
     */
   private[graft] def decontaminateFrom(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
@@ -261,7 +265,11 @@ object TextOps {
         .agg(coalesce(sum(col("b.toks_at")), lit(0L)).as("toks_ahead"),
           coalesce(sum(col("b.mass_at")), lit(0L)).as("mass_ahead"))
       val w = Window.partitionBy("n").orderBy("tok")
-      wc.join(broadcast(ahead), "n")
+      // ahead is O(√N) rows but NOT constant: at 2e13 tokens (100 TB) that
+      // is ~6M rows × 3 longs ≈ 150+ MB — feasible to broadcast but past
+      // the point where pinning a hint is honest. No hint: AQE broadcasts
+      // at runtime while it measures small, hash-joins when it doesn't.
+      wc.join(ahead, "n")
         .withColumn("within", row_number().over(w).cast("long"))
         .crossJoin(broadcast(total))
         .select((col("toks_ahead") + col("within")).as("rnk"), col("tok"), col("n"),

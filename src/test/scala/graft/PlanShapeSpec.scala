@@ -55,14 +55,31 @@ class PlanShapeSpec extends SparkSpec {
     val df = SparkEntry.queries("q_decontaminate")(spark, sfDir)
     val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
     assert(hints.isEmpty, s"q_decontaminate pins ${hints.size} broadcast hint(s)")
-    // join-before-dedup shape must survive: the per-doc aggregate sits
-    // ABOVE the gram join, so bulk train grams are filtered by the join
-    // before the countDistinct dedup ever shuffles them
+    // join-before-dedup shape must survive: THE per-doc countDistinct
+    // aggregate (group by doc_id, distinct over gram) must sit directly
+    // above the gram-key join, so bulk train grams are filtered by the
+    // join before the dedup ever shuffles them. Matching the specific
+    // aggregate (not "any Aggregate over any Join") so a regression that
+    // moved the countDistinct below the join cannot hide behind an
+    // unrelated agg-over-join elsewhere in the plan.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    val aggAboveJoin = df.queryExecution.optimizedPlan.collect {
-      case a: Aggregate if a.collectFirst { case j: Join => j }.nonEmpty => a
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val shape = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+        if a.groupingExpressions.exists(_.references.exists(_.name == "doc_id")) &&
+          a.aggregateExpressions.exists(_.collectFirst {
+            case ae: AggregateExpression
+              if ae.isDistinct &&
+                ae.aggregateFunction.references.exists(_.name == "gram") => ae
+          }.nonEmpty) &&
+          a.child.collectFirst {
+            case j: Join if j.condition.exists(
+              _.references.exists(_.name == "gram")) => j
+          }.nonEmpty => a
     }
-    assert(aggAboveJoin.nonEmpty, "decontaminate lost its join-before-dedup shape")
+    assert(shape.nonEmpty,
+      "decontaminate lost its join-before-dedup shape: the doc_id-grouped " +
+        "countDistinct(gram) no longer sits above the gram-key join")
   }
 
   test("broadcast hints appear only on provably bounded join sides") {
@@ -75,12 +92,17 @@ class PlanShapeSpec extends SparkSpec {
     //     (5) — fixed-cardinality TPC-H dims, invariant under SF
     //   - q_tfidf_top_terms / q_unigram_logprob: single-row COUNT/SUM
     //     aggregates (corpus size / token mass)
-    //   - q_vocab_coverage: per-distinct-count-value aggregate — counts sum
-    //     to total token mass N, so distinct values are O(sqrt N) (~3M rows
-    //     i.e. a few MB even at 100 TB) — plus a single-row total
-    //   - similarity/ANN top-k family: the hinted side is the PROBE batch —
-    //     the user-supplied query workload, bounded by construction (the
-    //     fixture derives it as 1% of vec_ids only for testability)
+    //   - q_vocab_coverage: ONLY the single-row total-mass aggregate is
+    //     hinted. The O(sqrt N) per-count-value frame is NOT (at 2e13
+    //     tokens it is ~6M rows × 3 longs ≈ 150+ MB — feasible but past
+    //     what an unconditional hint should pin; AQE decides at runtime).
+    //   - similarity/ANN top-k family: the hinted side is the PROBE batch.
+    //     This is a CONTRACT ON THE CALLER (a query workload handed to the
+    //     engine, sized by the user), not a property of the code: the test
+    //     fixture derives probes as vec_id % 100 == 0 — 1% of the corpus,
+    //     which is data-proportional — purely so the oracle SQL can
+    //     reproduce the probe set. A production probe batch is a bounded
+    //     external input (the thing being looked up).
     val allowed = Set(
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
