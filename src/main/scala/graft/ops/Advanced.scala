@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -271,6 +271,111 @@ object Advanced {
           .groupBy("c_mktsegment")
           .agg(sumsq(round(col("c_acctbal")).cast("long")).as("sumsq_dollars"))
           .orderBy("c_mktsegment")
+    },
+
+    // Linear-regression stats (slope/intercept/corr of price on quantity
+    // per return flag), built from EXACT integer sums rather than the
+    // built-in regr_* aggregates: float accumulation order differs across
+    // engines, but integer sums are order-free, and the closing
+    // double-precision tree is the same IEEE expression on both sides —
+    // the cross-engine-exact form of q_stats_moments. Integer dollars
+    // (not cents) keep sum(y²) ≤ ~6e15 at sf0.1, inside both int64 and
+    // the 2^53 double-exact range; at 100 TB promote the sums to
+    // DECIMAL(38) (Spark) / HUGEINT (DuckDB) — same shape, wider lattice.
+    // One map-side-combined shuffle on a 3-value key.
+    Q("q_regression_stats",
+      """WITH x AS (SELECT l_returnflag,
+        |                  CAST(l_quantity AS BIGINT) AS q,
+        |                  CAST(round(l_extendedprice) AS BIGINT) AS p
+        |           FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |             CAST(sum(q) AS BIGINT) AS sx, CAST(sum(p) AS BIGINT) AS sy,
+        |             CAST(sum(q * q) AS BIGINT) AS sxx,
+        |             CAST(sum(p * p) AS BIGINT) AS syy,
+        |             CAST(sum(q * p) AS BIGINT) AS sxy
+        |      FROM x GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS slope,
+        |  ((CAST(sy AS DOUBLE)
+        |     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS intercept,
+        |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity").cast("long")
+      val p = round(col("l_extendedprice")).cast("long")
+      val agg = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), q.as("q"), p.as("p"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("q").as("sx"), sum("p").as("sy"),
+          sum(col("q") * col("q")).as("sxx"),
+          sum(col("p") * col("p")).as("syy"),
+          sum(col("q") * col("p")).as("sxy"))
+      val nD  = col("n").cast("double")
+      val sxD = col("sx").cast("double");  val syD  = col("sy").cast("double")
+      val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+      val sxyD = col("sxy").cast("double")
+      val slope = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+      agg.select(col("l_returnflag"), col("n"),
+        slope.as("slope"),
+        ((syD - slope * sxD) / nD).as("intercept"),
+        ((nD * sxyD - sxD * syD) /
+          (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD))).as("corr"))
+        .orderBy("l_returnflag")
+    },
+
+    // Distribution-position window functions: ntile quartiles,
+    // percent_rank, cume_dist — the analytics trio q_window_rank_orders
+    // (row_number) doesn't cover. percent_rank/cume_dist are integer-rank
+    // ratios, so the doubles are bit-identical cross-engine. Per-status
+    // partitions: skew posture is the documented window story.
+    Q("q_window_ntile",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    },
+
+    // Bitwise aggregates over the per-type user-id sets — set-membership
+    // masks computed distributively (AND/OR/XOR are associative +
+    // commutative → full map-side combine, shuffle carries one long per
+    // group per mask).
+    Q("q_bitwise_agg",
+      """SELECT event_type, count(*) AS n,
+        |       CAST(bit_and(user_id) AS BIGINT) AS mask_and,
+        |       CAST(bit_or(user_id)  AS BIGINT) AS mask_or,
+        |       CAST(bit_xor(user_id) AS BIGINT) AS mask_xor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("bit_and(user_id)").as("mask_and"),
+            expr("bit_or(user_id)").as("mask_or"),
+            expr("bit_xor(user_id)").as("mask_xor"))
+          .orderBy("event_type")
     }
   )
 }

@@ -381,6 +381,72 @@ object Extras {
         countDistinct(col("o_custkey")).as("exact_custs"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"),
         expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+    },
+
+    // Ordered event-path per user (clickstream journey extraction). Spark
+    // collect_list carries no order guarantee, so the struct list is
+    // sorted AFTER collection — (ts, event_id, event_type) structs sort
+    // field-major, giving the same total order as the oracle's
+    // `list(... ORDER BY ts, event_id)`. State per key is bounded by
+    // events-per-user (the sessionize skew posture, SCALING.md "Window
+    // skew"); the first-8 slice caps the rendered path, not the state —
+    // at 100 TB pair this with a per-key event cap upstream.
+    Q("q_user_paths",
+      """SELECT user_id, count(*) AS n_events,
+        |       array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '>')
+        |         AS path
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(">",
+            transform(
+              slice(array_sort(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type")))), 1, 8),
+              x => x.getField("event_type"))).as("path"))
+        .orderBy("user_id")
+    },
+
+    // Per-user z-score anomaly counts. Two phases, both keyed on user_id:
+    // a whole-partition window attaches the exact integer-cents moments,
+    // then the per-row z-score folds into a per-user anomaly count — one
+    // shuffle total (window and groupBy share the user_id partitioning,
+    // so Catalyst reuses the exchange). Degenerate users (n=1 → sd NULL
+    // via non-ANSI /0) count zero anomalies in both engines.
+    Q("q_anomaly_zscore",
+      """WITH x AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c
+        |           FROM events),
+        |y AS (SELECT user_id, c,
+        |             count(*)   OVER (PARTITION BY user_id) AS n,
+        |             sum(c)     OVER (PARTITION BY user_id) AS sx,
+        |             sum(c * c) OVER (PARTITION BY user_id) AS sxx
+        |      FROM x),
+        |z AS (SELECT user_id, n,
+        |             (CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |               / sqrt((CAST(sxx AS DOUBLE)
+        |                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |                          / CAST(n AS DOUBLE))
+        |                      / (CAST(n AS DOUBLE) - 1.0)) AS z
+        |      FROM y)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_anomalies
+        |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w   = Window.partitionBy("user_id")
+      val c   = cents(col("value"))
+      val n   = count(lit(1)).over(w)
+      val sx  = sum(c).over(w)
+      val sxx = sum(c * c).over(w)
+      val z = (c.cast("double") - sx.cast("double") / n.cast("double")) /
+        sqrt((sxx.cast("double") -
+          sx.cast("double") * sx.cast("double") / n.cast("double")) /
+          (n.cast("double") - lit(1.0)))
+      Tables.events(s, dir)
+        .select(col("user_id"), n.as("n"), z.as("z"))
+        .groupBy("user_id")
+        .agg(max("n").as("n_events"),
+          sum(when(abs(col("z")) > 2.5, 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy("user_id")
     }
   )
 }

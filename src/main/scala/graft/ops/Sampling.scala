@@ -134,6 +134,37 @@ object Sampling {
         .agg(count(lit(1)).as("n_total"),
           sum(when(bucket100(col("doc_id")) < 10, 1L).otherwise(0L)).as("n_sampled"))
         .orderBy("lang")
+    },
+
+    // Deterministic weighted sampling without replacement — priority
+    // sampling (Duffield, Lund & Thorup, JACM 2007, public): each doc gets
+    // priority w/u with u ~ Uniform(0,1], and the global top-k by priority
+    // is a weight-proportional sample. u comes from the same overflow-safe
+    // hash ((h+1)/M ∈ (0,1]), so membership is reproducible and
+    // cross-engine exact; the priority w·M/(h+1) is one double division
+    // of exact integers → bit-identical. Top-k plans as
+    // TakeOrderedAndProject: per-partition heaps, no global sort, no
+    // shuffle of the corpus — the same O(parts·k) driver shape as
+    // q_topk_orders, at any scale.
+    Q("q_weighted_sample",
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |         (((doc_id % $H) * $A + (doc_id // $H) * $B + $C) % $M) + 1 AS h1
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars,
+         |       CAST(n_chars AS DOUBLE) * CAST($M AS DOUBLE)
+         |         / CAST(h1 AS DOUBLE) AS priority
+         |FROM d ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+      val lo = pmod(col("doc_id"), lit(H))
+      val hi = shiftright(col("doc_id"), 31)
+      val h1 = pmod(lo * lit(A) + hi * lit(B) + lit(C), lit(M)) + lit(1L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars").cast("double") * lit(M.toDouble) /
+            h1.cast("double")).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100)
     }
   )
 }

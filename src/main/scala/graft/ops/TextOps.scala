@@ -20,6 +20,11 @@ object TextOps {
   private def stopsLit(ws: Seq[String]): Column = array(ws.map(lit): _*)
   private def stopsSql(ws: Seq[String]): String = ws.mkString("['", "', '", "']")
 
+  // PII patterns, restricted to the RE2 ∩ java.util.regex common subset
+  // (no backrefs, no lookaround) so DuckDB and Spark compile identically.
+  private val PiiEmail = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PiiPhone = "555-[0-9]{4}"
+
   /** Occurrences of `stops` words among whitespace tokens. */
   private def hits(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => array_contains(stopsLit(stops), t)))
@@ -471,6 +476,88 @@ object TextOps {
         .select(unix_micros(col("window.start")).as("hour_us"),
           col("n"), col("value_cents"), col("n_users"))
         .orderBy("hour_us")
+    },
+
+    // PII detection + redaction. The synthetic corpus carries no PII, so
+    // every 3rd document is augmented (identically in engine and oracle,
+    // the FIXTURES.md pattern) with a deterministic email + phone token;
+    // the operator then counts and redacts both classes. Narrow per-row
+    // regex work — no shuffle besides the presentation sort; at 100 TB
+    // this composes with the scan at full input parallelism. Patterns are
+    // kept in the RE2 ∩ java.util.regex common dialect so engine and
+    // oracle compile the same automaton.
+    Q("q_pii_redact",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0
+         |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |                   || '@example.com or call 555-'
+         |                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$PiiEmail')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PiiPhone')) AS INTEGER) AS n_phones,
+         |  CAST(length(regexp_replace(regexp_replace(t, '$PiiEmail', '<EMAIL>', 'g'),
+         |                             '$PiiPhone', '<PHONE>', 'g')) AS INTEGER)
+         |    AS n_chars_red
+         |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(PiiEmail)).as("n_emails"),
+          regexp_count(col("t"), lit(PiiPhone)).as("n_phones"),
+          length(regexp_replace(regexp_replace(col("t"), PiiEmail, "<EMAIL>"),
+            PiiPhone, "<PHONE>")).as("n_chars_red"))
+        .orderBy("doc_id")
+    },
+
+    // C4/Gopher-style quality gates (Raffel et al. 2020; Rae et al. 2021):
+    // named boolean rules — word-count band, mean-word-length band,
+    // stopword floor, duplicate-word ceiling — plus the conjunctive keep
+    // flag. Distinct from q_quality_score (a weighted score): gates are
+    // the filter stage a curation pipeline actually branches on. All
+    // per-row arithmetic on exact ints → bit-identical doubles.
+    Q("q_quality_gates",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+         |  (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS mean_wlen,
+         |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS distinct_ratio,
+         |  (len(string_split(text, ' ')) BETWEEN 20 AND 100000) AS g_len,
+         |  ((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3 AND 10) AS g_wlen,
+         |  (${hitsSql(EnStops)} >= 2) AS g_stop,
+         |  ((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 0.1) AS g_distinct,
+         |  ((len(string_split(text, ' ')) BETWEEN 20 AND 100000)
+         |    AND ((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3 AND 10)
+         |    AND (${hitsSql(EnStops)} >= 2)
+         |    AND ((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 0.1)) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks     = split(col("text"), " ")
+      val nW       = size(toks)
+      val meanWlen = length(regexp_replace(col("text"), " ", "")).cast("double") /
+        nW.cast("double")
+      val dr       = size(array_distinct(toks)).cast("double") / nW.cast("double")
+      val gLen  = nW.between(20, 100000)
+      val gWlen = meanWlen.between(3, 10)
+      val gStop = hits(toks, EnStops) >= 2
+      val gDist = dr >= 0.1
+      Tables.documents(s, dir).select(
+        col("doc_id"), nW.as("n_words"), meanWlen.as("mean_wlen"),
+        dr.as("distinct_ratio"), gLen.as("g_len"), gWlen.as("g_wlen"),
+        gStop.as("g_stop"), gDist.as("g_distinct"),
+        (gLen && gWlen && gStop && gDist).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -121,6 +121,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample plans as TakeOrderedAndProject — no global sort of the corpus") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("hashpartitioning"),
+      s"priority sampling must not shuffle the corpus:\n${p.take(1500)}")
+  }
+
+  test("anomaly z-score shares one user_id exchange between window and aggregate") {
+    // The window (PARTITION BY user_id) and the groupBy(user_id) must ride
+    // the same hashpartitioning — a second data exchange would double the
+    // shuffle at 100 TB for no semantic gain.
+    val p = plan("q_anomaly_zscore")
+    val n = "hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"expected at most one user_id exchange, plan has $n:\n${p.take(2000)}")
+  }
+
   test("no declared query plans a cartesian product") {
     SparkEntry.all.foreach { q =>
       val p = q.build(spark, sfDir).queryExecution.executedPlan.toString

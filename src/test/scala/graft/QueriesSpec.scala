@@ -265,4 +265,54 @@ class QueriesSpec extends SparkSpec {
       .groupBy("p_id").count().agg(min("count")).head().getLong(0)
     assert(n === 10L, s"probe with short result list: $n")
   }
+
+  test("pii redact: exactly the augmented docs carry PII, and redaction removes it") {
+    val df = SparkEntry.queries("q_pii_redact")(spark, sfDir)
+    assert(df.filter(col("doc_id") % 3 === 0 &&
+      (col("n_emails") =!= 1 || col("n_phones") =!= 1)).count() === 0,
+      "every augmented doc must detect exactly one email and one phone")
+    assert(df.filter(col("doc_id") % 3 =!= 0 &&
+      (col("n_emails") =!= 0 || col("n_phones") =!= 0)).count() === 0,
+      "unaugmented docs must detect no PII")
+  }
+
+  test("quality gates: keep is exactly the conjunction of the named gates") {
+    val df = SparkEntry.queries("q_quality_gates")(spark, sfDir)
+    assert(df.filter(col("keep") =!=
+      (col("g_len") && col("g_wlen") && col("g_stop") && col("g_distinct")))
+      .count() === 0)
+    val kept = df.filter(col("keep")).count()
+    assert(kept > 0 && kept < df.count(),
+      s"gates should both keep and drop on this corpus (kept=$kept)")
+  }
+
+  test("weighted sample: weight-biased, deterministic, and k-capped") {
+    val df = SparkEntry.queries("q_weighted_sample")(spark, sfDir)
+    assert(df.count() === 100)
+    // priority sampling upweights long docs: the sampled mean n_chars must
+    // exceed the corpus mean (weights span ~[40, 500] in the fixture)
+    val sMean = df.agg(avg("n_chars")).head().getDouble(0)
+    val cMean = Tables.documents(spark, sfDir).agg(avg("n_chars")).head().getDouble(0)
+    assert(sMean > cMean, s"sample mean $sMean should exceed corpus mean $cMean")
+    // determinism: identical membership on a re-run
+    val again = SparkEntry.queries("q_weighted_sample")(spark, sfDir)
+    assert(df.select("doc_id").except(again.select("doc_id")).count() === 0)
+  }
+
+  test("anomaly z-scores: single-event users count zero anomalies") {
+    val df = SparkEntry.queries("q_anomaly_zscore")(spark, sfDir)
+    assert(df.filter(col("n_events") === 1 && col("n_anomalies") =!= 0).count() === 0)
+    assert(df.agg(sum("n_anomalies")).head().getLong(0) > 0,
+      "a 2.5-sigma gate should flag something on 10k events")
+  }
+
+  test("regression stats: slope/corr consistent with Spark's builtin regr_* aggregates") {
+    val df = SparkEntry.queries("q_regression_stats")(spark, sfDir)
+    val builtin = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(expr("regr_slope(round(l_extendedprice), l_quantity)").as("bslope"))
+    val joined = df.join(builtin, "l_returnflag")
+    assert(joined.filter(abs(col("slope") - col("bslope")) > 1e-6).count() === 0,
+      "exact-integer-sum slope must agree with the builtin to float tolerance")
+  }
 }
