@@ -18,7 +18,8 @@ object SparkEntry {
     ops.Extras.queries,
     ops.Advanced.queries,
     ops.Corpus.queries,
-    ops.Sampling.queries
+    ops.Sampling.queries,
+    ops.Spatial.queries
   )
 
   def all: Seq[Q] = modules.flatten

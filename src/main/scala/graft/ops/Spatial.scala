@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Spatial grid index — the Spark-native analog of the reference's GiST
+  * index (`CREATE INDEX ... USING GIST`, sql_to_line.py:203; R20, the one
+  * reference surface previously documented as a non-goal). A tree index
+  * over mutable heap pages has no distributed equivalent; the scalable
+  * translation is SPACE PARTITIONING: assign every geometry a fixed-size
+  * grid cell key, then
+  *
+  *  - point/region lookups become a coarse cell-key filter (partition-
+  *    prunable when the table is written `partitionBy(cell)` — proven
+  *    in-plan by SpatialSpec, the same layout contract as the IVF ANN
+  *    index) followed by the exact geometric predicate, and
+  *  - spatial joins become equi-joins on the cell key with one side
+  *    replicated to its 3×3 cell neighborhood — candidate volume is
+  *    Θ(points × 9 × density), never Θ(points²), and the join shuffles
+  *    on small integer keys. This is the standard distributed spatial-
+  *    join design (grid/partition-based spatial join; cf. SpatialHadoop
+  *    / Sedona, both public literature).
+  *
+  * Cell size 0.05° with radius 0.02° keeps radius ≤ cell so the 3×3
+  * neighborhood is sufficient (any neighbor within r lies in an adjacent
+  * cell). All predicates are +/×/floor on exact inputs → cross-engine
+  * bit-identical, no rounding needed.
+  */
+object Spatial {
+
+  private val CellDeg = 0.05
+
+  /** Grid cell index of a coordinate (floor division, negative-safe). */
+  def cellOf(c: Column): Column = floor(c / lit(CellDeg))
+
+  // bbox: endpoint longitude [-134, -132.5] × latitude [50, 52] — inside
+  // the fixture's coordinate domain at every scale factor (small-sf runs
+  // only populate the low user-id longitudes). Coarse cell bounds derive
+  // from the same floor arithmetic, computed once here and embedded as
+  // literals in BOTH engines (monotonicity of floor makes the coarse range
+  // a superset of the exact one at any rounding).
+  private val LonMin = -134.0; private val LonMax = -132.5
+  private val LatMin = 50.0;   private val LatMax = 52.0
+  private val CxMin = math.floor(LonMin / CellDeg).toLong
+  private val CxMax = math.floor(LonMax / CellDeg).toLong
+  private val CyMin = math.floor(LatMin / CellDeg).toLong
+  private val CyMax = math.floor(LatMax / CellDeg).toLong
+
+  private val RadiusSq = "0.0004" // (0.02°)²; exact literal in both engines
+
+  val queries: Seq[Q] = Seq(
+
+    // Region (bbox) lookup through the grid index: the coarse cell-range
+    // predicate — the one a cell-partitioned layout prunes on — then the
+    // exact bounds. ST_Within-over-GiST analog (R20 read path).
+    Q("q_spatial_bbox",
+      Segments.oracle(
+        s"""SELECT segmentid, endlon, endlat
+           |FROM (SELECT segmentid, endlon, endlat,
+           |             CAST(floor(endlon / $CellDeg) AS BIGINT) AS cx,
+           |             CAST(floor(endlat / $CellDeg) AS BIGINT) AS cy
+           |      FROM segments)
+           |WHERE cx BETWEEN $CxMin AND $CxMax AND cy BETWEEN $CyMin AND $CyMax
+           |  AND endlon BETWEEN $LonMin AND $LonMax
+           |  AND endlat BETWEEN $LatMin AND $LatMax
+           |ORDER BY segmentid""".stripMargin)) { (s, dir) =>
+      Segments.df(s, dir)
+        .select(col("segmentid"), col("endlon"), col("endlat"),
+          cellOf(col("endlon")).as("cx"), cellOf(col("endlat")).as("cy"))
+        .filter(col("cx").between(CxMin, CxMax) && col("cy").between(CyMin, CyMax) &&
+          col("endlon").between(LonMin, LonMax) &&
+          col("endlat").between(LatMin, LatMax))
+        .select(col("segmentid"), col("endlon"), col("endlat"))
+        .orderBy("segmentid")
+    },
+
+    // Distance self-join through the grid index: per segment, how many
+    // other segments END within 0.02° (plus the closest squared distance).
+    // Left side replicates to its 3×3 neighborhood, right side keys by its
+    // own cell — each directed candidate appears exactly once (distinct
+    // (dx,dy) land in distinct cells), so no post-join dedup is needed.
+    // The ST_DWithin-join-over-GiST analog (R20 join path); SpatialSpec
+    // proves it equal to the O(n²) brute force on sf0.001.
+    Q("q_spatial_join_grid",
+      Segments.oracle(
+        s""", pts AS (
+           |  SELECT segmentid, endlon AS x, endlat AS y,
+           |         CAST(floor(endlon / $CellDeg) AS BIGINT) AS cx,
+           |         CAST(floor(endlat / $CellDeg) AS BIGINT) AS cy
+           |  FROM segments
+           |), cand AS (
+           |  SELECT a.segmentid AS a_id,
+           |         ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d2
+           |  FROM (SELECT p.*, p.cx + dx.dx AS jx, p.cy + dy.dy AS jy
+           |        FROM pts p,
+           |             (VALUES (-1), (0), (1)) AS dx(dx),
+           |             (VALUES (-1), (0), (1)) AS dy(dy)) a
+           |  JOIN pts b ON a.jx = b.cx AND a.jy = b.cy
+           |  WHERE a.segmentid <> b.segmentid
+           |)
+           |SELECT a_id AS segmentid, count(*) AS n_neighbors, min(d2) AS min_d2
+           |FROM cand WHERE d2 < CAST($RadiusSq AS DOUBLE)
+           |GROUP BY a_id ORDER BY segmentid""".stripMargin)) { (s, dir) =>
+      neighborCounts(Segments.df(s, dir))
+    }
+  )
+
+  /** Core of q_spatial_join_grid over an explicit segments frame (tests /
+    * scale probes drive it on synthetic frames).
+    */
+  private[graft] def neighborCounts(segments: DataFrame): DataFrame = {
+    val pts = segments.select(col("segmentid"), col("endlon").as("x"),
+      col("endlat").as("y"), cellOf(col("endlon")).as("cx"),
+      cellOf(col("endlat")).as("cy"))
+    val offsets = array(lit(-1L), lit(0L), lit(1L))
+    val a = pts
+      .withColumn("dx", explode(offsets))
+      .withColumn("dy", explode(offsets))
+      .select(col("segmentid").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val b = pts.select(col("segmentid").as("b_id"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("d2", d2)
+      .filter(col("d2") < expr(s"CAST($RadiusSq AS DOUBLE)"))
+      .groupBy(col("a_id").as("segmentid"))
+      .agg(count(lit(1)).as("n_neighbors"), min("d2").as("min_d2"))
+      .orderBy("segmentid")
+  }
+}
