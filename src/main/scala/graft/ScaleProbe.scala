@@ -110,6 +110,20 @@ object ScaleProbe {
       // shifted): isolates the iterative loop's scaling from the MinHash
       // pipeline. Rounds must stay flat (disjoint copies of the same
       // components); wall time must grow ~linearly.
+      // spatial grid join on m× disjoint 20°-shifted tiles (constant point
+      // density — the geometry analog of unique-key replication): candidate
+      // volume is Θ(points × cell density), so wall time must stay linear.
+      // (Replicating WITHOUT the shift would grow density ∝ m and output
+      // pairs ∝ m² — an output-size property, not a plan property.)
+      timed("spatial_grid_join_tiled") {
+        val seg = graft.ops.Segments.df(spark, sfDir)
+          .select(col("segmentid"), col("endlon"), col("endlat"))
+        val segN = (0 until m).map(i => seg.select(
+          (col("segmentid") + lit(i.toLong * 1000000000L)).as("segmentid"),
+          (col("endlon") + lit(i * 20.0)).as("endlon"), col("endlat")))
+          .reduce(_.union(_))
+        graft.ops.Spatial.neighborCounts(segN).count()
+      }
       timed("cc_loop_replicated") {
         val off = 1000000000L
         val cl = graft.ops.Dedup.clusterFrame(spark, sfDir).select(col("cid"), col("ms"))

@@ -25,6 +25,27 @@ object TextOps {
   private val PiiEmail = "[a-z0-9]+@[a-z]+\\.[a-z]+"
   private val PiiPhone = "555-[0-9]{4}"
 
+  /** Conjunctive C4/Gopher keep gate over a text column — the single
+    * source of truth shared by q_quality_gates and the streaming curation
+    * filter (Streams.curateDocs). Narrow per-row arithmetic: stateless on
+    * a stream, scan-parallel in batch.
+    */
+  private[graft] def qualityKeep(text: Column): Column = {
+    val toks     = split(text, " ")
+    val nW       = size(toks)
+    val meanWlen = length(regexp_replace(text, " ", "")).cast("double") /
+      nW.cast("double")
+    val dr = size(array_distinct(toks)).cast("double") / nW.cast("double")
+    nW.between(20, 100000) && meanWlen.between(3, 10) &&
+      hits(toks, EnStops) >= 2 && dr >= 0.1
+  }
+
+  /** PII redaction of a text column (emails + phone tokens), shared with
+    * the streaming curation filter.
+    */
+  private[graft] def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>")
+
   /** Occurrences of `stops` words among whitespace tokens. */
   private def hits(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => array_contains(stopsLit(stops), t)))
@@ -512,8 +533,7 @@ object TextOps {
         .select(col("doc_id"),
           regexp_count(col("t"), lit(PiiEmail)).as("n_emails"),
           regexp_count(col("t"), lit(PiiPhone)).as("n_phones"),
-          length(regexp_replace(regexp_replace(col("t"), PiiEmail, "<EMAIL>"),
-            PiiPhone, "<PHONE>")).as("n_chars_red"))
+          length(redactPii(col("t"))).as("n_chars_red"))
         .orderBy("doc_id")
     },
 
@@ -556,7 +576,7 @@ object TextOps {
         col("doc_id"), nW.as("n_words"), meanWlen.as("mean_wlen"),
         dr.as("distinct_ratio"), gLen.as("g_len"), gWlen.as("g_wlen"),
         gStop.as("g_stop"), gDist.as("g_distinct"),
-        (gLen && gWlen && gStop && gDist).as("keep"))
+        qualityKeep(col("text")).as("keep")) // same tree as gLen&&gWlen&&gStop&&gDist
         .orderBy("doc_id")
     }
   )

@@ -28,6 +28,17 @@ object Streams {
   private def maybeWatermark(events: DataFrame): DataFrame =
     if (events.isStreaming) events.withWatermark("ts", WatermarkDelay) else events
 
+  /** Streaming corpus curation: the C4/Gopher quality-gate filter plus PII
+    * redaction as one stateless per-row stage — no watermark, no state
+    * store; it composes with any source at full input parallelism, and the
+    * SAME Column expressions run in batch (TextOps.qualityKeep /
+    * redactPii), so batch ≡ stream by construction (StreamingSpec asserts
+    * it on a multi-batch MemoryStream feed).
+    */
+  def curateDocs(docs: DataFrame): DataFrame =
+    docs.filter(graft.ops.TextOps.qualityKeep(col("text")))
+      .withColumn("text", graft.ops.TextOps.redactPii(col("text")))
+
   /** Tumbling 1-hour counts/sums — streaming twin of q_tumbling_hourly. */
   def tumblingHourly(events: DataFrame): DataFrame =
     maybeWatermark(events)

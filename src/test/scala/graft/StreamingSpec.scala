@@ -277,6 +277,36 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 5L), s"wrong survivors: $kept")
   }
 
+  test("streaming curation filter equals the batch gates and redacts PII") {
+    val ms = MemoryStream[StreamingSpec.Doc](spark)
+    val keepText = ("the quick brown dog and the lazy fox trade long emails about " +
+      "hashing joins in a cluster of machines that is mostly idle at night " +
+      "contact ops99@example.com for details of the on call rotation schedule")
+    val junkShort = "too short"
+    val junkRepeat = Seq.fill(60)("spam").mkString(" ") // distinct_ratio fails
+    val q = Streams.curateDocs(ms.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("curate").start()
+    ms.addData(StreamingSpec.Doc(1, keepText, ts(1)),
+      StreamingSpec.Doc(2, junkShort, ts(2)))
+    q.processAllAvailable()
+    ms.addData(StreamingSpec.Doc(3, junkRepeat, ts(3)),
+      StreamingSpec.Doc(4, keepText + " second copy of the good doc", ts(4)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curate")
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 4L),
+      "gates must keep exactly the quality docs across batches")
+    assert(got.filter(col("text").contains("@")).count() === 0 &&
+      got.filter(col("text").contains("<EMAIL>")).count() === 2,
+      "kept docs must have PII redacted")
+    // batch ≡ stream: the same frame through the same transform
+    val batch = Streams.curateDocs(Seq(
+      StreamingSpec.Doc(1, keepText, ts(1)), StreamingSpec.Doc(2, junkShort, ts(2)),
+      StreamingSpec.Doc(3, junkRepeat, ts(3)),
+      StreamingSpec.Doc(4, keepText + " second copy of the good doc", ts(4))).toDF())
+    assert(got.except(batch).count() === 0 && batch.except(got).count() === 0)
+  }
+
   test("stream metrics listener records per-batch rows, state size and watermark") {
     val listener = new StreamMetricsListener
     spark.streams.addListener(listener)
