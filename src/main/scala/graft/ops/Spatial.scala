@@ -48,6 +48,7 @@ object Spatial {
   private val CyMax = math.floor(LatMax / CellDeg).toLong
 
   private val RadiusSq = "0.0004" // (0.02°)²; exact literal in both engines
+  private val CellSq   = "0.0025" // (0.05°)² = one cell-width, the kNN radius bound
 
   val queries: Seq[Q] = Seq(
 
@@ -103,6 +104,65 @@ object Spatial {
            |FROM cand WHERE d2 < CAST($RadiusSq AS DOUBLE)
            |GROUP BY a_id ORDER BY segmentid""".stripMargin)) { (s, dir) =>
       neighborCounts(Segments.df(s, dir))
+    },
+
+    // Bounded-radius k-nearest-neighbors through the grid: for each probe
+    // (every 20th segment — the caller-supplied lookup batch, as in the
+    // ANN family), the 3 nearest other endpoints within one cell-width
+    // (radius ≤ cell ⇒ the 3×3 neighborhood is exhaustive, so this is
+    // EXACT bounded-radius kNN, not approximate). Candidates stay
+    // Θ(probes × cell density); the rank is a per-probe window (key =
+    // probe id — parallelism grows with the probe batch). ST_DWithin +
+    // ORDER BY distance LIMIT k over GiST, the reference-stack idiom.
+    Q("q_spatial_knn",
+      Segments.oracle(
+        s""", pts AS (
+           |  SELECT segmentid, endlon AS x, endlat AS y,
+           |         CAST(floor(endlon / $CellDeg) AS BIGINT) AS cx,
+           |         CAST(floor(endlat / $CellDeg) AS BIGINT) AS cy
+           |  FROM segments
+           |), cand AS (
+           |  SELECT a.segmentid AS probe_id, b.segmentid AS nbr_id,
+           |         ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d2
+           |  FROM (SELECT p.*, p.cx + dx.dx AS jx, p.cy + dy.dy AS jy
+           |        FROM pts p,
+           |             (VALUES (-1), (0), (1)) AS dx(dx),
+           |             (VALUES (-1), (0), (1)) AS dy(dy)
+           |        WHERE p.segmentid % 20 = 0) a
+           |  JOIN pts b ON a.jx = b.cx AND a.jy = b.cy
+           |  WHERE a.segmentid <> b.segmentid
+           |), ranked AS (
+           |  SELECT probe_id, nbr_id, d2,
+           |         CAST(row_number() OVER (PARTITION BY probe_id
+           |           ORDER BY d2, nbr_id) AS INTEGER) AS rn
+           |  FROM cand WHERE d2 < CAST($CellSq AS DOUBLE)
+           |)
+           |SELECT probe_id, nbr_id, d2, rn FROM ranked
+           |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin)) { (s, dir) =>
+      val pts = Segments.df(s, dir).select(col("segmentid"),
+        col("endlon").as("x"), col("endlat").as("y"),
+        cellOf(col("endlon")).as("cx"), cellOf(col("endlat")).as("cy"))
+      val offsets = array(lit(-1L), lit(0L), lit(1L))
+      val a = pts.filter(col("segmentid") % 20 === 0)
+        .withColumn("dx", explode(offsets))
+        .withColumn("dy", explode(offsets))
+        .select(col("segmentid").as("probe_id"), col("x").as("ax"),
+          col("y").as("ay"), (col("cx") + col("dx")).as("cx"),
+          (col("cy") + col("dy")).as("cy"))
+      val b = pts.select(col("segmentid").as("nbr_id"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy"))
+      val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("d2"), col("nbr_id"))
+      a.join(b, Seq("cx", "cy"))
+        .filter(col("probe_id") =!= col("nbr_id"))
+        .withColumn("d2", d2)
+        .filter(col("d2") < expr(s"CAST($CellSq AS DOUBLE)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("nbr_id"), col("d2"), col("rn"))
+        .orderBy("probe_id", "rn")
     }
   )
 

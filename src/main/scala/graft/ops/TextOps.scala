@@ -499,6 +499,24 @@ object TextOps {
         .orderBy("hour_us")
     },
 
+    // Misra–Gries heavy-hitter words: a k-counter mergeable frequent-items
+    // sketch (functions/HeavyHitters.scala) — the shuffle carries
+    // O(partitions × k) entries where exact word counting shuffles the
+    // whole vocabulary. Which BELOW-threshold stragglers survive depends
+    // on arrival order → rows-only check; the formal guarantees (every
+    // item with true count > n/(k+1) present; true - n/(k+1) ≤ est ≤ true)
+    // are asserted against exact counts in QueriesSpec.
+    Q.noOracle("q_heavy_hitters") { (s, dir) =>
+      import s.implicits._
+      val mg = new graft.functions.MisraGries(8)
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w")).as[String]
+        .select(mg.toColumn) // typed select → Dataset[HHSummary], schema (items, ests)
+        .select(explode(arrays_zip(col("items"), col("ests"))).as("e"))
+        .select(col("e.items").as("word"), col("e.ests").as("est"))
+        .orderBy(desc("est"), col("word"))
+    },
+
     // PII detection + redaction. The synthetic corpus carries no PII, so
     // every 3rd document is augmented (identically in engine and oracle,
     // the FIXTURES.md pattern) with a deterministic email + phone token;

@@ -266,6 +266,25 @@ class QueriesSpec extends SparkSpec {
     assert(n === 10L, s"probe with short result list: $n")
   }
 
+  test("misra-gries summary honors both frequent-items guarantees vs exact counts") {
+    val n = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w")).count()
+    val bound = n / 9 // k = 8 ⇒ error envelope n/(k+1)
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("true_cnt"))
+    val mg = SparkEntry.queries("q_heavy_hitters")(spark, sfDir)
+    // every true heavy hitter (count > n/(k+1)) must be in the summary
+    val missedHH = exact.filter(col("true_cnt") > bound)
+      .join(mg, Seq("word"), "left_anti").count()
+    assert(missedHH === 0, s"missed $missedHH heavy hitters (bound=$bound)")
+    // every reported estimate: true - n/(k+1) <= est <= true
+    val offBound = mg.join(exact, "word")
+      .filter(col("est") > col("true_cnt") ||
+        col("est") < col("true_cnt") - bound).count()
+    assert(offBound === 0, "an estimate escaped the Misra-Gries error envelope")
+  }
+
   test("pii redact: exactly the augmented docs carry PII, and redaction removes it") {
     val df = SparkEntry.queries("q_pii_redact")(spark, sfDir)
     assert(df.filter(col("doc_id") % 3 === 0 &&

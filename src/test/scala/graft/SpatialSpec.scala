@@ -28,6 +28,28 @@ class SpatialSpec extends SparkSpec {
       "grid join must equal brute force exactly")
   }
 
+  test("grid kNN equals the O(n²) brute force on sf0.001") {
+    val knn = SparkEntry.queries("q_spatial_knn")(spark, sfDir)
+    val pts = ops.Segments.df(spark, sfDir)
+      .select(col("segmentid"), col("endlon").as("x"), col("endlat").as("y"))
+    val a = pts.filter(col("segmentid") % 20 === 0)
+      .select(col("segmentid").as("probe_id"), col("x").as("ax"), col("y").as("ay"))
+    val b = pts.select(col("segmentid").as("nbr_id"), col("x").as("bx"),
+      col("y").as("by"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("d2"), col("nbr_id"))
+    val brute = a.crossJoin(b)
+      .filter(col("probe_id") =!= col("nbr_id")).withColumn("d2", d2)
+      .filter(col("d2") < 0.0025)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("probe_id"), col("nbr_id"), col("d2"), col("rn"))
+    assert(knn.count() > 0, "fixture should yield kNN hits")
+    assert(knn.except(brute).count() === 0 && brute.except(knn).count() === 0,
+      "grid kNN must equal brute force exactly (radius ≤ cell ⇒ 3×3 exhaustive)")
+  }
+
   test("coarse cell filter is a strict superset of the exact bbox") {
     // removing the cell predicate must not change the result
     val indexed = SparkEntry.queries("q_spatial_bbox")(spark, sfDir)
