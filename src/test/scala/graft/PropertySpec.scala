@@ -96,6 +96,65 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
 
   // ---- polyHash: codepoint model, mod range, reference agreement --------
 
+  test("MisraGries honors both frequent-items guarantees for any stream and split tree") {
+    // items from a small domain (forces real evictions at k=4..8) with a
+    // skew knob so some runs have true heavy hitters and others none
+    val streamGen = for {
+      domain <- Gen.chooseNum(2, 20)
+      skew   <- Gen.chooseNum(1, 10)
+      xs <- Gen.listOf(Gen.frequency(
+        skew -> Gen.const("hot"),
+        10   -> Gen.chooseNum(0, domain).map("w" + _)))
+    } yield xs
+    check("misra-gries") {
+      Prop.forAll(streamGen, Gen.chooseNum(4, 8),
+        Gen.listOfN(3, Gen.chooseNum(0, 100))) { (xs, k, cuts) =>
+        val agg = new graft.functions.MisraGries(k)
+        // split into up to 4 partitions at arbitrary points, reduce each,
+        // then merge left-to-right — an arbitrary distributed shape
+        val points = cuts.map(c => xs.length * c / 100).sorted
+        val parts = (0 +: points :+ xs.length).sliding(2).collect {
+          case Seq(a2, b2) if b2 >= a2 => xs.slice(a2, b2)
+        }.toList
+        val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+          .reduceLeft(agg.merge)
+        val out   = agg.finish(merged)
+        val est   = out.items.zip(out.ests).toMap
+        val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val bound = xs.length.toLong / (k + 1)
+        val noMissedHH = exact.forall { case (w, c) =>
+          c <= bound || est.contains(w)
+        }
+        val inEnvelope = est.forall { case (w, e) =>
+          val t = exact.getOrElse(w, 0L)
+          e <= t && e >= t - bound
+        }
+        val bounded = out.items.length <= k
+        noMissedHH && inEnvelope && bounded
+      }
+    }
+  }
+
+  test("PII redaction is idempotent and removes every match of its own patterns") {
+    // pure-JVM mirror of TextOps.redactPii via java.util.regex (same
+    // dialect class the Column compiles to)
+    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+".r
+    val phone = "555-[0-9]{4}".r
+    def redact(s: String): String =
+      phone.replaceAllIn(email.replaceAllIn(s, "<EMAIL>"), "<PHONE>")
+    val txtGen = Gen.listOf(Gen.oneOf(
+      Gen.const("plain"), Gen.const("a@b.cd"), Gen.const("user9@mail.com"),
+      Gen.const("555-0199"), Gen.const("x555-12345"),
+      Gen.alphaLowerStr.map(_.take(8)))).map(_.mkString(" "))
+    check("pii-redact") {
+      Prop.forAll(txtGen) { s =>
+        val r = redact(s)
+        redact(r) == r && email.findFirstIn(r).isEmpty &&
+          phone.findFirstIn(r).isEmpty
+      }
+    }
+  }
+
   test("polyHash equals a BigInt reference model over arbitrary unicode strings") {
     import org.apache.spark.unsafe.types.UTF8String
     def ref(s: String): Long = {
