@@ -383,6 +383,34 @@ object Extras {
         expr("percentile(o_totalprice, 0.5)").as("exact_median"))
     },
 
+    // OHLC time bars: per-hour open/high/low/close of the event value —
+    // the argmin/argmax aggregate surface (min_by/max_by; DuckDB
+    // arg_min/arg_max). open/close pick the value at the min/max event_id
+    // in the bar (event_id is the unique arrival key, so the choice is
+    // deterministic in both engines); high/low are plain extremes. One
+    // map-side-combined shuffle on the hour key — the classic
+    // downsampling shape for telemetry/market data at any scale.
+    Q("q_ohlc_bars",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, count(*) AS n,
+        |       CAST(arg_min(CAST(round(value * 100) AS BIGINT), event_id) AS BIGINT)
+        |         AS open_c,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high_c,
+        |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low_c,
+        |       CAST(arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS BIGINT)
+        |         AS close_c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val c = cents(col("value"))
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          min_by(c, col("event_id")).as("open_c"),
+          max(c).as("high_c"), min(c).as("low_c"),
+          max_by(c, col("event_id")).as("close_c"))
+        .select(unix_micros(col("window.start")).as("hour_us"), col("n"),
+          col("open_c"), col("high_c"), col("low_c"), col("close_c"))
+        .orderBy("hour_us")
+    },
+
     // Ordered event-path per user (clickstream journey extraction). Spark
     // collect_list carries no order guarantee, so the struct list is
     // sorted AFTER collection — (ts, event_id, event_type) structs sort
