@@ -69,11 +69,13 @@ with open("HEADTOHEAD.json", "w") as f:
     json.dump(result, f, indent=1)
 
 rows.sort(key=lambda r: r["spark_s"] - r["duckdb_s"])
+ratio = f"{spark_total / duck_total:.2f}x" if duck_total > 0 else "n/a"
 print(f"{len(rows)} shared queries  spark={spark_total:.1f}s  duckdb={duck_total:.1f}s  "
-      f"ratio={spark_total / duck_total:.2f}x")
+      f"ratio={ratio}")
+wins, losses = rows[:5], rows[max(5, len(rows) - 5):]
 print("engine wins (spark - duck, top 5):")
-for r in rows[:5]:
+for r in wins:
     print(f"  {r['query']}: {r['spark_s']}s vs {r['duckdb_s']}s")
 print("duckdb wins (top 5):")
-for r in rows[-5:]:
+for r in losses:
     print(f"  {r['query']}: {r['spark_s']}s vs {r['duckdb_s']}s")

@@ -31,6 +31,10 @@ object Bench {
     }
     def jmap(f: ((String, Double, Long)) => String): String =
       results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    // Locale.ROOT: the f interpolator uses the default locale, and a
+    // comma-decimal locale would print 0,123 — invalid JSON downstream
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val total = results.map(_._2).filter(_ >= 0).sum
     // flush the async listener bus so the metric snapshot is complete
     org.apache.spark.GraftSparkBridge.waitListenerBus(spark.sparkContext, 10000)
@@ -38,7 +42,7 @@ object Bench {
     def stat(name: String, f: QueryStats => Long): Long =
       stats.get(name).map(f).getOrElse(0L)
     // 3 decimals keeps the timing line compact; -1 still marks failures
-    val qs      = jmap(r => f"${r._2}%.3f")
+    val qs      = jmap(r => fmt(r._2))
     val rowsJ   = jmap(r => r._3.toString)
     val shufJ   = jmap(r => (stat(r._1, _.shuffleWriteBytes.sum)
                            + stat(r._1, _.shuffleReadBytes.sum)).toString)
@@ -53,7 +57,7 @@ object Bench {
     // (2) the final line — the one guaranteed to survive the tail — carries
     // the timings SLOWEST-FIRST up to a fixed byte budget, with an explicit
     // count of omitted (fastest) entries and a pointer to the full file.
-    val fullJson = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows":$rowsJ,"shuffle_bytes":$shufJ,"spilled_bytes":$spillJ,"peak_exec_mem":$peakJ,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rows":$rowsJ,"shuffle_bytes":$shufJ,"spilled_bytes":$spillJ,"peak_exec_mem":$peakJ,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json: $e") }
@@ -61,14 +65,18 @@ object Bench {
     ops.Dedup.clearCaches(spark)
     ops.Corpus.clearCaches(spark)
     spark.stop()
+    // failures (-1) sort FIRST — a broken query must survive the byte
+    // budget ahead of any timing; then slowest-first. Stop at the first
+    // entry that doesn't fit so the order labels stay accurate (a greedy
+    // fill would sneak shorter-named fast entries past omitted slow ones).
     val sb = new StringBuilder
     var omitted = 0
-    results.sortBy(-_._2).foreach { r =>
-      val e = "\"" + r._1 + "\":" + f"${r._2}%.3f"
-      if (sb.length + e.length < 1450) {
+    results.sortBy(r => if (r._2 < 0) Double.MinValue else -r._2).foreach { r =>
+      val e = "\"" + r._1 + "\":" + fmt(r._2)
+      if (omitted == 0 && sb.length + e.length < 1450) {
         if (sb.nonEmpty) sb.append(','); sb.append(e)
       } else omitted += 1
     }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{$sb},"queries_order":"slowest_first","omitted_fastest":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$sb},"queries_order":"failures_then_slowest_first","omitted_fastest":$omitted,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }

@@ -106,10 +106,6 @@ object ScaleProbe {
           .reduce(_.union(_))
         graft.ops.TextOps.decontaminateFrom(dN).count()
       }
-      // CC loop on an m×-replicated cluster graph (disjoint replicas, ids
-      // shifted): isolates the iterative loop's scaling from the MinHash
-      // pipeline. Rounds must stay flat (disjoint copies of the same
-      // components); wall time must grow ~linearly.
       // spatial grid join on m× disjoint 20°-shifted tiles (constant point
       // density — the geometry analog of unique-key replication): candidate
       // volume is Θ(points × cell density), so wall time must stay linear.
@@ -124,6 +120,10 @@ object ScaleProbe {
           .reduce(_.union(_))
         graft.ops.Spatial.neighborCounts(segN).count()
       }
+      // CC loop on an m×-replicated cluster graph (disjoint replicas, ids
+      // shifted): isolates the iterative loop's scaling from the MinHash
+      // pipeline. Rounds must stay flat (disjoint copies of the same
+      // components); wall time must grow ~linearly.
       timed("cc_loop_replicated") {
         val off = 1000000000L
         val cl = graft.ops.Dedup.clusterFrame(spark, sfDir).select(col("cid"), col("ms"))

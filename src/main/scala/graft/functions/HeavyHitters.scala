@@ -34,13 +34,13 @@ class MisraGries(k: Int)
     if (b.contains(a) || b.size < k) b.update(a, b.getOrElse(a, 0L) + 1L)
     else {
       // decrement-all: conceptually cancels one occurrence of each of k+1
-      // distinct items (the incoming one included); drop zeros
-      val dead = mutable.ArrayBuffer.empty[String]
-      b.keysIterator.foreach { key =>
-        val c = b(key) - 1L
-        if (c == 0L) dead += key else b.update(key, c)
+      // distinct items (the incoming one included); drop zeros. Iterate a
+      // SNAPSHOT — updating a mutable.Map while walking its keysIterator
+      // can skip or revisit entries (hash-table resize/relink mid-walk).
+      b.toArray.foreach { case (key, c0) =>
+        val c = c0 - 1L
+        if (c == 0L) b.remove(key) else b.update(key, c)
       }
-      dead.foreach(b.remove)
     }
     b
   }
@@ -50,21 +50,18 @@ class MisraGries(k: Int)
     b2.foreach { case (key, c) => b1.update(key, b1.getOrElse(key, 0L) + c) }
     if (b1.size > k) {
       // keep the k largest; subtract the (k+1)-th largest from survivors —
-      // the error this introduces stays within the n/(k+1) envelope
+      // the error this introduces stays within the n/(k+1) envelope.
+      // Snapshot before mutating (same mid-walk hazard as in reduce).
       val counts = b1.values.toArray.sortBy(-_)
       val cut    = counts(k)
-      val dead   = mutable.ArrayBuffer.empty[String]
-      b1.keysIterator.foreach { key =>
-        val c = b1(key) - cut
-        if (c <= 0L) dead += key else b1.update(key, c)
+      b1.toArray.foreach { case (key, c0) =>
+        val c = c0 - cut
+        if (c <= 0L) b1.remove(key) else b1.update(key, c)
       }
-      dead.foreach(b1.remove)
-      // ties at the cut can leave > k survivors with positive count only
-      // when counts are equal; trim deterministically by (count, key)
-      if (b1.size > k) {
-        val keep = b1.toSeq.sortBy { case (key, c) => (-c, key) }.take(k).map(_._1).toSet
-        b1.keysIterator.filterNot(keep).toArray.foreach(b1.remove)
-      }
+      // at most k entries can exceed the (k+1)-th largest value, and ties
+      // AT the cut land on exactly 0 and are dropped above — so the
+      // summary is provably back within k entries here
+      assert(b1.size <= k, s"MG merge invariant broken: ${b1.size} > $k")
     }
     b1
   }

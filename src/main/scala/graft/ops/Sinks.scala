@@ -254,19 +254,33 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("date")
       .parquet(staging.toString)
+    // Hadoop FileSystem.rename/mkdirs report failure by RETURNING FALSE,
+    // not throwing. Every publish step must be checked: a silently failed
+    // rename followed by the staging delete + manifest commit below would
+    // be permanent data loss under an exactly-once marker. On any failure
+    // we throw BEFORE touching staging or the manifest, so a replay of the
+    // batch finds no manifest, clears the b<id>- partials, and redoes the
+    // publish from intact staged files.
+    def must(ok: Boolean, what: => String): Unit =
+      if (!ok) throw new java.io.IOException(s"commitBatch($batchId): $what")
     fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
       .foreach { d =>
         val dest = new Path(root, d.getPath.getName)
-        fs.mkdirs(dest)
+        must(fs.mkdirs(dest) || fs.getFileStatus(dest).isDirectory,
+          s"mkdirs failed: $dest")
         fs.listStatus(d.getPath)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .foreach(f => fs.rename(f.getPath, new Path(dest, prefix + f.getPath.getName)))
+          .foreach { f =>
+            val target = new Path(dest, prefix + f.getPath.getName)
+            must(fs.rename(f.getPath, target), s"rename ${f.getPath} -> $target")
+          }
       }
     fs.delete(staging, true)
-    fs.mkdirs(manifests)
+    must(fs.mkdirs(manifests) || fs.getFileStatus(manifests).isDirectory,
+      s"mkdirs failed: $manifests")
     val tmp = new Path(manifests, s".tmp-$batchId")
     fs.create(tmp, true).close()
-    fs.rename(tmp, manifest)
+    must(fs.rename(tmp, manifest), s"manifest rename $tmp -> $manifest")
   }
 }

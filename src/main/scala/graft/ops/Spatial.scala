@@ -139,42 +139,30 @@ object Spatial {
            |)
            |SELECT probe_id, nbr_id, d2, rn FROM ranked
            |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin)) { (s, dir) =>
-      val pts = Segments.df(s, dir).select(col("segmentid"),
-        col("endlon").as("x"), col("endlat").as("y"),
-        cellOf(col("endlon")).as("cx"), cellOf(col("endlat")).as("cy"))
-      val offsets = array(lit(-1L), lit(0L), lit(1L))
-      val a = pts.filter(col("segmentid") % 20 === 0)
-        .withColumn("dx", explode(offsets))
-        .withColumn("dy", explode(offsets))
-        .select(col("segmentid").as("probe_id"), col("x").as("ax"),
-          col("y").as("ay"), (col("cx") + col("dx")).as("cx"),
-          (col("cy") + col("dy")).as("cy"))
-      val b = pts.select(col("segmentid").as("nbr_id"), col("x").as("bx"),
-        col("y").as("by"), col("cx"), col("cy"))
-      val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-        (col("ay") - col("by")) * (col("ay") - col("by"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("probe_id").orderBy(col("d2"), col("nbr_id"))
-      a.join(b, Seq("cx", "cy"))
-        .filter(col("probe_id") =!= col("nbr_id"))
-        .withColumn("d2", d2)
+      candidatePairs(Segments.df(s, dir), col("segmentid") % 20 === 0)
         .filter(col("d2") < expr(s"CAST($CellSq AS DOUBLE)"))
+        .select(col("a_id").as("probe_id"), col("b_id").as("nbr_id"), col("d2"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("probe_id"), col("nbr_id"), col("d2"), col("rn"))
         .orderBy("probe_id", "rn")
     }
   )
 
-  /** Core of q_spatial_join_grid over an explicit segments frame (tests /
-    * scale probes drive it on synthetic frames).
+  /** The shared grid-join kernel: directed candidate pairs (a → b, a ≠ b)
+    * within the 3×3 cell neighborhood of each probe, with squared distance.
+    * `probe` filters the replicated side BEFORE replication; each directed
+    * pair appears exactly once (distinct (dx,dy) land in distinct cells).
+    * Single-sourced so the distance join and the kNN cannot drift on the
+    * grid contract (cell size, neighborhood width, self-exclusion).
     */
-  private[graft] def neighborCounts(segments: DataFrame): DataFrame = {
+  private def candidatePairs(segments: DataFrame, probe: Column): DataFrame = {
     val pts = segments.select(col("segmentid"), col("endlon").as("x"),
       col("endlat").as("y"), cellOf(col("endlon")).as("cx"),
       cellOf(col("endlat")).as("cy"))
     val offsets = array(lit(-1L), lit(0L), lit(1L))
-    val a = pts
+    val a = pts.filter(probe)
       .withColumn("dx", explode(offsets))
       .withColumn("dy", explode(offsets))
       .select(col("segmentid").as("a_id"), col("x").as("ax"), col("y").as("ay"),
@@ -186,9 +174,16 @@ object Spatial {
     a.join(b, Seq("cx", "cy"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("d2", d2)
+      .select("a_id", "b_id", "d2")
+  }
+
+  /** Core of q_spatial_join_grid over an explicit segments frame (tests /
+    * scale probes drive it on synthetic frames).
+    */
+  private[graft] def neighborCounts(segments: DataFrame): DataFrame =
+    candidatePairs(segments, lit(true))
       .filter(col("d2") < expr(s"CAST($RadiusSq AS DOUBLE)"))
       .groupBy(col("a_id").as("segmentid"))
       .agg(count(lit(1)).as("n_neighbors"), min("d2").as("min_d2"))
       .orderBy("segmentid")
-  }
 }

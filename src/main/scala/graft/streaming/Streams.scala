@@ -191,7 +191,13 @@ object Streams {
             val rec = TsId(usOf(e.ts), e.id)
             if (e.kind == 0) lefts = lefts :+ rec else rights = rights :+ rec
           }
-          val wmMs = state.getCurrentWatermarkMs()
+          // batch mode has no watermark clock (GroupState throws) — treat
+          // it as +infinity: every left is final, the whole as-of join
+          // resolves in the single invocation, keeping the documented
+          // batch/stream duality of this object
+          val (wmMs, hasWm) =
+            try ((state.getCurrentWatermarkMs(), true))
+            catch { case _: UnsupportedOperationException => (Long.MaxValue, false) }
           // emittable once the watermark passes the left's event time (ms
           // floor: the watermark clock is milliseconds)
           val (ready, pending) = lefts.partition(_.us / 1000 < wmMs)
@@ -205,9 +211,14 @@ object Streams {
           if (pending.isEmpty && kept.isEmpty) state.remove()
           else {
             state.update(AsOfBuf(pending, kept))
-            if (pending.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(wmMs + 1, pending.map(_.us / 1000).min + 1))
+            // re-invoke the key while ANYTHING is still watermark-bounded:
+            // pending lefts (to flush them) or at-or-above rights (so a
+            // key whose lefts stop arriving still compacts its rights down
+            // to the single dominating one as the watermark advances —
+            // without this, idle right-heavy keys retain state forever)
+            val next = (pending.iterator ++ atOrAbove.iterator).map(_.us / 1000)
+            if (hasWm && next.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wmMs + 1, next.min + 1))
           }
           out.iterator
       }

@@ -108,7 +108,11 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     } yield xs
     check("misra-gries") {
       Prop.forAll(streamGen, Gen.chooseNum(4, 8),
-        Gen.listOfN(3, Gen.chooseNum(0, 100))) { (xs, k, cuts) =>
+        Gen.listOfN(3, Gen.chooseNum(0, 100))) { (xs, k0, cuts0) =>
+        // scalacheck shrinking can step outside chooseNum's range (k=-2
+        // was observed); clamp both knobs back into their domains
+        val k    = math.min(8, math.max(1, k0))
+        val cuts = cuts0.map(c => math.min(100, math.max(0, c)))
         val agg = new graft.functions.MisraGries(k)
         // split into up to 4 partitions at arbitrary points, reduce each,
         // then merge left-to-right — an arbitrary distributed shape

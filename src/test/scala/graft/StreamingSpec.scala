@@ -260,6 +260,26 @@ class StreamingSpec extends SparkSpec {
       "streaming as-of diverged from the batch native operator")
   }
 
+  test("asOfJoinStream on plain batch frames equals the native batch as-of join") {
+    // the object's contract: the same transform runs in both modes. In
+    // batch there is no watermark clock — every left must resolve in the
+    // single invocation (wm = +inf), not crash or emit nothing.
+    val leftB = loadEvents.toDF()
+    val rightB = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("event_id"),
+        timestamp_micros(unix_micros(col("o_orderdate").cast("timestamp"))
+          + col("o_orderkey")).as("ts"),
+        col("o_custkey").as("user_id"), lit("x").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    val got = Streams.asOfJoinStream(leftB, rightB).toDF()
+      .select(col("l_id").as("event_id"), col("l_us").as("us"),
+        col("r_id").as("o_orderkey"), col("r_us").as("ous"))
+    val want = SparkEntry.queries("q_asof_join_native")(spark, sfDir)
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+      "batch-mode asOfJoinStream diverged from the native as-of join")
+  }
+
   test("streaming fingerprint dedup drops content re-uploads across micro-batches") {
     val ms = MemoryStream[StreamingSpec.Doc](spark)
     def Doc(id: Long, text: String, t: Timestamp) = StreamingSpec.Doc(id, text, t)
