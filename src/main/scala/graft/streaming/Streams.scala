@@ -39,6 +39,25 @@ object Streams {
     docs.filter(graft.ops.TextOps.qualityKeep(col("text")))
       .withColumn("text", graft.ops.TextOps.redactPii(col("text")))
 
+  /** Streaming geofence: grid-cell coarse filter + exact bbox over a
+    * segment stream (endpoint coordinates) — the streaming face of the
+    * R20 spatial index analog (ops.Spatial). Stateless per-row predicates:
+    * no watermark, no state store, and on a cell-partitioned source the
+    * same cell predicate prunes partitions. Batch ≡ stream by construction
+    * (same Column expressions; StreamingSpec asserts it).
+    */
+  def geofence(segments: DataFrame,
+      lonMin: Double, lonMax: Double, latMin: Double, latMax: Double): DataFrame = {
+    val cellLo = (v: Double) => math.floor(v / 0.05).toLong
+    segments
+      .filter(graft.ops.Spatial.cellOf(col("endlon"))
+        .between(cellLo(lonMin), cellLo(lonMax)) &&
+        graft.ops.Spatial.cellOf(col("endlat"))
+          .between(cellLo(latMin), cellLo(latMax)) &&
+        col("endlon").between(lonMin, lonMax) &&
+        col("endlat").between(latMin, latMax))
+  }
+
   /** Tumbling 1-hour counts/sums — streaming twin of q_tumbling_hourly. */
   def tumblingHourly(events: DataFrame): DataFrame =
     maybeWatermark(events)

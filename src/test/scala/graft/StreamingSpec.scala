@@ -327,6 +327,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(batch).count() === 0 && batch.except(got).count() === 0)
   }
 
+  test("streaming geofence equals the batch bbox filter over synthesized segments") {
+    val ms = MemoryStream[Event](spark)
+    val events = loadEvents
+    val q = Streams.geofence(
+      graft.ops.Segments.fromEvents(ms.toDF()), -134.0, -132.5, 50.0, 52.0)
+      .select("segmentid", "endlon", "endlat")
+      .writeStream.outputMode("append").format("memory").queryName("geofence").start()
+    ms.addData(events.take(events.size / 2))
+    q.processAllAvailable()
+    ms.addData(events.drop(events.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("geofence")
+    val want = SparkEntry.queries("q_spatial_bbox")(spark, sfDir)
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+      "streaming geofence diverged from the batch bbox query")
+  }
+
   test("stream metrics listener records per-batch rows, state size and watermark") {
     val listener = new StreamMetricsListener
     spark.streams.addListener(listener)
