@@ -358,6 +358,33 @@ object Advanced {
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     },
 
+    // Frame-edge window functions: first/last/nth order per customer over
+    // the full partition frame — the value-extraction trio
+    // (first_value/last_value/nth_value) that rank/ntile queries don't
+    // cover. The frame is pinned to the WHOLE partition (unbounded both
+    // ways): last_value over the default running frame is the classic
+    // silent-wrong-answer, so the explicit frame is the point of the test.
+    Q("q_window_first_last",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_ok,
+        |  CAST(last_value(o_orderkey) OVER w AS BIGINT) AS last_ok,
+        |  CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Bitwise aggregates over the per-type user-id sets — set-membership
     // masks computed distributively (AND/OR/XOR are associative +
     // commutative → full map-side combine, shuffle carries one long per

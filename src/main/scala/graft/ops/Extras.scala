@@ -383,6 +383,39 @@ object Extras {
         expr("percentile(o_totalprice, 0.5)").as("exact_median"))
     },
 
+    // Point-in-time (SCD2-style as-of) dimension read: treat each order as
+    // a version of its customer's state, close each version with lead()
+    // (valid_from inclusive, valid_to exclusive, NULL = current), then
+    // resolve the dimension AS OF a fixed timestamp — the query-side twin
+    // of the scd2Merge sink (ops/Sinks.scala): one per-key window, then a
+    // narrow per-row interval predicate; at scale the version table is
+    // partition-pruned on valid_from before the window runs.
+    Q("q_scd2_asof",
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         epoch_us(o_orderdate) + o_orderkey AS vf,
+        |         lead(epoch_us(o_orderdate) + o_orderkey) OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY epoch_us(o_orderdate) + o_orderkey) AS vt
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(vf AS BIGINT) AS valid_from_us,
+        |       (vt IS NULL) AS was_latest
+        |FROM v
+        |WHERE vf <= 897868800000000 AND (vt IS NULL OR vt > 897868800000000)
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val vf = unix_micros(col("o_orderdate").cast("timestamp")) + col("o_orderkey")
+      val w  = Window.partitionBy(col("o_custkey")).orderBy(vf)
+      val asOf = lit(897868800000000L) // 1998-06-15T00:00:00Z, mid-corpus
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          vf.as("vf"), lead(vf, 1).over(w).as("vt"))
+        .filter(col("vf") <= asOf && (col("vt").isNull || col("vt") > asOf))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("vf").as("valid_from_us"), col("vt").isNull.as("was_latest"))
+        .orderBy("o_custkey")
+    },
+
     // OHLC time bars: per-hour open/high/low/close of the event value —
     // the argmin/argmax aggregate surface (min_by/max_by; DuckDB
     // arg_min/arg_max). open/close pick the value at the min/max event_id
