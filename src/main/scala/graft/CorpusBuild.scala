@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus build CLI: the full training-data pipeline composed
   * from the shipped operators and materialized to disk —
   *
-  *   documents → quality/language filter → near-dup representative
-  *   selection (MinHash + connected components) → deterministic
-  *   train/valid/test split → parquet partitioned by split.
+  *   documents → language filter + C4/Gopher quality gates → near-dup
+  *   representative selection (MinHash + connected components) → PII
+  *   redaction of the emitted text → deterministic train/valid/test
+  *   split → parquet partitioned by split.
   *
   * This is the artifact a training job actually consumes: readers of one
   * split prune to its partition; split membership is the reproducible

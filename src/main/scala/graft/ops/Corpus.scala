@@ -146,14 +146,20 @@ object Corpus {
   def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
     val toks    = split(col("text"), " ")
     val quality = TextOps.enStopHits(toks) / size(toks)
+    // language + stopword-density + the C4/Gopher gate conjunction (the
+    // same Column expression the oracle-checked q_quality_gates keeps on)
     val filtered = Tables.documents(spark, dir)
-      .filter(col("lang") === "en" && quality >= 0.05)
-      .select("doc_id", "lang", "n_chars")
+      .filter(col("lang") === "en" && quality >= 0.05 &&
+        TextOps.qualityKeep(col("text")))
+      .select("doc_id", "lang", "n_chars", "text")
     val reps = filtered
       .join(nearDupComponents(spark, dir), "doc_id")
       .groupBy("keeper").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+    // dedup/representative selection sees ORIGINAL text; only the emitted
+    // corpus is redacted — redaction must never change dedup decisions
     filtered.join(reps, "doc_id")
+      .withColumn("text", TextOps.redactPii(col("text")))
   }
 
   val queries: Seq[Q] = Seq(

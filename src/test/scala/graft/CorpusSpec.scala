@@ -54,7 +54,8 @@ class CorpusSpec extends SparkSpec {
     val toks = split(col("text"), " ")
     val survivors = Tables.documents(spark, sfDir)
       .filter(col("lang") === "en" &&
-        ops.TextOps.enStopHits(toks) / size(toks) >= 0.05)
+        ops.TextOps.enStopHits(toks) / size(toks) >= 0.05 &&
+        ops.TextOps.qualityKeep(col("text")))
       .select("doc_id")
     val survivorComps   = survivors.join(labels, "doc_id").select("keeper").distinct()
     val representedComps = withComp.select("keeper").distinct()
