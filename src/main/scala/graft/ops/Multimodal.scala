@@ -59,6 +59,122 @@ object Multimodal {
     decodeStub(encode(spark, sfDir).as[MediaRow])
   }
 
+  // ---- REAL pure-JVM codecs: BMP (image) and WAV/PCM (audio) ------------
+  //
+  // These two formats are plain byte arithmetic — no codec library needed —
+  // so unlike the JPEG/MP4-class stub above, this path builds genuine file
+  // bytes and genuinely parses them back. Construction parameters derive
+  // from doc_id alone, so the DuckDB oracle recomputes every decoded value
+  // arithmetically while the engine must actually walk the binary format
+  // (headers verified, padding skipped, samples read as little-endian
+  // int16). Real-format references: BMP = BITMAPFILEHEADER(14) +
+  // BITMAPINFOHEADER(40) + 24bpp rows padded to 4 bytes; WAV = RIFF/WAVE +
+  // 16-byte PCM fmt chunk + data chunk (public, ubiquitous specs).
+
+  case class RealMedia(media_id: Long, kind: String, payload: Array[Byte])
+  case class RealDecoded(media_id: Long, kind: String,
+      width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], n_samples: Option[Int],
+      file_size: Int, content_sum: Long)
+
+  private def bmpBytes(id: Long): Array[Byte] = {
+    val w = (4 + id % 8).toInt; val h = (2 + id % 5).toInt
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + h * rowSize
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)        // reserved, pixel offset
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(h * rowSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)                       // 72 dpi; no palette
+    var k = 0
+    (0 until h).foreach { _ =>
+      var x = 0
+      while (x < w) {
+        val v = ((id + k) % 256).toByte
+        bb.put(v).put(v).put(v); k += 1; x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+    }
+    bb.array()
+  }
+
+  private def wavBytes(id: Long): Array[Byte] = {
+    val rate = (8000 + (id % 3) * 4000).toInt
+    val n = (100 + id % 50).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16) // PCM mono 16-bit
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    (0 until n).foreach(i => bb.putShort(((id + i * 7) % 2003 - 1001).toShort))
+    bb.array()
+  }
+
+  /** documents → genuine BMP/WAV file bytes (even ids image, odd audio). */
+  def encodeReal(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select("doc_id").as[Long].map { id =>
+      if (id % 2 == 0) RealMedia(id, "image", bmpBytes(id))
+      else RealMedia(id, "audio", wavBytes(id))
+    }
+  }
+
+  /** Parse the real file bytes back: verify magic + header layout, skip BMP
+    * row padding, read WAV samples as LE int16. A malformed payload yields
+    * a quarantine row (kind = "invalid") rather than a thrown task — the
+    * PERMISSIVE posture of the JSON source, applied to binary media.
+    */
+  def decodeReal(media: Dataset[RealMedia]): Dataset[RealDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val p = m.payload
+        def invalid = RealDecoded(m.media_id, "invalid", None, None, None, None,
+          p.length, 0L)
+        try {
+          val bb = java.nio.ByteBuffer.wrap(p)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
+            val w = bb.getInt(18); val h = bb.getInt(22)
+            require(bb.getShort(28) == 24 && bb.getInt(10) == 54)
+            val rowSize = ((w * 3 + 3) / 4) * 4
+            require(p.length == 54 + h * rowSize)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              val base = 54 + y * rowSize
+              var x = 0
+              while (x < w * 3) { sum += p(base + x) & 0xff; x += 1 }
+              y += 1
+            }
+            RealDecoded(m.media_id, "image", Some(w), Some(h), None, None,
+              p.length, sum)
+          } else if (p.length >= 44 && p(0) == 'R' && p(8) == 'W') {
+            require(new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+              new String(p, 8, 4, "US-ASCII") == "WAVE" &&
+              bb.getShort(20) == 1 && bb.getShort(34) == 16)
+            val rate = bb.getInt(24)
+            val n = bb.getInt(40) / 2
+            require(p.length == 44 + n * 2)
+            var sum = 0L
+            var i = 0
+            while (i < n) { sum += math.abs(bb.getShort(44 + i * 2).toLong); i += 1 }
+            RealDecoded(m.media_id, "audio", None, None, Some(rate), Some(n),
+              p.length, sum)
+          } else invalid
+        } catch {
+          case _: IllegalArgumentException  => invalid // a require tripped
+          case _: IndexOutOfBoundsException => invalid // header lied about size
+        }
+      }
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Decoded metadata — engine goes binary-encode → mapPartitions-decode;
@@ -74,6 +190,40 @@ object Multimodal {
         |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
       decoded(s, dir).toDF()
         .select("media_id", "kind", "width", "height", "sample_rate", "n_frames")
+        .orderBy("media_id")
+    },
+
+    // REAL codec round-trip: the engine BUILDS genuine BMP/WAV bytes and
+    // PARSES them back (headers verified, padding skipped, LE int16
+    // samples); the oracle recomputes every decoded value from the same
+    // doc_id arithmetic the builder used. Narrow per-row work end-to-end.
+    Q("q_media_codec",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         (doc_id % 2 = 0) AS is_img,
+        |         CAST(4 + doc_id % 8 AS INTEGER) AS w,
+        |         CAST(2 + doc_id % 5 AS INTEGER) AS h,
+        |         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate,
+        |         CAST(100 + doc_id % 50 AS INTEGER) AS n
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN is_img THEN 'image' ELSE 'audio' END AS kind,
+        |  CASE WHEN is_img THEN w END AS width,
+        |  CASE WHEN is_img THEN h END AS height,
+        |  CASE WHEN is_img THEN NULL ELSE rate END AS sample_rate,
+        |  CASE WHEN is_img THEN NULL ELSE n END AS n_samples,
+        |  CAST(CASE WHEN is_img THEN 54 + h * (((w * 3 + 3) // 4) * 4)
+        |            ELSE 44 + n * 2 END AS INTEGER) AS file_size,
+        |  CAST(CASE WHEN is_img
+        |       THEN 3 * list_aggregate(list_transform(range(0, w * h),
+        |              k -> (doc_id + k) % 256), 'sum')
+        |       ELSE list_aggregate(list_transform(range(0, n),
+        |              i -> abs((doc_id + i * 7) % 2003 - 1001)), 'sum')
+        |       END AS BIGINT) AS content_sum
+        |FROM m ORDER BY media_id""".stripMargin) { (s, dir) =>
+      decodeReal(encodeReal(s, dir)).toDF()
+        .select("media_id", "kind", "width", "height", "sample_rate",
+          "n_samples", "file_size", "content_sum")
         .orderBy("media_id")
     },
 

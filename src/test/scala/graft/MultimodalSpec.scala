@@ -44,4 +44,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f.groupBy("media_id").count().filter(col("count") > 4).count() === 0)
     assert(f.filter(col("media_id") % 3 =!= 2).count() === 0)
   }
+
+  test("real BMP/WAV codec round-trips construction parameters for every document") {
+    // parse(build(id)) must round-trip construction parameters exactly,
+    // for every document — the decode genuinely reads the bytes (the
+    // oracle separately recomputes the same values arithmetically)
+    import spark.implicits._
+    val dec = ops.Multimodal.decodeReal(ops.Multimodal.encodeReal(spark, sfDir))
+    val df  = dec.toDF().cache()
+    try {
+      assert(df.filter(col("kind") === "invalid").count() === 0,
+        "a built payload failed its own parser")
+      assert(df.filter(col("kind") === "image" &&
+        (col("width") =!= (lit(4) + col("media_id") % 8) ||
+         col("height") =!= (lit(2) + col("media_id") % 5))).count() === 0)
+      assert(df.filter(col("kind") === "audio" &&
+        col("n_samples") =!= (lit(100) + col("media_id") % 50)).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("real codec quarantines malformed payloads instead of failing the task") {
+    import spark.implicits._
+    val junk = Seq(
+      ops.Multimodal.RealMedia(1L, "image", Array[Byte]('B', 'M', 3, 1)), // truncated
+      ops.Multimodal.RealMedia(2L, "audio", "RIFFxxxxWAVEbroken".getBytes("US-ASCII")),
+      ops.Multimodal.RealMedia(3L, "image", Array[Byte](9, 9, 9))).toDS()
+    val out = ops.Multimodal.decodeReal(junk).collect()
+    assert(out.length === 3 && out.forall(_.kind == "invalid"),
+      s"malformed payloads must quarantine, got ${out.map(_.kind).toSeq}")
+  }
 }
