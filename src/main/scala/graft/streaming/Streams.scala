@@ -39,6 +39,29 @@ object Streams {
     docs.filter(graft.ops.TextOps.qualityKeep(col("text")))
       .withColumn("text", graft.ops.TextOps.redactPii(col("text")))
 
+  /** Windowed heavy-hitter terms over a document stream: the mergeable
+    * Misra–Gries Aggregator (functions/HeavyHitters) as a streaming
+    * windowed aggregate — per (window) state is the bounded k-entry
+    * summary, NOT the vocabulary, so state size is O(windows × k) at any
+    * ingest rate; the watermark closes windows and evicts their state.
+    * The same sketch the batch q_heavy_hitters runs, now with the
+    * guarantee horizon scoped per window.
+    */
+  def hotTermsPerWindow(docs: DataFrame, k: Int = 8): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(k))
+    maybeWatermarkOn(docs, "ingest_ts")
+      .select(col("ingest_ts"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(window(col("ingest_ts"), "1 hour"))
+      .agg(mg(col("w")).as("hh"))
+      .select(unix_micros(col("window.start")).as("window_us"),
+        posexplode(arrays_zip(col("hh.items"), col("hh.ests"))).as(Seq("rank", "e")))
+      .select(col("window_us"), col("rank"),
+        col("e.items").as("word"), col("e.ests").as("est"))
+  }
+
+  private def maybeWatermarkOn(df: DataFrame, tsCol: String): DataFrame =
+    if (df.isStreaming) df.withWatermark(tsCol, WatermarkDelay) else df
+
   /** Streaming geofence: grid-cell coarse filter + exact bbox over a
     * segment stream (endpoint coordinates) — the streaming face of the
     * R20 spatial index analog (ops.Spatial). Stateless per-row predicates:

@@ -327,6 +327,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(batch).count() === 0 && batch.except(got).count() === 0)
   }
 
+  test("windowed Misra-Gries hot terms: bounded summary per window, hot word on top") {
+    val ms = MemoryStream[StreamingSpec.Doc](spark)
+    val hot  = Seq.fill(30)("spark").mkString(" ")
+    val cold = "alpha beta gamma delta epsilon zeta eta theta"
+    val q = Streams.hotTermsPerWindow(ms.toDF(), k = 4)
+      .writeStream.outputMode("append").format("memory").queryName("hot_terms").start()
+    // two batches inside hour-0, then an hour-2 sentinel: the watermark
+    // passes hour-0's end, so its finalized summary is emitted (append)
+    ms.addData(StreamingSpec.Doc(1, hot, ts(1)), StreamingSpec.Doc(2, cold, ts(2)))
+    q.processAllAvailable()
+    ms.addData(StreamingSpec.Doc(3, hot, ts(10)))
+    q.processAllAvailable()
+    ms.addData(StreamingSpec.Doc(99, "flush", ts(150)))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("hot_terms").filter(col("window_us") === 0L)
+    assert(w0.count() > 0 && w0.count() <= 4, "summary must stay within k entries")
+    val top = w0.orderBy(col("rank")).select("word").as[String].head()
+    assert(top === "spark", s"hot word must dominate the window summary, got $top")
+    // 60 occurrences across 38 cold words, k=4: est within the n/(k+1) envelope
+    val est = w0.filter(col("word") === "spark").select("est").as[Long].head()
+    assert(est <= 60L && est >= 60L - (68L / 5L), s"estimate $est escaped the envelope")
+  }
+
   test("streaming geofence equals the batch bbox filter over synthesized segments") {
     val ms = MemoryStream[Event](spark)
     val events = loadEvents
