@@ -157,9 +157,12 @@ object Corpus {
       .groupBy("keeper").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     // dedup/representative selection sees ORIGINAL text; only the emitted
-    // corpus is redacted — redaction must never change dedup decisions
+    // corpus is redacted — redaction must never change dedup decisions.
+    // n_chars is recomputed AFTER redaction so consumers' length accounting
+    // describes the text they actually read.
     filtered.join(reps, "doc_id")
       .withColumn("text", TextOps.redactPii(col("text")))
+      .withColumn("n_chars", length(col("text")))
   }
 
   val queries: Seq[Q] = Seq(

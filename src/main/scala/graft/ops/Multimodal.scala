@@ -141,6 +141,9 @@ object Multimodal {
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
             val w = bb.getInt(18); val h = bb.getInt(22)
+            // w <= 0 makes rowSize 0, which would let ANY height pass the
+            // size check below with an empty pixel loop — quarantine it
+            require(w > 0 && h > 0)
             require(bb.getShort(28) == 24 && bb.getInt(10) == 54)
             val rowSize = ((w * 3 + 3) / 4) * 4
             require(p.length == 54 + h * rowSize)

@@ -34,6 +34,21 @@ object Spatial {
   /** Grid cell index of a coordinate (floor division, negative-safe). */
   def cellOf(c: Column): Column = floor(c / lit(CellDeg))
 
+  /** Indexed bbox predicate over endpoint columns: the grid-cell coarse
+    * range (partition-prunable on a cell-partitioned layout; superset of
+    * the exact box by floor monotonicity) AND the exact bounds. The single
+    * source for q_spatial_bbox and the streaming geofence — cell size
+    * lives only here.
+    */
+  def bboxFilter(lonMin: Double, lonMax: Double,
+      latMin: Double, latMax: Double): Column = {
+    def lo(v: Double) = math.floor(v / CellDeg).toLong
+    cellOf(col("endlon")).between(lo(lonMin), lo(lonMax)) &&
+      cellOf(col("endlat")).between(lo(latMin), lo(latMax)) &&
+      col("endlon").between(lonMin, lonMax) &&
+      col("endlat").between(latMin, latMax)
+  }
+
   // bbox: endpoint longitude [-134, -132.5] × latitude [50, 52] — inside
   // the fixture's coordinate domain at every scale factor (small-sf runs
   // only populate the low user-id longitudes). Coarse cell bounds derive
@@ -67,11 +82,7 @@ object Spatial {
            |  AND endlat BETWEEN $LatMin AND $LatMax
            |ORDER BY segmentid""".stripMargin)) { (s, dir) =>
       Segments.df(s, dir)
-        .select(col("segmentid"), col("endlon"), col("endlat"),
-          cellOf(col("endlon")).as("cx"), cellOf(col("endlat")).as("cy"))
-        .filter(col("cx").between(CxMin, CxMax) && col("cy").between(CyMin, CyMax) &&
-          col("endlon").between(LonMin, LonMax) &&
-          col("endlat").between(LatMin, LatMax))
+        .filter(bboxFilter(LonMin, LonMax, LatMin, LatMax))
         .select(col("segmentid"), col("endlon"), col("endlat"))
         .orderBy("segmentid")
     },

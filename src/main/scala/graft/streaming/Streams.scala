@@ -26,7 +26,7 @@ object Streams {
   final val SessionGap     = "30 minutes"
 
   private def maybeWatermark(events: DataFrame): DataFrame =
-    if (events.isStreaming) events.withWatermark("ts", WatermarkDelay) else events
+    maybeWatermarkOn(events, "ts")
 
   /** Streaming corpus curation: the C4/Gopher quality-gate filter plus PII
     * redaction as one stateless per-row stage — no watermark, no state
@@ -70,16 +70,8 @@ object Streams {
     * (same Column expressions; StreamingSpec asserts it).
     */
   def geofence(segments: DataFrame,
-      lonMin: Double, lonMax: Double, latMin: Double, latMax: Double): DataFrame = {
-    val cellLo = (v: Double) => math.floor(v / 0.05).toLong
-    segments
-      .filter(graft.ops.Spatial.cellOf(col("endlon"))
-        .between(cellLo(lonMin), cellLo(lonMax)) &&
-        graft.ops.Spatial.cellOf(col("endlat"))
-          .between(cellLo(latMin), cellLo(latMax)) &&
-        col("endlon").between(lonMin, lonMax) &&
-        col("endlat").between(latMin, latMax))
-  }
+      lonMin: Double, lonMax: Double, latMin: Double, latMax: Double): DataFrame =
+    segments.filter(graft.ops.Spatial.bboxFilter(lonMin, lonMax, latMin, latMax))
 
   /** Tumbling 1-hour counts/sums — streaming twin of q_tumbling_hourly. */
   def tumblingHourly(events: DataFrame): DataFrame =

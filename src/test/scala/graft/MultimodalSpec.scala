@@ -65,12 +65,22 @@ class MultimodalSpec extends SparkSpec {
 
   test("real codec quarantines malformed payloads instead of failing the task") {
     import spark.implicits._
+    // a 54-byte 'BM' header claiming width 0: rowSize 0 would satisfy the
+    // size check at any height — must still quarantine
+    val zeroWidthBmp = {
+      val bb = java.nio.ByteBuffer.allocate(54)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0)
+        .putInt(54).putInt(40).putInt(0).putInt(7).putShort(1).putShort(24)
+      bb.array()
+    }
     val junk = Seq(
       ops.Multimodal.RealMedia(1L, "image", Array[Byte]('B', 'M', 3, 1)), // truncated
       ops.Multimodal.RealMedia(2L, "audio", "RIFFxxxxWAVEbroken".getBytes("US-ASCII")),
-      ops.Multimodal.RealMedia(3L, "image", Array[Byte](9, 9, 9))).toDS()
+      ops.Multimodal.RealMedia(3L, "image", Array[Byte](9, 9, 9)),
+      ops.Multimodal.RealMedia(4L, "image", zeroWidthBmp)).toDS()
     val out = ops.Multimodal.decodeReal(junk).collect()
-    assert(out.length === 3 && out.forall(_.kind == "invalid"),
+    assert(out.length === 4 && out.forall(_.kind == "invalid"),
       s"malformed payloads must quarantine, got ${out.map(_.kind).toSeq}")
   }
 }
