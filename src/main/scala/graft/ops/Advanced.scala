@@ -75,6 +75,63 @@ object Advanced {
           |ORDER BY status, pri""".stripMargin)
     },
 
+    // SQL-text correlated EXISTS / NOT EXISTS — the subquery entry point
+    // (the DataFrame twins are q_semi_anti_customers' left_semi/left_anti;
+    // Catalyst rewrites both forms to the same semi/anti joins).
+    Q("q_sql_exists",
+      """SELECT c_custkey, c_mktsegment,
+        |       EXISTS(SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000) AS has_big,
+        |       NOT EXISTS(SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey) AS inactive
+        |FROM customer c ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v2")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |       EXISTS(SELECT 1 FROM orders_v2 o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 400000) AS has_big,
+          |       NOT EXISTS(SELECT 1 FROM orders_v2 o
+          |                  WHERE o.o_custkey = c.c_custkey) AS inactive
+          |FROM customer_v c ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Regex group extraction: pull structured fields out of free text with
+    // capture groups (RE2 ∩ java.regex dialect, like the PII patterns).
+    Q("q_regexp_groups",
+      """SELECT doc_id,
+        |       regexp_extract(text, '^([a-z]+) ([a-z]+)', 1) AS w1,
+        |       regexp_extract(text, '^([a-z]+) ([a-z]+)', 2) AS w2,
+        |       CAST(length(regexp_extract(text, '^([a-z]+) ([a-z]+)', 2)) AS INTEGER)
+        |         AS w2_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pat = "^([a-z]+) ([a-z]+)"
+      Tables.documents(s, dir).select(col("doc_id"),
+        regexp_extract(col("text"), pat, 1).as("w1"),
+        regexp_extract(col("text"), pat, 2).as("w2"),
+        length(regexp_extract(col("text"), pat, 2)).as("w2_len"))
+        .orderBy("doc_id")
+    },
+
+    // Schema-on-read JSON: from_json with an explicit schema → typed field
+    // access (the structured twin of q_json_props' get_json_object path;
+    // a real ingest declares the schema once and gets typed columns).
+    Q("q_from_json_typed",
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |       count(*) AS n,
+        |       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k")
+      Tables.events(s, dir)
+        .select((k % 10).as("k_mod"), k.as("k"))
+        .groupBy("k_mod")
+        .agg(count(lit(1)).as("n"), countDistinct("k").as("n_k"))
+        .orderBy("k_mod")
+    },
+
     // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
     // share the linear-interpolation definition; rounded 4 dp to absorb
     // any last-ulp drift in the interpolation arithmetic.
