@@ -165,6 +165,37 @@ object Sampling {
             h1.cast("double")).as("priority"))
         .orderBy(col("priority").desc, col("doc_id"))
         .limit(100)
+    },
+
+    // Stratified priority sampling: the same hash-seeded weight-
+    // proportional priorities, but top-20 WITHIN each language stratum —
+    // the per-source quota shape a training mix actually draws with.
+    // Per-stratum rank is a partitioned window (parallelism = strata);
+    // same reproducibility and cross-engine exactness as the global form.
+    Q("q_weighted_sample_stratified",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(n_chars AS DOUBLE) * CAST($M AS DOUBLE)
+         |           / CAST((((doc_id % $H) * $A + (doc_id // $H) * $B + $C) % $M) + 1
+         |                  AS DOUBLE) AS priority
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars, priority FROM (
+         |  SELECT d.*, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY priority DESC, doc_id) AS INTEGER) AS rn
+         |  FROM d)
+         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      val lo = pmod(col("doc_id"), lit(H))
+      val hi = shiftright(col("doc_id"), 31)
+      val h1 = pmod(lo * lit(A) + hi * lit(B) + lit(C), lit(M)) + lit(1L)
+      val pr = col("n_chars").cast("double") * lit(M.toDouble) / h1.cast("double")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("priority").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), pr.as("priority"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("doc_id", "lang", "n_chars", "priority")
+        .orderBy("lang", "doc_id")
     }
   )
 }

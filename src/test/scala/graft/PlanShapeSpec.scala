@@ -137,6 +137,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(n <= 1, s"expected at most one user_id exchange, plan has $n:\n${p.take(2000)}")
   }
 
+  test("heavy hitters shuffles bounded summaries, not the word stream") {
+    // the Misra-Gries sketch exists to keep the exchange O(partitions × k):
+    // exactly one data exchange (partial summaries → final merge); a second
+    // would mean the exploded words themselves are being shuffled
+    val p = plan("q_heavy_hitters")
+    val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n <= 2, s"expected partial-merge + presentation sort only, got $n:\n${p.take(1500)}")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "typed Aggregator should plan as object aggregate")
+  }
+
   test("no declared query plans a cartesian product") {
     SparkEntry.all.foreach { q =>
       val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
