@@ -201,15 +201,44 @@ object Streams {
     * idle keys, so flushes never wait for new same-key data.
     *
     * Scale: one stateful hash exchange per side on the key; state is O(in-
-    * flight window), not O(history); per-trigger work per key is sort-merge
-    * over that bounded buffer.
+    * flight window), not O(history); per-trigger work per key is a LINEAR
+    * two-pointer merge over buffers kept sorted as a state invariant — new
+    * arrivals are sorted once and merged in, so a hot key with thousands of
+    * same-trigger events costs O(n log n), never the O(n²) of append-and-
+    * rescan (StreamingSpec has the hot-key equivalence test).
+    *
+    * State floor: after a key goes idle, ONE dominating right per key is
+    * retained indefinitely — it is the correct answer for any future left,
+    * so on an unbounded key domain state grows O(distinct keys), ~24 bytes
+    * each. That floor is inherent to as-of semantics (the match horizon is
+    * unbounded below). For unbounded-key deployments pass `idleRightTtlMs`:
+    * a key whose state is down to the single dominating right is dropped
+    * once the watermark moves that far past it — any later left then gets a
+    * null match instead of the expired right, the standard TTL tradeoff.
     */
-  def asOfJoinStream(left: DataFrame, right: DataFrame): Dataset[AsOfOut] = {
+  def asOfJoinStream(left: DataFrame, right: DataFrame,
+      idleRightTtlMs: Option[Long] = None): Dataset[AsOfOut] = {
     val spark = left.sparkSession
     import spark.implicits._
     def prep(df: DataFrame, kind: Int) =
       maybeWatermark(df).select(lit(kind).as("kind"), col("event_id").as("id"),
         col("user_id").as("key"), col("ts"))
+    // linear merge of two (us, id)-sorted runs — the state buffers hold the
+    // sorted invariant across triggers, so no per-trigger full re-sort
+    def mergeSorted(a: Seq[TsId], b: IndexedSeq[TsId]): Seq[TsId] =
+      if (b.isEmpty) a
+      else if (a.isEmpty) b
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[TsId](a.length + b.length)
+        val ai = a.iterator.buffered; val bi = b.iterator.buffered
+        while (ai.hasNext && bi.hasNext) {
+          val x = ai.head; val y = bi.head
+          if (x.us < y.us || (x.us == y.us && x.id <= y.id)) out += ai.next()
+          else out += bi.next()
+        }
+        out ++= ai; out ++= bi
+        out.toSeq
+      }
     prep(left, 0).unionByName(prep(right, 1)).as[AsOfIn]
       .groupByKey(_.key)
       .flatMapGroupsWithState[AsOfBuf, AsOfOut](
@@ -219,12 +248,15 @@ object Streams {
           def usOf(t: Timestamp): Long =
             Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
           val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
-          var lefts  = st.lefts
-          var rights = st.rights
+          val newL = scala.collection.mutable.ArrayBuffer.empty[TsId]
+          val newR = scala.collection.mutable.ArrayBuffer.empty[TsId]
           it.foreach { e =>
             val rec = TsId(usOf(e.ts), e.id)
-            if (e.kind == 0) lefts = lefts :+ rec else rights = rights :+ rec
+            if (e.kind == 0) newL += rec else newR += rec
           }
+          val byTs: TsId => (Long, Long) = t => (t.us, t.id)
+          val lefts  = mergeSorted(st.lefts,  newL.sortInPlaceBy(byTs).toIndexedSeq)
+          val rights = mergeSorted(st.rights, newR.sortInPlaceBy(byTs).toIndexedSeq)
           // batch mode has no watermark clock (GroupState throws) — treat
           // it as +infinity: every left is final, the whole as-of join
           // resolves in the single invocation, keeping the documented
@@ -233,17 +265,30 @@ object Streams {
             try ((state.getCurrentWatermarkMs(), true))
             catch { case _: UnsupportedOperationException => (Long.MaxValue, false) }
           // emittable once the watermark passes the left's event time (ms
-          // floor: the watermark clock is milliseconds)
+          // floor: the watermark clock is milliseconds); partition keeps
+          // both halves sorted
           val (ready, pending) = lefts.partition(_.us / 1000 < wmMs)
-          val rs = rights.sortBy(r => (r.us, r.id))
-          val out = ready.sortBy(l => (l.us, l.id)).map { l =>
-            val m = rs.filter(_.us <= l.us).lastOption
+          // two-pointer: both runs ascend, so each right is visited once
+          // total — `last` ends on the latest right with us <= l.us, and
+          // the (us, id) sort order breaks ts ties toward the larger id
+          val rs = rights.toIndexedSeq
+          var j = 0
+          var last: TsId = null
+          val out = ready.map { l =>
+            while (j < rs.length && rs(j).us <= l.us) { last = rs(j); j += 1 }
+            val m = Option(last)
             AsOfOut(key, l.id, l.us, m.map(_.id), m.map(_.us))
           }
           val (below, atOrAbove) = rs.partition(_.us / 1000 < wmMs)
           val kept = below.takeRight(1) ++ atOrAbove
           if (pending.isEmpty && kept.isEmpty) state.remove()
-          else {
+          else if (state.hasTimedOut && pending.isEmpty && atOrAbove.isEmpty &&
+              idleRightTtlMs.exists(ttl =>
+                below.lastOption.exists(_.us / 1000 + ttl <= wmMs))) {
+            // idle-key TTL: only the dominating right remains and the
+            // watermark has moved ttl past it — reclaim the state floor
+            state.remove()
+          } else {
             state.update(AsOfBuf(pending, kept))
             // re-invoke the key while ANYTHING is still watermark-bounded:
             // pending lefts (to flush them) or at-or-above rights (so a
@@ -253,6 +298,10 @@ object Streams {
             val next = (pending.iterator ++ atOrAbove.iterator).map(_.us / 1000)
             if (hasWm && next.nonEmpty)
               state.setTimeoutTimestamp(math.max(wmMs + 1, next.min + 1))
+            else if (hasWm && idleRightTtlMs.nonEmpty && below.nonEmpty)
+              // nothing pending: schedule the TTL wake-up for the floor row
+              state.setTimeoutTimestamp(
+                math.max(wmMs + 1, below.last.us / 1000 + idleRightTtlMs.get))
           }
           out.iterator
       }

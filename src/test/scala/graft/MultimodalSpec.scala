@@ -63,6 +63,117 @@ class MultimodalSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  // deterministic gray-ramp expectations shared by the ImageIO tests
+  private def rampDims(id: Long): (Int, Int) = ((4 + id % 8).toInt, (2 + id % 5).toInt)
+  private def rampSum(id: Long): Long = {
+    val (w, h) = rampDims(id)
+    3L * (0 until w * h).map(k => (id + k) % 256).sum
+  }
+
+  test("ImageIO PNG codec round-trips exact pixels for every document") {
+    import spark.implicits._
+    val dec = ops.Multimodal.decodeImageIO(ops.Multimodal.encodePng(spark, sfDir))
+    val df = dec.toDF().cache()
+    try {
+      assert(df.filter(col("kind") === "invalid").count() === 0,
+        "a real PNG failed the real PNG reader")
+      assert(df.filter(
+        col("width") =!= (lit(4) + col("media_id") % 8) ||
+        col("height") =!= (lit(2) + col("media_id") % 5)).count() === 0)
+      // decoded pixel sums must equal the ramp arithmetic bit-exactly
+      val mismatched = dec.collect().count(d => d.content_sum != rampSum(d.media_id))
+      assert(mismatched === 0, s"$mismatched PNG pixel sums off the ramp")
+    } finally df.unpersist()
+  }
+
+  test("ImageIO decoder quarantines non-image bytes instead of failing the task") {
+    import spark.implicits._
+    val junk = Seq(
+      ops.Multimodal.RealMedia(1L, "png", Array[Byte](1, 2, 3)),
+      ops.Multimodal.RealMedia(2L, "png", "not an image at all".getBytes("US-ASCII")),
+      // a real PNG signature followed by garbage — reader throws mid-stream
+      ops.Multimodal.RealMedia(3L, "png",
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 9, 9, 9, 9))).toDS()
+    val out = ops.Multimodal.decodeImageIO(junk).collect()
+    assert(out.length === 3 && out.forall(_.kind == "invalid"),
+      s"malformed images must quarantine, got ${out.map(_.kind).toSeq}")
+  }
+
+  test("ImageIO JPEG round-trip: exact dimensions, pixels within lossy tolerance") {
+    // JPEG is lossy so the pixel check is a tolerance, not equality — which
+    // is exactly why q_media_png (hash-compared oracle) uses PNG instead
+    (0L until 50L).foreach { id =>
+      val bytes = ops.Multimodal.imageBytes(id, "jpg")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = rampDims(id)
+      assert(img.getWidth === w && img.getHeight === h)
+      var err = 0L; var k = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id + k) % 256).toInt
+        err += math.abs(((img.getRGB(x, y) >> 8) & 0xff) - v); k += 1
+      }
+      assert(err.toDouble / (w * h) < 24.0,
+        s"JPEG mean green-channel error too large for id=$id: ${err.toDouble / (w * h)}")
+    }
+  }
+
+  test("hand-rolled BMP parser agrees with the JDK's ImageIO BMP reader") {
+    import spark.implicits._
+    // same bytes through both decoders: the byte-level parser and the JDK's
+    // independent BMP ImageReader must extract identical (w, h, pixel sum)
+    val bmps = (0L until 200L).map(id =>
+      ops.Multimodal.RealMedia(id, "image", ops.Multimodal.bmpBytes(id)))
+    val ours  = ops.Multimodal.decodeReal(bmps.toDS()).collect()
+      .map(d => d.media_id -> ((d.width.get, d.height.get, d.content_sum))).toMap
+    val jdk   = ops.Multimodal.decodeImageIO(bmps.toDS()).collect()
+      .map(d => d.media_id -> ((d.width.get, d.height.get, d.content_sum))).toMap
+    assert(ours === jdk)
+  }
+
+  test("hand-rolled WAV parser agrees with javax.sound.sampled on valid bytes") {
+    import spark.implicits._
+    def viaAudioSystem(bytes: Array[Byte]): (Int, Int, Long) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getChannels === 1 && fmt.getSampleSizeInBits === 16 && !fmt.isBigEndian)
+      val raw = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val sum = (0 until raw.length / 2).map(i => math.abs(bb.getShort(i * 2).toLong)).sum
+      (fmt.getSampleRate.toInt, ais.getFrameLength.toInt, sum)
+    }
+    val ids = (1L until 400L by 2).toSeq // odd ids are the audio kind
+    val wavs = ids.map(id => ops.Multimodal.RealMedia(id, "audio",
+      ops.Multimodal.wavBytes(id)))
+    val ours = ops.Multimodal.decodeReal(wavs.toDS()).collect()
+      .map(d => d.media_id -> ((d.sample_rate.get, d.n_samples.get, d.content_sum))).toMap
+    ids.foreach { id =>
+      val jdk = viaAudioSystem(ops.Multimodal.wavBytes(id))
+      assert(ours(id) === jdk, s"WAV parsers disagree for id=$id")
+    }
+  }
+
+  test("WAV parser quarantines headers javax.sound.sampled also rejects") {
+    import spark.implicits._
+    val good = ops.Multimodal.wavBytes(7L)
+    // corrupt the 'data' chunk magic (offset 36) and the channel count
+    // (offset 22) — both must quarantine, not parse garbage sample sums
+    val badMagic = good.clone();  "LIST".getBytes("US-ASCII").copyToArray(badMagic, 36)
+    val stereo   = good.clone();  stereo(22) = 2
+    val out = ops.Multimodal.decodeReal(Seq(
+      ops.Multimodal.RealMedia(1L, "audio", badMagic),
+      ops.Multimodal.RealMedia(2L, "audio", stereo)).toDS()).collect()
+    assert(out.forall(_.kind == "invalid"),
+      s"corrupted WAV headers must quarantine, got ${out.map(_.kind).toSeq}")
+    // the JDK parser independently refuses the corrupted-magic bytes too
+    intercept[Exception] {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(badMagic))
+      ais.readAllBytes() // some JDKs only fail on read
+      assert(ais.getFrameLength <= 0) // or yield an empty stream
+    }
+  }
+
   test("real codec quarantines malformed payloads instead of failing the task") {
     import spark.implicits._
     // a 54-byte 'BM' header claiming width 0: rowSize 0 would satisfy the

@@ -260,6 +260,67 @@ class StreamingSpec extends SparkSpec {
       "streaming as-of diverged from the batch native operator")
   }
 
+  test("hot key: thousands of same-key events in one trigger equal the batch as-of join") {
+    // all 6,000 events for ONE key land in a single micro-batch — the
+    // sorted-merge buffer must handle it linearithmically AND produce
+    // exactly what the batch twin produces on the same frames
+    val msL = MemoryStream[Event](spark)
+    val msR = MemoryStream[Event](spark)
+    val n = 3000
+    // +100min base: an event at epoch 0 sits exactly AT the initial
+    // watermark and Spark's late-row filter (ts <= wm) would drop it before
+    // it ever reaches the state store — a watermark semantic, not a buffer one
+    val lefts  = (0 until n).map(i => Event(10000L + i, ts(100L + 2L * i + 1), 7L, "x", 1.0, "{}"))
+    // rights include same-timestamp duplicates (i and i+1 share ts for even
+    // i) so the larger-id tiebreak is exercised under load
+    val rights = (0 until n).map(i => Event(50000L + i, ts(100L + 2L * (i / 2 * 2)), 7L, "x", 1.0, "{}"))
+    val q = Streams.asOfJoinStream(msL.toDF(), msR.toDF()).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("asof_hot").start()
+    msL.addData(lefts)
+    msR.addData(rights)
+    q.processAllAvailable()
+    val far = new Timestamp(4102444800000L)
+    msL.addData(Event(999999L, far, 9L, "x", 1.0, "{}"))
+    msR.addData(Event(999998L, far, 9L, "x", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_hot").filter(col("l_id") =!= 999999L)
+    val want = Streams.asOfJoinStream(lefts.toDF(), rights.toDF()).toDF()
+    assert(got.count() === n.toLong)
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+      "hot-key streaming as-of diverged from its batch twin")
+  }
+
+  test("idle-key TTL reclaims the dominating-right state floor") {
+    // with idleRightTtlMs set, a key whose state is down to the single
+    // dominating right is dropped once the watermark moves TTL past it —
+    // a later left then matches null instead of the expired right
+    val msL = MemoryStream[Event](spark)
+    val msR = MemoryStream[Event](spark)
+    def ev(id: Long, min: Long, user: Long) = Event(id, ts(min), user, "x", 1.0, "{}")
+    val q = Streams.asOfJoinStream(msL.toDF(), msR.toDF(),
+        idleRightTtlMs = Some(60000L)).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("asof_ttl").start()
+    msR.addData(ev(1, 5, 1)) // the lone right for user 1
+    msL.addData(ev(900, 6, 9))
+    q.processAllAvailable()
+    // two watermark advances: first compacts user 1 down to the dominating
+    // right and schedules the TTL wake-up, second fires the timeout
+    msL.addData(ev(901, 10000, 9)); msR.addData(ev(902, 10000, 9))
+    q.processAllAvailable()
+    msL.addData(ev(903, 10001, 9)); msR.addData(ev(904, 10001, 9))
+    q.processAllAvailable()
+    // user 1's right is long past its TTL — this left must match nothing
+    msL.addData(ev(100, 20000, 1))
+    msL.addData(ev(905, 30000, 9)); msR.addData(ev(906, 30000, 9))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("asof_ttl").filter(col("l_id") === 100L)
+      .select(col("r_id")).collect()
+    assert(r.length === 1 && r.head.isNullAt(0),
+      s"TTL'd right must not match; got ${r.toSeq}")
+  }
+
   test("asOfJoinStream on plain batch frames equals the native batch as-of join") {
     // the object's contract: the same transform runs in both modes. In
     // batch there is no watermark clock — every left must resolve in the
