@@ -12,9 +12,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
-    // warmup: JIT/codegen/parquet-footer caches, so the first timed query
-    // isn't charged ~5 s of session spin-up
+    // warmup: a full untimed pass over EVERY query, not just the flagship —
+    // otherwise the first query touching each un-warmed view absorbs its
+    // codegen/JIT/parquet-footer cost (q_transform_3005 measured 2.0 s cold
+    // vs 0.6 s warm for a narrow zero-shuffle projection — an attribution
+    // artifact, not a plan cost). The memoized data caches (cluster frame,
+    // CC components) are then CLEARED so the timed pass still pays real
+    // data compute where the query declares it — only compile-time state
+    // stays warm.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    SparkEntry.all.foreach { q =>
+      try q.build(spark, sfDir).count() catch { case _: Throwable => }
+    }
+    ops.Dedup.clearCaches(spark)
+    ops.Corpus.clearCaches(spark)
     // declaration order (SparkEntry.all), not Map hash order: shared
     // first-compute (cluster frame, qualifying pairs, CC components) then
     // lands deterministically on the query that declares it, and the

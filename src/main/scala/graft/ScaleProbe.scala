@@ -141,6 +141,52 @@ object ScaleProbe {
         n
       }
     }
+
+    // hot-cell skew probe (the port scenario), independent of m: HALF of
+    // all points inside ONE 0.05° grid cell — real AIS density. The hot
+    // cell's Θ(n_hot²) candidate work is inherent (the output pairs live
+    // there); the scale question is whether it lands on one straggler task
+    // or is split across the cluster. Run the identical join with AQE skew
+    // split off vs on. Local emulation notes: broadcast is disabled (at
+    // 100 TB the point table is far past any broadcast threshold, so the
+    // cell join is a shuffle join — locally 50k rows would broadcast and
+    // hide the skew), and the skew thresholds are scaled to the local data
+    // volume (the hot partition here is ~320 KB; production's 256 MB default
+    // is the same ratio at cluster scale).
+    {
+      // 8k hot points on a 90×90 lattice inside one cell → 64M candidate
+      // evals and ~30M output pairs (radius 0.02 covers ~half the 0.05
+      // cell, so Θ(n_hot²) output is the scenario's own floor, which is
+      // why n_hot is not scaled with m)
+      val nHot = 8000
+      val hot = spark.range(nHot).select(col("id").as("segmentid"),
+        (lit(50.0005) + (col("id") % 90) * 0.00055).as("endlon"),
+        (lit(10.0005) + floor(col("id") / 90) * 0.00055).as("endlat"))
+      val cold = spark.range(nHot).select((col("id") + nHot).as("segmentid"),
+        ((col("id") % 500) * 0.3 + 0.001).as("endlon"),
+        (floor(col("id") / 500) * 0.3 + 0.001).as("endlat"))
+      val seg = hot.unionAll(cold)
+      def skewWall(on: Boolean): Unit = {
+        Seq(
+          "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
+          "spark.sql.adaptive.skewJoin.enabled"                         -> on.toString,
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor"           -> "2",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "16KB"
+        ).foreach { case (k, v) => spark.conf.set(k, v) }
+        val t0 = System.nanoTime()
+        val n = graft.ops.Spatial.neighborCounts(seg).count()
+        println(f"[scale] hotcell skewJoin=$on%-5s spatial_grid_join ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+        Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          .foreach(spark.conf.unset)
+      }
+      skewWall(on = false)
+      skewWall(on = true)
+    }
     spark.stop()
   }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.Q
 
 /** Spatial grid index — the Spark-native analog of the reference's GiST
-  * index (`CREATE INDEX ... USING GIST`, sql_to_line.py:203; R20, the one
+  * index (`CREATE INDEX ... USING GIST`, sql_to_line.py:238,
+  * sql_to_line_v2.py:140; R20, the one
   * reference surface previously documented as a non-goal). A tree index
   * over mutable heap pages has no distributed equivalent; the scalable
   * translation is SPACE PARTITIONING: assign every geometry a fixed-size

@@ -50,6 +50,55 @@ class SpatialSpec extends SparkSpec {
       "grid kNN must equal brute force exactly (radius ≤ cell ⇒ 3×3 exhaustive)")
   }
 
+  test("hot-cell skew (port scenario): AQE splits the cell join; result equals brute force") {
+    // real AIS data concentrates in ports: put HALF of all points inside
+    // ONE 0.05° grid cell and the cell equi-join's hot key dwarfs every
+    // other partition. Under production-shaped thresholds AQE's
+    // OptimizeSkewedJoin must split that partition at runtime (skew=true
+    // in the final adaptive plan) AND the split must not change the answer.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled"                         -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"           -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled"               -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 1,500 points on a 39×39 lattice inside the cell [50.0,50.05)×[10.0,10.05)
+      val hot = (0 until 1500).map(i =>
+        (i.toLong, 50.0005 + (i % 39) * 0.00125, 10.0005 + ((i / 39) % 39) * 0.00125))
+      // 1,500 points spread one per ~6 cells — no two within the radius
+      val cold = (0 until 1500).map(i =>
+        (1500L + i, (i % 50) * 0.3 + 0.001, (i / 50) * 0.3 + 0.001))
+      val seg = (hot ++ cold).toDF("segmentid", "endlon", "endlat")
+      val grid = ops.Spatial.neighborCounts(seg)
+      assert(grid.collect().length > 0)
+      val finalPlan = grid.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot-cell partitions:\n${finalPlan.take(2500)}")
+      // the split run must equal brute force exactly — same contract as the
+      // uniform-density test above
+      val pts = seg.select(col("segmentid"), col("endlon").as("x"), col("endlat").as("y"))
+      val a = pts.select(col("segmentid").as("a_id"), col("x").as("ax"), col("y").as("ay"))
+      val b = pts.select(col("segmentid").as("b_id"), col("x").as("bx"), col("y").as("by"))
+      val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by"))
+      val brute = a.crossJoin(b)
+        .filter(col("a_id") =!= col("b_id")).withColumn("d2", d2)
+        .filter(col("d2") < 0.0004)
+        .groupBy(col("a_id").as("segmentid"))
+        .agg(count(lit(1)).as("n_neighbors"), min("d2").as("min_d2"))
+      assert(grid.except(brute).count() === 0 && brute.except(grid).count() === 0,
+        "skew-split grid join must equal brute force exactly")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("coarse cell filter is a strict superset of the exact bbox") {
     // removing the cell predicate must not change the result
     val indexed = SparkEntry.queries("q_spatial_bbox")(spark, sfDir)
