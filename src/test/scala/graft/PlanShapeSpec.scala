@@ -96,19 +96,24 @@ class PlanShapeSpec extends SparkSpec {
     //     hinted. The O(sqrt N) per-count-value frame is NOT (at 2e13
     //     tokens it is ~6M rows × 3 longs ≈ 150+ MB — feasible but past
     //     what an unconditional hint should pin; AQE decides at runtime).
-    //   - similarity/ANN top-k family: the hinted side is the PROBE batch.
-    //     This is a CONTRACT ON THE CALLER (a query workload handed to the
-    //     engine, sized by the user), not a property of the code: the test
-    //     fixture derives probes as vec_id % 100 == 0 — 1% of the corpus,
-    //     which is data-proportional — purely so the oracle SQL can
-    //     reproduce the probe set. A production probe batch is a bounded
-    //     external input (the thing being looked up).
+    //   - similarity/ANN top-k family: the hinted side is the PROBE batch,
+    //     bounded BY CONSTRUCTION — Similarity.probeBatch caps it with a
+    //     deterministic orderBy+limit(MaxProbeBatch), so a GlobalLimit node
+    //     sits under every probe-side hint in the plan itself (asserted
+    //     below), regardless of what fraction of the corpus the fixture's
+    //     vec_id % 100 membership selects. A production probe batch is a
+    //     bounded external lookup input; the fixture now carries the same
+    //     structural guarantee.
     val allowed = Set(
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
       "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk",
       "q_ann_screen_topk", "q_ann_ivf_topk")
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // hints whose boundedness argument is the probe-batch cap: the hinted
+    // subtree must actually contain the GlobalLimit
+    val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
+      "q_ann_lsh_topk", "q_ann_screen_topk", "q_ann_ivf_topk")
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, ResolvedHint}
     SparkEntry.all.foreach { q =>
       val hints = q.build(spark, sfDir).queryExecution.analyzed.collect {
         case h: ResolvedHint => h
@@ -118,6 +123,12 @@ class PlanShapeSpec extends SparkSpec {
           s"${q.name} pins ${hints.size} broadcast hint(s) — either the side is " +
             "data-proportional (remove the hint, let AQE decide) or it is provably " +
             "bounded (add it to the allowlist above WITH the argument)")
+      if (probeHinted(q.name))
+        hints.foreach { h =>
+          assert(h.child.collectFirst { case g: GlobalLimit => g }.nonEmpty,
+            s"${q.name}: a hinted side lost its structural probe-batch bound " +
+              s"(no GlobalLimit under the hint):\n${h.child.toString.take(1200)}")
+        }
     }
   }
 

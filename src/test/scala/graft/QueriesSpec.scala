@@ -132,13 +132,15 @@ class QueriesSpec extends SparkSpec {
     * high (~0.9). Probes are vec_id % 100 == 0 → 10 probes × 999
     * candidates. Shared by the bound-pruning, LSH and IVF recall gates.
     */
-  private def clusteredEmb = spark.range(1000).select(col("id").as("vec_id"),
+  private def clusteredEmbN(n: Int) = spark.range(n).select(col("id").as("vec_id"),
     transform(sequence(lit(0), lit(63)), i => {
       val cluster = col("vec_id") % 40
       val base    = sin(cluster * lit(37) + i * lit(13))       // cluster signature
       val noise   = sin(col("vec_id") * lit(101) + i * lit(7)) // per-member jitter
       (base + noise * lit(0.15)).cast("float")
     }).as("embedding"))
+
+  private def clusteredEmb = clusteredEmbN(1000)
 
   private def recallOf(ann: org.apache.spark.sql.DataFrame,
       bf: org.apache.spark.sql.DataFrame): Double =
@@ -205,6 +207,38 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 2 * fraction,
       s"IVF recall $recall under 2x scanned fraction $fraction on clustered vectors")
     assert(recall >= 0.7, s"IVF recall@10 on clustered vectors: $recall")
+  }
+
+  test("incremental IVF: appended 2x corpus stays near full-retrain recall; health flags real drift") {
+    // the living-index scenario: train once on 1k clustered vectors, then
+    // the corpus doubles with SAME-distribution arrivals appended to their
+    // nearest existing cell (narrow map, no retrain)
+    val base    = clusteredEmbN(1000)
+    val grown   = clusteredEmbN(2000) // ids 0..1999, same 40 clusters
+    val newHalf = grown.filter(col("vec_id") >= 1000)
+    val cents        = ops.Similarity.kmeansCentroidsFrom(base)
+    val trainedScore = ops.Similarity.quantScore(base, cents)
+    val appended = ops.Similarity.ivfAppend(
+      ops.Similarity.ivfAssign(base, cents), newHalf, cents)
+    val bf = ops.Similarity.cosineTopKFrom(grown)
+    val recallAppended = recallOf(ops.Similarity.annIvfTopKIndexed(appended, cents), bf)
+    val recallRetrain  = recallOf(ops.Similarity.annIvfTopKFrom(grown), bf)
+    assert(recallAppended >= recallRetrain - 0.1,
+      s"appended-index recall $recallAppended fell >0.1 under retrain $recallRetrain")
+    assert(recallAppended >= 0.65, s"appended-index recall floor: $recallAppended")
+    // same-distribution growth must NOT trip a rebuild...
+    val healthy = ops.Similarity.ivfHealth(appended, cents, trainedScore)
+    assert(!healthy.needsRebalance,
+      s"same-distribution append flagged for rebalance: $healthy")
+    // ...but a genuine distribution shift (vectors the frozen centroids
+    // never saw) must raise staleness past the threshold
+    val drifted = spark.range(2000).select((col("id") + 2000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => cos(col("vec_id") * lit(3) + i * lit(11)).cast("float")).as("embedding"))
+    val stale = ops.Similarity.ivfHealth(
+      ops.Similarity.ivfAppend(appended, drifted, cents), cents, trainedScore)
+    assert(stale.staleness > healthy.staleness && stale.needsRebalance,
+      s"distribution shift not flagged: healthy=$healthy stale=$stale")
   }
 
   test("IVF cell index works as a partitioned-parquet layout with partition pruning") {
