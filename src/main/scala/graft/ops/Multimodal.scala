@@ -14,9 +14,11 @@ import graft.functions.exprs.poly_hash
   * Codec inventory: images go through REAL codecs — compressed PNG/JPEG via
   * the JDK's bundled `javax.imageio` (headless-safe) and uncompressed BMP
   * via a byte-level parser below; audio through a real WAV/PCM parser
-  * (cross-validated against `javax.sound.sampled` in MultimodalSpec). Only
-  * the video kind remains a clearly marked deterministic STUB: the JDK
-  * ships no MP4/H.264 codec and the container has no ffmpeg.
+  * (cross-validated against `javax.sound.sampled` in MultimodalSpec); the
+  * video-class multi-frame path through a real animated-GIF container
+  * (sequence write + per-frame LZW decode). Only MP4/H.264-class codecs
+  * remain a clearly marked deterministic STUB: the JDK ships none and the
+  * container has no ffmpeg.
   *
   * For the stub-backed queries the synthetic payload is the UTF-8 encoding
   * of `documents.text`, so the oracle can recompute every decoded value
@@ -37,12 +39,13 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB media decoder — now needed only for the VIDEO kind (no MP4/H.264
-    * codec exists in the JDK or this container; images and audio have real
-    * codec paths below: ImageIO PNG/JPEG, byte-level BMP/WAV). Header
-    * fields derive deterministically from the payload length. The
-    * mapPartitions shape — one decoder instance per partition, streaming
-    * batches of rows — is the production layout.
+  /** STUB media decoder — now needed only for MP4/H.264-CLASS payloads (no
+    * such codec exists in the JDK or this container; images, audio, and
+    * the multi-frame video-class path have real codecs below: ImageIO
+    * PNG/JPEG/animated-GIF, byte-level BMP/WAV). Header fields derive
+    * deterministically from the payload length. The mapPartitions shape —
+    * one decoder instance per partition, streaming batches of rows — is
+    * the production layout.
     */
   def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
@@ -208,6 +211,123 @@ object Multimodal {
     }
   }
 
+  // ---- REAL multi-frame container: animated GIF via ImageIO -------------
+  //
+  // The JDK's GIF writer/reader handles SEQUENCES (writeToSequence /
+  // getNumImages), so the video-class operation — per-frame decode and
+  // fingerprinting out of one container payload — runs against a genuine
+  // multi-frame format, not a stub. Frames are TYPE_BYTE_INDEXED over an
+  // explicit 256-gray IndexColorModel: GIF is palette-based, and with the
+  // palette pinned the round-trip is bit-exact (the default RGB path would
+  // quantize to the web-safe palette). Only MP4-class codecs remain out of
+  // reach (nothing in the JDK decodes them).
+
+  private val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  private def gifFrame(id: Long, f: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    var k = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id + 31L * f + k) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v); k += 1; x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Genuine animated-GIF bytes: 2 + id%3 frames of the per-frame ramp.
+    * Interlace is explicitly DISABLED in the per-frame metadata: the JDK's
+    * GIF writer interlaces by default, and its interlace passes corrupt
+    * rows for frames shorter than 8 px (verified empirically: a 4×2 frame
+    * round-trips row-scrambled interlaced, exact non-interlaced).
+    */
+  def gifBytes(id: Long): Array[Byte] = {
+    val w = (4 + id % 8).toInt; val h = (2 + id % 5).toInt
+    val nf = (2 + id % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      val param = wr.getDefaultWriteParam
+      (0 until nf).foreach { f =>
+        val img = gifFrame(id, f, w, h)
+        val md = wr.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        (0 until root.getLength).foreach { i =>
+          val c = root.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          if (c.getNodeName == "ImageDescriptor") c.setAttribute("interlaceFlag", "FALSE")
+        }
+        md.setFromTree(fmt, root)
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, md), param)
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  case class GifFrame(media_id: Long, frame_idx: Int, width: Int, height: Int,
+      frame_sum: Long, valid: Boolean)
+
+  /** documents → genuine animated-GIF payloads (every doc). */
+  def encodeGif(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => RealMedia(id, "gif", gifBytes(id)))
+      }
+  }
+
+  /** Real per-frame decode out of the container: one output row per frame
+    * with the frame's actual decoded pixel sum — the frame-sampling layout
+    * (narrow per-row fan-out, no shuffle) over a genuine multi-frame
+    * format. A malformed payload quarantines as one `valid=false` row.
+    */
+  def decodeGifFrames(media: Dataset[RealMedia]): Dataset[GifFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      def invalid = Seq(GifFrame(m.media_id, -1, 0, 0, 0L, valid = false))
+      try {
+        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        try {
+          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload)))
+          val n = rd.getNumImages(true)
+          if (n <= 0) invalid
+          else (0 until n).map { f =>
+            val img = rd.read(f)
+            var sum = 0L; var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            GifFrame(m.media_id, f, img.getWidth, img.getHeight, sum, valid = true)
+          }
+        } finally rd.dispose()
+      } catch {
+        case _: java.io.IOException           => invalid
+        case _: IndexOutOfBoundsException     => invalid
+        case _: java.util.NoSuchElementException => invalid
+      }
+    }
+  }
+
   /** documents → genuine BMP/WAV file bytes (even ids image, odd audio). */
   def encodeReal(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
@@ -344,6 +464,32 @@ object Multimodal {
       decodeImageIO(encodePng(s, dir)).toDF()
         .select("media_id", "kind", "width", "height", "content_sum")
         .orderBy("media_id")
+    },
+
+    // REAL multi-frame container round-trip: the engine writes a genuine
+    // animated GIF per document through the JDK's sequence writer and
+    // decodes every frame back through the real GIF reader (LZW decode,
+    // palette lookup); each frame's actual pixel sum is oracle-checked
+    // against the ramp arithmetic. The video-class frame-sampling layout
+    // over a real container — per-row fan-out to frames, no shuffle.
+    Q("q_media_gif",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 8 AS INTEGER) AS w,
+        |         CAST(2 + doc_id % 5 AS INTEGER) AS h,
+        |         CAST(2 + doc_id % 3 AS INTEGER) AS nf
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |       w AS width, h AS height,
+        |       CAST(3 * list_aggregate(list_transform(range(0, w * h),
+        |              k -> (doc_id + 31 * f + k) % 256), 'sum') AS BIGINT) AS frame_sum
+        |FROM m, range(0, 4) t(f)
+        |WHERE f < nf
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      decodeGifFrames(encodeGif(s, dir)).toDF()
+        .filter(col("valid"))
+        .select("media_id", "frame_idx", "width", "height", "frame_sum")
+        .orderBy("media_id", "frame_idx")
     },
 
     // Feature extraction: 16-bin byte histogram of the payload (codegen'd

@@ -174,6 +174,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF container round-trips exact per-frame pixels for every document") {
+    import spark.implicits._
+    val frames = ops.Multimodal.decodeGifFrames(
+      ops.Multimodal.encodeGif(spark, sfDir)).cache()
+    try {
+      assert(frames.filter(!col("valid")).count() === 0,
+        "a built GIF failed the real GIF reader")
+      // frame count, dims, and per-frame pixel sums all from actually
+      // decoding the container — must equal the construction arithmetic
+      val perDoc = frames.groupBy("media_id")
+        .agg(count(lit(1)).as("nf"), max("frame_idx").as("maxf"))
+      assert(perDoc.filter(col("nf") =!= (lit(2) + col("media_id") % 3) ||
+        col("maxf") =!= col("nf") - 1).count() === 0, "frame count off")
+      val bad = frames.collect().count { fr =>
+        val (w, h) = ((4 + fr.media_id % 8).toInt, (2 + fr.media_id % 5).toInt)
+        val want = 3L * (0 until w * h).map(k =>
+          (fr.media_id + 31L * fr.frame_idx + k) % 256).sum
+        fr.width != w || fr.height != h || fr.frame_sum != want
+      }
+      assert(bad === 0, s"$bad GIF frames off the ramp")
+    } finally frames.unpersist()
+  }
+
+  test("GIF frame decoder quarantines non-GIF bytes as a single invalid row") {
+    import spark.implicits._
+    val junk = Seq(
+      ops.Multimodal.RealMedia(1L, "gif", Array[Byte](1, 2, 3)),
+      ops.Multimodal.RealMedia(2L, "gif", "GIF89a then garbage".getBytes("US-ASCII"))).toDS()
+    val out = ops.Multimodal.decodeGifFrames(junk).collect()
+    assert(out.length === 2 && out.forall(f => !f.valid && f.frame_idx == -1),
+      s"malformed GIFs must quarantine, got ${out.toSeq}")
+  }
+
   test("real codec quarantines malformed payloads instead of failing the task") {
     import spark.implicits._
     // a 54-byte 'BM' header claiming width 0: rowSize 0 would satisfy the
