@@ -75,18 +75,24 @@ object Dedup {
     }
 
   private[graft] def clusterFrame(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "clusters")(Tables.documents(s, dir)
-      // group key = sorted per-token hashes, not the token strings: the
-      // grouping is equivalent (PolyHash is injective on the corpus
-      // vocabulary — asserted by QueriesSpec) but the shuffle moves long
-      // arrays instead of string arrays and sorts longs instead of strings;
-      // downstream set ops are O(n) merge walks on the same sorted arrays
+    memoized(s, dir, "clusters")(clusterFrameOf(Tables.documents(s, dir)))
+
+  /** Token-set equivalence clusters of an arbitrary (doc_id, text) frame —
+    * the dedup INDEX: (cid, th, sig, ms). Group key = sorted per-token
+    * hashes, not the token strings: the grouping is equivalent (PolyHash is
+    * injective on the corpus vocabulary — asserted by QueriesSpec) but the
+    * shuffle moves long arrays instead of string arrays and sorts longs
+    * instead of strings; downstream set ops are O(n) merge walks on the
+    * same sorted arrays.
+    */
+  private[graft] def clusterFrameOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         array_sort(transform(dtoks, t => poly_hash(t))).as("th"))
       .groupBy(col("th"))
       .agg(collect_list(col("doc_id")).as("ms"))
       .withColumn("sig", minhashSigsOf(col("th")))
-      .withColumn("cid", array_min(col("ms"))))
+      .withColumn("cid", array_min(col("ms")))
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
@@ -157,6 +163,57 @@ object Dedup {
         inter.as("inter"), uni.as("uni"), (inter / uni).as("jac"))
       .filter(col("jac") >= JaccardTau)
       .distinct()
+  }
+
+  // ---- incremental near-dup (ingest batch vs existing index) -------------
+
+  /** Qualifying near-dup pairs between a NEW ingest batch and an EXISTING
+    * corpus index, WITHOUT recomputing any index×index pair — the MinHash
+    * analog of the incremental IVF append. `index` is a [[clusterFrameOf]]
+    * frame persisted once for the corpus (at 100 TB: written bucketed by
+    * band key; re-derived per call here). The new batch is clustered among
+    * itself (exact dups collapse first), banded, and band-joined against
+    * the index only — candidate volume is Θ(new × bucket density), never
+    * Θ(corpus²) — then the usual two-phase verify (signature agreement →
+    * exact Jaccard once per cluster pair). Every stage is pairwise, so the
+    * result provably equals the full-corpus pipeline restricted to
+    * (new, existing) pairs — QueriesSpec asserts the equality and the
+    * oracle hash-checks it cross-engine (q_dedup_incremental).
+    *
+    * Output: one row per (new_doc, dup_of) qualifying doc pair.
+    */
+  private[graft] def incrementalNearDup(index: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val nc = clusterFrameOf(newDocs)
+    def bands(cf: DataFrame, side: String) =
+      cf.select(col("cid").as(s"${side}cid"), size(col("th")).as(s"${side}n"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    // size bound pushed into the band join, exactly as the batch pipeline
+    val cand = bands(nc, "n").join(bands(index, "i"), Seq("band", "key"))
+      .filter(least(col("nn"), col("in")) * TauDen >=
+        greatest(col("nn"), col("in")) * TauNum)
+      .select("ncid", "icid")
+    val agreed = cand
+      .join(nc.select(col("cid").as("ncid"), col("sig").as("sig1")), "ncid")
+      .join(index.select(col("cid").as("icid"), col("sig").as("sig2")), "icid")
+      .select(col("ncid"), col("icid"),
+        graft.functions.exprs.count_equal(col("sig1"), col("sig2")).as("sig_agree"))
+      .filter(col("sig_agree") >= MinSigAgree)
+    val inter = graft.functions.exprs.intersect_count_sorted(col("h1"), col("h2"))
+    val uni   = size(col("h1")) + size(col("h2")) - inter
+    val qual = agreed
+      .join(nc.select(col("cid").as("ncid"), col("th").as("h1")), "ncid")
+      .join(index.select(col("cid").as("icid"), col("th").as("h2")), "icid")
+      .select(col("ncid"), col("icid"), col("sig_agree"),
+        inter.as("inter"), uni.as("uni"), (inter / uni).as("jac"))
+      .filter(col("jac") >= JaccardTau)
+      .distinct()
+    // fan out once per member pair — slim (cid, doc) rows only
+    qual
+      .join(nc.select(col("cid").as("ncid"), explode(col("ms")).as("new_doc")), "ncid")
+      .join(index.select(col("cid").as("icid"), explode(col("ms")).as("dup_of")), "icid")
+      .select(col("new_doc"), col("dup_of"), col("sig_agree"),
+        col("inter"), col("uni"), col("jac"))
   }
 
   /** The qualifying near-dup pair frame (d1 < d2, sig_agree ≥ MinSigAgree,
@@ -292,6 +349,26 @@ object Dedup {
         .groupBy("doc_id").agg(count(lit(1)).as("deg"))
         .groupBy("deg").agg(count(lit(1)).as("n_docs"))
         .orderBy("deg")
+    },
+
+    // Incremental dedup-on-ingest: a new batch (every 10th doc) against
+    // the index built from the REST of the corpus — no index×index work.
+    // The oracle runs the full-corpus doc-level pipeline and restricts to
+    // (new, existing) pairs: every pipeline stage (band collision, size
+    // bound, signature agreement, exact Jaccard) is pairwise, so the
+    // incremental result must equal that restriction exactly.
+    Q("q_dedup_incremental",
+      s"""$minhashPairsCtes
+         |SELECT CASE WHEN d1 % 10 = 0 THEN d1 ELSE d2 END AS new_doc,
+         |       CASE WHEN d1 % 10 = 0 THEN d2 ELSE d1 END AS dup_of,
+         |       sig_agree, inter, uni, jac
+         |FROM pairs_t
+         |WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)
+         |ORDER BY new_doc, dup_of""".stripMargin) { (s, dir) =>
+      val docs  = Tables.documents(s, dir)
+      val index = clusterFrameOf(docs.filter(col("doc_id") % 10 =!= 0))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      incrementalNearDup(index, batch).orderBy("new_doc", "dup_of")
     },
 
     // Exact n-gram (word 1-gram set) Jaccard over consecutive-id pairs —

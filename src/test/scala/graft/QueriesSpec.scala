@@ -241,6 +241,22 @@ class QueriesSpec extends SparkSpec {
       s"distribution shift not flagged: healthy=$healthy stale=$stale")
   }
 
+  test("incremental near-dup equals the full pipeline restricted to (new, existing) pairs") {
+    // the correctness contract of dedup-on-ingest: banding the new batch
+    // against the index only (no index×index work) must find exactly the
+    // pairs the full-corpus pipeline finds between the two sides
+    val full = ops.Dedup.minhashPairs(spark, sfDir)
+      .filter((col("d1") % 10 === 0) =!= (col("d2") % 10 === 0))
+      .select(
+        when(col("d1") % 10 === 0, col("d1")).otherwise(col("d2")).as("new_doc"),
+        when(col("d1") % 10 === 0, col("d2")).otherwise(col("d1")).as("dup_of"),
+        col("sig_agree"), col("inter"), col("uni"), col("jac"))
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+    assert(inc.count() > 0, "fixture should contain cross-side near-dups")
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "incremental near-dup diverged from the restricted full pipeline")
+  }
+
   test("IVF cell index works as a partitioned-parquet layout with partition pruning") {
     // the claim under test: the IVF cell id is "a plain int column —
     // partition by it for locality". Write the index partitioned by cell,
