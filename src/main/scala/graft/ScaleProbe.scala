@@ -120,6 +120,34 @@ object ScaleProbe {
           .reduce(_.union(_))
         graft.ops.Spatial.neighborCounts(segN).count()
       }
+      // incremental dedup-on-ingest: a FIXED 500-doc batch against an
+      // index over an m×-grown corpus (replicas carry a per-replica salt
+      // token so cluster count genuinely grows m× — unsalted replicas
+      // would collapse into the same clusters and make the probe trivial).
+      // The index build is the amortized cost (timed separately, grows
+      // with the corpus); the per-batch match must track batch × bucket
+      // density, NOT corpus² — contrast with dedup_full_recompute at x1.
+      locally {
+        val docs = Tables.documents(spark, sfDir)
+        val corpusN = (0 until m).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+          .reduce(_.union(_))
+        val batch = docs.withColumn("doc_id", col("doc_id") + lit(990000000L))
+        val index = graft.ops.Dedup.clusterFrameOf(corpusN).cache()
+        timed("dedup_index_build")(index.count())
+        timed("dedup_incremental_batch") {
+          graft.ops.Dedup.incrementalNearDup(index, batch).count()
+        }
+        index.unpersist()
+        if (m == 1) timed("dedup_full_recompute") {
+          // what ingest WITHOUT the index costs: cluster + band-join the
+          // ENTIRE corpus+batch against itself per arriving batch
+          val all = corpusN.union(batch)
+          val idxAll = graft.ops.Dedup.clusterFrameOf(all)
+          graft.ops.Dedup.incrementalNearDup(idxAll, all).count()
+        }
+      }
       // CC loop on an m×-replicated cluster graph (disjoint replicas, ids
       // shifted): isolates the iterative loop's scaling from the MinHash
       // pipeline. Rounds must stay flat (disjoint copies of the same

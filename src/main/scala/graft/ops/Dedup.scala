@@ -216,6 +216,45 @@ object Dedup {
         col("inter"), col("uni"), col("jac"))
   }
 
+  /** Per-DOC (ungrouped) qualifying matches against an index — the
+    * streaming-safe variant of [[incrementalNearDup]]: no groupBy on the
+    * incoming side (a streaming aggregation before a join would need its
+    * own state store and output mode), just narrow per-row signature/band
+    * derivation, a stream-static band join against the index, and the same
+    * two-phase verify. Semantically identical per doc (clustering the new
+    * batch first only dedups the verify work, never changes which docs
+    * match). Returns the distinct new-doc ids with ≥1 qualifying match.
+    */
+  private[graft] def nearDupMatchedIds(index: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val rows = newDocs.select(col("doc_id"),
+      array_sort(transform(dtoks, t => poly_hash(t))).as("th"))
+      .withColumn("sig", minhashSigsOf(col("th")))
+    val banded = rows.select(col("doc_id"), size(col("th")).as("nn"),
+      col("sig").as("sig1"), col("th").as("h1"),
+      posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    val idxBands = index.select(col("cid"), size(col("th")).as("in"),
+      col("sig").as("sig2"), col("th").as("h2"),
+      posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    val inter = graft.functions.exprs.intersect_count_sorted(col("h1"), col("h2"))
+    val uni   = size(col("h1")) + size(col("h2")) - inter
+    banded.join(idxBands, Seq("band", "key"))
+      .filter(least(col("nn"), col("in")) * TauDen >=
+        greatest(col("nn"), col("in")) * TauNum)
+      .filter(graft.functions.exprs.count_equal(col("sig1"), col("sig2"))
+        >= MinSigAgree)
+      .filter((inter / uni) >= JaccardTau)
+      .select("doc_id").distinct()
+  }
+
+  /** Ingest curation: keep only the incoming docs with NO qualifying
+    * near-dup in the index. Per micro-batch this is two ordinary batch
+    * joins (band join + left_anti) — see Streams.nearDupCuration for the
+    * streaming wiring.
+    */
+  private[graft] def dropNearDups(index: DataFrame, docs: DataFrame): DataFrame =
+    docs.join(nearDupMatchedIds(index, docs), Seq("doc_id"), "left_anti")
+
   /** The qualifying near-dup pair frame (d1 < d2, sig_agree ≥ MinSigAgree,
     * jac ≥ JaccardTau) — the output of the LSH pipeline, shared by
     * q_dedup_minhash_pairs and q_neardup_degree.

@@ -140,6 +140,25 @@ object Streams {
         unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
   }
 
+  /** Ingest-time NEAR-dup curation against a frozen dedup index
+    * (ops.Dedup.clusterFrameOf, persisted once for the corpus): per
+    * micro-batch, drop every incoming doc with a qualifying MinHash match
+    * in the index. Runs through foreachBatch — the batch frame is a plain
+    * DataFrame, so the band join + anti join are ordinary batch ops
+    * re-planned per trigger (Spark's recommended shape for join forms the
+    * streaming engine can't express statefully; the index side re-reads
+    * per batch exactly like a stream-static join). Batch ≡ stream by
+    * construction: the SAME Dedup.dropNearDups runs in both modes
+    * (StreamingSpec asserts equality on a multi-batch MemoryStream feed).
+    * State: none — the index is the state, and it is external.
+    */
+  def nearDupCuration(index: DataFrame, docs: DataFrame)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        write(graft.ops.Dedup.dropNearDups(index, batch.toDF()))
+      }.start()
+
   /** Exactly-once-per-id dedup bounded by the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     if (events.isStreaming)

@@ -257,6 +257,24 @@ class QueriesSpec extends SparkSpec {
       "incremental near-dup diverged from the restricted full pipeline")
   }
 
+  test("per-doc near-dup matcher equals the clustered incremental pipeline's doc set") {
+    // the streaming-safe ungrouped variant must match exactly the same
+    // docs as the batch-clustered one — clustering only dedups verify work
+    val docs  = Tables.documents(spark, sfDir)
+    val index = ops.Dedup.clusterFrameOf(docs.filter(col("doc_id") % 10 =!= 0))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val perDoc    = ops.Dedup.nearDupMatchedIds(index, batch)
+    val clustered = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+      .select(col("new_doc").as("doc_id")).distinct()
+    assert(perDoc.except(clustered).count() === 0 &&
+      clustered.except(perDoc).count() === 0,
+      "ungrouped matcher diverged from the clustered pipeline")
+    // and the curation filter keeps exactly the complement
+    val kept = ops.Dedup.dropNearDups(index, batch).select("doc_id")
+    assert(kept.intersect(perDoc).count() === 0 &&
+      kept.count() + perDoc.count() === batch.count())
+  }
+
   test("IVF cell index works as a partitioned-parquet layout with partition pruning") {
     // the claim under test: the IVF cell id is "a plain int column —
     // partition by it for locality". Write the index partitioned by cell,

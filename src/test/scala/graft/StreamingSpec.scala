@@ -358,6 +358,38 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 5L), s"wrong survivors: $kept")
   }
 
+  test("streaming near-dup curation against a frozen index equals the batch filter") {
+    // index = the real corpus; the stream carries re-uploads of indexed
+    // texts (must drop) and fresh texts (must keep), across two triggers
+    val docsTable = Tables.documents(spark, sfDir)
+    val index = graft.ops.Dedup.clusterFrameOf(docsTable)
+    val dupTexts = docsTable.orderBy("doc_id").limit(2)
+      .select("text").collect().map(_.getString(0))
+    val feed = Seq(
+      StreamingSpec.Doc(9001L, dupTexts(0), ts(1)),                // re-upload
+      StreamingSpec.Doc(9002L, "zxq wvu tsr qpo nml kji", ts(2)),  // fresh
+      StreamingSpec.Doc(9003L, dupTexts(1), ts(3)),                // re-upload
+      StreamingSpec.Doc(9004L, "aab bbc ccd dde eef ffg", ts(4)))  // fresh
+    val ms = MemoryStream[StreamingSpec.Doc](spark)
+    val keptIds = scala.collection.mutable.Set.empty[Long]
+    val q = Streams.nearDupCuration(index, ms.toDF()) { kept =>
+      keptIds.synchronized {
+        keptIds ++= kept.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    ms.addData(feed(0), feed(1))
+    q.processAllAvailable()
+    ms.addData(feed(2), feed(3))
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val batchKept = graft.ops.Dedup.dropNearDups(index, feed.toDF())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.toSet === batchKept,
+      s"stream kept ${keptIds.toSet}, batch kept $batchKept")
+    assert(batchKept === Set(9002L, 9004L), s"expected fresh docs only: $batchKept")
+  }
+
   test("streaming curation filter equals the batch gates and redacts PII") {
     val ms = MemoryStream[StreamingSpec.Doc](spark)
     val keepText = ("the quick brown dog and the lazy fox trade long emails about " +
