@@ -215,6 +215,85 @@ object ScaleProbe {
       skewWall(on = false)
       skewWall(on = true)
     }
+
+    // layout probes (independent of m): rows actually materialized from
+    // parquet under pushed-down predicates, z-order vs single-column sort.
+    // recordsRead counts rows surviving row-group pruning — the metric
+    // that turns into scan cost at 100 TB, where a layout that reads 16×
+    // fewer rows is 16× less I/O before the first operator runs.
+    {
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      val total = li.count()
+      val zDir = "/tmp/graft_probe_zorder"
+      val aDir = "/tmp/graft_probe_asorted"
+      graft.ops.Sinks.zorderWrite(li, "l_partkey", "l_suppkey", zDir, 256)
+      li.repartitionByRange(256, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(aDir)
+      val listener = new QueryMetricsListener
+      spark.sparkContext.addSparkListener(listener)
+      def rowsRead(label: String, dir: String,
+          pred: org.apache.spark.sql.Column): Unit = {
+        val hits = Metrics.observe(spark, label)(
+          spark.read.parquet(dir).filter(pred).count())
+        org.apache.spark.GraftSparkBridge.waitListenerBus(spark.sparkContext, 10000)
+        val read = listener.snapshot(label).inputRecords.sum()
+        println(f"[scale] layout $label%-28s read $read%8d / $total rows for $hits%6d hits")
+      }
+      // both-dims tile, one-dim-only slices — the three shapes a real
+      // workload mixes; the single-sort layout can only serve the first dim
+      val both  = col("l_partkey").between(5000, 5500) &&
+        col("l_suppkey").between(250, 275)
+      val aOnly = col("l_partkey").between(5000, 5500)
+      val bOnly = col("l_suppkey").between(250, 275)
+      rowsRead("z_both", zDir, both);   rowsRead("asort_both", aDir, both)
+      rowsRead("z_aonly", zDir, aOnly); rowsRead("asort_aonly", aDir, aOnly)
+      rowsRead("z_bonly", zDir, bOnly); rowsRead("asort_bonly", aDir, bOnly)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // Bloom runtime-filter probe (independent of m): shuffle volume of the
+    // selective fact⋈dim semi join with broadcast DISABLED (at 100 TB a
+    // fact-fact join shuffles; locally the dim would broadcast and hide
+    // the effect). The sketch prunes fact rows BEFORE their exchange, so
+    // shuffle-write bytes must drop roughly with the dim subset's
+    // selectivity while the result stays identical (the oracle's claim).
+    {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val listener = new QueryMetricsListener
+      spark.sparkContext.addSparkListener(listener)
+      import org.apache.spark.sql.functions.broadcast
+      val fact = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+      val keys = Tables.supplier(spark, sfDir)
+        .filter(col("s_acctbal") >= 9000).select(col("s_suppkey"))
+      def semi(label: String, withBloom: Boolean): Unit = {
+        val pruned = if (!withBloom) fact else {
+          import spark.implicits._
+          val sketch = keys.as[Long]
+            .select(graft.functions.Bloom.agg(1 << 17, 5)).toDF("bloom")
+          fact.crossJoin(broadcast(sketch))
+            .filter(graft.functions.Bloom.mightContain(
+              col("bloom"), col("l_suppkey"), 1 << 17, 5))
+        }
+        // inner join on the unique dim key, not left_semi — see
+        // q_bloom_semi_join: PushDownLeftSemiAntiJoin would re-order the
+        // semi below the bloom filter and un-prune the exchange
+        val n = Metrics.observe(spark, label)(
+          pruned.join(keys, col("l_suppkey") === col("s_suppkey"))
+            .count())
+        org.apache.spark.GraftSparkBridge.waitListenerBus(spark.sparkContext, 10000)
+        val sw = listener.snapshot(label).shuffleWriteBytes.sum()
+        println(f"[scale] bloom $label%-14s shuffle-write ${sw / 1024}%8d KiB  ($n rows)")
+      }
+      semi("semi_plain", withBloom = false)
+      semi("semi_bloom", withBloom = true)
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
     spark.stop()
   }
 }

@@ -19,7 +19,8 @@ object SparkEntry {
     ops.Advanced.queries,
     ops.Corpus.queries,
     ops.Sampling.queries,
-    ops.Spatial.queries
+    ops.Spatial.queries,
+    ops.Lakehouse.queries
   )
 
   def all: Seq[Q] = modules.flatten

@@ -104,6 +104,49 @@ object Sinks {
     (days, before, after)
   }
 
+  /** The clustering key [[zorderWrite]] sorts by: each dimension is first
+    * scaled to the SAME 16-bit range over its observed [min, max], then
+    * Morton-interleaved (Lakehouse.zval). The normalization matters: raw
+    * domains of unequal width (lineitem's 20k × 1k keys) put one dim's
+    * high bits entirely above the other's, and the "z" order degenerates
+    * to a single-column sort — measured before the fix, b-only predicates
+    * read 334k/600k rows; balanced, ~40k. Runs one small min/max agg over
+    * `df` (a second narrow scan — noise next to the full rewrite).
+    * Assumes dimension values fit 47 bits (the ×65535 scale must not
+    * overflow a long).
+    */
+  private[graft] def normalizedZ(df: DataFrame, aCol: String,
+      bCol: String): org.apache.spark.sql.Column = {
+    val r = df.agg(min(aCol).cast("long"), max(aCol).cast("long"),
+      min(bCol).cast("long"), max(bCol).cast("long")).head()
+    def norm(c: String, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      else (((col(c).cast("long") - lo) * 65535L) / (hi - lo)).cast("long")
+    Lakehouse.zval(norm(aCol, r.getLong(0), r.getLong(1)),
+      norm(bCol, r.getLong(2), r.getLong(3)))
+  }
+
+  /** Z-order clustered write: key rows by the balanced Morton interleave
+    * of two dimension columns ([[normalizedZ]]), range-partition and sort
+    * by it. Each output file then covers one tight z interval — a small
+    * square in (a, b) space — so its parquet min/max stats are tight on
+    * BOTH original columns, and the stock pushed-down range predicates
+    * prune row groups for EITHER dimension. A single-column sort prunes
+    * only its own column's predicates; the z layout answers "sort by which
+    * column?" with "both" (ScaleProbe measures rows-read across the two
+    * layouts and three predicate shapes). The z key is dropped before the
+    * write: pruning rides ordinary (a, b) stats — readers need no
+    * cooperation, and the layout survives any engine that reads parquet
+    * footers.
+    */
+  def zorderWrite(df: DataFrame, aCol: String, bCol: String, outDir: String,
+      numFiles: Int = 64): Unit =
+    df.withColumn("__z", normalizedZ(df, aCol, bCol))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
   /** SCD Type-2 merge: fold a batch of dimension `updates` (one row per
     * key, stamped `eff_ts` microseconds) into a versioned history table
     * with (`valid_from`, `valid_to`, `is_current`). Rows whose tracked

@@ -104,11 +104,15 @@ class PlanShapeSpec extends SparkSpec {
     //     vec_id % 100 membership selects. A production probe batch is a
     //     bounded external lookup input; the fixture now carries the same
     //     structural guarantee.
+    //   - q_bloom_semi_join: the hinted side is the single-row Bloom
+    //     sketch aggregate — 16 KiB FIXED size (2^17 bits) regardless of
+    //     either table's scale, the same class as the tfidf/unigram
+    //     single-row aggregates.
     val allowed = Set(
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
       "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk",
-      "q_ann_screen_topk", "q_ann_ivf_topk")
+      "q_ann_screen_topk", "q_ann_ivf_topk", "q_bloom_semi_join")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",

@@ -55,6 +55,43 @@ class SinksSpec extends SparkSpec {
     assert(days2 === 0 && b2 === a2 && b2 === a, s"($days2, $b2, $a2)")
   }
 
+  test("zorderWrite round-trips, files carry disjoint z intervals and tight 2-d boxes") {
+    val out = tmp()
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    Sinks.zorderWrite(li, "l_partkey", "l_suppkey", out, numFiles = 8)
+    val back = spark.read.parquet(out)
+    assert(back.except(li).count() === 0 && li.except(back).count() === 0,
+      "z-order rewrite changed table contents")
+    // per-file z intervals (the NORMALIZED z the sink actually sorted by —
+    // bounds recompute identically since contents round-tripped): range
+    // partitioning must make them pairwise disjoint (equal keys land in
+    // one partition)
+    val perFile = back
+      .withColumn("z", ops.Sinks.normalizedZ(back, "l_partkey", "l_suppkey"))
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("zlo"), max("z").as("zhi"),
+        (max("l_partkey") - min("l_partkey")).as("aw"),
+        (max("l_suppkey") - min("l_suppkey")).as("bw"))
+      .orderBy("zlo")
+      .collect()
+    assert(perFile.length > 1, "expected multiple files")
+    perFile.sliding(2).foreach { w =>
+      assert(w(0).getAs[Long]("zhi") < w(1).getAs[Long]("zlo"),
+        "file z intervals overlap — range partitioning on z broke")
+    }
+    // the point of the layout: most files' bounding boxes are tight in
+    // BOTH dims (vs global widths 199 × 9 at sf0.001) so (a, b) min/max
+    // stats can prune either dimension's predicates. Boundary files whose
+    // z interval straddles a quadrant edge may span wider — demand
+    // tightness of the majority, in both dims at once.
+    val tight = perFile.count(r =>
+      r.getAs[Long]("aw") <= 100 && r.getAs[Long]("bw") <= 5)
+    assert(tight >= perFile.length / 2,
+      s"z layout not clustered in both dims: ${perFile.map(r =>
+        (r.getAs[Long]("aw"), r.getAs[Long]("bw"))).mkString(",")}")
+  }
+
   test("scd2Merge versions changed keys, inserts new ones, and leaves the rest alone") {
     import spark.implicits._
     def hist(rows: (Long, String, Long, Option[Long], Boolean)*) =
