@@ -369,4 +369,50 @@ object Streams {
           out.iterator
       }
   }
+
+  case class CdcState(us: Long, eventId: Long, isDelete: Boolean,
+      payloadType: String, valueCents: Long)
+  case class CdcUpdate(user_id: Long, ts_us: Long, event_id: Long,
+      op: String, payload_type: String, value_cents: Long)
+
+  /** Streaming face of Lakehouse.snapshot (q_cdc_snapshot): maintain the
+    * LWW CDC snapshot incrementally, ONE state row per key (the ~40-byte
+    * current winner). Emits an update row only for keys whose winner
+    * changed this trigger — an upsert ('U') carrying the new snapshot row,
+    * or a tombstone ('D') when a delete wins — so downstream applies a
+    * compact update changelog keyed by user_id. No watermark: LWW compares
+    * (ts, event_id) BY VALUE, so late and out-of-order arrivals resolve
+    * correctly without event-time bookkeeping, and state never grows past
+    * the distinct-key count (the same O(keys) floor as the as-of join's
+    * dominating right; bound it with snapshot-table partitioning at scale).
+    * Batch ≡ stream asserted in StreamingSpec: the last emitted update per
+    * key, tombstones dropped, equals the batch snapshot of the same log
+    * fed multi-trigger and out of order.
+    */
+  def cdcSnapshotStream(events: Dataset[Event]): Dataset[CdcUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[CdcState]) =>
+          def usOf(e: Event): Long =
+            Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
+          val prev = state.getOption.orNull
+          var best = prev
+          it.foreach { e =>
+            val us = usOf(e)
+            if (best == null || us > best.us ||
+                (us == best.us && e.event_id > best.eventId))
+              best = CdcState(us, e.event_id, e.event_type == "error",
+                e.event_type, math.round(e.value * 100))
+          }
+          if (best eq prev) Iterator.empty
+          else {
+            state.update(best)
+            Iterator.single(CdcUpdate(userId, best.us, best.eventId,
+              if (best.isDelete) "D" else "U", best.payloadType,
+              best.valueCents))
+          }
+      }
+  }
 }

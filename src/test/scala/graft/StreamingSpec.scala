@@ -390,6 +390,42 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept === Set(9002L, 9004L), s"expected fresh docs only: $batchKept")
   }
 
+  test("streaming CDC snapshot equals the batch snapshot on an out-of-order multi-trigger feed") {
+    // the real sf0.001 changelog (1000 events, 15 keys, tombstones mixed
+    // in), dealt into 3 triggers in hash order — NOT time order — so
+    // per-key winners flip across and within triggers
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+    val dealt  = events.sortBy(e => e.event_id * 2654435761L % 997)
+    val thirds = dealt.grouped((dealt.size + 2) / 3).toSeq
+    val ms = MemoryStream[Event](spark)
+    ms.addData(thirds(0))
+    val q = Streams.cdcSnapshotStream(ms.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_stream").start()
+    q.processAllAvailable()
+    thirds.drop(1).foreach { t => ms.addData(t); q.processAllAvailable() }
+    q.stop()
+    val updates = spark.table("cdc_stream")
+    // at most one update per key per trigger; the LAST per key is the
+    // final state — compare against the batch snapshot query (tombstoned
+    // keys must be absent there)
+    val last = updates.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val finalRows = last.filter(col("op") === "U")
+      .select("user_id", "ts_us", "event_id", "payload_type", "value_cents")
+    val batch = SparkEntry.queries("q_cdc_snapshot")(spark, sfDir)
+    assert(finalRows.except(batch).count() === 0 &&
+      batch.except(finalRows).count() === 0,
+      "streaming CDC snapshot diverged from the batch snapshot")
+    val tombstoned = last.filter(col("op") === "D").select("user_id")
+    assert(tombstoned.intersect(batch.select("user_id")).count() === 0,
+      "a tombstoned key is still present in the batch snapshot")
+    // every key's final state is accounted for: U-keys ∪ D-keys = all keys
+    assert(last.count() === events.map(_.user_id).distinct.size.toLong)
+  }
+
   test("streaming curation filter equals the batch gates and redacts PII") {
     val ms = MemoryStream[StreamingSpec.Doc](spark)
     val keepText = ("the quick brown dog and the lazy fox trade long emails about " +
