@@ -249,10 +249,20 @@ object Multimodal {
     * round-trips row-scrambled interlaced, exact non-interlaced).
     */
   def gifBytes(id: Long): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try gifBytesWith(wr, id) finally wr.dispose()
+  }
+
+  /** Core of [[gifBytes]] against a caller-owned writer — the encode path
+    * reuses ONE writer per partition (writer construction + service lookup
+    * per row measurably dominates these tiny payloads); `wr.reset()`
+    * between payloads restores the pristine state the sequence API needs.
+    */
+  private def gifBytesWith(wr: javax.imageio.ImageWriter,
+      id: Long): Array[Byte] = {
     val w = (4 + id % 8).toInt; val h = (2 + id % 5).toInt
     val nf = (2 + id % 3).toInt
     val bos = new java.io.ByteArrayOutputStream()
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
       wr.setOutput(ios)
@@ -272,20 +282,24 @@ object Multimodal {
         wr.writeToSequence(new javax.imageio.IIOImage(img, null, md), param)
       }
       wr.endWriteSequence()
-    } finally { wr.dispose(); ios.close() }
+    } finally { wr.reset(); ios.close() }
     bos.toByteArray
   }
 
   case class GifFrame(media_id: Long, frame_idx: Int, width: Int, height: Int,
       frame_sum: Long, valid: Boolean)
 
-  /** documents → genuine animated-GIF payloads (every doc). */
+  /** documents → genuine animated-GIF payloads (every doc). One writer per
+    * partition (see [[gifBytesWith]]); left to GC at partition end — the
+    * JDK GIF plugin is pure Java, no native resources to release eagerly.
+    */
   def encodeGif(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
     Tables.documents(spark, sfDir).select("doc_id").as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        it.map(id => RealMedia(id, "gif", gifBytes(id)))
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        it.map(id => RealMedia(id, "gif", gifBytesWith(wr, id)))
       }
   }
 
@@ -296,10 +310,13 @@ object Multimodal {
     */
   def decodeGifFrames(media: Dataset[RealMedia]): Dataset[GifFrame] = {
     import media.sparkSession.implicits._
-    media.flatMap { m =>
-      def invalid = Seq(GifFrame(m.media_id, -1, 0, 0, 0L, valid = false))
-      try {
-        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    media.mapPartitions { it =>
+      // one reader per partition, fresh input per payload; a payload that
+      // throws may leave the reader in an undefined state, so the catch
+      // path replaces it before the next row
+      var rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { m =>
+        def invalid = Seq(GifFrame(m.media_id, -1, 0, 0, 0L, valid = false))
         try {
           rd.setInput(javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(m.payload)))
@@ -319,11 +336,13 @@ object Multimodal {
             }
             GifFrame(m.media_id, f, img.getWidth, img.getHeight, sum, valid = true)
           }
-        } finally rd.dispose()
-      } catch {
-        case _: java.io.IOException           => invalid
-        case _: IndexOutOfBoundsException     => invalid
-        case _: java.util.NoSuchElementException => invalid
+        } catch {
+          case e @ (_: java.io.IOException | _: IndexOutOfBoundsException |
+                    _: java.util.NoSuchElementException) =>
+            rd.dispose()
+            rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+            invalid
+        }
       }
     }
   }
