@@ -20,7 +20,9 @@ object SparkEntry {
     ops.Corpus.queries,
     ops.Sampling.queries,
     ops.Spatial.queries,
-    ops.Lakehouse.queries
+    ops.Lakehouse.queries,
+    ops.Curation.queries,
+    ops.Retrieval.queries
   )
 
   def all: Seq[Q] = modules.flatten

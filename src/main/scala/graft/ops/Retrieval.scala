@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus retrieval operators: Okapi BM25 scoring (Robertson–Spärck Jones;
+  * the k1/b form from Robertson & Zaragoza 2009) and the inverted-index
+  * posting-list build behind it. Both are staple corpus-quality tools in a
+  * training-data pipeline (query-based eval-set mining, contamination
+  * probes, boilerplate hunting) and both are oracle-checked cell-exact.
+  *
+  * Scale posture:
+  *  - the BM25 term-frequency frame is filtered to the QUERY terms before
+  *    anything shuffles — the corpus contributes O(docs × |query|) rows,
+  *    never its full token stream; document length rides along in the
+  *    grouping key (one corpus shuffle), the df/idf frame is |query| rows
+  *    and the corpus-statistics frame is one row (both pinned broadcasts
+  *    of the allowlisted bounded class); the final top-k plans as
+  *    TakeOrderedAndProject, never a global sort.
+  *  - the posting build keeps per-term state bounded: full posting lists
+  *    stream to a term-partitioned sink at scale, so the VERIFIABLE
+  *    surface here materializes per-term df/cf plus only the HEAD of each
+  *    posting list (first [[PostingHead]] doc_ids), selected by a
+  *    term-keyed row_number — the collected array is capped by
+  *    construction, the per-key top-k move, not a collect-then-slice.
+  *
+  * Cross-engine exactness: tf, df, dl are integers; the only libm call is
+  * ln() in idf (not correctly-rounded-guaranteed across libms), so the
+  * final score is snapped to 6 decimals in BOTH engines and the top-k
+  * ORDER BY compares the snapped value with doc_id as the tiebreak.
+  */
+object Retrieval {
+
+  /** Fixed probe query for the oracle-checked surface. */
+  final val QueryTerms = Seq("join", "window", "stream")
+
+  final val K1 = 1.2
+  final val B  = 0.75
+  final val TopK = 20
+
+  /** Posting-list head length for the verifiable surface. */
+  final val PostingHead = 16
+
+  private def termsSql = QueryTerms.mkString("('", "', '", "')")
+
+  /** (doc_id, dl, tok, tf) for query terms only — the array-level filter
+    * runs before explode, so non-query tokens never leave the scan
+    * projection.
+    */
+  private def tfFrame(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("dl"),
+        explode(filter(toks, t => t.isInCollection(QueryTerms))).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Okapi BM25 top-k: score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+    // with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)). One corpus shuffle
+    // (the per-doc tf aggregate), two bounded broadcasts, TakeOrdered top-k.
+    Q("q_bm25_topk",
+      s"""WITH d AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |         string_split(text, ' ') AS toks
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN $termsSql GROUP BY doc_id, dl, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+         |SELECT doc_id,
+         |       round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+         |                 * tf * ($K1 + 1)
+         |                 / (tf + $K1 * (1 - $B + $B * dl / avgdl))), 6)
+         |         AS score
+         |FROM tf JOIN df USING (tok), stats
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      // single-row corpus stats + |query|-row df: the allowlisted bounded
+      // broadcast classes (PlanShapeSpec)
+      val stats = docs.agg(count(lit(1)).as("n"),
+        sum("dl").cast("double").as("sumdl"))
+        .withColumn("avgdl", col("sumdl") / col("n"))
+      val tf = tfFrame(s, dir)
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfT), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("part",
+          col("idf") * col("tf") * (lit(K1) + 1)
+            / (col("tf") + lit(K1) * (lit(1) - lit(B)
+              + lit(B) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum("part"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(TopK)
+    },
+
+    // Inverted-index posting build, verifiable surface: per term the df
+    // (posting length), cf (corpus frequency), and the posting-list HEAD —
+    // the first PostingHead doc_ids by a term-keyed row_number, so the
+    // collected array is bounded by construction. (At 100 TB the full
+    // postings write straight to a term-partitioned sink; collecting a
+    // whole posting line into one array row would recreate the hot-key
+    // problem this layout avoids.)
+    Q("q_inverted_postings",
+      s"""WITH g AS (
+         |  SELECT tok, doc_id, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok, doc_id)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS cf,
+         |       list_slice(list(doc_id ORDER BY doc_id), 1, $PostingHead)
+         |         AS head_postings
+         |FROM g GROUP BY tok ORDER BY tok""".stripMargin) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      val stats = g.groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      val heads = g
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("tok").orderBy("doc_id")))
+        .filter(col("rn") <= PostingHead)
+        .groupBy("tok")
+        .agg(sort_array(collect_list("doc_id")).as("head_postings"))
+      stats.join(heads, "tok").orderBy("tok")
+    }
+  )
+}

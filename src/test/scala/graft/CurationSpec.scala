@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the curation operators (sequence packing, chunk
+  * dedup, domain mixing) beyond the cell-exact DuckDB oracle: the packing
+  * really is a partition of the global token stream, the two-level prefix
+  * sum equals the (test-only) global-window cumsum, chunk dedup's output
+  * is globally duplicate-free and reconstructible, and mixing rates are
+  * well-formed sampling rates.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def pack = SparkEntry.all.find(_.name == "q_seq_pack").get
+    .build(spark, sfDir)
+
+  test("sequence packing tiles the token stream: exclusive prefix sum, no gaps") {
+    // global window is fine IN A TEST — it is the oracle twin of the
+    // two-level scan, not the production plan
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = pack
+      .withColumn("want", coalesce(sum("n_tok").over(w), lit(0L)))
+    assert(expect.filter(col("start_tok") =!= col("want")).count() === 0)
+    // the last doc's start+len equals the corpus token mass: nothing lost
+    val mass = pack.agg(sum("n_tok")).head.getLong(0)
+    val end  = pack.agg(max(col("start_tok") + col("n_tok"))).head.getLong(0)
+    assert(mass === end)
+    assert(pack.agg(min("start_tok")).head.getLong(0) === 0L)
+  }
+
+  test("sequence ids are consistent with starts and the context length") {
+    val bad = pack.filter(
+      col("seq_first") =!= expr(s"start_tok div ${ops.Curation.Ctx}") ||
+      col("seq_last") =!=
+        expr(s"(start_tok + n_tok - 1) div ${ops.Curation.Ctx}") ||
+      col("n_seqs") < 1)
+    assert(bad.count() === 0)
+  }
+
+  test("chunk dedup output is globally duplicate-free and chunk-aligned") {
+    val out = SparkEntry.all.find(_.name == "q_chunk_dedup").get
+      .build(spark, sfDir)
+    // every surviving chunk is exactly ChunkLen tokens (except each doc's
+    // final partial), so re-chunking the reconstructed text re-yields the
+    // kept chunk multiset — which must be globally distinct
+    val rechunk = out.select(col("doc_id"), split(col("text_kept"), " ").as("toks"))
+      .select(posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / ${ops.Curation.ChunkLen}.0) as int) - 1)," +
+        s" f -> concat_ws(' ', slice(toks, f * ${ops.Curation.ChunkLen} + 1, ${ops.Curation.ChunkLen})))"))
+        .as(Seq("chunk_idx", "chunk")))
+    val n  = rechunk.count()
+    val nd = rechunk.select("chunk").distinct().count()
+    assert(n === nd, s"duplicate chunks survived dedup: $n vs $nd distinct")
+    // kept-chunk counts match the reconstruction
+    val m = out.filter(col("n_kept") =!=
+      ceil(size(split(col("text_kept"), " ")) / lit(ops.Curation.ChunkLen.toDouble)).cast("long"))
+    assert(m.count() === 0)
+  }
+
+  test("domain mixing rates are valid and kept counts are hash-consistent") {
+    val out = SparkEntry.all.find(_.name == "q_domain_mix_temp").get
+      .build(spark, sfDir)
+    assert(out.filter(col("rate") <= 0 || col("rate") > 1).count() === 0)
+    assert(out.filter(col("n_kept") > col("n_docs")).count() === 0)
+    // temperature < 1 flattens: smaller sources keep a HIGHER fraction
+    val fr = out.select(col("source"), col("n_docs"),
+      (col("n_kept") / col("n_docs")).as("frac"),
+      col("rate")).collect()
+    val bySize = fr.sortBy(_.getLong(1))
+    // rates (not realized fractions, which carry hash noise) must be
+    // monotonically non-increasing in source size
+    bySize.sliding(2).foreach { case Array(s, l) =>
+      assert(s.getDouble(3) >= l.getDouble(3) - 1e-12,
+        s"rate not flattening: ${s} vs ${l}")
+    }
+  }
+}

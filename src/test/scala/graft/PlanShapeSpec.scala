@@ -108,11 +108,17 @@ class PlanShapeSpec extends SparkSpec {
     //     sketch aggregate — 16 KiB FIXED size (2^17 bits) regardless of
     //     either table's scale, the same class as the tfidf/unigram
     //     single-row aggregates.
+    //   - q_domain_mix_temp: both hinted sides are single-row aggregates
+    //     (corpus size / weight normalizer) — same class as tfidf/unigram.
+    //   - q_bm25_topk: hinted sides are the single-row corpus stats and
+    //     the |query-terms|-row df frame (bounded by the query literal,
+    //     not by data).
     val allowed = Set(
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
       "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk",
-      "q_ann_screen_topk", "q_ann_ivf_topk", "q_bloom_semi_join")
+      "q_ann_screen_topk", "q_ann_ivf_topk", "q_bloom_semi_join",
+      "q_domain_mix_temp", "q_bm25_topk")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",

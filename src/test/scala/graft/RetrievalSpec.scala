@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the retrieval operators beyond the DuckDB oracle:
+  * the BM25 top-1 score is re-derived independently from raw strings in
+  * driver code (same formula, no Spark), and the posting-list build's df /
+  * cf / head lengths agree with first-principles counts.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import ops.Retrieval._
+
+  test("BM25 top-1 score equals an independent driver-side recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.length).sum / n
+    val df = QueryTerms.map(t =>
+      t -> docs.values.count(_.contains(t)).toDouble).toMap
+    def score(toks: Seq[String]): Double = {
+      val dl = toks.length.toDouble
+      val s = QueryTerms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val top = SparkEntry.all.find(_.name == "q_bm25_topk").get
+      .build(spark, sfDir).head()
+    assert(top.getDouble(1) === score(docs(top.getLong(0))))
+    // and it really is the max over the whole corpus
+    val best = docs.map { case (_, toks) => score(toks) }.max
+    assert(top.getDouble(1) === best)
+  }
+
+  test("posting build: df/cf/head agree with first-principles counts") {
+    val out = SparkEntry.all.find(_.name == "q_inverted_postings").get
+      .build(spark, sfDir)
+    // head length = min(df, PostingHead), head is sorted ascending
+    val bad = out.filter(
+      size(col("head_postings")) =!= least(col("df"), lit(PostingHead)) ||
+      expr("head_postings != array_sort(head_postings)"))
+    assert(bad.count() === 0)
+    // Σcf = corpus token count; Σdf = Σ per-doc distinct tokens
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    assert(out.agg(sum("cf")).head.getLong(0) === toks.count())
+    assert(out.agg(sum("df")).head.getLong(0) ===
+      toks.distinct().count())
+  }
+}
