@@ -22,7 +22,9 @@ object SparkEntry {
     ops.Spatial.queries,
     ops.Lakehouse.queries,
     ops.Curation.queries,
-    ops.Retrieval.queries
+    ops.Retrieval.queries,
+    ops.Tokenize.queries,
+    ops.Spans.queries
   )
 
   def all: Seq[Q] = modules.flatten

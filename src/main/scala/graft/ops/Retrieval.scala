@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -43,6 +43,12 @@ object Retrieval {
   /** Posting-list head length for the verifiable surface. */
   final val PostingHead = 16
 
+  /** RRF constant (Cormack, Clarke & Buettcher 2009's k = 60). */
+  final val RrfK = 60
+
+  /** Probe vector id for the hybrid-retrieval query. */
+  final val ProbeId = 0L
+
   private def termsSql = QueryTerms.mkString("('", "', '", "')")
 
   /** (doc_id, dl, tok, tf) for query terms only — the array-level filter
@@ -57,52 +63,129 @@ object Retrieval {
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
   }
 
+  /** BM25 top-k SQL — also embedded as a subquery by the fusion oracle. */
+  private def bm25Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         string_split(text, ' ') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+       |  WHERE tok IN $termsSql GROUP BY doc_id, dl, tok),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+       |SELECT doc_id,
+       |       round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+       |                 * tf * ($K1 + 1)
+       |                 / (tf + $K1 * (1 - $B + $B * dl / avgdl))), 6)
+       |         AS score
+       |FROM tf JOIN df USING (tok), stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+
+  /** BM25 top-k frame (doc_id, score) — shared by the declared query and
+    * the RRF fusion.
+    */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    // single-row corpus stats + |query|-row df: the allowlisted bounded
+    // broadcast classes (PlanShapeSpec)
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum("dl").cast("double").as("sumdl"))
+      .withColumn("avgdl", col("sumdl") / col("n"))
+    val tf = tfFrame(s, dir)
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * (lit(K1) + 1)
+          / (col("tf") + lit(K1) * (lit(1) - lit(B)
+            + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("part"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  /** Attach 1-based ranks to an (already bounded, GlobalLimit-capped)
+    * ranked list WITHOUT a window: one single-row collect_list aggregate
+    * (the bounded class) sorted by (-score, id), then posexplode. The
+    * no-global-window lock stays intact because the input is ≤ TopK rows
+    * by construction.
+    */
+  private def rankOf(df: DataFrame, score: Column, id: Column,
+      rankName: String): DataFrame =
+    df.agg(sort_array(collect_list(struct(negate(score).as("ns"),
+        id.as("id")))).as("l"))
+      .select(posexplode(col("l")).as(Seq("p", "e")))
+      .select(col("e.id").as("id"), (col("p") + 1).cast("long").as(rankName))
+
   val queries: Seq[Q] = Seq(
 
     // Okapi BM25 top-k: score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
     // with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)). One corpus shuffle
     // (the per-doc tf aggregate), two bounded broadcasts, TakeOrdered top-k.
-    Q("q_bm25_topk",
-      s"""WITH d AS (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-         |         string_split(text, ' ') AS toks
-         |  FROM documents),
-         |stats AS (
-         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-         |  FROM d),
-         |tf AS (
-         |  SELECT doc_id, dl, tok, count(*) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
-         |  WHERE tok IN $termsSql GROUP BY doc_id, dl, tok),
-         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
-         |SELECT doc_id,
-         |       round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
-         |                 * tf * ($K1 + 1)
-         |                 / (tf + $K1 * (1 - $B + $B * dl / avgdl))), 6)
-         |         AS score
-         |FROM tf JOIN df USING (tok), stats
-         |GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
-      // single-row corpus stats + |query|-row df: the allowlisted bounded
-      // broadcast classes (PlanShapeSpec)
-      val stats = docs.agg(count(lit(1)).as("n"),
-        sum("dl").cast("double").as("sumdl"))
-        .withColumn("avgdl", col("sumdl") / col("n"))
-      val tf = tfFrame(s, dir)
-      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfT), "tok")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
-        .withColumn("part",
-          col("idf") * col("tf") * (lit(K1) + 1)
-            / (col("tf") + lit(K1) * (lit(1) - lit(B)
-              + lit(B) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id").agg(round(sum("part"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(TopK)
+    Q("q_bm25_topk", bm25Sql)(bm25TopK),
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    // the lexical BM25 top-k and the vector cosine top-k against a fixed
+    // probe embedding, full-outer-joined on item id with
+    // score = Σ_list 1/(k + rank). Each list is bounded TopK by
+    // construction before ranks attach (rankOf — no global window); the
+    // probe side is a pinned single-row broadcast (allowlisted class).
+    // 1/(k+rank) and the two-term sum are exact IEEE ops in both engines,
+    // so the fused score needs no rounding.
+    Q("q_rrf_fusion",
+      s"""WITH lex AS (
+         |  SELECT doc_id AS id,
+         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |           AS BIGINT) AS rank_lex
+         |  FROM (${bm25Sql.replace("\n", "\n       ")})),
+         |nv AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |           AS nrm
+         |  FROM embeddings),
+         |pv AS (SELECT v, nrm FROM nv WHERE vec_id = $ProbeId),
+         |cs AS (
+         |  SELECT c.vec_id AS id,
+         |         round(list_dot_product(c.v, pv.v) / (c.nrm * pv.nrm), 6)
+         |           AS cos_r
+         |  FROM nv c, pv WHERE c.vec_id <> $ProbeId),
+         |vtop AS (SELECT id, cos_r FROM cs ORDER BY cos_r DESC, id LIMIT $TopK),
+         |vec AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY cos_r DESC, id)
+         |           AS BIGINT) AS rank_vec
+         |  FROM vtop)
+         |SELECT coalesce(lex.id, vec.id) AS id, rank_lex, rank_vec,
+         |       coalesce(1.0::DOUBLE / ($RrfK + rank_lex), 0)
+         |         + coalesce(1.0::DOUBLE / ($RrfK + rank_vec), 0) AS rrf
+         |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+         |ORDER BY rrf DESC, id""".stripMargin) { (s, dir) =>
+      import graft.functions.exprs.dot_ff
+      val nv = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(dot_ff(col("embedding"), col("embedding"))))
+      val pv = nv.filter(col("vec_id") === ProbeId)
+        .select(col("embedding").as("pemb"), col("nrm").as("pn"))
+      val cand = nv.filter(col("vec_id") =!= ProbeId)
+        .crossJoin(broadcast(pv))
+        .select(col("vec_id").as("id"),
+          round(dot_ff(col("embedding"), col("pemb")) / (col("nrm") * col("pn")), 6)
+            .as("cos_r"))
+      val vtop = cand.orderBy(col("cos_r").desc, col("id")).limit(TopK)
+      val vec = rankOf(vtop, col("cos_r"), col("id"), "rank_vec")
+      val lex = rankOf(bm25TopK(s, dir), col("score"), col("doc_id"), "rank_lex")
+      lex.join(vec, Seq("id"), "full_outer")
+        .select(col("id"), col("rank_lex"), col("rank_vec"),
+          (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
     },
 
     // Inverted-index posting build, verifiable surface: per term the df
