@@ -492,6 +492,99 @@ object Similarity {
     IvfHealth(staleness, if (ideal == 0) 0.0 else counts.max / ideal)
   }
 
+  // ---- Product quantization (Jégou, Douze & Schmid, TPAMI 2011) --------
+
+  /** PQ subspaces (codes per vector). */
+  final val PqM = 8
+  /** Codebook entries per subspace (a 5-bit code; byte-sized on disk). */
+  final val PqKs = 32
+  /** Lloyd rounds for the subspace codebooks (cheap: sample-sized). */
+  final val PqIters = 4
+  /** ADC shortlist reranked with exact cosine. */
+  final val PqShortlist = 128
+
+  /** Per-subspace codebooks via the same deterministic Lloyd-lite the IVF
+    * coarse quantizer uses, trained on subvector slices. Model state is
+    * PqM × PqKs × (Dim/PqM) doubles on the driver — the bounded class, and
+    * training touches only the [[TrainSampleMod]] sample.
+    */
+  private[graft] def pqCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
+    val sub = Dim / PqM
+    Array.tabulate(PqM) { m =>
+      kmeansCentroidsFrom(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), m * sub + 1, sub).as("embedding")),
+        PqKs, PqIters)
+    }
+  }
+
+  /** Compressed index: per vector its PqM 4-bit codes (cosine-nearest
+    * codebook entry per subspace — the engine's metric is cosine
+    * throughout, so quantization is by subvector direction) plus one float
+    * norm. ~12 bytes a vector against 256 raw: the memory-bandwidth
+    * reduction that makes a flat 100 TB ADC scan feasible — the scan
+    * streams codes, never the embeddings.
+    */
+  private[graft] def pqEncode(emb: DataFrame,
+      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = Dim / PqM
+    withNorm(emb).select(col("vec_id"), col("nrm"),
+      array((0 until PqM).map(m =>
+        cellOf(slice(col("embedding"), m * sub + 1, sub), cbs(m))): _*)
+        .as("codes"))
+  }
+
+  /** PQ-ADC ANN top-k: approximate cosine from codes alone
+    * (Σ_m dot(probe_m, codebook_m[code_m]) / (|p|·|c|) — the asymmetric
+    * distance computation: the probe stays full-precision, candidates are
+    * their codes), per-probe [[PqShortlist]] via the partial top-k
+    * Aggregator, then an exact rerank of the shortlist only (ids join back
+    * to the stored vectors). Like the other ANN paths the scored pairs
+    * never shuffle; unlike them the candidate SCAN reads ~12 bytes per
+    * vector instead of 256.
+    */
+  def pqTopK(s: SparkSession, dir: String): DataFrame =
+    pqTopKFrom(Tables.embeddings(s, dir))
+
+  /** [[pqTopK]] over an explicit (vec_id, embedding) frame. */
+  private[graft] def pqTopKFrom(emb: DataFrame): DataFrame = {
+    val sub = Dim / PqM
+    val cbs = pqCodebooks(emb)
+    val codes = pqEncode(emb, cbs)
+    val e = withNorm(emb)
+    val probes = probeBatch(e)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"),
+        col("nrm").as("pn"))
+    // ADC: codebooks enter the plan as literals; element_at picks the
+    // centroid of each candidate's code, dot_ff scores it against the
+    // probe's subvector. The candidate's cosine denominator uses the
+    // RECONSTRUCTED norm sqrt(Σ_m |c_m|²) (a second literal lookup table),
+    // so approx = cos(probe, reconstruction) — codes alone rank the scan
+    // with no per-candidate float beyond what the index stores
+    val numer = (0 until PqM).map { m =>
+      val cbLit = typedlit(cbs(m).map(_.map(_.toFloat).toSeq).toSeq)
+      dot_ff(slice(col("pv"), m * sub + 1, sub),
+        element_at(cbLit, element_at(col("codes"), m + 1) + 1))
+    }.reduce(_ + _)
+    val rnormSq = (0 until PqM).map { m =>
+      val sqLit = typedlit(cbs(m).map(c => c.map(x => x * x).sum).toSeq)
+      element_at(sqLit, element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    val approx = numer / (col("pn") * sqrt(rnormSq))
+    val shortAgg = udaf(new graft.functions.TopKAgg(PqShortlist))
+    val shortlist = codes.join(broadcast(probes), col("p_id") =!= col("vec_id"))
+      .select(col("p_id"), approx.as("a"), col("vec_id").as("c_id"))
+      .groupBy("p_id").agg(shortAgg(col("a"), col("c_id")).as("tk"))
+      .select(col("p_id"), explode(col("tk.ids")).as("c_id"))
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
+    rankTopK(shortlist.join(cands, "c_id").join(broadcast(probes), "p_id")
+      .select(col("p_id"),
+        round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+          .as("cos_r"),
+        col("c_id")))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Per-label embedding centroids — the distributed tensor-mean shape
@@ -585,6 +678,8 @@ object Similarity {
 
     Q.noOracle("q_ann_screen_topk")(screenTopK),
 
-    Q.noOracle("q_ann_ivf_topk")(annIvfTopK)
+    Q.noOracle("q_ann_ivf_topk")(annIvfTopK),
+
+    Q.noOracle("q_pq_topk")(pqTopK)
   )
 }

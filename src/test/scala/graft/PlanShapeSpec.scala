@@ -120,11 +120,11 @@ class PlanShapeSpec extends SparkSpec {
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
       "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk",
       "q_ann_screen_topk", "q_ann_ivf_topk", "q_bloom_semi_join",
-      "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion")
+      "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_pq_topk")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
-      "q_ann_lsh_topk", "q_ann_screen_topk", "q_ann_ivf_topk")
+      "q_ann_lsh_topk", "q_ann_screen_topk", "q_ann_ivf_topk", "q_pq_topk")
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, ResolvedHint}
     SparkEntry.all.foreach { q =>
       val hints = q.build(spark, sfDir).queryExecution.analyzed.collect {

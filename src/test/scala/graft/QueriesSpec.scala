@@ -186,6 +186,21 @@ class QueriesSpec extends SparkSpec {
       s"LSH candidate fraction exceeded 1/3: $candFraction")
   }
 
+  test("PQ-ADC ANN: codes well-formed; recall@10 >= 0.7 on clustered vectors") {
+    val emb = clusteredEmb
+    // structural: every code in [0, PqKs), PqM codes a vector
+    val codes = ops.Similarity.pqEncode(emb, ops.Similarity.pqCodebooks(emb))
+    assert(codes.filter(size(col("codes")) =!= ops.Similarity.PqM).count() === 0)
+    assert(codes.filter(exists(col("codes"),
+      c => c < 0 || c >= ops.Similarity.PqKs)).count() === 0)
+    // the compressed scan + exact rerank recovers the true neighbors in
+    // the clustered regime (shortlist 64 of 999 candidates ≈ 6.4%)
+    val bf = ops.Similarity.cosineTopKFrom(emb)
+    val pq = ops.Similarity.pqTopKFrom(emb)
+    val recall = recallOf(pq, bf)
+    assert(recall >= 0.7, s"PQ recall@10 on clustered vectors: $recall")
+  }
+
   test("IVF ANN: recall >= 2x scanned fraction on clustered vectors") {
     // learned cells concentrate each cluster into one cell, so a probe's
     // own cell carries almost all of its true top-10 — recall must sit far
