@@ -24,7 +24,8 @@ object SparkEntry {
     ops.Curation.queries,
     ops.Retrieval.queries,
     ops.Tokenize.queries,
-    ops.Spans.queries
+    ops.Spans.queries,
+    ops.LM.queries
   )
 
   def all: Seq[Q] = modules.flatten

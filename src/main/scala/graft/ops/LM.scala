@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Language-model document scoring — the model-based half of corpus quality
+  * filtering: interpolated bigram negative log-likelihood (the KenLM-style
+  * perplexity gate of CCNet, Wenzek et al. 2020, at bigram order) and
+  * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling": rank raw documents by the
+  * log-ratio of an in-domain LM to the raw-corpus LM).
+  *
+  * Both use the engine's micro-nat rule (see q_unigram_logprob): every
+  * libm ln() is snapped to integer micro-nats on the MODEL frame (one row
+  * per distinct bigram / token — vocabulary-sized, not corpus-sized), so
+  * all per-document aggregation is exact integer arithmetic with no FP
+  * addition-order drift, cross-engine and cross-partitioning.
+  *
+  * Scale shape: the corpus is touched by (1) the per-doc gram aggregation
+  * and (2) one keyed join against the model frame — both shuffles key on
+  * high-cardinality grams/tokens; the model frames derive from the same
+  * aggregates (no second corpus pass); the conditional-context counts come
+  * from the bigram table itself (Σ_w2 c2(w1,w2)), never a separate scan.
+  */
+object LM {
+
+  /** Interpolation weight on the bigram term (rest on the unigram). */
+  final val LambdaNum = 3
+  final val LambdaDen = 4
+
+  /** DSIR in-domain proxy: documents from this source. */
+  final val TargetSource = "src0"
+
+  /** Rows surfaced by the DSIR top-k selection. */
+  final val DsirTopK = 100
+
+  val queries: Seq[Q] = Seq(
+
+    // Interpolated bigram NLL per document:
+    //   p(w2|w1) = 3/4 · c2(w1,w2)/c1ctx(w1) + 1/4 · c1(w2)/N
+    // with c1ctx(w1) = Σ_w2 c2(w1,w2) (left-context mass, derived from the
+    // bigram table so both engines share one definition). Each distinct
+    // bigram's ln(p) snaps to micro-nats; per-doc totals are integer sums.
+    // Low avg_nll ≈ fluent/common text, high ≈ atypical — the
+    // perplexity-gate signal.
+    Q("q_bigram_nll",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT doc_id,
+         |          unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+         |                  for i in range(1, len(toks))]) AS p
+         |        FROM t WHERE len(toks) >= 2)
+         |  GROUP BY doc_id, p.w1, p.w2),
+         |c2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+         |c1ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1c FROM c2 GROUP BY w1),
+         |uni AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS nt FROM uni),
+         |lp AS (
+         |  SELECT c2.w1, c2.w2,
+         |         CAST(round(ln($LambdaNum.0 / $LambdaDen * c2.c2 / c1c.c1c
+         |                     + 1.0 / $LambdaDen * uni.c1 / tot.nt) * 1000000)
+         |           AS BIGINT) AS lp_micro
+         |  FROM c2
+         |  JOIN c1ctx c1c USING (w1)
+         |  JOIN uni ON uni.tok = c2.w2
+         |  CROSS JOIN tot)
+         |SELECT bg.doc_id,
+         |       CAST(sum(bg.n) AS BIGINT) AS n_bigrams,
+         |       CAST(-sum(bg.n * lp.lp_micro) AS BIGINT) AS nll_micro,
+         |       (CAST(-sum(bg.n * lp.lp_micro) AS BIGINT)
+         |         / CAST(sum(bg.n) AS BIGINT)) AS avg_nll_micro
+         |FROM bg JOIN lp USING (w1, w2)
+         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = split(col("text"), " ")
+      val bg = docs
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .as("p"))
+        .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+      val c2 = bg.groupBy("w1", "w2").agg(sum("n").as("c2"))
+      val c1ctx = c2.groupBy("w1").agg(sum("c2").as("c1c"))
+      val uni = docs
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum("c1").as("nt"))
+      // model frame: one row per distinct OBSERVED bigram; all joins below
+      // key on grams/tokens (no hints — AQE broadcasts while vocab is small)
+      val lp = c2.join(c1ctx, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"),
+          round(log(lit(LambdaNum.toDouble / LambdaDen) * col("c2") / col("c1c")
+            + lit(1.0 / LambdaDen) * col("c1") / col("nt")) * 1000000)
+            .cast("long").as("lp_micro"))
+      bg.join(lp, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_bigrams"),
+          (-sum(col("n") * col("lp_micro"))).as("nll_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+          (col("nll_micro") / col("n_bigrams")).as("avg_nll_micro"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR-style importance selection: per-token log-ratio
+    //   lw(w) = ln( p_target(w) / p_raw(w) ),   Laplace-smoothed
+    // (+1 / +V) so tokens unseen in-domain stay finite; token identity is
+    // the feature at fixture vocab (at 100 TB hash features into B buckets
+    // first — same plan, the model frame becomes B rows). Per-doc weight =
+    // Σ tf·lw_micro (exact integers); the top-[[DsirTopK]] selection plans
+    // as TakeOrderedAndProject. Downstream, weights feed the existing
+    // weighted priority sampler for the actual resample.
+    Q("q_dsir_weights",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY doc_id, tok),
+         |raw AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY tok),
+         |tgt AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM toks
+         |  WHERE source = '$TargetSource' GROUP BY tok),
+         |sizes AS (
+         |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v,
+         |         (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt),
+         |lw AS (
+         |  SELECT raw.tok,
+         |         CAST(round(ln((CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (nt + v))
+         |                     / (CAST(raw.cr + 1 AS DOUBLE) / (nr + v))) * 1000000)
+         |           AS BIGINT) AS lw_micro
+         |  FROM raw LEFT JOIN tgt USING (tok) CROSS JOIN sizes)
+         |SELECT doc_id,
+         |       CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+         |       CAST(sum(tf.tf * lw.lw_micro) AS BIGINT) AS weight_micro
+         |FROM tf JOIN lw USING (tok)
+         |GROUP BY doc_id
+         |ORDER BY weight_micro DESC, doc_id LIMIT $DsirTopK""".stripMargin) {
+      (s, dir) =>
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+        val tf  = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+        val tgt = toks.filter(col("source") === TargetSource)
+          .groupBy("tok").agg(count(lit(1)).as("ct"))
+        // three single-value aggregates fused into one 1-row frame (the
+        // allowlisted pinned-broadcast class)
+        val sizes = raw.agg(sum("cr").as("nr"), count(lit(1)).as("v"))
+          .crossJoin(tgt.agg(coalesce(sum("ct"), lit(0L)).as("nt")))
+        val lw = raw.join(tgt, Seq("tok"), "left")
+          .crossJoin(broadcast(sizes))
+          .select(col("tok"),
+            round(log(((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+              / (col("nt") + col("v")))
+              / ((col("cr") + 1).cast("double") / (col("nr") + col("v"))))
+              * 1000000).cast("long").as("lw_micro"))
+        tf.join(lw, "tok")
+          .groupBy("doc_id")
+          .agg(sum("tf").as("n_tok"),
+            sum(col("tf") * col("lw_micro")).as("weight_micro"))
+          .orderBy(col("weight_micro").desc, col("doc_id"))
+          .limit(DsirTopK)
+    }
+  )
+}

@@ -141,6 +141,25 @@ object Tokenize {
         .select(explode(col("syms")).as("subword"), col("freq"))
         .groupBy("subword").agg(sum("freq").as("n_tokens"))
         .orderBy(col("n_tokens").desc, col("subword"))
+    },
+
+    // Corpus-wide tokenizer application: per-document BPE token counts.
+    // The trained encoder applies to the DISTINCT-WORD frame once
+    // (vocab-sized); the corpus then just joins word → subword count — the
+    // narrow layout that tokenizes 100 TB without running the merge fold
+    // per occurrence. Rows-only (training loop); TokenizeSpec recounts
+    // documents against the sequential reference encoder.
+    Q.noOracle("q_bpe_token_count") { (s, dir) =>
+      val merges = train(s, dir, NMerges)
+      val wordLen = wordFreq(s, dir)
+        .select(col("word"),
+          size(encodeCol(split(col("word"), ""), merges)).as("n_sub"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(wordLen, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+        .orderBy("doc_id")
     }
   )
 }

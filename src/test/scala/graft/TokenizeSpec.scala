@@ -65,6 +65,28 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  test("corpus token counts bounded by words/chars and equal a sequential recount") {
+    val out = SparkEntry.all.find(_.name == "q_bpe_token_count").get
+      .build(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("n_words_doc"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars"))
+    val j = out.join(docs, "doc_id")
+    assert(j.filter(col("n_bpe_tokens") < col("n_words") ||
+      col("n_bpe_tokens") > col("n_chars")).count() === 0)
+    assert(j.filter(col("n_words") =!= col("n_words_doc")).count() === 0)
+    // sequential recount on a handful of documents
+    val merges = seqBpe(freqs, NMerges)
+    val sample = j.select(col("doc_id"), col("text"), col("n_bpe_tokens"))
+      .orderBy("doc_id").limit(5).collect()
+    sample.foreach { r =>
+      val want = r.getString(1).split(" ").map(w =>
+        merges.foldLeft(w.split("").toVector)(seqApply).length.toLong).sum
+      assert(r.getLong(2) === want, s"doc ${r.getLong(0)} token count")
+    }
+  }
+
   test("subword vocabulary conserves character mass") {
     val out = SparkEntry.all.find(_.name == "q_bpe_vocab").get
       .build(spark, sfDir)
