@@ -25,7 +25,8 @@ object SparkEntry {
     ops.Retrieval.queries,
     ops.Tokenize.queries,
     ops.Spans.queries,
-    ops.LM.queries
+    ops.LM.queries,
+    ops.Graph.queries
   )
 
   def all: Seq[Q] = modules.flatten

@@ -302,7 +302,7 @@ object Dedup {
   /** The full LSH-pipeline oracle SQL, minus final SELECT — `WITH`-prefix
     * chain shared by q_dedup_minhash_pairs and q_neardup_degree.
     */
-  private def minhashPairsCtes: String =
+  private[ops] def minhashPairsCtes: String =
     s"""$hsCte, sig_t AS (
        |  SELECT doc_id, list_transform(range(0, $NumPerms), i -> $sigExpr) AS sig
        |  FROM hs_t
