@@ -168,6 +168,44 @@ object ScaleProbe {
         println(s"[scale] x$m   cc_loop rounds=$rounds")
         n
       }
+      // duplicated-span detection on an m×-replicated corpus (ids shifted,
+      // text UNsalted: window content repeats across replicas, so each
+      // window's occurrence count grows ∝ m — the realistic boilerplate
+      // regime). Both shuffles are keyed (win / doc_id) and the per-window
+      // count is a partitioned window function, not a pair enumeration, so
+      // wall time must stay ~linear even as n_occ grows.
+      timed("dup_spans_replicated") {
+        val docs = Tables.documents(spark, sfDir)
+        val dN = (0 until m).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+          .reduce(_.union(_))
+        graft.ops.Spans.dupSpansFrom(dN).count()
+      }
+      // bigram-LM scoring on an m×-replicated corpus with a per-replica
+      // salt token appended (vocab and bigram-model cardinality genuinely
+      // grow with m): the corpus is touched by the per-doc gram aggregate
+      // and one gram-keyed model join; both scale with rows, the model
+      // frame with distinct grams — wall time must stay ~linear.
+      timed("bigram_nll_replicated") {
+        val docs = Tables.documents(spark, sfDir)
+        val dN = (0 until m).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+          .reduce(_.union(_))
+        graft.ops.LM.bigramNllFrom(dN).count()
+      }
+      // PageRank loop on m× disjoint replicas of the near-dup pair graph
+      // (ids shifted — same components, m× the vertices): isolates the
+      // iterative join+aggregate loop, the cc_loop analog. Wall time must
+      // stay ~linear; the rank frame is the only state.
+      timed("pagerank_replicated") {
+        val off = 1000000000L
+        val p = graft.ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+        val pN = (0 until m).map(i => p.select(
+          (col("d1") + lit(off * i)).as("d1"),
+          (col("d2") + lit(off * i)).as("d2"))).reduce(_.union(_))
+        graft.ops.Graph.pageRank(pN).count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

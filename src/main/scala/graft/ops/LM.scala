@@ -35,6 +35,44 @@ object LM {
   /** Rows surfaced by the DSIR top-k selection. */
   final val DsirTopK = 100
 
+  /** The bigram-NLL pipeline over an explicit documents frame (ScaleProbe
+    * entry point).
+    */
+  private[graft] def bigramNllFrom(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bg = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        .as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val c2 = bg.groupBy("w1", "w2").agg(sum("n").as("c2"))
+    val c1ctx = c2.groupBy("w1").agg(sum("c2").as("c1c"))
+    val uni = docs
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum("c1").as("nt"))
+    // model frame: one row per distinct OBSERVED bigram; all joins below
+    // key on grams/tokens (no hints — AQE broadcasts while vocab is small)
+    val lp = c2.join(c1ctx, "w1")
+      .join(uni.withColumnRenamed("tok", "w2"), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(log(lit(LambdaNum.toDouble / LambdaDen) * col("c2") / col("c1c")
+          + lit(1.0 / LambdaDen) * col("c1") / col("nt")) * 1000000)
+          .cast("long").as("lp_micro"))
+    bg.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        (-sum(col("n") * col("lp_micro"))).as("nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        (col("nll_micro") / col("n_bigrams")).as("avg_nll_micro"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Interpolated bigram NLL per document:
@@ -77,39 +115,7 @@ object LM {
          |         / CAST(sum(bg.n) AS BIGINT)) AS avg_nll_micro
          |FROM bg JOIN lp USING (w1, w2)
          |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val toks = split(col("text"), " ")
-      val bg = docs
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
-          .as("p"))
-        .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).as("n"))
-      val c2 = bg.groupBy("w1", "w2").agg(sum("n").as("c2"))
-      val c1ctx = c2.groupBy("w1").agg(sum("c2").as("c1c"))
-      val uni = docs
-        .select(explode(toks).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c1"))
-      val tot = uni.agg(sum("c1").as("nt"))
-      // model frame: one row per distinct OBSERVED bigram; all joins below
-      // key on grams/tokens (no hints — AQE broadcasts while vocab is small)
-      val lp = c2.join(c1ctx, "w1")
-        .join(uni.withColumnRenamed("tok", "w2"), "w2")
-        .crossJoin(broadcast(tot))
-        .select(col("w1"), col("w2"),
-          round(log(lit(LambdaNum.toDouble / LambdaDen) * col("c2") / col("c1c")
-            + lit(1.0 / LambdaDen) * col("c1") / col("nt")) * 1000000)
-            .cast("long").as("lp_micro"))
-      bg.join(lp, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(sum("n").as("n_bigrams"),
-          (-sum(col("n") * col("lp_micro"))).as("nll_micro"))
-        .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
-          (col("nll_micro") / col("n_bigrams")).as("avg_nll_micro"))
-        .orderBy("doc_id")
+      bigramNllFrom(Tables.documents(s, dir))
     },
 
     // DSIR-style importance selection: per-token log-ratio

@@ -33,6 +33,43 @@ object Spans {
     */
   final val SpanLen = 8
 
+  /** The span pipeline over an explicit documents frame (ScaleProbe entry
+    * point).
+    */
+  private[graft] def dupSpansFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val wins = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= SpanLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - $SpanLen + 1), " +
+        s"i -> concat_ws(' ', slice(toks, i, $SpanLen)))"))
+        .as(Seq("pos0", "win")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("win"))
+    // shuffle 1: content-keyed occurrence count (window function — the
+    // frame is shuffled once, not self-joined)
+    val dup = wins
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("win")))
+      .filter(col("n_occ") >= 2)
+      .select("doc_id", "pos")
+    // shuffle 2: doc-keyed gaps-and-islands; windows at p < q overlap
+    // iff q <= p + SpanLen - 1, so an island breaks when the running
+    // position max falls more than SpanLen - 1 behind
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max("pos").over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevMax, lit(-SpanLen)) + (SpanLen - 1), 1)
+          .otherwise(0))
+      .withColumn("island", sum("brk").over(byPos))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (SpanLen - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Maximal duplicated spans per document: island id (1-based, in
@@ -70,36 +107,7 @@ object Spans {
          |       CAST(count(*) AS BIGINT) AS n_windows
          |FROM i GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
-      val toks = split(col("text"), " ")
-      val wins = Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) >= SpanLen)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(toks) - $SpanLen + 1), " +
-          s"i -> concat_ws(' ', slice(toks, i, $SpanLen)))"))
-          .as(Seq("pos0", "win")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("win"))
-      // shuffle 1: content-keyed occurrence count (window function — the
-      // frame is shuffled once, not self-joined)
-      val dup = wins
-        .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("win")))
-        .filter(col("n_occ") >= 2)
-        .select("doc_id", "pos")
-      // shuffle 2: doc-keyed gaps-and-islands; windows at p < q overlap
-      // iff q <= p + SpanLen - 1, so an island breaks when the running
-      // position max falls more than SpanLen - 1 behind
-      val byPos = Window.partitionBy("doc_id").orderBy("pos")
-      val prevMax = max("pos").over(byPos.rowsBetween(Window.unboundedPreceding, -1))
-      dup
-        .withColumn("brk",
-          when(col("pos") > coalesce(prevMax, lit(-SpanLen)) + (SpanLen - 1), 1)
-            .otherwise(0))
-        .withColumn("island", sum("brk").over(byPos))
-        .groupBy("doc_id", "island")
-        .agg(min("pos").as("span_start"),
-          (max("pos") + (SpanLen - 1)).as("span_end"),
-          count(lit(1)).as("n_windows"))
-        .orderBy("doc_id", "span_start")
+      dupSpansFrom(Tables.documents(s, dir))
     }
   )
 }
