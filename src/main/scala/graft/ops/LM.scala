@@ -17,11 +17,14 @@ import graft.{Q, Tables}
   * all per-document aggregation is exact integer arithmetic with no FP
   * addition-order drift, cross-engine and cross-partitioning.
   *
-  * Scale shape: the corpus is touched by (1) the per-doc gram aggregation
-  * and (2) one keyed join against the model frame — both shuffles key on
-  * high-cardinality grams/tokens; the model frames derive from the same
-  * aggregates (no second corpus pass); the conditional-context counts come
-  * from the bigram table itself (Σ_w2 c2(w1,w2)), never a separate scan.
+  * Scale shape: two corpus passes — model ESTIMATION (gram aggregation
+  * down to the vocabulary-sized count frames) and SCORING (per-doc gram
+  * aggregation + one keyed join against the model frame) — the CCNet
+  * layout; at 100 TB the estimation pass's gram frame would persist
+  * between the two. All shuffles key on high-cardinality grams/tokens;
+  * the conditional-context counts come from the bigram table itself
+  * (Σ_w2 c2(w1,w2)), never a separate scan; ScaleProbe measures the whole
+  * pipeline sub-linear (7× wall for 50× corpus).
   */
 object LM {
 
