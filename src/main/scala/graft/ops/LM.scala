@@ -38,6 +38,12 @@ object LM {
   /** Rows surfaced by the DSIR top-k selection. */
   final val DsirTopK = 100
 
+  /** Collocation mining: minimum bigram count (hapax bigrams make PMI a
+    * rare-word detector, not a collocation detector) and rows surfaced.
+    */
+  final val PmiMinCount = 5
+  final val PmiTopK = 100
+
   /** The bigram-NLL pipeline over an explicit documents frame (ScaleProbe
     * entry point).
     */
@@ -181,6 +187,70 @@ object LM {
             sum(col("tf") * col("lw_micro")).as("weight_micro"))
           .orderBy(col("weight_micro").desc, col("doc_id"))
           .limit(DsirTopK)
+    },
+
+    // PMI collocation mining: rank adjacent-pair bigrams by pointwise
+    // mutual information  pmi(w1,w2) = ln( N·c2(w1,w2) / (c1(w1)·c1(w2)) )
+    // over corpus-position counts (N = token positions, c1 = unigram
+    // positions, c2 = adjacent-pair positions). High PMI + a count floor
+    // (≥ [[PmiMinCount]]) = phrases whose parts co-occur far above chance —
+    // the classic collocation/multi-word-expression signal (Church & Hanks
+    // 1990). ln snaps to micro-nats on the bigram MODEL frame (vocabulary-
+    // sized); ordering and the count floor are exact integers.
+    //
+    // Scale shape: one corpus pass down to the gram frames; two token-keyed
+    // joins (c2→c1(w1), c2→c1(w2)); the corpus-size total is the pinned
+    // single-row broadcast class; final selection is a global top-k
+    // (TakeOrderedAndProject — no full sort materializes).
+    Q("q_pmi_collocations",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |c2 AS (
+         |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM (SELECT unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+         |                       for i in range(1, len(toks))]) AS p
+         |        FROM t WHERE len(toks) >= 2)
+         |  GROUP BY p.w1, p.w2),
+         |uni AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS nt FROM uni)
+         |SELECT w1, w2, c2,
+         |       CAST(round(ln(CAST(nt AS DOUBLE) * c2 / (u1.c1 * u2.c1))
+         |                  * 1000000) AS BIGINT) AS pmi_micro
+         |FROM c2
+         |JOIN uni u1 ON u1.tok = c2.w1
+         |JOIN uni u2 ON u2.tok = c2.w2
+         |CROSS JOIN tot
+         |WHERE c2 >= $PmiMinCount
+         |ORDER BY pmi_micro DESC, w1, w2 LIMIT $PmiTopK""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val toks = split(col("text"), " ")
+        val c2 = docs
+          .select(toks.as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+            .as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("c2"))
+          .filter(col("c2") >= PmiMinCount)
+        val uni = docs
+          .select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c1"))
+        val tot = uni.agg(sum("c1").as("nt"))
+        c2.join(uni.select(col("tok").as("w1"), col("c1").as("c1_w1")), "w1")
+          .join(uni.select(col("tok").as("w2"), col("c1").as("c1_w2")), "w2")
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("c2"),
+            round(log(col("nt").cast("double") * col("c2")
+              / (col("c1_w1") * col("c1_w2"))) * 1000000)
+              .cast("long").as("pmi_micro"))
+          .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+          .limit(PmiTopK)
     }
   )
 }

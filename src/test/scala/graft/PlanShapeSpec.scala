@@ -115,16 +115,18 @@ class PlanShapeSpec extends SparkSpec {
     //     not by data).
     //   - q_rrf_fusion: embeds q_bm25_topk (same hints) plus a pinned
     //     SINGLE-ROW probe-embedding frame (vec_id = ProbeId).
-    //   - q_bigram_nll / q_dsir_weights / q_pagerank_neardup: the hinted
-    //     side is a SINGLE-ROW total (token mass / corpus+vocab sizes /
-    //     vertex count) — the tfidf/unigram class.
+    //   - q_bigram_nll / q_dsir_weights / q_pagerank_neardup /
+    //     q_pmi_collocations: the hinted side is a SINGLE-ROW total (token
+    //     mass / corpus+vocab sizes / vertex count) — the tfidf/unigram
+    //     class.
     val allowed = Set(
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
       "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk",
       "q_ann_screen_topk", "q_ann_ivf_topk", "q_bloom_semi_join",
       "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_pq_topk",
-      "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup")
+      "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
+      "q_pmi_collocations")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
