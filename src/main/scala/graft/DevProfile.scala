@@ -28,6 +28,12 @@ object DevProfile {
     timed("q_dedup_minhash_pairs (marginal)")(
       SparkEntry.queries("q_dedup_minhash_pairs")(spark, sfDir).count())
     timed("q_simhash")(SparkEntry.queries("q_simhash")(spark, sfDir).count())
+    val emb = Tables.embeddings(spark, sfDir)
+    timed("pq codebooks only")(ops.Similarity.pqCodebooks(emb).length)
+    timed("q_pq_topk full")(
+      SparkEntry.queries("q_pq_topk")(spark, sfDir).count())
+    timed("q_pq_topk again")(
+      SparkEntry.queries("q_pq_topk")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -503,18 +503,68 @@ object Similarity {
   /** ADC shortlist reranked with exact cosine. */
   final val PqShortlist = 128
 
-  /** Per-subspace codebooks via the same deterministic Lloyd-lite the IVF
-    * coarse quantizer uses, trained on subvector slices. Model state is
-    * PqM × PqKs × (Dim/PqM) doubles on the driver — the bounded class, and
-    * training touches only the [[TrainSampleMod]] sample.
+  /** Bounded training sample for the PQ codebooks (vectors collected). */
+  final val PqTrainCap = 4096
+
+  /** Per-subspace codebooks: Lloyd over a BOUNDED sample, driver-side.
+    *
+    * ONE Spark job — the first [[PqTrainCap]] of the [[TrainSampleMod]]
+    * sample (deterministic take-ordered, ~2 MB at cap) — then every
+    * subspace's [[PqIters]] Lloyd rounds run at driver memory speed.
+    * A [[PqKs]]-entry codebook needs ~100 samples per centroid, not a
+    * corpus fraction; bounded-sample codebook training is the published PQ
+    * practice (Jégou, Douze & Schmid, TPAMI 2011 §V train on a learning
+    * subset). Two rejected shapes, both measured at sf0.1: per-subspace
+    * distributed Lloyd (kmeansCentroidsFrom × PqM) paid PqM×(1+iters)=40
+    * sequential driver-synchronous jobs — 13.8 s of q_pq_topk's 15.1 s,
+    * all fixed job-launch cost; fusing all subspaces into one aggregation
+    * per round still paid (1+iters) jobs with fresh codegen per round
+    * (~3 s). The sample the rounds iterate is bounded, so distributing
+    * those rounds bought nothing at any scale.
+    *
+    * Same math as the distributed form: argmax-cosine assignment (ties →
+    * lowest cell), mean update, emptied cell keeps its centroid; seeds are
+    * the first [[PqKs]] sample vectors, as before.
     */
   private[graft] def pqCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
     val sub = Dim / PqM
+    val train = emb.filter(col("vec_id") % TrainSampleMod === 0)
+      .orderBy("vec_id").limit(PqTrainCap)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(train.nonEmpty, "PQ quantizer needs at least one training vector")
     Array.tabulate(PqM) { m =>
-      kmeansCentroidsFrom(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), m * sub + 1, sub).as("embedding")),
-        PqKs, PqIters)
+      val pts = train.map(_.slice(m * sub, m * sub + sub))
+      var cents = pts.take(PqKs).map(_.clone())
+      val kEff = cents.length
+      for (_ <- 0 until PqIters) {
+        val sums = Array.fill(kEff, sub)(0.0)
+        val counts = Array.fill(kEff)(0L)
+        val nrms = cents.map { c =>
+          val n = math.sqrt(c.map(x => x * x).sum); if (n == 0) 1.0 else n
+        }
+        pts.foreach { p =>
+          var best = 0
+          var bestS = Double.NegativeInfinity
+          var j = 0
+          while (j < kEff) {
+            val c = cents(j)
+            var d = 0.0
+            var i = 0
+            while (i < sub) { d += p(i) * c(i); i += 1 }
+            val s = d / nrms(j)
+            if (s > bestS) { bestS = s; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(kEff)(j =>
+          if (counts(j) == 0) cents(j)
+          else Array.tabulate(sub)(i => sums(j)(i) / counts(j)))
+      }
+      cents
     }
   }
 
@@ -528,10 +578,24 @@ object Similarity {
   private[graft] def pqEncode(emb: DataFrame,
       cbs: Array[Array[Array[Double]]]): DataFrame = {
     val sub = Dim / PqM
-    withNorm(emb).select(col("vec_id"), col("nrm"),
-      array((0 until PqM).map(m =>
-        cellOf(slice(col("embedding"), m * sub + 1, sub), cbs(m))): _*)
-        .as("codes"))
+    val kEff = cbs(0).length
+    // one 3-d codebook literal + nested transform lambdas, NOT PqM × kEff
+    // unrolled per-centroid columns: the unrolled form put 256 dot_ff
+    // expressions (each with its own inline array literal) in the plan,
+    // and codegen/compile of that tree — not the 2000-row data — was the
+    // cost (measured ~3 s of the query)
+    val cbLit = typedlit(cbs.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
+    val nrmLit = typedlit(cbs.map(_.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum); if (n == 0) 1.0 else n
+    }.toSeq).toSeq)
+    val codes = transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val v = slice(col("embedding"), m * sub + 1, lit(sub))
+      val scores = transform(sequence(lit(0), lit(kEff - 1)), j =>
+        dot_ff(v, element_at(element_at(cbLit, m + 1), j + 1))
+          / element_at(element_at(nrmLit, m + 1), j + 1))
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    })
+    withNorm(emb).select(col("vec_id"), col("nrm"), codes.as("codes"))
   }
 
   /** PQ-ADC ANN top-k: approximate cosine from codes alone
