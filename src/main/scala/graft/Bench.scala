@@ -26,6 +26,7 @@ object Bench {
     }
     ops.Dedup.clearCaches(spark)
     ops.Corpus.clearCaches(spark)
+    ops.Tokenize.clearCaches(spark)
     // declaration order (SparkEntry.all), not Map hash order: shared
     // first-compute (cluster frame, qualifying pairs, CC components) then
     // lands deterministically on the query that declares it, and the
@@ -75,6 +76,7 @@ object Bench {
     println(fullJson)
     ops.Dedup.clearCaches(spark)
     ops.Corpus.clearCaches(spark)
+    ops.Tokenize.clearCaches(spark)
     spark.stop()
     // failures (-1) sort FIRST — a broken query must survive the byte
     // budget ahead of any timing; then slowest-first. Stop at the first

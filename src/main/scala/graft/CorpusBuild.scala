@@ -54,6 +54,7 @@ object CorpusBuild {
     // cached frames after the build completes
     ops.Dedup.clearCaches(spark)
     ops.Corpus.clearCaches(spark)
+    ops.Tokenize.clearCaches(spark)
     spark.stop()
   }
 }

@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch stage-level profiler for the dedup/corpus pipeline (dev tool). */
+/** Scratch stage-level profiler for whatever pipeline is under the knife
+  * (dev tool — targets change round to round).
+  */
 object DevProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -17,23 +19,16 @@ object DevProfile {
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)"); r
     }
 
-    // cold corpus path exactly as the bench sees it when q_training_corpus
-    // runs first: one warmup query, then the full composed pipeline
     timed("warmup (unrelated query)")(
       ops.Relational.queries.head.build(spark, sfDir).count())
-    timed("q_training_corpus COLD")(
-      SparkEntry.queries("q_training_corpus")(spark, sfDir).count())
-    timed("q_dedup_components (memoized)")(
-      SparkEntry.queries("q_dedup_components")(spark, sfDir).count())
-    timed("q_dedup_minhash_pairs (marginal)")(
-      SparkEntry.queries("q_dedup_minhash_pairs")(spark, sfDir).count())
-    timed("q_simhash")(SparkEntry.queries("q_simhash")(spark, sfDir).count())
-    val emb = Tables.embeddings(spark, sfDir)
-    timed("pq codebooks only")(ops.Similarity.pqCodebooks(emb).length)
-    timed("q_pq_topk full")(
-      SparkEntry.queries("q_pq_topk")(spark, sfDir).count())
-    timed("q_pq_topk again")(
-      SparkEntry.queries("q_pq_topk")(spark, sfDir).count())
+    timed("bpe train only")(
+      ops.Tokenize.train(spark, sfDir, ops.Tokenize.NMerges).length)
+    timed("q_bpe_token_count (memoized merges)")(
+      SparkEntry.queries("q_bpe_token_count")(spark, sfDir).count())
+    timed("q_bpe_vocab warm-merges warm-jit")(
+      SparkEntry.queries("q_bpe_vocab")(spark, sfDir).count())
+    timed("q_bpe_vocab again")(
+      SparkEntry.queries("q_bpe_vocab")(spark, sfDir).count())
     spark.stop()
   }
 }
