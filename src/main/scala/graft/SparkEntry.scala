@@ -19,6 +19,7 @@ object SparkEntry {
     ops.Advanced.queries,
     ops.Corpus.queries,
     ops.Sampling.queries,
+    ops.Shards.queries,
     ops.Spatial.queries,
     ops.Lakehouse.queries,
     ops.Curation.queries,

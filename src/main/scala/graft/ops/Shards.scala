@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deterministic global shuffle + shard export — the last step of every
+  * training-corpus build: scatter documents pseudo-randomly across N
+  * shard files in a reproducible order, so a training run streams shards
+  * sequentially yet sees a well-mixed corpus (the webdataset/tfrecord
+  * layout). Built from [[Sampling]]'s overflow-safe cross-engine hash:
+  *
+  *  - `key`  — a pure-integer hash of doc_id (distinct multiplier
+  *    assignment from the sampling gate so shard scatter and sample
+  *    membership stay independent); the SHUFFLE ORDER.
+  *  - `shard = key mod N` — which output file.
+  *  - `pos`  — rank of the key within the shard; the WITHIN-FILE order.
+  *
+  * Scale shape: one hash exchange on `shard` plus a per-shard sort. N is
+  * chosen so one shard is task-sized (the universal practice — shards of
+  * ~100 MB–1 GB, so 100 TB ⇒ N ≈ 10⁵), which bounds the per-task sort by
+  * construction; there is no global sort and no driver state. Everything
+  * is a deterministic function of doc_id, so re-running the export — or
+  * re-exporting after appending documents — never reorders existing
+  * (shard, key) placements relative to each other, and the DuckDB oracle
+  * reproduces the assignment bit-for-bit (the cross-engine proof that a
+  * consumer could re-derive shard membership without this engine).
+  *
+  * Reference analog: the per-day deterministic batching the reference
+  * uses to scatter work (sql_to_line.py:113-131), keyed on a hash instead
+  * of a date so the scatter is uniform at any corpus size.
+  */
+object Shards {
+
+  import Sampling.{A, B, H, M}
+
+  /** Shards for the declared query (testdata-sized; production picks N
+    * from corpus_bytes / target_shard_bytes).
+    */
+  final val NShards = 8
+
+  /** Additive constant distinct from [[Sampling.C]]: same mixer family,
+    * different stream — shard scatter must not correlate with the 10%
+    * sample gate built on (A·lo + B·hi + C).
+    */
+  final val C2 = 9973L
+
+  /** Shuffle key: overflow-safe integer hash of an int64 id (multipliers
+    * swapped relative to [[Sampling.bucket100]], constant [[C2]]), then a
+    * SECOND multiply-mod round. One round is monotone in the id until the
+    * first mod-M wrap (stride B, so ids below M/B ≈ 44k sort in ingestion
+    * order — no shuffle at all); the second round turns that stride into
+    * B·A mod M, which wraps every couple of ids — consecutive ids land
+    * far apart in both shard and in-shard order. Products stay < 2^62
+    * (k1 < M ≈ 2^31, A < 2^31), so both engines compute it exactly.
+    */
+  def shuffleKey(id: Column): Column = {
+    val lo = pmod(id, lit(H))
+    val hi = shiftright(id, 31)
+    val k1 = pmod(lo * lit(B) + hi * lit(A) + lit(C2), lit(M))
+    pmod(k1 * lit(A) + lit(B), lit(M))
+  }
+
+  /** The identical formula in DuckDB SQL. */
+  def shuffleKeySql(id: String): String =
+    s"((((($id % $H) * $B + ($id // $H) * $A + $C2) % $M) * $A + $B) % $M)"
+
+  /** (doc_id, shard, pos): the full shard assignment frame. */
+  def shardAssign(docs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    docs.select(col("doc_id"), shuffleKey(col("doc_id")).as("key"))
+      .withColumn("shard", pmod(col("key"), lit(n.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  /** Export `docs` as N shard files under `outDir`: one hash
+    * repartition on the shard id, rows sorted by shuffle key within each
+    * file — the layout [[shardAssign]] describes, written. `partitionBy`
+    * gives shard-addressable paths (`shard=K/`); with `n` partitions a
+    * hash collision can co-locate two shards in one task, which still
+    * yields one file per shard per directory (each task writes its keys
+    * separately), so readers are unaffected.
+    */
+  def writeShards(docs: DataFrame, n: Int, outDir: String): Unit =
+    docs.select(col("doc_id"), shuffleKey(col("doc_id")).as("key"),
+        pmod(shuffleKey(col("doc_id")), lit(n.toLong)).as("shard"),
+        col("text"))
+      .repartition(n, col("shard"))
+      // shard FIRST: FileFormatWriter requires a partition-column prefix
+      // ordering and would otherwise insert its own (not-necessarily-
+      // stable) sort on shard alone, clobbering the key order
+      .sortWithinPartitions("shard", "key", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  val queries: Seq[Q] = Seq(
+
+    // Deterministic shard + in-shard position for every document,
+    // cell-exact cross-engine. The window partitions by shard (never
+    // global), mirroring the export's per-shard sort.
+    Q("q_shard_assign",
+      s"""WITH k AS (
+         |  SELECT doc_id, ${shuffleKeySql("doc_id")} AS key
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(key % $NShards AS BIGINT) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY key % $NShards
+         |                               ORDER BY key, doc_id) AS BIGINT) AS pos
+         |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      shardAssign(Tables.documents(s, dir), NShards).orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Shard export: assignment determinism/balance/stability and the written
+  * layout (per-shard files whose row order equals the declared in-shard
+  * position order).
+  */
+class ShardsSpec extends SparkSpec {
+
+  import ops.Shards._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("assignment is a total, balanced, deterministic scatter") {
+    val a = shardAssign(docs, NShards).cache()
+    try {
+      val nDocs = docs.count()
+      assert(a.count() === nDocs)
+      assert(a.select("doc_id").distinct().count() === nDocs)
+      // every shard populated, none pathologically skewed (hash scatter:
+      // expect ~nDocs/N per shard; assert within 3x either way)
+      val sizes = a.groupBy("shard").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet === (0L until NShards.toLong).toSet)
+      val expect = nDocs.toDouble / NShards
+      sizes.values.foreach(n =>
+        assert(n > expect / 3 && n < expect * 3, s"skewed shard: $n vs $expect"))
+      // pos is a dense 1..size ranking within each shard
+      val maxPos = a.groupBy("shard").agg(
+        max("pos").as("mx"), count(lit(1)).as("n"))
+      assert(maxPos.filter(col("mx") =!= col("n")).count() === 0)
+      // re-computation is bit-identical (pure function of doc_id)
+      assert(a.exceptAll(shardAssign(docs, NShards)).count() === 0)
+    } finally a.unpersist()
+  }
+
+  test("appending documents never reorders surviving placements") {
+    // export of a half-corpus, then of the full corpus: every pair of
+    // docs sharing a shard in both keeps its relative order (keys are
+    // fixed; only ranks shift). Verified via key monotonicity: pos order
+    // equals key order within a shard, and keys don't change.
+    val half = shardAssign(docs.filter(col("doc_id") % 2 === 0), NShards)
+    val full = shardAssign(docs, NShards)
+    val j = half.as("h").join(full.as("f"), "doc_id")
+      .select(col("doc_id"), col("h.shard").as("s1"), col("f.shard").as("s2"),
+        col("h.pos").as("p1"), col("f.pos").as("p2"))
+    assert(j.filter(col("s1") =!= col("s2")).count() === 0)
+    // relative order within a shard is preserved: join the half-export
+    // with itself on shard, compare order predicates under both rankings
+    val pairs = j.as("a").join(j.as("b"),
+        col("a.s1") === col("b.s1") && col("a.doc_id") < col("b.doc_id"))
+      .select((col("a.p1") < col("b.p1")).as("o1"),
+        (col("a.p2") < col("b.p2")).as("o2"))
+    assert(pairs.filter(col("o1") =!= col("o2")).count() === 0)
+  }
+
+  test("written shards round-trip with the declared in-shard order") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      writeShards(docs, NShards, out)
+      val back = spark.read.parquet(out)
+      assert(back.count() === docs.count())
+      // shard dirs exist and carry the assigned docs
+      val got = back.select(col("doc_id"), col("shard").cast("long").as("shard"))
+      val want = shardAssign(docs, NShards).select("doc_id", "shard")
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+      // within one shard file, parquet row order equals pos order
+      val one = spark.read.parquet(s"$out/shard=3")
+        .withColumn("file_order", monotonically_increasing_id())
+      val withPos = one.join(
+        shardAssign(docs, NShards).filter(col("shard") === 3), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("file_order")
+      assert(withPos
+        .withColumn("prev", lag("pos", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") >= col("pos"))
+        .count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+}
