@@ -30,17 +30,31 @@ object Tables {
       spark.read.format("jdbc").option("url", url).option("dbtable", table)
     ) { case (r, (k, v)) => r.option(k, v) }.load()
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read it as raw nanos and truncate to microseconds with exact integer
-    * division (`div`) — the same ns→µs truncation DuckDB's parquet reader
-    * applies, so the engines see identical instants. (Double division would
-    * lose precision: epoch-nanos ≈ 1.7e18 > 2^53.)
+  /** `events.ts` has shipped as two parquet layouts across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's reader rejects unless
+    * read as raw longs) and plain TIMESTAMP(MICROS) (isAdjustedToUTC=false
+    * → TIMESTAMP_NTZ under Spark's NTZ inference). Normalize BOTH to
+    * session-zone TimestampType at identical instants so every downstream
+    * query and oracle (`epoch_us` comparison, session tz pinned to UTC)
+    * sees one stable type:
+    *  - nanos-as-long → truncate to µs with exact integer division
+    *    (`div`) — the same ns→µs truncation DuckDB's parquet reader
+    *    applies (double division would lose precision: epoch-nanos
+    *    ≈ 1.7e18 > 2^53);
+    *  - TIMESTAMP_NTZ → cast to TimestampType (UTC session zone ⇒ the
+    *    epoch value is unchanged, matching DuckDB's naive read).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(spark, sfDir, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = apply(spark, sfDir, "orders")

@@ -649,6 +649,80 @@ object Similarity {
         col("c_id")))
   }
 
+  // ---- SemDeDup: semantic dedup in embedding space ----------------------
+  //
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): exact all-pairs cosine
+  // over a web-scale corpus is Θ(N²); the tractable shape is CLUSTER FIRST,
+  // then compare pairs only WITHIN a cluster — Θ(Σ|cell|²), bounded by the
+  // max cell size and embarrassingly parallel across cells. Semantic
+  // near-duplicates have near-1 cosine, so they share a cell with high
+  // probability and the within-cell pass catches them (pair recall gated
+  // on the clustered fixture in QueriesSpec).
+  //
+  // Two cluster sources drive the SAME kernel:
+  //  - q_semdedup: the cluster key is a GIVEN assignment column (the
+  //    fixture's `label`; in production the output of any upstream
+  //    clustering or sharding) → closed-form, ORACLE-CHECKED end to end.
+  //  - q_semdedup_cells ([[semDedupCells]]): clusters are LEARNED by the
+  //    same deterministic Lloyd-lite quantizer IVF uses — the paper's
+  //    actual shape; iterative training is not SQL-expressible, so the
+  //    declared query is rows-only and QueriesSpec carries the gates.
+  //
+  // Scale shape: ONE equi-join keyed on the cluster id (no cartesian, no
+  // global window), and scored pairs reduce immediately into a per-vector
+  // aggregate (max cosine / dup count / keep flag) — pairs never survive
+  // past the exchange that built them. The keep policy is deterministic:
+  // a vector drops iff some same-cluster LOWER-id vector sits within
+  // cosine ≥ τ (one representative per ε-neighborhood; lowest id is the
+  // reproducible choice, and a production corpus can pre-sort ids by
+  // quality so "lowest" = "best"). Hot cells are ordinary AQE skew-join
+  // territory — same posture as the spatial grid join.
+
+  /** Within-cluster dup threshold: ~p99 of within-label cosine on the
+    * near-isotropic fixture corpus (measured: p99 ≈ 0.284, max ≈ 0.45),
+    * so decisions are nontrivial but deterministic. Real embedding
+    * corpora run τ ≈ 0.95+; the kernel is τ-agnostic.
+    */
+  final val SemDedupTau = 0.25
+
+  /** Per-vector semantic-dedup decisions with `clusterCol` as the cluster
+    * key: (vec_id, cluster, max_cos, n_dups, kept). `max_cos` is the
+    * vector's best same-cluster cosine (NULL for singleton clusters),
+    * `n_dups` its ≥ τ neighbor count, `kept` the survival flag.
+    */
+  private[graft] def semDedup(emb: DataFrame, clusterCol: String,
+      tau: Double = SemDedupTau): DataFrame = {
+    val e = withNorm(emb).withColumn("cluster", col(clusterCol))
+    val a = e.select(col("cluster"), col("vec_id"),
+      col("embedding").as("av"), col("nrm").as("an"))
+    val b = e.select(col("cluster"), col("vec_id").as("v2"),
+      col("embedding").as("bv"), col("nrm").as("bn"))
+    val cos = dot_ff(col("av"), col("bv")) / (col("an") * col("bn"))
+    val agg = a.join(b, Seq("cluster"))
+      .filter(col("vec_id") =!= col("v2"))
+      .select(col("vec_id"), cos.as("cos"), col("v2"))
+      .groupBy("vec_id")
+      .agg(max("cos").as("mc"),
+        sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("nd"),
+        max(when(col("cos") >= tau && col("v2") < col("vec_id"), true)
+          .otherwise(false)).as("dropped"))
+    e.select("vec_id", "cluster").join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(col("mc"), 6).as("max_cos"),
+        coalesce(col("nd"), lit(0L)).as("n_dups"),
+        (!coalesce(col("dropped"), lit(false))).as("kept"))
+  }
+
+  /** [[semDedup]] with LEARNED clusters: every vector assigned to its
+    * nearest Lloyd-lite centroid (the IVF coarse quantizer, reused).
+    */
+  private[graft] def semDedupCells(emb: DataFrame,
+      tau: Double = SemDedupTau): DataFrame = {
+    val cents = kmeansCentroidsFrom(emb)
+    semDedup(emb.withColumn("cell", cellOf(col("embedding"), cents)),
+      "cell", tau).withColumnRenamed("cluster", "cell")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Per-label embedding centroids — the distributed tensor-mean shape
@@ -736,6 +810,38 @@ object Similarity {
         .select(col("v1"), col("v2"),
           round(dot_ff(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos_r"))
         .orderBy("v1")
+    },
+
+    // SemDeDup with a GIVEN cluster assignment (the label column): the
+    // within-cluster pairwise kernel, per-vector aggregate, and the
+    // lowest-id keep policy are all closed-form → fully oracle-checked.
+    // Cosines are bit-identical across engines (float→double cast is
+    // exact; both accumulate in double in index order), so round(6) and
+    // the ≥ τ comparisons agree cell-for-cell.
+    Q("q_semdedup",
+      s"""WITH n AS (
+         |  SELECT vec_id, label AS cluster, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id,
+         |         max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS mc,
+         |         count(*) FILTER (WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+         |                                >= $SemDedupTau) AS nd,
+         |         bool_or(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemDedupTau
+         |                 AND b.vec_id < a.vec_id) AS dropped
+         |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |  GROUP BY a.vec_id)
+         |SELECT n.vec_id, n.cluster, round(p.mc, 6) AS max_cos,
+         |       coalesce(p.nd, 0) AS n_dups,
+         |       NOT coalesce(p.dropped, FALSE) AS kept
+         |FROM n LEFT JOIN p ON n.vec_id = p.vec_id
+         |ORDER BY n.vec_id""".stripMargin) { (s, dir) =>
+      semDedup(Tables.embeddings(s, dir), "label").orderBy("vec_id")
+    },
+
+    Q.noOracle("q_semdedup_cells") { (s, dir) =>
+      semDedupCells(Tables.embeddings(s, dir)).orderBy("vec_id")
     },
 
     Q.noOracle("q_ann_lsh_topk")(annLshTopK),

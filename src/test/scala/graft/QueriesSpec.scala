@@ -256,6 +256,64 @@ class QueriesSpec extends SparkSpec {
       s"distribution shift not flagged: healthy=$healthy stale=$stale")
   }
 
+  test("SemDeDup: learned cells capture the near-dup pairs; decisions match a sequential reference") {
+    val emb = clusteredEmb
+    val tau = 0.8 // clustered fixture: same-cluster cosines ~0.9, cross ~0
+    // driver-side reference state: vectors (float→double, the dot_ff cast)
+    // and the learned cell of every vector
+    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
+    val cellRows = emb.select(col("vec_id"),
+      ops.Similarity.cellOf(col("embedding"), cents).as("cell")).collect()
+    val cellOfVec = cellRows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def cosOf(x: Long, y: Long): Double = dot(vecs(x), vecs(y)) / (nrm(x) * nrm(y))
+
+    // (a) cell recall: the fraction of ALL true cos >= tau pairs the
+    // within-cell pass can even see (both endpoints in one learned cell).
+    // This is THE SemDeDup approximation; gate it.
+    val ids = vecs.keys.toArray.sorted
+    val truePairs = for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if cosOf(ids(i), ids(j)) >= tau
+    } yield (ids(i), ids(j))
+    val (seen, total) = truePairs.foldLeft((0, 0)) { case ((s, t), (x, y)) =>
+      (s + (if (cellOfVec(x) == cellOfVec(y)) 1 else 0), t + 1)
+    }
+    assert(total > 100, s"fixture degenerate: only $total true near-dup pairs")
+    val recall = seen.toDouble / total
+    assert(recall >= 0.7, s"SemDeDup cell recall on clustered vectors: $recall")
+
+    // (b) the distributed decisions equal a sequential within-cell
+    // reference exactly: same max_cos (round 6), dup count, keep flag
+    val byCell = ids.groupBy(cellOfVec)
+    val ref = ids.map { id =>
+      val peers = byCell(cellOfVec(id)).filter(_ != id)
+      val cs = peers.map(p => (p, cosOf(id, p)))
+      val mc =
+        if (cs.isEmpty) None
+        else Some(BigDecimal(cs.map(_._2).max)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val nd      = cs.count(_._2 >= tau).toLong
+      val dropped = cs.exists { case (p, c) => c >= tau && p < id }
+      id -> ((mc, nd, !dropped))
+    }.toMap
+    val got = ops.Similarity.semDedupCells(emb, tau).collect()
+    assert(got.length === ids.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (mc, nd, kept) = ref(id)
+      val gmc = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(gmc === mc && r.getLong(3) === nd && r.getBoolean(4) === kept,
+        s"decision mismatch for vec $id: got ($gmc, ${r.getLong(3)}, ${r.getBoolean(4)}) want ($mc, $nd, $kept)")
+    }
+  }
+
   test("incremental near-dup equals the full pipeline restricted to (new, existing) pairs") {
     // the correctness contract of dedup-on-ingest: banding the new batch
     // against the index only (no index×index work) must find exactly the
