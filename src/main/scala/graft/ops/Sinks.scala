@@ -326,4 +326,35 @@ object Sinks {
     fs.create(tmp, true).close()
     must(fs.rename(tmp, manifest), s"manifest rename $tmp -> $manifest")
   }
+
+  /** Time-travel read of the exactly-once sink: the rows of every
+    * COMMITTED batch with id <= `asOfBatch` — the `VERSION AS OF` face of
+    * the manifest log, reduced to essentials like [[commitBatch]] itself.
+    *
+    * Consistency comes from reading the COMMIT LOG, not the data files: a
+    * crashed attempt's partial `b<id>-` files (manifest never landed) and
+    * any batch still publishing are filtered out by batch id, so the
+    * snapshot is stable mid-crash and mid-ingest. The committed-id set is
+    * one driver-side `_manifests` listing — O(total batches), the same
+    * scale Delta/Iceberg logs carry; membership filters on the stamped
+    * `batch_id` data column, so parquet row-group stats prune whole files
+    * (each published file holds exactly one batch id) and date-partition
+    * pruning still applies on top.
+    */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      asOfBatch: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root      = new Path(outDir)
+    val fs        = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = new Path(root, "_manifests")
+    val committed: Array[Long] =
+      if (!fs.exists(manifests)) Array.empty
+      else fs.listStatus(manifests).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch-") =>
+          n.stripPrefix("batch-").toLong }
+        .filter(_ <= asOfBatch)
+    require(committed.nonEmpty,
+      s"readAsOf($asOfBatch): no committed batch at or before that id in $outDir")
+    spark.read.parquet(outDir).filter(col("batch_id").isin(committed: _*))
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.functions.exprs.poly_hash
 
 /** Text-analysis operators for a training-data pipeline (north star):
   * word counts, per-language stats, exact dedup, token counting, quality
@@ -515,6 +516,61 @@ object TextOps {
         .select(explode(arrays_zip(col("items"), col("ests"))).as("e"))
         .select(col("e.items").as("word"), col("e.ests").as("est"))
         .orderBy(desc("est"), col("word"))
+    },
+
+    // Count–Min sketch point frequencies (functions/CountMin.scala) —
+    // built HERE through the declarative twin (explode rows 0..3 →
+    // groupBy (row, bucket) count: a fixed 4×256-cell aggregate with
+    // map-side partials, so the shuffle carries O(partitions × 1024)
+    // counters regardless of vocabulary), then probed for every token
+    // with exact count >= 50. The deterministic PolyHash family makes
+    // the sketch a pure function of the token multiset, so DuckDB
+    // rebuilds the IDENTICAL matrix and this is the sketch family's
+    // first fully ORACLE-CHECKED member (vs rows-only q_heavy_hitters /
+    // q_approx_stats). The estimate join touches a <=1024-row frame —
+    // AQE broadcasts it unhinted. Overestimate-only and merge-invariance
+    // guarantees are property-tested in CmsSpec.
+    Q("q_cms_counts",
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT tok, ${Dedup.hashSql("tok")} AS h FROM toks),
+         |cells AS (
+         |  SELECT j, ((h * (2*j + 1) + 101*j + 17) % 1000000007) % 256 AS b,
+         |         count(*) AS cnt
+         |  FROM h CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT tok, h, count(*) AS n_exact FROM h
+         |  GROUP BY tok, h HAVING count(*) >= 50),
+         |est AS (
+         |  SELECT p.tok, p.n_exact, min(c.cnt) AS n_cms
+         |  FROM probes p CROSS JOIN range(0, 4) t(j)
+         |  JOIN cells c ON c.j = t.j
+         |   AND c.b = ((p.h * (2*t.j + 1) + 101*t.j + 17) % 1000000007) % 256
+         |  GROUP BY p.tok, p.n_exact)
+         |SELECT tok, n_exact, n_cms, n_cms - n_exact AS overcount
+         |FROM est ORDER BY tok""".stripMargin) { (s, dir) =>
+      def buckets(hc: Column): Column = array((0 until 4).map(j =>
+        struct(lit(j).as("j"),
+          ((hc * (2 * j + 1) + lit(101L * j + 17)) % 1000000007L % 256)
+            .cast("int").as("b"))): _*)
+      val withH = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(col("tok"), poly_hash(col("tok")).as("h"))
+      val cells = withH
+        .select(explode(buckets(col("h"))).as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = withH.groupBy("tok", "h").agg(count(lit(1)).as("n_exact"))
+        .filter(col("n_exact") >= 50)
+      probes
+        .select(col("tok"), col("n_exact"), explode(buckets(col("h"))).as("jb"))
+        .select(col("tok"), col("n_exact"),
+          col("jb.j").as("j"), col("jb.b").as("b"))
+        .join(cells, Seq("j", "b"))
+        .groupBy("tok", "n_exact").agg(min("cnt").as("n_cms"))
+        .select(col("tok"), col("n_exact"), col("n_cms"),
+          (col("n_cms") - col("n_exact")).as("overcount"))
+        .orderBy("tok")
     },
 
     // PII detection + redaction. The synthetic corpus carries no PII, so

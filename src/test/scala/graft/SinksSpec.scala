@@ -273,6 +273,40 @@ class SinksSpec extends SparkSpec {
     assert(rows() === wantRows, "replay after partial publish diverged")
   }
 
+  test("readAsOf time-travels to any committed batch and never sees uncommitted partials") {
+    val out    = tmp()
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value", "ts")
+    val b0 = events.filter(col("event_id") % 3 === 0)
+    val b1 = events.filter(col("event_id") % 3 === 1)
+    val b2 = events.filter(col("event_id") % 3 === 2)
+    Sinks.commitBatch(b0, 0L, "ts", out)
+    Sinks.commitBatch(b1, 1L, "ts", out)
+    Sinks.commitBatch(b2, 2L, "ts", out)
+    def idsAsOf(b: Long) = Sinks.readAsOf(spark, out, b)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    def want(dfs: org.apache.spark.sql.DataFrame*) =
+      dfs.flatMap(_.select("event_id").as[Long].collect()).sorted
+    assert(idsAsOf(0L) === want(b0))
+    assert(idsAsOf(1L) === want(b0, b1))
+    assert(idsAsOf(2L) === want(b0, b1, b2))
+    // an as-of beyond the log's head is simply the latest snapshot
+    assert(idsAsOf(Long.MaxValue) === want(b0, b1, b2))
+
+    // crashed publish of batch 3: data files landed, manifest never did —
+    // the snapshot must come from the commit log, not the file listing
+    Sinks.commitBatch(b0.limit(50), 3L, "ts", out)
+    val manifest3 = new java.io.File(new java.io.File(out, "_manifests"),
+      "batch-" + "0" * 19 + "3")
+    assert(manifest3.delete())
+    assert(idsAsOf(Long.MaxValue) === want(b0, b1, b2),
+      "uncommitted partial files leaked into the snapshot")
+    // the log head moving (batch 3 commits after all) restores visibility
+    Sinks.commitBatch(b0.limit(50), 3L, "ts", out)
+    assert(idsAsOf(2L) === want(b0, b1, b2),
+      "a later commit changed a past snapshot")
+  }
+
   test("exactly-once streaming sink lands batches once with one manifest per batch") {
     val out  = tmp()
     val ckpt = tmp()
