@@ -206,6 +206,44 @@ object ScaleProbe {
           (col("d2") + lit(off * i)).as("d2"))).reduce(_.union(_))
         graft.ops.Graph.pageRank(pN).count()
       }
+      // SemDeDup kernel scale shape: within-cluster pairwise work is
+      // Θ(Σ|cell|²), so the OPERATIONAL control is cluster granularity.
+      // Grown corpus + cluster count grown with it (|cell| ≈ 25 pinned —
+      // how a production quantizer is sized) must stay ~linear; the same
+      // corpus in a FIXED cluster count grows |cell| ∝ m → Θ(m²) pair
+      // work — the semantic analog of interval_plain vs interval_banded,
+      // so the quadratic variant runs only at small m.
+      def semVecs(n: Int, clusters: Int): DataFrame =
+        spark.range(n).select(col("id").as("vec_id"),
+          (col("id") % clusters).as("label"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (sin(col("id") % clusters * lit(37) + i * lit(13)) +
+             sin(col("id") * lit(101) + i * lit(7)) * lit(0.15)).cast("float"))
+            .as("embedding"))
+      timed("semdedup_scaledcells") {
+        graft.ops.Similarity.semDedup(semVecs(m * 10000, m * 400), "label")
+          .filter(!col("kept")).count()
+      }
+      if (m <= 50) timed("semdedup_fixedcells") {
+        graft.ops.Similarity.semDedup(semVecs(m * 10000, 400), "label")
+          .filter(!col("kept")).count()
+      }
+      // CMS cell build at m× tokens: the aggregate's output is the FIXED
+      // 4×256 matrix whatever the vocabulary or corpus — the shuffle
+      // carries O(partitions × 1024) counters, so wall time must track
+      // the scan, not the token count × vocabulary
+      timed("cms_cells_replicated") {
+        val docs = Tables.documents(spark, sfDir)
+        val docsN = (0 until m).map(_ => docs).reduce(_.union(_))
+        val h = graft.functions.exprs.poly_hash(col("tok"))
+        docsN.select(explode(split(col("text"), " ")).as("tok"))
+          .select(h.as("h"))
+          .select(explode(array((0 until 4).map(j =>
+            struct(lit(j).as("j"),
+              ((col("h") * (2 * j + 1) + lit(101L * j + 17)) % 1000000007L % 256)
+                .cast("int").as("b"))): _*)).as("jb"))
+          .groupBy(col("jb.j"), col("jb.b")).agg(count(lit(1))).count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of
