@@ -13,10 +13,13 @@ import json
 import statistics
 import sys
 
-paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+args = sys.argv[1:]
 note = ""
-if "--note" in sys.argv:
-    note = sys.argv[sys.argv.index("--note") + 1]
+if "--note" in args:
+    i = args.index("--note")
+    note = args[i + 1]
+    args = args[:i] + args[i + 2:]
+paths = [a for a in args if not a.startswith("--")]
 
 runs = []
 for p in paths:

@@ -103,13 +103,15 @@ object Dedup {
        |    i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
-  private val hsCte =
+  private def hsCteWhere(where: String): String =
     s"""WITH hs_t AS (
        |  SELECT doc_id,
        |         list_transform(list_distinct(string_split(text, ' ')),
        |                        t -> ${hashSql("t")}) AS hs
-       |  FROM documents
+       |  FROM documents$where
        |)""".stripMargin
+
+  private val hsCte = hsCteWhere("")
 
   private val sigExpr =
     "list_min(list_transform(hs, h -> (h * (2 * i + 1) + (101 * i + 17)) % 1000000007))"
@@ -302,8 +304,19 @@ object Dedup {
   /** The full LSH-pipeline oracle SQL, minus final SELECT — `WITH`-prefix
     * chain shared by q_dedup_minhash_pairs and q_neardup_degree.
     */
-  private[ops] def minhashPairsCtes: String =
-    s"""$hsCte, sig_t AS (
+  private[ops] def minhashPairsCtes: String = minhashPairsCtesWhere("")
+
+  /** [[minhashPairsCtes]] over `documents` restricted by a WHERE suffix
+    * (e.g. `" WHERE doc_id % 4 = 0"`). Pair qualification is purely
+    * pairwise (band keys, signature agreement, Jaccard are functions of
+    * the two documents alone), so the pipeline over a document subset
+    * yields EXACTLY the all-documents pairs restricted to that subset —
+    * which lets an oracle that must re-evaluate these CTEs many times
+    * (DuckDB 1.0 re-runs a CTE per reference, MATERIALIZED or not) work
+    * on a vertex-induced subgraph at a fraction of the cost.
+    */
+  private[ops] def minhashPairsCtesWhere(where: String): String =
+    s"""${hsCteWhere(where)}, sig_t AS (
        |  SELECT doc_id, list_transform(range(0, $NumPerms), i -> $sigExpr) AS sig
        |  FROM hs_t
        |), band_t AS (

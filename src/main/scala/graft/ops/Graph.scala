@@ -81,8 +81,21 @@ object Graph {
 
   val queries: Seq[Q] = Seq(
 
+    // The graph is the VERTEX-INDUCED SUBGRAPH on doc_id % 4 = 0: pair
+    // qualification is purely pairwise, so Spark filters the full pair
+    // output while the oracle pushes the same restriction into the
+    // pipeline source — identical graphs by construction. The restriction
+    // exists for the ORACLE's cost model, not the engine's: DuckDB 1.0
+    // re-evaluates a CTE at every reference (MATERIALIZED or not,
+    // measured), and the unrolled rounds reference the edge CTEs ~18
+    // times — on the regenerated dense corpus (~0.9M qualifying pairs at
+    // sf0.1) that is ~18 × 10 s of pipeline re-derivation for what the
+    // engine computes once. The engine-side operator (ops/Graph.pageRank)
+    // is restriction-free; q_neardup_degree / q_dedup_minhash_pairs keep
+    // oracle-checking the FULL pipeline, and the full-graph PageRank path
+    // stays covered by GraphSpec's sequential-recurrence equality.
     Q("q_pagerank_neardup",
-      s"""${Dedup.minhashPairsCtes}, e AS (
+      s"""${Dedup.minhashPairsCtesWhere(" WHERE doc_id % 4 = 0")}, e AS (
          |  SELECT d1 AS v, d2 AS w FROM pairs_t
          |  UNION ALL
          |  SELECT d2 AS v, d1 AS w FROM pairs_t),
@@ -94,7 +107,9 @@ object Graph {
          |${(1 to PrIters).map(i => roundSql(s"r${i - 1}", s"r$i")).mkString(",\n")}
          |SELECT v AS doc_id, deg, pr AS pr_micro FROM r$PrIters
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      pageRank(Dedup.minhashPairs(s, dir).select("d1", "d2")).orderBy("doc_id")
+      pageRank(Dedup.minhashPairs(s, dir)
+        .filter(col("d1") % 4 === 0 && col("d2") % 4 === 0)
+        .select("d1", "d2")).orderBy("doc_id")
     }
   )
 }
