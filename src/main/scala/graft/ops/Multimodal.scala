@@ -15,10 +15,11 @@ import graft.functions.exprs.poly_hash
   * the JDK's bundled `javax.imageio` (headless-safe) and uncompressed BMP
   * via a byte-level parser below; audio through a real WAV/PCM parser
   * (cross-validated against `javax.sound.sampled` in MultimodalSpec); the
-  * video-class multi-frame path through a real animated-GIF container
-  * (sequence write + per-frame LZW decode). Only MP4/H.264-class codecs
-  * remain a clearly marked deterministic STUB: the JDK ships none and the
-  * container has no ffmpeg.
+  * video-class multi-frame path through TWO real containers — animated GIF
+  * (sequence write + per-frame LZW decode) and hand-rolled MJPEG-in-AVI
+  * (RIFF chunk tree around real ImageIO JPEG frames). Only MP4/H.264-class
+  * codecs remain a clearly marked deterministic STUB: the JDK ships none
+  * and the container has no ffmpeg.
   *
   * For the stub-backed queries the synthetic payload is the UTF-8 encoding
   * of `documents.text`, so the oracle can recompute every decoded value
@@ -42,10 +43,10 @@ object Multimodal {
   /** STUB media decoder — now needed only for MP4/H.264-CLASS payloads (no
     * such codec exists in the JDK or this container; images, audio, and
     * the multi-frame video-class path have real codecs below: ImageIO
-    * PNG/JPEG/animated-GIF, byte-level BMP/WAV). Header fields derive
-    * deterministically from the payload length. The mapPartitions shape —
-    * one decoder instance per partition, streaming batches of rows — is
-    * the production layout.
+    * PNG/JPEG/animated-GIF, hand-rolled MJPEG-in-AVI, byte-level BMP/WAV).
+    * Header fields derive deterministically from the payload length. The
+    * mapPartitions shape — one decoder instance per partition, streaming
+    * batches of rows — is the production layout.
     */
   def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
@@ -347,6 +348,266 @@ object Multimodal {
     }
   }
 
+  // ---- REAL video container: MJPEG-in-AVI (hand-rolled RIFF) ------------
+  //
+  // The JDK ships no MP4/H.264 codec, but MJPEG-in-AVI is a real,
+  // historically ubiquitous video format whose two ingredients this module
+  // already drives for real: RIFF chunk layout (the WAV builder above) and
+  // the JDK's actual JPEG codec. The builder hand-rolls the standard
+  // 'RIFF/AVI ' container — 'hdrl' header list (avih + strl{strh,strf}),
+  // 'movi' payload list of '00dc' compressed-frame chunks, 'idx1' keyframe
+  // index — around per-frame JPEG bytes from the real ImageIO encoder at
+  // compression quality 1.0; the parser walks the chunk tree back (magics
+  // verified, word alignment honored, avih frame-count/dimension
+  // cross-checks applied) and decodes every frame through the real ImageIO
+  // JPEG reader.
+  //
+  // Frames are CONSTANT gray v = (id + 31·f) % 256: at quality 1.0 the
+  // quantization tables are all ones, a constant block's AC coefficients
+  // are exactly zero and its DC is exactly representable, so the lossy
+  // codec is exact on this subfamily (asserted bit-exact in MultimodalSpec)
+  // and the per-frame pixel sum 3·w·h·v is oracle-checkable cell-exact.
+  // Ramp-content JPEG frames stay lossy and are asserted with tolerance in
+  // MultimodalSpec, mirroring the still-JPEG test.
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def le32(v: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(v); bb.array()
+  }
+  /** RIFF chunk: fourcc + LE32 size + body + pad byte to word alignment
+    * (the size field excludes the pad, per the RIFF spec).
+    */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] =
+      if ((body.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray
+    fourcc(id) ++ le32(body.length) ++ body ++ pad
+  }
+  private def riffList(formType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourcc(formType) ++ body)
+
+  /** Constant-gray frame in the truecolor layout the JPEG writer expects. */
+  private def flatFrame(v: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(v, v, v))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    img
+  }
+
+  /** JPEG-encode through a caller-owned writer at explicit quality 1.0 —
+    * the quality where all quantization entries are 1 and constant frames
+    * round-trip exactly (see the section comment).
+    */
+  def jpegBytesWith(wr: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      val param = wr.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { wr.reset(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Genuine MJPEG-in-AVI bytes: 2 + id%3 constant-gray JPEG frames in the
+    * standard RIFF/'AVI ' layout (avih/strh/strf headers, '00dc' movi
+    * chunks, idx1 keyframe index).
+    */
+  def aviBytes(id: Long): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    try aviBytesWith(wr, id) finally wr.dispose()
+  }
+
+  /** Core of [[aviBytes]] against a caller-owned JPEG writer — the encode
+    * path reuses ONE writer per partition (same rationale as
+    * [[gifBytesWith]]).
+    */
+  def aviBytesWith(wr: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
+    val w = (4 + id % 8).toInt; val h = (2 + id % 5).toInt
+    val nf = (2 + id % 3).toInt
+    val frames = (0 until nf).map { f =>
+      jpegBytesWith(wr, flatFrame(((id + 31L * f) % 256).toInt, w, h))
+    }
+    val maxFrame = frames.map(_.length).max
+
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(100000)       // dwMicroSecPerFrame: 10 fps
+        .putInt(0)            // dwMaxBytesPerSec
+        .putInt(0)            // dwPaddingGranularity
+        .putInt(0x10)         // dwFlags: AVIF_HASINDEX
+        .putInt(nf)           // dwTotalFrames
+        .putInt(0)            // dwInitialFrames
+        .putInt(1)            // dwStreams
+        .putInt(maxFrame)     // dwSuggestedBufferSize
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("vids")).put(fourcc("MJPG"))
+        .putInt(0)                        // dwFlags
+        .putShort(0).putShort(0)          // wPriority, wLanguage
+        .putInt(0)                        // dwInitialFrames
+        .putInt(1).putInt(10)             // dwScale/dwRate: 10 fps
+        .putInt(0)                        // dwStart
+        .putInt(nf)                       // dwLength (frames)
+        .putInt(maxFrame)                 // dwSuggestedBufferSize
+        .putInt(-1)                       // dwQuality: default
+        .putInt(0)                        // dwSampleSize: varying
+        .putShort(0).putShort(0)          // rcFrame left, top
+        .putShort(w.toShort).putShort(h.toShort) // rcFrame right, bottom
+      bb.array()
+    }
+    val strf = { // BITMAPINFOHEADER with biCompression = 'MJPG'
+      val bb = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .put(fourcc("MJPG")).putInt(w * h * 3)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+
+    // movi chunks + idx1 entries (offsets relative to the 'movi' fourcc,
+    // the common convention; our own parser walks the chunk tree and does
+    // not depend on idx1, but the index makes the container spec-complete)
+    val moviChunks = frames.map(fb => riffChunk("00dc", fb))
+    val movi = riffList("movi", moviChunks.flatten.toArray)
+    val idx1 = {
+      val bb = java.nio.ByteBuffer.allocate(16 * nf)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 4
+      frames.indices.foreach { f =>
+        bb.put(fourcc("00dc")).putInt(0x10) // AVIIF_KEYFRAME
+          .putInt(off).putInt(frames(f).length)
+        off += moviChunks(f).length
+      }
+      bb.array()
+    }
+    riffChunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi ++ riffChunk("idx1", idx1))
+  }
+
+  case class AviFrame(media_id: Long, frame_idx: Int, width: Int, height: Int,
+      frame_sum: Long, valid: Boolean)
+
+  /** documents → genuine MJPEG-in-AVI payloads (every doc). One JPEG
+    * writer per partition, as in [[encodeGif]].
+    */
+  def encodeAvi(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        it.map(id => RealMedia(id, "avi", aviBytesWith(wr, id)))
+      }
+  }
+
+  /** Walk the RIFF/'AVI ' chunk tree and decode every '00dc' frame through
+    * the real ImageIO JPEG reader. Header checks are genuine: RIFF + form
+    * magics, declared chunk sizes vs physical length, and the avih
+    * dwTotalFrames / dwWidth / dwHeight cross-checked against what the
+    * frames actually decode to. A malformed payload quarantines as one
+    * `valid=false` row — same posture as [[decodeGifFrames]].
+    */
+  def decodeAviFrames(media: Dataset[RealMedia]): Dataset[AviFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // one JPEG reader per partition; replaced if a payload corrupts it
+      var rd = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+      it.flatMap { m =>
+        val p = m.payload
+        def invalid = Seq(AviFrame(m.media_id, -1, 0, 0, 0L, valid = false))
+        def str(o: Int) = new String(p, o, 4, "US-ASCII")
+        def u32(o: Int) = java.nio.ByteBuffer.wrap(p, o, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        try {
+          require(p.length >= 12 && str(0) == "RIFF" && str(8) == "AVI ")
+          val riffEnd = 8 + u32(4)
+          require(riffEnd <= p.length)
+          var declaredFrames = -1; var avihW = -1; var avihH = -1
+          val frames = Seq.newBuilder[(Int, Int, Long)] // (w, h, pixel sum)
+          var o = 12
+          while (o + 8 <= riffEnd) {
+            val id = str(o); val sz = u32(o + 4)
+            require(sz >= 0 && o + 8 + sz <= riffEnd)
+            if (id == "LIST") {
+              val form = str(o + 8)
+              if (form == "hdrl") {
+                // scan the header list for the avih chunk
+                var ho = o + 12; val hEnd = o + 8 + sz
+                while (ho + 8 <= hEnd) {
+                  val hid = str(ho); val hsz = u32(ho + 4)
+                  require(hsz >= 0 && ho + 8 + hsz <= hEnd)
+                  if (hid == "avih") {
+                    require(hsz >= 40)
+                    declaredFrames = u32(ho + 8 + 16)
+                    avihW = u32(ho + 8 + 32); avihH = u32(ho + 8 + 36)
+                  }
+                  ho += 8 + hsz + (hsz & 1)
+                }
+              } else if (form == "movi") {
+                var mo = o + 12; val mEnd = o + 8 + sz
+                while (mo + 8 <= mEnd) {
+                  val cid = str(mo); val csz = u32(mo + 4)
+                  require(csz >= 0 && mo + 8 + csz <= mEnd)
+                  if (cid == "00dc") {
+                    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+                      new java.io.ByteArrayInputStream(p, mo + 8, csz)))
+                    val img = rd.read(0)
+                    var sum = 0L; var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        val rgb = img.getRGB(x, y)
+                        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    frames += ((img.getWidth, img.getHeight, sum))
+                  }
+                  mo += 8 + csz + (csz & 1)
+                }
+              }
+            }
+            o += 8 + sz + (sz & 1)
+          }
+          val fs = frames.result()
+          // header/content cross-checks: the avih must agree with what the
+          // frames actually decoded to
+          require(fs.nonEmpty && fs.size == declaredFrames &&
+            fs.forall { case (w, h, _) => w == avihW && h == avihH })
+          fs.zipWithIndex.map { case ((w, h, sum), f) =>
+            AviFrame(m.media_id, f, w, h, sum, valid = true)
+          }
+        } catch {
+          case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
+            invalid // a require tripped or a header lied about size
+          case _: java.io.IOException | _: java.util.NoSuchElementException |
+               _: javax.imageio.IIOException =>
+            // the JPEG reader may be left in an undefined state — replace it
+            rd.dispose()
+            rd = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+            invalid
+        }
+      }
+    }
+  }
+
   /** documents → genuine BMP/WAV file bytes (even ids image, odd audio). */
   def encodeReal(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
@@ -506,6 +767,35 @@ object Multimodal {
         |WHERE f < nf
         |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
       decodeGifFrames(encodeGif(s, dir)).toDF()
+        .filter(col("valid"))
+        .select("media_id", "frame_idx", "width", "height", "frame_sum")
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // REAL video container round-trip: the engine writes a genuine
+    // MJPEG-in-AVI file per document (hand-rolled RIFF/'AVI ' chunk tree
+    // around real ImageIO JPEG frames at quality 1.0) and parses it back —
+    // chunk walk with magic/size/avih cross-checks, then a real JPEG decode
+    // per '00dc' frame. Frames are constant gray, the subfamily on which
+    // JPEG at quality 1.0 is exact (see the codec section comment), so each
+    // frame's decoded pixel sum 3·w·h·((id+31f)%256) is oracle-checked
+    // cell-exact. Same scale shape as the GIF path: binary column in,
+    // narrow per-row frame fan-out, zero shuffle.
+    Q("q_media_video",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 8 AS INTEGER) AS w,
+        |         CAST(2 + doc_id % 5 AS INTEGER) AS h,
+        |         CAST(2 + doc_id % 3 AS INTEGER) AS nf
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |       w AS width, h AS height,
+        |       CAST(3 * w * h * ((doc_id + 31 * f) % 256) AS BIGINT)
+        |         AS frame_sum
+        |FROM m, range(0, 4) t(f)
+        |WHERE f < nf
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      decodeAviFrames(encodeAvi(s, dir)).toDF()
         .filter(col("valid"))
         .select("media_id", "frame_idx", "width", "height", "frame_sum")
         .orderBy("media_id", "frame_idx")

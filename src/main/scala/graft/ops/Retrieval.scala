@@ -194,7 +194,10 @@ object Retrieval {
     // collected array is bounded by construction. (At 100 TB the full
     // postings write straight to a term-partitioned sink; collecting a
     // whole posting line into one array row would recreate the hot-key
-    // problem this layout avoids.)
+    // problem this layout avoids.) The head serializes as a comma-joined
+    // STRING on both engines: the driver comparator hashes after a pandas
+    // sort, which cannot factorize a raw list column, so scalar columns
+    // are the only comparator-safe surface — semantics unchanged.
     Q("q_inverted_postings",
       s"""WITH g AS (
          |  SELECT tok, doc_id, count(*) AS tf
@@ -203,8 +206,9 @@ object Retrieval {
          |  GROUP BY tok, doc_id)
          |SELECT tok, CAST(count(*) AS BIGINT) AS df,
          |       CAST(sum(tf) AS BIGINT) AS cf,
-         |       list_slice(list(doc_id ORDER BY doc_id), 1, $PostingHead)
-         |         AS head_postings
+         |       array_to_string(
+         |         list_slice(list(doc_id ORDER BY doc_id), 1, $PostingHead),
+         |         ',') AS head_postings
          |FROM g GROUP BY tok ORDER BY tok""".stripMargin) { (s, dir) =>
       val g = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -216,7 +220,8 @@ object Retrieval {
           row_number().over(Window.partitionBy("tok").orderBy("doc_id")))
         .filter(col("rn") <= PostingHead)
         .groupBy("tok")
-        .agg(sort_array(collect_list("doc_id")).as("head_postings"))
+        .agg(array_join(sort_array(collect_list("doc_id")), ",")
+          .as("head_postings"))
       stats.join(heads, "tok").orderBy("tok")
     }
   )

@@ -207,6 +207,79 @@ class MultimodalSpec extends SparkSpec {
       s"malformed GIFs must quarantine, got ${out.toSeq}")
   }
 
+  test("MJPEG-in-AVI container round-trips exact per-frame pixels for every document") {
+    import spark.implicits._
+    // constant-gray frames at JPEG quality 1.0 are the exact subfamily of
+    // the lossy codec (all-ones quant tables, zero AC coefficients) — the
+    // decoded sums must equal the construction arithmetic bit-exactly,
+    // which is what licenses the cell-exact q_media_video oracle
+    val frames = ops.Multimodal.decodeAviFrames(
+      ops.Multimodal.encodeAvi(spark, sfDir)).cache()
+    try {
+      assert(frames.filter(!col("valid")).count() === 0,
+        "a built AVI failed its own parser / the real JPEG reader")
+      val perDoc = frames.groupBy("media_id")
+        .agg(count(lit(1)).as("nf"), max("frame_idx").as("maxf"))
+      assert(perDoc.filter(col("nf") =!= (lit(2) + col("media_id") % 3) ||
+        col("maxf") =!= col("nf") - 1).count() === 0, "frame count off")
+      val bad = frames.collect().count { fr =>
+        val (w, h) = ((4 + fr.media_id % 8).toInt, (2 + fr.media_id % 5).toInt)
+        val v = (fr.media_id + 31L * fr.frame_idx) % 256
+        fr.width != w || fr.height != h || fr.frame_sum != 3L * w * h * v
+      }
+      assert(bad === 0, s"$bad AVI frames off the constant-gray expectation")
+    } finally frames.unpersist()
+  }
+
+  test("ramp-content MJPEG frames in an AVI decode within lossy tolerance") {
+    // non-constant content keeps JPEG lossy even at quality 1.0 — the AVI
+    // *container* is exact but pixel checks are a tolerance, mirroring the
+    // still-JPEG test; this is why q_media_video's oracle uses the
+    // constant-gray subfamily
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    try {
+      (0L until 20L).foreach { id =>
+        val (w, h) = rampDims(id)
+        val jpeg = ops.Multimodal.jpegBytesWith(wr, {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var k = 0
+          for (y <- 0 until h; x <- 0 until w) {
+            val v = ((id + k) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v); k += 1
+          }
+          img
+        })
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        assert(img.getWidth === w && img.getHeight === h)
+        var err = 0L; var k = 0
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = ((id + k) % 256).toInt
+          err += math.abs(((img.getRGB(x, y) >> 8) & 0xff) - v); k += 1
+        }
+        assert(err.toDouble / (w * h) < 24.0,
+          s"ramp MJPEG frame error too large for id=$id")
+      }
+    } finally wr.dispose()
+  }
+
+  test("AVI frame decoder quarantines malformed payloads as a single invalid row") {
+    import spark.implicits._
+    val good = ops.Multimodal.aviBytes(5L)
+    // corrupt avih dwTotalFrames (fixed offset in our layout: RIFF hdr 12 +
+    // LIST hdr 12 + avih chunk hdr 8 + 16) — the header/content cross-check
+    // must catch the lie, not parse through it
+    val badCount = good.clone()
+    badCount(48) = (badCount(48) + 1).toByte
+    val junk = Seq(
+      ops.Multimodal.RealMedia(1L, "avi", Array[Byte](1, 2, 3)),
+      ops.Multimodal.RealMedia(2L, "avi", "RIFFxxxxAVI broken".getBytes("US-ASCII")),
+      ops.Multimodal.RealMedia(3L, "avi", badCount)).toDS()
+    val out = ops.Multimodal.decodeAviFrames(junk).collect()
+    assert(out.length === 3 && out.forall(f => !f.valid && f.frame_idx == -1),
+      s"malformed AVIs must quarantine, got ${out.toSeq}")
+  }
+
   test("real codec quarantines malformed payloads instead of failing the task") {
     import spark.implicits._
     // a 54-byte 'BM' header claiming width 0: rowSize 0 would satisfy the
