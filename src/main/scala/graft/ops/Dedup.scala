@@ -332,7 +332,7 @@ object Dedup {
        |           i -> sa.sig[i] = sb.sig[i]), x -> x)) AS INTEGER) AS sig_agree
        |  FROM cand JOIN sig_t sa ON sa.doc_id = d1 JOIN sig_t sb ON sb.doc_id = d2
        |), tk AS (
-       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents$where
        |), pairs_t AS (
        |  SELECT d1, d2, sig_agree,
        |         CAST(len(list_intersect(a.t, b.t)) AS INTEGER) AS inter,

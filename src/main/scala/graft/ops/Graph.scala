@@ -70,46 +70,49 @@ object Graph {
     r.select(col("v").as("doc_id"), col("deg"), col("pr").as("pr_micro"))
   }
 
-  /** One unrolled oracle round: rPrev → rK. */
+  /** One unrolled oracle round as a MATERIALIZED temp-table statement:
+    * pr_r{k-1} → pr_r{k}.
+    */
   private def roundSql(prev: String, k: String): String =
-    s"""$k AS (
+    s"""CREATE OR REPLACE TEMP TABLE $k AS
        |  SELECT d.v, d.deg,
        |         CAST(round(150000.0 / nt.nn + 0.85 * coalesce(s.c, 0)) AS BIGINT) AS pr
-       |  FROM deg_t d CROSS JOIN nt LEFT JOIN (
-       |    SELECT e.w AS v, CAST(sum($prev.pr // $prev.deg) AS BIGINT) AS c
-       |    FROM e JOIN $prev ON $prev.v = e.v GROUP BY e.w) s ON s.v = d.v)""".stripMargin
+       |  FROM pr_deg d CROSS JOIN pr_n nt LEFT JOIN (
+       |    SELECT e.w AS v, CAST(sum(r.pr // r.deg) AS BIGINT) AS c
+       |    FROM pr_e e JOIN $prev r ON r.v = e.v GROUP BY e.w) s ON s.v = d.v;""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
-    // The graph is the VERTEX-INDUCED SUBGRAPH on doc_id % 4 = 0: pair
-    // qualification is purely pairwise, so Spark filters the full pair
-    // output while the oracle pushes the same restriction into the
-    // pipeline source — identical graphs by construction. The restriction
-    // exists for the ORACLE's cost model, not the engine's: DuckDB 1.0
-    // re-evaluates a CTE at every reference (MATERIALIZED or not,
-    // measured), and the unrolled rounds reference the edge CTEs ~18
-    // times — on the regenerated dense corpus (~0.9M qualifying pairs at
-    // sf0.1) that is ~18 × 10 s of pipeline re-derivation for what the
-    // engine computes once. The engine-side operator (ops/Graph.pageRank)
-    // is restriction-free; q_neardup_degree / q_dedup_minhash_pairs keep
-    // oracle-checking the FULL pipeline, and the full-graph PageRank path
-    // stays covered by GraphSpec's sequential-recurrence equality.
+    // FULL-graph PageRank, oracle-checked. The oracle is a multi-statement
+    // DuckDB script (probed: DuckDB 1.0's `sql()` AND `execute()` both run
+    // `;`-separated scripts and return the last statement's frame): each
+    // stage lands in a CREATE OR REPLACE TEMP TABLE, so the LSH pair
+    // pipeline and each PageRank round MATERIALIZE exactly once. This is
+    // what lifts the former doc_id % 4 = 0 vertex-induced-subgraph
+    // restriction (rounds 1–6): with plain CTEs, DuckDB 1.0 re-evaluates
+    // the pair pipeline per reference (~18× across the unrolled rounds) —
+    // with temp tables the full ~0.9M-pair graph at sf0.1 derives once,
+    // same as the engine. Table names are pr_-prefixed so scripts sharing
+    // the driver's connection cannot collide.
     Q("q_pagerank_neardup",
-      s"""${Dedup.minhashPairsCtesWhere(" WHERE doc_id % 4 = 0")}, e AS (
-         |  SELECT d1 AS v, d2 AS w FROM pairs_t
+      s"""CREATE OR REPLACE TEMP TABLE pr_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE pr_e AS
+         |  SELECT d1 AS v, d2 AS w FROM pr_pairs
          |  UNION ALL
-         |  SELECT d2 AS v, d1 AS w FROM pairs_t),
-         |deg_t AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY v),
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg_t),
-         |r0 AS (
+         |  SELECT d2 AS v, d1 AS w FROM pr_pairs;
+         |CREATE OR REPLACE TEMP TABLE pr_deg AS
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM pr_e GROUP BY v;
+         |CREATE OR REPLACE TEMP TABLE pr_n AS
+         |  SELECT CAST(count(*) AS BIGINT) AS nn FROM pr_deg;
+         |CREATE OR REPLACE TEMP TABLE pr_r0 AS
          |  SELECT v, deg, CAST(round(1000000.0 / nn) AS BIGINT) AS pr
-         |  FROM deg_t, nt),
-         |${(1 to PrIters).map(i => roundSql(s"r${i - 1}", s"r$i")).mkString(",\n")}
-         |SELECT v AS doc_id, deg, pr AS pr_micro FROM r$PrIters
+         |  FROM pr_deg, pr_n;
+         |${(1 to PrIters).map(i => roundSql(s"pr_r${i - 1}", s"pr_r$i")).mkString("\n")}
+         |SELECT v AS doc_id, deg, pr AS pr_micro FROM pr_r$PrIters
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      pageRank(Dedup.minhashPairs(s, dir)
-        .filter(col("d1") % 4 === 0 && col("d2") % 4 === 0)
-        .select("d1", "d2")).orderBy("doc_id")
+      pageRank(Dedup.minhashPairs(s, dir).select("d1", "d2")).orderBy("doc_id")
     }
   )
 }

@@ -58,11 +58,10 @@ class GraphSpec extends SparkSpec {
     assert(mass <= 1000000L + ops.Graph.PrIters * n &&
       mass >= 1000000L - slack,
       s"mass $mass outside [1e6 - $slack, 1e6 + ${ops.Graph.PrIters * n}]")
-    // the declared query runs on the doc_id % 4 = 0 vertex-induced
-    // subgraph (see ops/Graph.scala — an oracle cost model, not an
-    // operator restriction), so the expected degrees restrict the same way
+    // round 7: the declared query runs the FULL near-dup graph (the
+    // temp-table oracle script removed the old doc_id % 4 cost
+    // restriction), so degrees must match the full pair graph
     val p = ops.Dedup.minhashPairs(spark, sfDir)
-      .filter(col("d1") % 4 === 0 && col("d2") % 4 === 0)
     val deg = p.select(col("d1").as("doc_id"))
       .union(p.select(col("d2").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("want"))
