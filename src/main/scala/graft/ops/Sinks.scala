@@ -336,10 +336,19 @@ object Sinks {
     * any batch still publishing are filtered out by batch id, so the
     * snapshot is stable mid-crash and mid-ingest. The committed-id set is
     * one driver-side `_manifests` listing — O(total batches), the same
-    * scale Delta/Iceberg logs carry; membership filters on the stamped
-    * `batch_id` data column, so parquet row-group stats prune whole files
-    * (each published file holds exactly one batch id) and date-partition
-    * pruning still applies on top.
+    * scale Delta/Iceberg logs carry.
+    *
+    * Scale-stable membership (round 7 — formerly a literal IN-list, which
+    * degenerates into an O(batches)-literal expression tree at O(10⁵)
+    * commits): the filter is the WATERMARK predicate
+    * `batch_id <= max(committed ≤ asOf)` — a single pushed-down
+    * comparison, so parquet row-group stats still prune whole files (each
+    * published file holds exactly one batch id) and date-partition pruning
+    * still applies — plus a broadcast LEFT ANTI join against the HOLES
+    * below the watermark (ids with no manifest: crashed attempts whose
+    * successor committed first). Streaming batch ids are dense, so the
+    * hole set is bounded by failed attempts — almost always empty, never
+    * O(commits) — and when it is empty the plan is just the filtered scan.
     */
   def readAsOf(spark: org.apache.spark.sql.SparkSession, outDir: String,
       asOfBatch: Long): DataFrame = {
@@ -355,6 +364,14 @@ object Sinks {
         .filter(_ <= asOfBatch)
     require(committed.nonEmpty,
       s"readAsOf($asOfBatch): no committed batch at or before that id in $outDir")
-    spark.read.parquet(outDir).filter(col("batch_id").isin(committed: _*))
+    val watermark    = committed.max
+    val committedSet = committed.toSet
+    val holes        = (0L to watermark).filterNot(committedSet)
+    val base = spark.read.parquet(outDir).filter(col("batch_id") <= watermark)
+    if (holes.isEmpty) base
+    else {
+      import spark.implicits._
+      base.join(broadcast(holes.toDF("batch_id")), Seq("batch_id"), "left_anti")
+    }
   }
 }

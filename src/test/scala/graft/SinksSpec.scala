@@ -307,6 +307,37 @@ class SinksSpec extends SparkSpec {
       "a later commit changed a past snapshot")
   }
 
+  test("readAsOf stays bounded at 10^4 committed batches: watermark pushdown + hole anti-join") {
+    val out    = tmp()
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value", "ts")
+    Sinks.commitBatch(events.filter(col("event_id") % 2 === 0), 0L, "ts", out)
+    Sinks.commitBatch(events.filter(col("event_id") % 2 === 1), 9999L, "ts", out)
+    // crashed batch 5000 BELOW the watermark: data files landed, manifest
+    // never did — must be excluded by the hole anti-join, not an IN-list
+    Sinks.commitBatch(events.limit(37), 5000L, "ts", out)
+    val manifests = new java.io.File(out, "_manifests")
+    assert(new java.io.File(manifests, f"batch-${5000L}%020d").delete())
+    // synthetic commit log: the other ~10^4 manifests are empty markers,
+    // exactly the state a long-running stream accumulates
+    (1L until 9999L).foreach { id =>
+      if (id != 5000L)
+        assert(new java.io.File(manifests, f"batch-$id%020d").createNewFile())
+    }
+    val snap = Sinks.readAsOf(spark, out, Long.MaxValue)
+    assert(snap.select("event_id").distinct().count() === events.count(),
+      "hole partials leaked into the snapshot or committed rows went missing")
+    // the plan must stay O(1) in the commit count: one pushed-down
+    // watermark comparison (parquet file pruning intact) + one broadcast
+    // anti-join over the single hole — never a 10^4-literal IN expression
+    val optimized = snap.queryExecution.optimizedPlan.toString
+    assert(optimized.length < 5000,
+      s"plan grew with the commit count (${optimized.length} chars)")
+    val physical = snap.queryExecution.executedPlan.toString
+    assert(physical.contains("LessThanOrEqual(batch_id,9999)"),
+      "watermark predicate did not push down to the parquet scan")
+  }
+
   test("exactly-once streaming sink lands batches once with one manifest per batch") {
     val out  = tmp()
     val ckpt = tmp()
