@@ -723,6 +723,41 @@ object Similarity {
       "cell", tau).withColumnRenamed("cluster", "cell")
   }
 
+  /** The frozen cell index for [[semDedupIngestFilter]]: corpus vectors
+    * stamped with their nearest-centroid cell (persist this once; the
+    * ingest path only ever reads it).
+    */
+  private[graft] def cellIndexOf(emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    emb.withColumn("cell", cellOf(col("embedding"), cents))
+
+  /** Ingest-time SemDeDup against a FROZEN cell index — the semantic twin
+    * of Dedup.dropNearDups: `index` is a persisted (vec_id, embedding,
+    * cell) frame from [[cellIndexOf]], and each incoming vector is
+    * assigned to its nearest frozen cell (cosine-argmax over the same
+    * centroids — scale-invariant, so a re-upload lands in its original's
+    * cell) and dropped iff some PERSISTED member of that cell sits within
+    * cosine ≥ τ. Decisions depend on (vector, frozen index) alone — never
+    * on batch peers or arrival order — which is what makes the streaming
+    * wiring (Streams.semDedupIngest) batch ≡ stream by construction.
+    * Per batch: one narrow assignment map (centroids ride as literals) +
+    * one cell-keyed equi-join against the index — the incremental analog
+    * of the batch kernel's Θ(Σ|cell|²) posture, restricted to
+    * (new × indexed); batch² and index² pairs are never formed.
+    */
+  private[graft] def semDedupIngestFilter(index: DataFrame,
+      cents: Array[Array[Double]], batch: DataFrame,
+      tau: Double = SemDedupTau): DataFrame = {
+    val b = withNorm(batch).withColumn("cell", cellOf(col("embedding"), cents))
+    val m = withNorm(index).select(col("cell"),
+      col("embedding").as("mv"), col("nrm").as("mn"))
+    val cos = dot_ff(col("embedding"), col("mv")) / (col("nrm") * col("mn"))
+    val dupIds = b.join(m, Seq("cell"))
+      .filter(cos >= tau)
+      .select("vec_id").distinct()
+    batch.join(dupIds, Seq("vec_id"), "left_anti")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Per-label embedding centroids — the distributed tensor-mean shape

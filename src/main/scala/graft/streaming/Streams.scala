@@ -159,6 +159,27 @@ object Streams {
         write(graft.ops.Dedup.dropNearDups(index, batch.toDF()))
       }.start()
 
+  /** Ingest-time SEMANTIC dedup (streaming SemDeDup) against a frozen
+    * cell index — the embedding-space twin of [[nearDupCuration]]: per
+    * micro-batch, assign each incoming vector to its nearest frozen cell
+    * and drop it iff a PERSISTED member of that cell sits within cosine
+    * ≥ τ (Similarity.semDedupIngestFilter). foreachBatch for the same
+    * reason as nearDupCuration: the per-trigger work is two ordinary
+    * batch ops (narrow centroid assignment + cell-keyed join against the
+    * external index) the streaming engine can't express statefully.
+    * Batch ≡ stream by construction — decisions depend only on (vector,
+    * frozen index), never on batch peers or arrival order (StreamingSpec
+    * asserts equality on an out-of-order multi-trigger feed). State:
+    * none — the index is the state, and it is external.
+    */
+  def semDedupIngest(index: DataFrame, cents: Array[Array[Double]],
+      vecs: DataFrame)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        write(graft.ops.Similarity.semDedupIngestFilter(index, cents, batch.toDF()))
+      }.start()
+
   /** Exactly-once-per-id dedup bounded by the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     if (events.isStreaming)

@@ -390,6 +390,54 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept === Set(9002L, 9004L), s"expected fresh docs only: $batchKept")
   }
 
+  test("streaming SemDeDup against frozen cells equals the batch filter on an out-of-order feed") {
+    // frozen index: the real embedding corpus stamped with learned cells;
+    // the stream carries SCALED re-uploads of indexed vectors (cosine
+    // exactly 1 with their original, and cell assignment is cosine-argmax
+    // so scaling cannot move them out of the original's cell → must drop)
+    // plus fresh random vectors, dealt out of id order across two triggers
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val cents = graft.ops.Similarity.kmeansCentroidsFrom(emb)
+    val index = graft.ops.Similarity.cellIndexOf(emb, cents).cache()
+    try {
+      val src = emb.orderBy("vec_id").limit(3).collect()
+        .map(r => r.getSeq[Float](1))
+      val dim = src(0).size
+      def fresh(seed: Int): Seq[Float] = {
+        val r = new scala.util.Random(seed)
+        Seq.fill(dim)(r.nextGaussian().toFloat)
+      }
+      val feed = Seq(
+        StreamingSpec.Vec(9001L, src(0).map(_ * 0.5f)), // re-upload, rescaled
+        StreamingSpec.Vec(9002L, fresh(101)),
+        StreamingSpec.Vec(9003L, src(1).map(_ * 2.0f)), // re-upload, rescaled
+        StreamingSpec.Vec(9004L, fresh(202)),
+        StreamingSpec.Vec(9005L, src(2)),               // exact re-upload
+        StreamingSpec.Vec(9006L, fresh(303)))
+      val dealt = feed.sortBy(v => v.vec_id * 2654435761L % 97) // NOT id order
+      val ms = MemoryStream[StreamingSpec.Vec](spark)
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val q = Streams.semDedupIngest(index, cents, ms.toDF()) { kept =>
+        keptIds.synchronized {
+          keptIds ++= kept.select("vec_id").collect().map(_.getLong(0))
+        }
+      }
+      val (h1, h2) = dealt.splitAt(3)
+      ms.addData(h1)
+      q.processAllAvailable()
+      ms.addData(h2)
+      q.processAllAvailable()
+      q.stop()
+      val batchKept = graft.ops.Similarity
+        .semDedupIngestFilter(index, cents, feed.toDF())
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(keptIds.toSet === batchKept,
+        s"stream kept ${keptIds.toSet}, batch kept $batchKept")
+      assert(Set(9001L, 9003L, 9005L).intersect(batchKept).isEmpty,
+        s"re-uploads of indexed vectors must drop, kept: $batchKept")
+    } finally index.unpersist()
+  }
+
   test("streaming CDC snapshot equals the batch snapshot on an out-of-order multi-trigger feed") {
     // the real sf0.001 changelog (1000 events, 15 keys, tombstones mixed
     // in), dealt into 3 triggers in hash order — NOT time order — so
@@ -538,4 +586,5 @@ class StreamingSpec extends SparkSpec {
 
 object StreamingSpec {
   case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
+  case class Vec(vec_id: Long, embedding: Seq[Float])
 }
