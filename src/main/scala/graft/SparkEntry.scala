@@ -27,7 +27,8 @@ object SparkEntry {
     ops.Tokenize.queries,
     ops.Spans.queries,
     ops.LM.queries,
-    ops.Graph.queries
+    ops.Graph.queries,
+    ops.Pipeline.queries
   )
 
   def all: Seq[Q] = modules.flatten

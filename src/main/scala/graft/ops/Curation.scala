@@ -81,9 +81,19 @@ object Curation {
     * intra-bucket part. Exactly one corpus shuffle (the pid/window
     * exchange); the offsets side is [[Buckets]] rows, AQE broadcasts it.
     */
-  private[graft] def packedStarts(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def packedStarts(s: SparkSession, dir: String): DataFrame =
+    packedStartsFrom(withPid(s, dir)._1.drop("pid"))
+
+  /** [[packedStarts]] over an explicit (doc_id, n_tok) frame — the same
+    * two-level scan, bucketed by max(doc_id)/[[Buckets]] ranges of the
+    * frame's own id domain.
+    */
+  private[graft] def packedStartsFrom(frame: DataFrame): DataFrame = {
+    val s = frame.sparkSession
     import s.implicits._
-    val (base, _) = withPid(s, dir)
+    val maxId = frame.agg(max("doc_id")).head.getLong(0)
+    val width = maxId / Buckets + 1
+    val base  = frame.withColumn("pid", expr(s"doc_id div $width"))
     val sums = base.groupBy("pid").agg(sum("n_tok").as("mass"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pids = sums.keys.toSeq.sorted
@@ -95,6 +105,30 @@ object Curation {
     base.join(offDf, "pid")
       .withColumn("start_tok",
         coalesce(sum("n_tok").over(w), lit(0L)) + col("base_off"))
+  }
+
+  /** Cross-document chunk dedup + reconstruction over an explicit
+    * (doc_id, text) frame: the q_chunk_dedup kernel, shared with the
+    * composed pipeline (Pipeline.pipelineFull). Output: doc_id, n_kept,
+    * text_kept — documents whose every chunk was seen earlier vanish.
+    */
+  private[graft] def chunkDedupFrom(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val chunks = docs
+      .select(col("doc_id"), toks.as("toks"),
+        ceil(size(toks) / lit(ChunkLen.toDouble)).cast("int").as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          f => concat_ws(" ", slice(col("toks"), f * ChunkLen + 1, lit(ChunkLen)))))
+          .as(Seq("chunk_idx", "chunk")))
+    val w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    chunks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          e => e("chunk")), " ").as("text_kept"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -152,23 +186,7 @@ object Curation {
          |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_kept
          |FROM k WHERE rn = 1
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = split(col("text"), " ")
-      val chunks = Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("toks"),
-          ceil(size(toks) / lit(ChunkLen.toDouble)).cast("int").as("nc"))
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), col("nc") - 1),
-            f => concat_ws(" ", slice(col("toks"), f * ChunkLen + 1, lit(ChunkLen)))))
-            .as(Seq("chunk_idx", "chunk")))
-      val w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
-      chunks.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(transform(
-            sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
-            e => e("chunk")), " ").as("text_kept"))
-        .orderBy("doc_id")
+      chunkDedupFrom(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Temperature-based domain mixing: per-source multinomial weights

@@ -70,37 +70,45 @@ object Spans {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The span-pipeline oracle CTE chain (windows → occurrence counts →
+    * duplicated positions → gaps-and-islands), minus the final SELECT —
+    * shared by q_dup_spans and the composed pipeline oracle (Pipeline).
+    * The last CTE `i` holds (doc_id, pos, island).
+    */
+  private[ops] def dupSpansCtes: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |         unnest([struct_pack(pos := i,
+       |                  win := array_to_string(toks[i:i+${SpanLen - 1}], ' '))
+       |                 for i in range(1, len(toks) - $SpanLen + 2)]) AS u
+       |  FROM t WHERE len(toks) >= $SpanLen),
+       |c AS (
+       |  SELECT doc_id, u.pos AS pos,
+       |         count(*) OVER (PARTITION BY u.win) AS n_occ
+       |  FROM w),
+       |m AS (SELECT doc_id, pos FROM c WHERE n_occ >= 2),
+       |b AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos > coalesce(max(pos) OVER (
+       |                PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                -$SpanLen) + ${SpanLen - 1}
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM m),
+       |i AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM b)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Maximal duplicated spans per document: island id (1-based, in
     // position order), token span [span_start, span_end] (1-based,
     // inclusive), and how many duplicated windows the span coalesced.
     Q("q_dup_spans",
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |w AS (
-         |  SELECT doc_id,
-         |         unnest([struct_pack(pos := i,
-         |                  win := array_to_string(toks[i:i+${SpanLen - 1}], ' '))
-         |                 for i in range(1, len(toks) - $SpanLen + 2)]) AS u
-         |  FROM t WHERE len(toks) >= $SpanLen),
-         |c AS (
-         |  SELECT doc_id, u.pos AS pos,
-         |         count(*) OVER (PARTITION BY u.win) AS n_occ
-         |  FROM w),
-         |m AS (SELECT doc_id, pos FROM c WHERE n_occ >= 2),
-         |b AS (
-         |  SELECT doc_id, pos,
-         |         CASE WHEN pos > coalesce(max(pos) OVER (
-         |                PARTITION BY doc_id ORDER BY pos
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |                -$SpanLen) + ${SpanLen - 1}
-         |              THEN 1 ELSE 0 END AS brk
-         |  FROM m),
-         |i AS (
-         |  SELECT doc_id, pos,
-         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM b)
+      s"""$dupSpansCtes
          |SELECT doc_id, CAST(island AS BIGINT) AS island,
          |       CAST(min(pos) AS BIGINT) AS span_start,
          |       CAST(max(pos) + ${SpanLen - 1} AS BIGINT) AS span_end,

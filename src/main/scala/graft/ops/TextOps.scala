@@ -41,6 +41,18 @@ object TextOps {
       hits(toks, EnStops) >= 2 && dr >= 0.1
   }
 
+  /** The [[qualityKeep]] conjunction as DuckDB SQL over a column named
+    * `text` — shared by the q_quality_gates oracle shape and the composed
+    * pipeline oracle (Pipeline).
+    */
+  private[ops] def qualityKeepSql: String =
+    s"""((len(string_split(text, ' ')) BETWEEN 20 AND 100000)
+       |    AND ((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3 AND 10)
+       |    AND (${hitsSql(EnStops)} >= 2)
+       |    AND ((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 0.1))""".stripMargin
+
   /** PII redaction of a text column (emails + phone tokens), shared with
     * the streaming curation filter.
     */

@@ -177,6 +177,18 @@ class PlanShapeSpec extends SparkSpec {
       "typed Aggregator should plan as object aggregate")
   }
 
+  test("composed pipeline stays shuffle-bounded past its materialization barriers") {
+    // stages 1-4 run exactly once behind the localCheckpoint barriers
+    // (their own shapes are locked via the per-stage declared queries);
+    // the composed tail — domain-mix branches, packing scan, shard window,
+    // final join + presentation sort — must stay a handful of exchanges,
+    // so a stage refactor cannot silently fan the corpus lineage back out
+    val p = plan("q_pipeline_full")
+    val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n <= 8, s"q_pipeline_full tail plans $n exchanges (measured 5)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no declared query plans a cartesian product") {
     SparkEntry.all.foreach { q =>
       val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
