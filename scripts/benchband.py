@@ -17,6 +17,8 @@ args = sys.argv[1:]
 note = ""
 if "--note" in args:
     i = args.index("--note")
+    if i + 1 >= len(args):
+        sys.exit("--note requires a value")
     note = args[i + 1]
     args = args[:i] + args[i + 2:]
 paths = [a for a in args if not a.startswith("--")]

@@ -329,6 +329,55 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(listener)
     }
 
+    // BM25 postings-index probe (independent of m): the two claims behind
+    // q_bm25_pruned. (a) Index lookup beats per-query re-derivation: with
+    // the postings written term-bucket-partitioned, a query's read prunes
+    // to its terms' partitions — recordsRead must drop to the matched
+    // postings, not the full index. (b) WAND upper-bound pruning: the
+    // expensive scoring join runs over the candidate fraction only.
+    {
+      import graft.ops.Retrieval
+      val docs  = Tables.documents(spark, sfDir)
+      val pDir  = "/tmp/graft_probe_postings"
+      val nBkts = 64
+      Retrieval.postingsFrom(docs)
+        .withColumn("bkt", pmod(xxhash64(col("tok")), lit(nBkts.toLong)))
+        .write.mode("overwrite").partitionBy("bkt").parquet(pDir)
+      val listener = new QueryMetricsListener
+      spark.sparkContext.addSparkListener(listener)
+      def readRows(label: String)(f: => Long): Long = {
+        val hits = Metrics.observe(spark, label)(f)
+        org.apache.spark.GraftSparkBridge.waitListenerBus(spark.sparkContext, 10000)
+        val read = listener.snapshot(label).inputRecords.sum()
+        println(f"[scale] bm25 $label%-16s read $read%9d rows for $hits%7d hits")
+        read
+      }
+      val idx = spark.read.parquet(pDir)
+      val full = readRows("index_full")(idx.count())
+      // the query's buckets, computed with the same engine hash (3 tiny jobs)
+      val bkts = Retrieval.QueryTerms.map(t => spark.range(1)
+        .select(pmod(xxhash64(lit(t)), lit(nBkts.toLong))).head.getLong(0)).distinct
+      val pruned = readRows("index_lookup")(
+        idx.filter(col("bkt").isin(bkts: _*) &&
+          col("tok").isInCollection(Retrieval.QueryTerms)).count())
+      println(f"[scale] bm25 partition pruning: $pruned%d / $full%d index rows read " +
+        f"(${100.0 * pruned / full}%.1f%% — ${bkts.size} of $nBkts buckets)")
+      // WAND candidate fraction: scored docs under pruning vs matched docs
+      val matched = Retrieval.postingsFrom(docs)
+        .filter(col("tok").isInCollection(Retrieval.QueryTerms))
+        .select("doc_id").distinct().count()
+      val (topPruned, cand) = Retrieval.bm25PrunedWithCandidates(
+        Retrieval.postingsFrom(docs), Retrieval.docLengths(docs))
+      val nCand = cand.count()
+      val topPlain = SparkEntry.queries("q_bm25_topk")(spark, sfDir)
+      val agree = topPruned.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sameElements(topPlain.collect().map(r => (r.getLong(0), r.getDouble(1))))
+      println(f"[scale] bm25 WAND: scored $nCand%d of $matched%d matched docs " +
+        f"(${100.0 * nCand / math.max(matched, 1)}%.1f%%), " +
+        f"top-k equals unpruned: $agree%b")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     // Bloom runtime-filter probe (independent of m): shuffle volume of the
     // selective fact⋈dim semi join with broadcast DISABLED (at 100 TB a
     // fact-fact join shuffles; locally the dim would broadcast and hide

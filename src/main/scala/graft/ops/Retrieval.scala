@@ -51,6 +51,20 @@ object Retrieval {
 
   private def termsSql = QueryTerms.mkString("('", "', '", "')")
 
+  /** The full (tok, doc_id, tf) postings frame — the inverted-index build
+    * (at 100 TB written ONCE, term-partitioned; see the ScaleProbe
+    * postings-layout probe).
+    */
+  private[graft] def postingsFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Per-document token lengths (doc_id, dl) — the doc-stats sidecar of
+    * the postings index.
+    */
+  private[graft] def docLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+
   /** (doc_id, dl, tok, tf) for query terms only — the array-level filter
     * runs before explode, so non-query tokens never leave the scan
     * projection.
@@ -112,6 +126,79 @@ object Retrieval {
       .limit(TopK)
   }
 
+  /** WAND-style two-phase pruned BM25 over a postings index (Broder et
+    * al. 2003's upper-bound idea, reshaped for batch): the per-term score
+    * contribution is bounded by ub(t) = idf(t)·(k1+1) (the tf→∞ limit of
+    * the saturation term), so a document's score is bounded by the sum of
+    * ub over its MATCHED terms — computable from the slim postings alone,
+    * no document lengths, no text.
+    *
+    *   phase 0: per-doc ub-sums from the query terms' postings only;
+    *   phase 1: exact-score the TopK docs by ub-sum (a bounded seed set;
+    *            its k-th exact score is the pruning threshold θ — one
+    *            TopK-row collect, the bounded model-state class);
+    *   phase 2: exact-score ONLY docs with ub-sum ≥ θ − 1e-6 (the guard
+    *            covers the round-6 score snapping), take the top k.
+    *
+    * Exactness: score ≤ ubsum per doc, and every seed doc's ubsum ≥ θ
+    * (k-th best exact ≤ k-th best ubsum = the seed's minimum), so the
+    * seed survives its own filter and any pruned doc is strictly beaten
+    * by ≥ k candidates — the output EQUALS plain BM25 top-k, which is
+    * exactly what the declared query's oracle (the unpruned bm25Sql)
+    * verifies cell-exact. At 100 TB the win is twofold: the expensive
+    * scoring join (postings ⋈ doc-lengths, the dl normalization) runs
+    * over the candidate fraction only, and the postings read is an
+    * index LOOKUP — term-partitioned storage prunes to |query| partitions
+    * (measured in ScaleProbe) instead of re-deriving tf from a full text
+    * scan per query.
+    */
+  private[graft] def bm25PrunedFrom(postings: DataFrame,
+      dls: DataFrame): DataFrame = bm25PrunedWithCandidates(postings, dls)._1
+
+  /** [[bm25PrunedFrom]] plus the candidate frame it scored — exposed so
+    * ScaleProbe can measure the pruning fraction.
+    */
+  private[graft] def bm25PrunedWithCandidates(postings: DataFrame,
+      dls: DataFrame): (DataFrame, DataFrame) = {
+    // index lookup: only the query terms' postings leave the scan; the
+    // checkpoint materializes the (≤ docs × |query|)-row frame once for
+    // its four downstream uses
+    val qp = postings.filter(col("tok").isInCollection(QueryTerms))
+      .localCheckpoint()
+    val stats = dls.agg(count(lit(1)).as("n"),
+      sum("dl").cast("double").as("sumdl"))
+      .withColumn("avgdl", col("sumdl") / col("n"))
+    // |query| rows: df → idf → WAND upper bound
+    val ub = qp.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("ub", col("idf") * (lit(K1) + 1))
+    val ubsums = qp.join(broadcast(ub.select("tok", "ub")), "tok")
+      .groupBy("doc_id").agg(sum("ub").as("ubsum"))
+      .localCheckpoint() // reused by the seed and the candidate filter
+    def exactScores(docIds: DataFrame): DataFrame =
+      qp.join(docIds, "doc_id")
+        .join(broadcast(ub.select("tok", "idf")), "tok")
+        .join(dls, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("part",
+          col("idf") * col("tf") * (lit(K1) + 1)
+            / (col("tf") + lit(K1) * (lit(1) - lit(B)
+              + lit(B) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum("part"), 6).as("score"))
+    val seed = ubsums.orderBy(col("ubsum").desc, col("doc_id")).limit(TopK)
+    val seedScores = exactScores(seed.select("doc_id"))
+      .collect().map(_.getDouble(1)).sorted(Ordering[Double].reverse)
+    // fewer matched docs than k → nothing can be pruned away correctly
+    val theta =
+      if (seedScores.length < TopK) Double.NegativeInfinity
+      else seedScores.last
+    val cand = ubsums.filter(col("ubsum") >= theta - 1e-6).select("doc_id")
+    (exactScores(cand).orderBy(col("score").desc, col("doc_id")).limit(TopK),
+      cand)
+  }
+
   /** Attach 1-based ranks to an (already bounded, GlobalLimit-capped)
     * ranked list WITHOUT a window: one single-row collect_list aggregate
     * (the bounded class) sorted by (-score, id), then posexplode. The
@@ -131,6 +218,17 @@ object Retrieval {
     // with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)). One corpus shuffle
     // (the per-doc tf aggregate), two bounded broadcasts, TakeOrdered top-k.
     Q("q_bm25_topk", bm25Sql)(bm25TopK),
+
+    // WAND-pruned BM25 over the postings index (bm25PrunedFrom above).
+    // The oracle is deliberately the UNPRUNED bm25Sql: oracle-green IS the
+    // proof that two-phase upper-bound pruning changed nothing. The
+    // declared form derives the index in-plan (the build cost a real
+    // deployment pays once, offline); ScaleProbe measures the query-time
+    // payoff against term-partitioned storage.
+    Q("q_bm25_pruned", bm25Sql) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      bm25PrunedFrom(postingsFrom(docs), docLengths(docs))
+    },
 
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
     // the lexical BM25 top-k and the vector cosine top-k against a fixed
@@ -210,9 +308,7 @@ object Retrieval {
          |         list_slice(list(doc_id ORDER BY doc_id), 1, $PostingHead),
          |         ',') AS head_postings
          |FROM g GROUP BY tok ORDER BY tok""".stripMargin) { (s, dir) =>
-      val g = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      val g = postingsFrom(Tables.documents(s, dir))
       val stats = g.groupBy("tok")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       val heads = g

@@ -37,13 +37,34 @@ class RetrievalSpec extends SparkSpec {
     assert(top.getDouble(1) === best)
   }
 
+  test("WAND-pruned BM25 equals the unpruned top-k and actually prunes") {
+    val docs = Tables.documents(spark, sfDir)
+    val (top, cand) = ops.Retrieval.bm25PrunedWithCandidates(
+      ops.Retrieval.postingsFrom(docs), ops.Retrieval.docLengths(docs))
+    val plain = SparkEntry.all.find(_.name == "q_bm25_topk").get
+      .build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pruned = top.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned === plain, "pruning changed the top-k")
+    // the threshold must genuinely cut the scored set below the matched set
+    val matched = ops.Retrieval.postingsFrom(docs)
+      .filter(col("tok").isInCollection(QueryTerms))
+      .select("doc_id").distinct().count()
+    val nCand = cand.count()
+    assert(nCand >= TopK && nCand < matched,
+      s"expected TopK <= candidates < matched, got $nCand of $matched")
+  }
+
   test("posting build: df/cf/head agree with first-principles counts") {
     val out = SparkEntry.all.find(_.name == "q_inverted_postings").get
       .build(spark, sfDir)
-    // head length = min(df, PostingHead), head is sorted ascending
+    // the head serializes as a comma-joined string (comparator-safe
+    // scalar surface) — parse it back: length = min(df, PostingHead),
+    // ids sorted ascending NUMERICALLY
+    val head = transform(split(col("head_postings"), ","), x => x.cast("long"))
     val bad = out.filter(
-      size(col("head_postings")) =!= least(col("df"), lit(PostingHead)) ||
-      expr("head_postings != array_sort(head_postings)"))
+      size(head) =!= least(col("df"), lit(PostingHead)) ||
+      head =!= array_sort(head))
     assert(bad.count() === 0)
     // Σcf = corpus token count; Σdf = Σ per-doc distinct tokens
     val toks = Tables.documents(spark, sfDir)
