@@ -60,6 +60,9 @@ object Curation {
   /** Target corpus fraction after mixing. */
   final val MixTarget = 0.5
 
+  /** Max documents any one domain may contribute (q_domain_caps). */
+  final val DomainCap = 15L
+
   /** doc_id, n_tok, and the bucket id for the two-level prefix sum. Bucket
     * width derives from max(doc_id) (one 1-row agg job) so ids spread
     * evenly over [[Buckets]] contiguous ranges — contiguity is what makes
@@ -236,6 +239,34 @@ object Curation {
           count(when(Sampling.bucket100(col("doc_id"))
             < col("rate") * 100, 1)).as("n_kept"))
         .orderBy("source")
+    },
+
+    // Per-domain document cap — the other half of domain mixing: where
+    // q_domain_mix_temp reweights by SAMPLING rate, the cap bounds any one
+    // domain's absolute contribution (Common-Crawl curation caps
+    // spam-heavy hosts the same way). Rank within each source by
+    // (n_chars DESC, doc_id ASC) — longest-first, id tiebreak keeps the
+    // rank total — and keep the top [[DomainCap]]. Scale shape: one
+    // source-keyed exchange; the per-key work is a spillable sort (no
+    // per-key memory state), and a pathological mega-domain is exactly the
+    // per-key-top-k case the typed TopKAgg partial aggregator (functions/
+    // TopK) solves — partial top-Cap per partition, merge Cap-sized heaps —
+    // documented as the skew escape hatch rather than declared, because
+    // the declared output ranks EVERY row, not just survivors.
+    Q("q_domain_caps",
+      s"""SELECT doc_id, source, n_chars,
+         |       CAST(row_number() OVER (PARTITION BY source
+         |              ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk,
+         |       (row_number() OVER (PARTITION BY source
+         |              ORDER BY n_chars DESC, doc_id) <= $DomainCap) AS kept
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val byDomain = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          row_number().over(byDomain).cast("long").as("rnk"))
+        .withColumn("kept", col("rnk") <= DomainCap)
+        .orderBy("doc_id")
     }
   )
 }

@@ -343,6 +343,32 @@ object Dedup {
        |    AND (len(list_intersect(a.t, b.t)) / len(list_distinct(list_concat(a.t, b.t)))) >= $JaccardTau
        |)""".stripMargin
 
+  /** SimHash signature CTEs (hs_t → sg): the 30-bit occurrence-weighted
+    * SimHash of every document — shared by q_simhash and q_simhash_pairs.
+    */
+  private def simhashSgCtes: String =
+    s"""WITH hs_t AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ' '), t -> ${hashSql("t")}) AS hs
+       |  FROM documents
+       |), sg AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), j ->
+       |    CASE WHEN list_sum(list_transform(hs, h ->
+       |           CASE WHEN ((h >> j) & 1) = 1 THEN CAST(1 AS BIGINT)
+       |                ELSE CAST(-1 AS BIGINT) END)) > 0
+       |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |  FROM hs_t
+       |)""".stripMargin
+
+  /** SimHash band count and width: 30 bits in 3 bands of 10. Pigeonhole:
+    * Hamming distance ≤ [[SimHamMax]] flips at most 2 bits, so at least
+    * one of the 3 bands is untouched — banded blocking finds EVERY
+    * qualifying pair (exactness, not recall).
+    */
+  final val SimBands  = 3
+  final val SimBandW  = 10
+  final val SimHamMax = 2
+
   val queries: Seq[Q] = Seq(
 
     // Whole-document fingerprint (rolling polynomial hash over all chars).
@@ -447,18 +473,7 @@ object Dedup {
     // 30-bit SimHash (occurrence-weighted) + Hamming distance to the next
     // doc id — near-dup detection by small Hamming distance.
     Q("q_simhash",
-      s"""WITH hs_t AS (
-         |  SELECT doc_id,
-         |         list_transform(string_split(text, ' '), t -> ${hashSql("t")}) AS hs
-         |  FROM documents
-         |), sg AS (
-         |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), j ->
-         |    CASE WHEN list_sum(list_transform(hs, h ->
-         |           CASE WHEN ((h >> j) & 1) = 1 THEN CAST(1 AS BIGINT)
-         |                ELSE CAST(-1 AS BIGINT) END)) > 0
-         |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-         |  FROM hs_t
-         |)
+      s"""$simhashSgCtes
          |SELECT doc_id, sig,
          |       CAST(bit_count(xor(sig, lead(sig) OVER (ORDER BY doc_id))) AS INTEGER) AS ham_next
          |FROM sg ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -473,6 +488,53 @@ object Dedup {
         .select(col("doc_id"), col("sig"),
           bit_count(col("sig").bitwiseXOR(col("sig_next"))).as("ham_next"))
         .orderBy("doc_id")
+    },
+
+    // ALL-pairs SimHash near-duplicates by pigeonhole banding — the
+    // Manku/Jain/Sarma 2007 (WWW, "Detecting Near-Duplicates for Web
+    // Crawling") layout: split the 30-bit signature into 3 bands of 10;
+    // any pair within Hamming distance 2 agrees on >= 1 whole band, so a
+    // band-keyed equi-join generates a COMPLETE candidate set (this is
+    // exact dedup, unlike MinHash's probabilistic recall) and the
+    // bit_count verify runs on candidates only. Scale shape: the shuffle
+    // keys on (band, 10-bit key) — Θ(docs × bands) rows out, Θ(Σ
+    // bucket²) candidate work, never corpus²; the verify is a codegen'd
+    // xor/bit_count on two longs. Same-key mega-buckets (a corpus of
+    // near-identical boilerplate) are the AQE-skew/salting case the
+    // MinHash banding already probes in ScaleProbe.
+    Q("q_simhash_pairs",
+      s"""$simhashSgCtes, bands AS (
+         |  SELECT doc_id, sig, b,
+         |         (sig >> (b * $SimBandW)) & ${(1 << SimBandW) - 1} AS key
+         |  FROM sg, range(0, $SimBands) t(b)
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+         |         l.sig AS sig1, r.sig AS sig2
+         |  FROM bands l JOIN bands r
+         |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+         |)
+         |SELECT d1, d2,
+         |       CAST(bit_count(xor(sig1, sig2)) AS INTEGER) AS ham
+         |FROM cand WHERE bit_count(xor(sig1, sig2)) <= $SimHamMax
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val sig = sim_hash30(transform(toks, t => poly_hash(t)))
+      val sg  = Tables.documents(s, dir).select(col("doc_id"), sig.as("sig"))
+      val bands = sg
+        .select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(SimBands - 1))).as("b"))
+        .withColumn("key",
+          expr(s"shiftright(sig, b * $SimBandW) & ${(1 << SimBandW) - 1}"))
+      val l = bands.select(col("b"), col("key"),
+        col("doc_id").as("d1"), col("sig").as("sig1"))
+      val r = bands.select(col("b"), col("key"),
+        col("doc_id").as("d2"), col("sig").as("sig2"))
+      l.join(r, Seq("b", "key")).filter(col("d1") < col("d2"))
+        .select("d1", "d2", "sig1", "sig2").distinct()
+        .withColumn("ham",
+          bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+        .filter(col("ham") <= SimHamMax)
+        .select("d1", "d2", "ham")
+        .orderBy("d1", "d2")
     }
   )
 }

@@ -664,6 +664,64 @@ object TextOps {
         gStop.as("g_stop"), gDist.as("g_distinct"),
         qualityKeep(col("text")).as("keep")) // same tree as gLen&&gWlen&&gStop&&gDist
         .orderBy("doc_id")
+    },
+
+    // Character-level Shannon entropy per document — the classic
+    // gibberish/encoded-blob detector (low entropy = repeated filler, high
+    // entropy = base64/binary junk; natural text sits in a narrow band).
+    // Cross-engine exactness via the engine's micro-nat rule
+    // (q_unigram_logprob / ops/LM.scala): each char's ln(n_c/n) snaps to
+    // integer micro-nats, so the per-doc total -Σ n_c·lp_micro is an exact
+    // integer sum (order-free) and the per-char average is ONE IEEE double
+    // division of identical integers. Scale shape: the Spark side is a
+    // NARROW per-row expression — the char histogram, the ln's, and the
+    // reduction all run inside one projection over the scan (alphabet ×
+    // doc-length work per row, zero shuffle, zero state); only the final
+    // declared ORDER BY exchanges. The oracle states the same arithmetic
+    // as unnest + GROUP BY, which DuckDB is free to plan its own way.
+    Q("q_char_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, n, c, count(*) AS n_c
+        |  FROM ch GROUP BY doc_id, n, c),
+        |lp AS (
+        |  SELECT doc_id, n, n_c,
+        |         CAST(round(ln(CAST(n_c AS DOUBLE) / n) * 1000000)
+        |              AS BIGINT) AS lp_micro
+        |  FROM hist)
+        |SELECT doc_id, CAST(min(n) AS INTEGER) AS n_chars,
+        |       CAST(count(*) AS INTEGER) AS n_distinct_chars,
+        |       CAST(-sum(n_c * lp_micro) AS BIGINT) AS ent_micro_tot,
+        |       (CAST(-sum(n_c * lp_micro) AS BIGINT) / CAST(min(n) AS DOUBLE))
+        |         AS ent_per_char_micro
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Spark's split(text, "") keeps a trailing empty element (Java regex
+      // split with limit -1) where DuckDB's string_split does not —
+      // decompose via sequence+substring so both engines see length(text)
+      // chars exactly
+      val chars = "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+      val cs    = expr(chars)
+      // per-row char histogram: for each DISTINCT char, its count; then
+      // -Σ n_c · round(ln(n_c/n)·1e6) folded with `aggregate` — all one
+      // narrow codegen'd projection, nothing leaves the scan task
+      val entTot = expr(
+        s"""aggregate(
+          |  transform(array_distinct($chars),
+          |    c -> size(filter($chars, x -> x = c))),
+          |  0L,
+          |  (acc, nc) -> acc - nc * CAST(round(
+          |    ln(CAST(nc AS DOUBLE) / length(text)) * 1000000) AS LONG))
+          |""".stripMargin)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(array_distinct(cs)).as("n_distinct_chars"),
+        entTot.as("ent_micro_tot"),
+        (entTot / length(col("text")).cast("double")).as("ent_per_char_micro"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -76,4 +76,53 @@ class CurationSpec extends SparkSpec {
         s"rate not flattening: ${s} vs ${l}")
     }
   }
+
+  test("domain caps: per-source kept counts bounded, ranks are permutations") {
+    val out = SparkEntry.all.find(_.name == "q_domain_caps").get
+      .build(spark, sfDir)
+    // no source keeps more than the cap
+    val over = out.filter(col("kept"))
+      .groupBy("source").count()
+      .filter(col("count") > ops.Curation.DomainCap)
+    assert(over.count() === 0)
+    // within each source, ranks are exactly 1..n (a permutation)
+    val bad = out.groupBy("source").agg(
+      count(lit(1)).as("n"), min("rnk").as("lo"),
+      max("rnk").as("hi"), countDistinct("rnk").as("nd"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") ||
+        col("nd") =!= col("n"))
+    assert(bad.count() === 0)
+    // kept docs dominate dropped docs by length within a source: the
+    // shortest kept doc is >= the longest dropped doc (ties broken by id)
+    val kmin = out.filter(col("kept")).groupBy("source")
+      .agg(min("n_chars").as("kmin"))
+    val dmax = out.filter(!col("kept")).groupBy("source")
+      .agg(max("n_chars").as("dmax"))
+    val inv = kmin.join(dmax, "source")
+      .filter(col("kmin") < col("dmax"))
+    assert(inv.count() === 0)
+  }
+
+  test("char entropy: ln(k)-bounded on the corpus, exact on uniform fixtures") {
+    val ent = SparkEntry.all.find(_.name == "q_char_entropy").get
+      .build(spark, sfDir)
+    // bound: 0 <= ent_per_char_micro <= ln(n_distinct_chars) * 1e6 + 1
+    val bad = ent.filter(col("ent_per_char_micro") < 0 ||
+      col("ent_per_char_micro") >
+        log(col("n_distinct_chars").cast("double")) * 1e6 + lit(1.0))
+    assert(bad.count() === 0)
+    // hand fixture through the same arithmetic (micro-nat snapping):
+    // uniform over k symbols → per-char entropy ln(k) in micro-nats
+    def entOf(text: String): Double = {
+      val n = text.length
+      val tot = text.groupBy(identity).values.map { g =>
+        val nc = g.length
+        -nc.toLong * math.round(math.log(nc.toDouble / n) * 1e6)
+      }.sum
+      tot.toDouble / n
+    }
+    assert(entOf("aaaaaaaa") === 0.0)
+    assert(math.abs(entOf("abababab") - math.log(2) * 1e6) <= 1.0)
+    assert(math.abs(entOf("abcdabcd") - math.log(4) * 1e6) <= 1.0)
+  }
 }

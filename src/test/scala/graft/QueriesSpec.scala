@@ -53,6 +53,24 @@ class QueriesSpec extends SparkSpec {
     assert(pairs.filter(col("jac") < ops.Dedup.JaccardTau).count() === 0)
   }
 
+  test("simhash banding is COMPLETE: banded pairs == brute-force Hamming pairs") {
+    import graft.functions.exprs.{poly_hash, sim_hash30}
+    val banded = SparkEntry.queries("q_simhash_pairs")(spark, sfDir)
+    // brute force all pairs (test-only — the crossJoin is the thing the
+    // banded plan exists to avoid)
+    val sg = Tables.documents(spark, sfDir).select(col("doc_id"),
+      sim_hash30(transform(split(col("text"), " "), t => poly_hash(t))).as("sig"))
+    val brute = sg.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+      .crossJoin(sg.select(col("doc_id").as("d2"), col("sig").as("sig2")))
+      .filter(col("d1") < col("d2"))
+      .withColumn("ham", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("ham") <= ops.Dedup.SimHamMax)
+      .select("d1", "d2", "ham")
+    assert(banded.except(brute).count() === 0)
+    assert(brute.except(banded).count() === 0, // pigeonhole: no pair missed
+      "banded candidate generation missed a qualifying pair")
+  }
+
   test("documents corpus is pure ASCII (byte==char parity precondition)") {
     // Multimodal oracles equate byte length/values with DuckDB's character
     // semantics, and poly_hash equates charAt with ascii(); both need ASCII.
