@@ -369,6 +369,14 @@ object Dedup {
   final val SimBandW  = 10
   final val SimHamMax = 2
 
+  /** Winnowing (q_winnowing): gram size in tokens, window size in grams,
+    * and the composite-key base (must exceed any gram position; gram
+    * hashes are < 10⁹+7 so h·WinB < 2^51 — no int64 overflow).
+    */
+  final val WinK = 4
+  final val WinW = 4
+  final val WinB = 1L << 20
+
   val queries: Seq[Q] = Seq(
 
     // Whole-document fingerprint (rolling polynomial hash over all chars).
@@ -535,6 +543,70 @@ object Dedup {
         .filter(col("ham") <= SimHamMax)
         .select("d1", "d2", "ham")
         .orderBy("d1", "d2")
+    },
+
+    // Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    // SIGMOD 2003 — the MOSS algorithm): hash every [[WinK]]-token gram,
+    // slide a window of [[WinW]] consecutive gram hashes, select the MIN
+    // hash per window with ties broken RIGHTMOST, and keep the distinct
+    // (pos, hash) selections. Guarantees: any shared run of WinK + WinW - 1
+    // tokens yields a shared fingerprint (detection), and density is
+    // ~2/(WinW+1) regardless of content (storage bound) — the local
+    // fingerprinting family that MinHash (global set resemblance) and
+    // SimHash (global bit signature) do not cover.
+    //
+    // The rightmost-min selection is ONE window pass, no self-join: the
+    // composite key h·2^20 − pos is minimized exactly at (min h, max pos)
+    // since pos < 2^20, and h = ceil(k/2^20), pos = h·2^20 − k recover
+    // both components. All-integer → cross-engine exact. Scale shape: the
+    // gram explode is narrow, the single window keys on doc_id (per-doc
+    // bounded state), DISTINCT keys on the fingerprint — nothing global.
+    Q("q_winnowing",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  -- comprehension var is gp, NOT i: hashSql's inner lambda binds i
+         |  -- and would capture/shadow it (observed: wrong hashes past pos 4)
+         |  SELECT doc_id,
+         |         unnest([struct_pack(pos := gp,
+         |                  h := ${hashSql("array_to_string(toks[gp:gp+" + (WinK - 1) + "], ' ')")})
+         |                 for gp in range(1, len(toks) - $WinK + 2)]) AS u
+         |  FROM t WHERE len(toks) >= $WinK),
+         |k AS (
+         |  SELECT doc_id, u.pos AS pos, u.h * $WinB - u.pos AS ck,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY u.pos) AS rn
+         |  FROM g),
+         |w AS (
+         |  SELECT doc_id, rn,
+         |         min(ck) OVER (PARTITION BY doc_id ORDER BY rn
+         |           ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS mk
+         |  FROM k)
+         |SELECT DISTINCT doc_id,
+         |       CAST((mk + $WinB - 1) // $WinB AS BIGINT) AS h,
+         |       CAST(((mk + $WinB - 1) // $WinB) * $WinB - mk AS BIGINT) AS pos
+         |FROM w WHERE rn >= $WinW
+         |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= WinK)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(toks) - $WinK + 1), " +
+          s"i -> concat_ws(' ', slice(toks, i, $WinK)))"))
+          .as(Seq("pos0", "gram")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          poly_hash(col("gram")).as("h"))
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      grams
+        .withColumn("ck", col("h") * WinB - col("pos"))
+        .withColumn("mk", min("ck").over(byPos.rowsBetween(-(WinW - 1), 0)))
+        .withColumn("rn", row_number().over(byPos))
+        .filter(col("rn") >= WinW)
+        .select(col("doc_id"),
+          expr(s"(mk + ${WinB - 1}) div $WinB").as("h"),
+          expr(s"((mk + ${WinB - 1}) div $WinB) * $WinB - mk").as("pos"))
+        .distinct()
+        .orderBy("doc_id", "pos")
     }
   )
 }

