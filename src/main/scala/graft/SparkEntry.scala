@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Spans.queries,
     ops.LM.queries,
     ops.Graph.queries,
+    ops.Clustering.queries,
     ops.Pipeline.queries
   )
 

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Distributed Lloyd k-means over the embeddings table — the first
+  * ORACLE-CHECKED clustering trajectory (the Lloyd-lite quantizers in
+  * [[Similarity]] train on bounded samples and are recall-gated, not
+  * cell-exact). The determinism mechanism is the PageRank one
+  * ([[Graph]]): the whole trajectory lives in integer MICRO-units.
+  *
+  *  - vectors snap once: vm[i] = round(double(embedding[i]) · 10⁶) — a
+  *    float widens to double exactly and one correctly-rounded IEEE
+  *    multiply+round is identical in both engines;
+  *  - distances are exact integer sums Σ(vm−cm)² (|coord| ≤ ~10⁶ →
+  *    64·(2·10⁶)² < 2⁵³ ≪ 2⁶³, no overflow, order-free);
+  *  - assignment is argmin(dist, cell) — total order, ties to the lowest
+  *    cell id;
+  *  - the centroid update truncate-divides integer sums (Spark `div` ≡
+  *    DuckDB `//` on any sign), so the next round starts from identical
+  *    integers. An emptied cell keeps its previous centroid.
+  *
+  * Scale shape: assignment is a NARROW map — the k×64 centroid matrix is
+  * bounded model state (the accepted class: PQ codebooks, BPE vocab,
+  * prefix-sum offsets) folded into codegen'd literals, so scoring never
+  * shuffles the corpus. The update is ONE groupBy(cell) with map-side
+  * partial aggregation of 64 sum columns — per round the wire carries
+  * O(partitions · k · 64) partials, not O(N). The oracle is a
+  * multi-statement DuckDB temp-table script (the Graph mechanism): each
+  * round's assignment and update MATERIALIZE once, km_-prefixed.
+  */
+object Clustering {
+
+  /** Cells, Lloyd rounds, vector width, micro scale. */
+  final val KmK     = 8
+  final val KmIters = 3
+  final val Dim     = 64
+
+  /** vec_id + micro-snapped integer vector. */
+  private def vmFrame(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG))")
+        .as("vm"))
+
+  /** Exact integer squared distance of `vm` to a centroid literal. */
+  private def distTo(cm: Array[Long]): Column =
+    expr(s"aggregate(zip_with(vm, array(${cm.mkString(",")}L), " +
+      "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+      .cast("long")
+
+  /** Assignment under the given centroids: argmin(dist, cell) as an
+    * array_min over (dist, cell) structs — struct comparison is
+    * lexicographic, so ties go to the lowest cell. One narrow projection.
+    */
+  private def assign(vm: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val scored = array(cents.map { case (cell, cm) =>
+      struct(distTo(cm).as("d"), lit(cell).as("c"))
+    }: _*)
+    vm.withColumn("m", array_min(scored))
+      .select(col("vec_id"), col("vm"),
+        col("m.c").as("cell"), col("m.d").as("dist"))
+  }
+
+  /** One Lloyd round: assignment → per-cell truncated-mean update.
+    * Returns the next centroid map; an emptied cell keeps its previous
+    * centroid. The collect is k×64 longs — bounded model state.
+    */
+  private def update(vm: DataFrame,
+      cents: Seq[(Int, Array[Long])]): Seq[(Int, Array[Long])] = {
+    val sums = (0 until Dim).map(i => sum(col("vm")(i)).as(s"s$i"))
+    val upd = assign(vm, cents)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        // JVM Long `/` truncates toward zero — identical to Spark `div`
+        // and DuckDB `//` on either sign
+        r.getInt(0) -> Array.tabulate(Dim)(i => r.getLong(2 + i) / n)
+      }.toMap
+    cents.map { case (cell, cm) => cell -> upd.getOrElse(cell, cm) }
+  }
+
+  /** Seeds: the vectors with vec_id < k (k×64 bounded collect). */
+  private def seeds(vm: DataFrame): Seq[(Int, Array[Long])] =
+    vm.filter(col("vec_id") < KmK).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** The distance expression as DuckDB SQL against centroid table `c`. */
+  private def distSql: String =
+    s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), " +
+      "i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i]))) AS BIGINT)"
+
+  /** One unrolled oracle round: assignment from km_c{r-1}, update into
+    * km_c{r} (empty cells keep the previous centroid via LEFT JOIN).
+    */
+  private def roundSql(r: Int): String =
+    s"""CREATE OR REPLACE TEMP TABLE km_a$r AS
+       |  SELECT vec_id, cell, dist FROM (
+       |    SELECT vec_id, cell, dist,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM (SELECT v.vec_id, c.cell, $distSql AS dist
+       |          FROM km_v v CROSS JOIN km_c${r - 1} c))
+       |  WHERE rn = 1;
+       |CREATE OR REPLACE TEMP TABLE km_c$r AS
+       |  SELECT p.cell, coalesce(u.cm, p.cm) AS cm
+       |  FROM km_c${r - 1} p LEFT JOIN (
+       |    SELECT cell, list(sm ORDER BY i) AS cm FROM (
+       |      SELECT a.cell, i,
+       |             CAST(sum(v.vm[i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS sm
+       |      FROM km_a$r a JOIN km_v v USING (vec_id),
+       |           range(1, ${Dim + 1}) t(i)
+       |      GROUP BY a.cell, i)
+       |    GROUP BY cell) u ON u.cell = p.cell;""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Final assignment after KmIters full Lloyd rounds: each vector's
+    // cell and exact integer squared distance under the final centroids.
+    // Oracle-checked cell-for-cell — assignment, every centroid update,
+    // and the final scoring all walk the identical integer trajectory.
+    Q("q_kmeans_assign",
+      s"""CREATE OR REPLACE TEMP TABLE km_v AS
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+         |  FROM embeddings;
+         |CREATE OR REPLACE TEMP TABLE km_c0 AS
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, vm AS cm
+         |  FROM km_v WHERE vec_id < $KmK;
+         |${(1 to KmIters).map(roundSql).mkString("\n")}
+         |SELECT vec_id, cell, dist FROM (
+         |  SELECT vec_id, cell, dist,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY dist, cell) AS rn
+         |  FROM (SELECT v.vec_id, c.cell, $distSql AS dist
+         |        FROM km_v v CROSS JOIN km_c$KmIters c))
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val vm = vmFrame(s, dir).localCheckpoint() // snap once; rounds reuse
+      var cents = seeds(vm)
+      for (_ <- 1 to KmIters) cents = update(vm, cents)
+      assign(vm, cents)
+        .select("vec_id", "cell", "dist")
+        .orderBy("vec_id")
+    }
+  )
+}
