@@ -33,6 +33,47 @@ object Graph {
   /** Fixed PageRank rounds (unrolled in the oracle SQL). */
   final val PrIters = 3
 
+  /** Fixed label-propagation rounds (q_labelprop). */
+  final val LpIters = 4
+
+  /** Bounded-hop min-label propagation over an undirected pair list:
+    * label₀(v) = v; each round label(v) ← min(label(v), min over
+    * neighbors). After R rounds label(v) = min vertex id within graph
+    * distance R — the oracle-checkable bounded form of connected
+    * components (the pointer-jumping CC in [[Corpus]] converges fully but
+    * is rows-only; this walks a FIXED integer trajectory both engines
+    * reproduce cell-for-cell, and GraphSpec shows it converges to the CC
+    * labels once rounds reach the graph diameter). Same loop hygiene as
+    * [[pageRank]]: edges checkpoint once pre-partitioned on the join key,
+    * labels checkpoint per round; per round one keyed join + one groupBy.
+    */
+  private[graft] def labelProp(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    val edges = p.select(col("d1").as("v"), col("d2").as("w"))
+      .union(p.select(col("d2").as("v"), col("d1").as("w")))
+      .repartition(col("v")).localCheckpoint()
+    var lbl = edges.select(col("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val nb = edges.join(lbl, "v")
+        .groupBy(col("w").as("v")).agg(min("lbl").as("nmin"))
+      lbl = lbl.join(nb, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    lbl.select(col("v").as("doc_id"), col("lbl"))
+  }
+
+  /** One unrolled label-prop oracle round as a temp-table statement. */
+  private def lpRoundSql(prev: String, k: String): String =
+    s"""CREATE OR REPLACE TEMP TABLE $k AS
+       |  SELECT l.v, least(l.lbl, coalesce(m.nmin, l.lbl)) AS lbl
+       |  FROM $prev l LEFT JOIN (
+       |    SELECT e.w AS v, min(r.lbl) AS nmin
+       |    FROM lp_e e JOIN $prev r ON r.v = e.v GROUP BY e.w) m
+       |  ON m.v = l.v;""".stripMargin
+
   /** PageRank over an undirected (d1, d2) pair list, as the integer-micro
     * recurrence documented above. Every node in the pair list has deg ≥ 1,
     * so there are no dangling nodes.
@@ -113,6 +154,29 @@ object Graph {
          |SELECT v AS doc_id, deg, pr AS pr_micro FROM pr_r$PrIters
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       pageRank(Dedup.minhashPairs(s, dir).select("d1", "d2")).orderBy("doc_id")
+    },
+
+    // Bounded-hop min-label propagation over the full near-dup graph —
+    // after LpIters rounds each node carries the smallest doc_id within
+    // LpIters hops. Deterministic integer trajectory (min/least only), so
+    // the unrolled temp-table oracle matches cell-for-cell; GraphSpec
+    // additionally proves convergence to the exact connected-component
+    // min-ids once rounds reach the diameter.
+    Q("q_labelprop",
+      s"""CREATE OR REPLACE TEMP TABLE lp_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE lp_e AS
+         |  SELECT d1 AS v, d2 AS w FROM lp_pairs
+         |  UNION ALL
+         |  SELECT d2 AS v, d1 AS w FROM lp_pairs;
+         |CREATE OR REPLACE TEMP TABLE lp_l0 AS
+         |  SELECT DISTINCT v, v AS lbl FROM lp_e;
+         |${(1 to LpIters).map(i => lpRoundSql(s"lp_l${i - 1}", s"lp_l$i")).mkString("\n")}
+         |SELECT v AS doc_id, lbl FROM lp_l$LpIters
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      labelProp(Dedup.minhashPairs(s, dir).select("d1", "d2"))
+        .orderBy("doc_id")
     }
   )
 }

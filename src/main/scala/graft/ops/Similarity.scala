@@ -827,6 +827,68 @@ object Similarity {
         |  FROM d)
         |WHERE rank <= 10 ORDER BY p_id, rank""".stripMargin)(cosineTopKPruned),
 
+    // kNN majority-vote classification over the exact cosine top-k — the
+    // label-transfer / weak-supervision pattern (tag unlabeled documents
+    // from their nearest labeled neighbors). Rides the proven
+    // q_cosine_topk contract (same probe subset, same rounded-cosine
+    // (cos_r DESC, c_id) ranking — hash-proven at 3 SFs), so the vote is
+    // over an identical neighbor set in both engines; the argmax is a
+    // total order (votes DESC, label ASC). Scale shape: the vote is a
+    // (p_id, label) groupBy over probes×k rows and the argmax an
+    // array_min over the per-probe vote structs — O(probes · k), nothing
+    // corpus-sized after the top-k stage.
+    Q("q_knn_classify",
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT * FROM n WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024
+        |), d AS (
+        |  SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+        |         round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos_r
+        |  FROM p, n c
+        |  WHERE c.vec_id <> p.vec_id
+        |), r AS (
+        |  SELECT p_id, c_id FROM (
+        |    SELECT p_id, c_id,
+        |           row_number() OVER (PARTITION BY p_id
+        |             ORDER BY cos_r DESC, c_id) AS rank
+        |    FROM d)
+        |  WHERE rank <= 10
+        |), v AS (
+        |  SELECT r.p_id, e.label, CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM r JOIN embeddings e ON e.vec_id = r.c_id
+        |  GROUP BY r.p_id, e.label
+        |), pr AS (
+        |  SELECT p_id, label AS pred_label, n_votes FROM (
+        |    SELECT p_id, label, n_votes,
+        |           row_number() OVER (PARTITION BY p_id
+        |             ORDER BY n_votes DESC, label) AS rn
+        |    FROM v)
+        |  WHERE rn = 1
+        |)
+        |SELECT pr.p_id, pr.pred_label, pr.n_votes,
+        |       e.label AS true_label,
+        |       (pr.pred_label = e.label) AS correct
+        |FROM pr JOIN embeddings e ON e.vec_id = pr.p_id
+        |ORDER BY p_id""".stripMargin) { (s, dir) =>
+      val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val votes = cosineTopK(s, dir)
+        .join(labels.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .groupBy("p_id", "label").agg(count(lit(1)).as("n_votes"))
+      val pred = votes
+        .groupBy("p_id")
+        .agg(min(struct((-col("n_votes")).as("nv"), col("label").as("lab"))).as("m"))
+        .select(col("p_id"), col("m.lab").as("pred_label"),
+          (-col("m.nv")).as("n_votes"))
+      pred.join(labels.withColumnRenamed("vec_id", "p_id"), "p_id")
+        .select(col("p_id"), col("pred_label"), col("n_votes"),
+          col("label").as("true_label"),
+          (col("pred_label") === col("label")).as("correct"))
+        .orderBy("p_id")
+    },
+
     // Embedding-cosine near-dup over consecutive-id pairs (exact slice).
     Q("q_embed_neardup",
       """WITH n AS (

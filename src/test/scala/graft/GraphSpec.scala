@@ -67,4 +67,45 @@ class GraphSpec extends SparkSpec {
       .groupBy("doc_id").agg(count(lit(1)).as("want"))
     assert(out.join(deg, "doc_id").filter(col("deg") =!= col("want")).count() === 0)
   }
+
+  test("label propagation: sequential equality at LpIters, CC convergence at diameter") {
+    // sequential recurrence on the known fixture
+    def seqLp(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = nbrs.keys.map(v => v -> v).toMap
+      for (_ <- 1 to iters)
+        lbl = lbl.map { case (v, l) =>
+          v -> math.min(l, nbrs(v).map(lbl).min)
+        }
+      lbl
+    }
+    val fx = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = ops.Graph.labelProp(fixturePairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === seqLp(fx, ops.Graph.LpIters))
+    // LpIters = 4 >= both components' diameters here → exact CC min-ids
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // on the corpus graph: labels only decrease with more rounds, and at
+    // 20 rounds (>> diameter of the dense near-dup graph) every node in a
+    // connected pair shares its component's minimum — cross-check against
+    // an independent union-find on the collected edge list
+    val pairs = ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+    val e = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    e.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = e.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(v => v -> find(v)).toMap
+    val conv = ops.Graph.labelProp(pairs, 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv === want, "20-round label prop did not reach CC min-ids")
+  }
 }
