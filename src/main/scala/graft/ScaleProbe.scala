@@ -244,6 +244,45 @@ object ScaleProbe {
                 .cast("int").as("b"))): _*)).as("jb"))
           .groupBy(col("jb.j"), col("jb.b")).agg(count(lit(1))).count()
       }
+      // banded SimHash pairs at m× docs. Replicating the real corpus
+      // verbatim would grow every band bucket ∝ m (Θ(m²) candidates —
+      // the semdedup_fixedcells analog), so the grown corpus is synthetic
+      // text over a vocabulary scaling with m: bucket occupancy stays
+      // pinned and candidate work tracks the data. The quadratic
+      // replicated variant is intentionally NOT probed — pair output
+      // itself is Θ(m²) there, the operator's own floor.
+      timed("simhash_pairs_grown") {
+        val vocab = m * 500
+        val docs = spark.range(m * 5000L).select(col("id").as("doc_id"),
+          expr(s"concat_ws(' ', transform(sequence(1, 40), " +
+            s"j -> concat('w', pmod(id * 31 + j * 7, $vocab))))").as("text"))
+        graft.ops.Dedup.simhashPairsFrom(docs).count()
+      }
+      // k-means rounds at m× vectors: assignment is a narrow map over
+      // centroid literals and the update shuffles only O(partitions·k·64)
+      // partials, so wall time must track the scan ~linearly; centroid
+      // collects stay k×64 whatever m is.
+      timed("kmeans_rounds_replicated") {
+        val e = Tables(spark, sfDir, "embeddings")
+        val eN = (0 until m).map(i => e.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding"))).reduce(_.union(_))
+        val vm = eN.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG))")
+            .as("vm"))
+        graft.ops.Clustering.kmeansAssignFrom(vm).count()
+      }
+      // label propagation at m× the pair graph (shifted ids → m disjoint
+      // copies): per round one keyed join + one groupBy, O(V) label state,
+      // same hygiene as pagerank_replicated — must stay ~linear.
+      timed("labelprop_replicated") {
+        val off = 1000000000L
+        val p = graft.ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+        val pN = (0 until m).map(i => p.select(
+          (col("d1") + lit(off * i)).as("d1"),
+          (col("d2") + lit(off * i)).as("d2"))).reduce(_.union(_))
+        graft.ops.Graph.labelProp(pN).count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

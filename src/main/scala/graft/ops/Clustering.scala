@@ -43,6 +43,18 @@ object Clustering {
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG))")
         .as("vm"))
 
+  /** The full trajectory over an explicit (vec_id, vm) frame: seed from
+    * the k lowest ids, run `iters` Lloyd rounds, emit the final
+    * assignment — the ScaleProbe entry point.
+    */
+  private[graft] def kmeansAssignFrom(vmIn: DataFrame,
+      iters: Int = KmIters): DataFrame = {
+    val vm = vmIn.localCheckpoint() // snap once; every round reuses it
+    var cents = seeds(vm)
+    for (_ <- 1 to iters) cents = update(vm, cents)
+    assign(vm, cents).select("vec_id", "cell", "dist")
+  }
+
   /** Exact integer squared distance of `vm` to a centroid literal. */
   private def distTo(cm: Array[Long]): Column =
     expr(s"aggregate(zip_with(vm, array(${cm.mkString(",")}L), " +
@@ -139,12 +151,7 @@ object Clustering {
          |  FROM (SELECT v.vec_id, c.cell, $distSql AS dist
          |        FROM km_v v CROSS JOIN km_c$KmIters c))
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val vm = vmFrame(s, dir).localCheckpoint() // snap once; rounds reuse
-      var cents = seeds(vm)
-      for (_ <- 1 to KmIters) cents = update(vm, cents)
-      assign(vm, cents)
-        .select("vec_id", "cell", "dist")
-        .orderBy("vec_id")
+      kmeansAssignFrom(vmFrame(s, dir)).orderBy("vec_id")
     }
   )
 }

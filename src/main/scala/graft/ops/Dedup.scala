@@ -377,6 +377,29 @@ object Dedup {
   final val WinW = 4
   final val WinB = 1L << 20
 
+  /** The banded SimHash pair pipeline over an explicit documents frame
+    * (needs doc_id + text) — the ScaleProbe entry point.
+    */
+  private[graft] def simhashPairsFrom(docs: DataFrame): DataFrame = {
+    val sig = sim_hash30(transform(split(col("text"), " "), t => poly_hash(t)))
+    val sg  = docs.select(col("doc_id"), sig.as("sig"))
+    val bands = sg
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(SimBands - 1))).as("b"))
+      .withColumn("key",
+        expr(s"shiftright(sig, b * $SimBandW) & ${(1 << SimBandW) - 1}"))
+    val l = bands.select(col("b"), col("key"),
+      col("doc_id").as("d1"), col("sig").as("sig1"))
+    val r = bands.select(col("b"), col("key"),
+      col("doc_id").as("d2"), col("sig").as("sig2"))
+    l.join(r, Seq("b", "key")).filter(col("d1") < col("d2"))
+      .select("d1", "d2", "sig1", "sig2").distinct()
+      .withColumn("ham",
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("ham") <= SimHamMax)
+      .select("d1", "d2", "ham")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Whole-document fingerprint (rolling polynomial hash over all chars).
@@ -525,24 +548,7 @@ object Dedup {
          |       CAST(bit_count(xor(sig1, sig2)) AS INTEGER) AS ham
          |FROM cand WHERE bit_count(xor(sig1, sig2)) <= $SimHamMax
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      val sig = sim_hash30(transform(toks, t => poly_hash(t)))
-      val sg  = Tables.documents(s, dir).select(col("doc_id"), sig.as("sig"))
-      val bands = sg
-        .select(col("doc_id"), col("sig"),
-          explode(sequence(lit(0), lit(SimBands - 1))).as("b"))
-        .withColumn("key",
-          expr(s"shiftright(sig, b * $SimBandW) & ${(1 << SimBandW) - 1}"))
-      val l = bands.select(col("b"), col("key"),
-        col("doc_id").as("d1"), col("sig").as("sig1"))
-      val r = bands.select(col("b"), col("key"),
-        col("doc_id").as("d2"), col("sig").as("sig2"))
-      l.join(r, Seq("b", "key")).filter(col("d1") < col("d2"))
-        .select("d1", "d2", "sig1", "sig2").distinct()
-        .withColumn("ham",
-          bit_count(col("sig1").bitwiseXOR(col("sig2"))))
-        .filter(col("ham") <= SimHamMax)
-        .select("d1", "d2", "ham")
-        .orderBy("d1", "d2")
+      simhashPairsFrom(Tables.documents(s, dir)).orderBy("d1", "d2")
     },
 
     // Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

@@ -116,6 +116,54 @@ object Spans {
          |FROM i GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
       dupSpansFrom(Tables.documents(s, dir))
+    },
+
+    // Per-document novelty: the fraction of a document's SpanLen-token
+    // windows that no EARLIER document (lower doc_id — ingest order)
+    // contains — the text-novelty signal of the memorization literature
+    // (Lee et al. 2022 measure its complement, duplicated text). A window
+    // is novel iff the corpus-wide min doc_id over its content equals the
+    // document's own id; intra-document repeats stay novel. One
+    // content-keyed shuffle (min-doc window function over the same frame
+    // q_dup_spans shuffles — no self-join) + one doc-keyed aggregation;
+    // the ratio is one IEEE division of identical integers.
+    Q("q_ngram_novelty",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |         unnest([struct_pack(pos := i,
+         |                  win := array_to_string(toks[i:i+${SpanLen - 1}], ' '))
+         |                 for i in range(1, len(toks) - $SpanLen + 2)]) AS u
+         |  FROM t WHERE len(toks) >= $SpanLen),
+         |f AS (
+         |  SELECT doc_id,
+         |         min(doc_id) OVER (PARTITION BY u.win) AS first_doc
+         |  FROM w)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_windows,
+         |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       (CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |             AS BIGINT) / CAST(count(*) AS DOUBLE)) AS novelty
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val wins = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= SpanLen)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - $SpanLen + 1), " +
+          s"i -> concat_ws(' ', slice(toks, i, $SpanLen)))")).as("win"))
+      wins
+        .withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("win")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_windows"), col("n_novel"),
+          (col("n_novel") / col("n_windows").cast("double")).as("novelty"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -51,4 +51,24 @@ class SpansSpec extends SparkSpec {
     assert(firsts.filter(col("n") < 2).count() === 0)
     assert(firsts.count() === out.count())
   }
+
+  test("ngram novelty: bounds, first-doc totality, lowest doc fully novel") {
+    val nov = SparkEntry.queries("q_ngram_novelty")(spark, sfDir).cache()
+    assert(nov.filter(col("novelty") < 0 || col("novelty") > 1).count() === 0)
+    assert(nov.filter(col("n_novel") > col("n_windows")).count() === 0)
+    // the lowest doc_id has no earlier documents — everything it says is novel
+    val first = nov.orderBy("doc_id").limit(1).head
+    assert(first.getLong(2) === first.getLong(1), "first doc must be 100% novel")
+    // every distinct window is novel somewhere: summing per-doc novel
+    // counts must cover at least the distinct window-content count
+    val wins = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= SpanLen)
+      .select(explode(expr(
+        s"transform(sequence(1, size(toks) - $SpanLen + 1), " +
+        s"i -> concat_ws(' ', slice(toks, i, $SpanLen)))")).as("win"))
+    val distinctWins = wins.select("win").distinct().count()
+    val novelSum = nov.agg(sum("n_novel")).head.getLong(0)
+    assert(novelSum >= distinctWins)
+  }
 }
