@@ -35,7 +35,14 @@ object ScaleProbe {
 
     for (m <- mults) {
       val ev = replicate(m)
-      def timed(label: String)(f: => Long): Unit = {
+      // optional focus filter: SPARK_GRAFT_PROBE_ONLY=lbl1,lbl2 runs just
+      // those probes (substring match) — long x50 passes can be resumed
+      // probe-by-probe instead of rerunning the whole suite
+      val only: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE_ONLY") match {
+        case Some(ls) => l => ls.split(",").exists(l.contains)
+        case None     => _ => true
+      }
+      def timed(label: String)(f: => Long): Unit = if (only(label)) {
         val t0 = System.nanoTime()
         val n  = f
         println(f"[scale] x$m%-3d $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")

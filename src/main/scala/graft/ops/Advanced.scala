@@ -460,6 +460,73 @@ object Advanced {
             expr("bit_or(user_id)").as("mask_or"),
             expr("bit_xor(user_id)").as("mask_xor"))
           .orderBy("event_type")
+    },
+
+    // Day-over-day distribution drift of the event-type mix — the data-
+    // quality monitor a production ingest runs continuously (a spike in
+    // KL(today ‖ yesterday) means the upstream mix shifted: a source went
+    // down, a bot flood arrived). KL over Laplace-smoothed per-day type
+    // distributions. Cross-engine exactness: per-(day,type) ln() of an
+    // exactly-computed double ratio snaps to integer micro-nats; the KL
+    // numerator Σ (n+1)·Δlp is an exact integer sum, and the final
+    // normalization is ONE IEEE division by the day's (N + T). Scale
+    // shape: one groupBy(day,type) over the stream (map-side combined),
+    // then all arithmetic on the day×type grid — bounded by taxonomy, not
+    // data; the previous-day alignment is a grid-sized self-join.
+    Q("q_drift_daily",
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM c),
+        |types AS (SELECT DISTINCT event_type FROM c),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM types),
+        |fl AS (
+        |  SELECT days.d, types.event_type,
+        |         coalesce(c.n, 0) AS n0
+        |  FROM days CROSS JOIN types
+        |  LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type),
+        |tot AS (SELECT d, CAST(sum(n0) AS BIGINT) AS nd FROM fl GROUP BY d),
+        |lp AS (
+        |  SELECT f.d, f.event_type, f.n0, tot.nd, tt.t,
+        |         CAST(round(ln(CAST(f.n0 + 1 AS DOUBLE) / (tot.nd + tt.t))
+        |              * 1000000) AS BIGINT) AS lp_micro
+        |  FROM fl f JOIN tot ON tot.d = f.d CROSS JOIN tt)
+        |SELECT a.d,
+        |       CAST(min(a.nd) AS BIGINT) AS n_events,
+        |       CAST(sum((a.n0 + 1) * (a.lp_micro - b.lp_micro)) AS BIGINT)
+        |         AS kl_scaled,
+        |       (CAST(sum((a.n0 + 1) * (a.lp_micro - b.lp_micro)) AS BIGINT)
+        |          / CAST(min(a.nd + a.t) AS DOUBLE)) AS kl_micro
+        |FROM lp a JOIN lp b
+        |  ON b.event_type = a.event_type AND b.d = a.d - INTERVAL 1 DAY
+        |GROUP BY a.d ORDER BY a.d""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val days  = c.select("d").distinct()
+      val types = c.select("event_type").distinct()
+      val tt = types.agg(count(lit(1)).as("t")) // single-row: allowlisted
+      val full = days.crossJoin(types)
+        .join(c, Seq("d", "event_type"), "left")
+        .withColumn("n0", coalesce(col("n"), lit(0L)))
+      val tot = full.groupBy("d").agg(sum("n0").as("nd"))
+      val lp = full.join(tot, "d").crossJoin(broadcast(tt))
+        .withColumn("lp_micro",
+          round(log((col("n0") + 1).cast("double") / (col("nd") + col("t")))
+            * 1000000).cast("long"))
+      val a = lp.select(col("d"), col("event_type"), col("n0"), col("nd"),
+        col("t"), col("lp_micro"))
+      val b = lp.select(col("event_type"), col("d").as("bd"),
+        col("lp_micro").as("lp_prev"))
+      a.join(b, a("event_type") === b("event_type") &&
+          col("bd") === date_sub(a("d"), 1))
+        .groupBy(a("d"))
+        .agg(min("nd").as("n_events"),
+          sum((col("n0") + 1) * (col("lp_micro") - col("lp_prev")))
+            .as("kl_scaled"),
+          (sum((col("n0") + 1) * (col("lp_micro") - col("lp_prev")))
+            / min(col("nd") + col("t")).cast("double")).as("kl_micro"))
+        .orderBy("d")
     }
   )
 }

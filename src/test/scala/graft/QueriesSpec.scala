@@ -71,6 +71,17 @@ class QueriesSpec extends SparkSpec {
       "banded candidate generation missed a qualifying pair")
   }
 
+  test("daily drift: KL non-negative within snapping slack, day chain complete") {
+    val out = SparkEntry.queries("q_drift_daily")(spark, sfDir).cache()
+    val days = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d")).distinct().count()
+    assert(out.count() === days - 1, "every day but the first needs a drift row")
+    // true KL(p||q) >= 0; each (day,type) ln snaps within 0.5 micro-nat,
+    // so the scaled sum can dip below zero by at most ~1 micro-nat/char
+    assert(out.filter(col("kl_micro") < -1.0).count() === 0)
+    assert(out.filter(col("n_events") <= 0).count() === 0)
+  }
+
   test("winnowing equals the sequential reference; every window is covered") {
     import ops.Dedup.{WinK, WinW}
     val out = SparkEntry.queries("q_winnowing")(spark, sfDir)
