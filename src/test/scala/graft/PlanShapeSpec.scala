@@ -113,12 +113,19 @@ class PlanShapeSpec extends SparkSpec {
     //   - q_bm25_topk: hinted sides are the single-row corpus stats and
     //     the |query-terms|-row df frame (bounded by the query literal,
     //     not by data).
+    //   - q_bm25_pruned: the same single-row stats plus two views of the
+    //     |query-terms|-row upper-bound frame (ub / idf per query term) —
+    //     bounded by the query literal, the q_bm25_topk class.
     //   - q_rrf_fusion: embeds q_bm25_topk (same hints) plus a pinned
     //     SINGLE-ROW probe-embedding frame (vec_id = ProbeId).
     //   - q_bigram_nll / q_dsir_weights / q_pagerank_neardup /
     //     q_pmi_collocations: the hinted side is a SINGLE-ROW total (token
     //     mass / corpus+vocab sizes / vertex count) — the tfidf/unigram
     //     class.
+    //   - q_drift_daily: the hinted side is the single-row distinct-type
+    //     count (taxonomy cardinality) — the tfidf/unigram class.
+    //   - q_knn_classify: embeds q_cosine_topk — the hints are the same
+    //     structurally-capped probe batch (GlobalLimit asserted below).
     val allowed = Set(
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
@@ -126,11 +133,13 @@ class PlanShapeSpec extends SparkSpec {
       "q_ann_screen_topk", "q_ann_ivf_topk", "q_bloom_semi_join",
       "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_pq_topk",
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
-      "q_pmi_collocations")
+      "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
+      "q_bm25_pruned")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
-      "q_ann_lsh_topk", "q_ann_screen_topk", "q_ann_ivf_topk", "q_pq_topk")
+      "q_ann_lsh_topk", "q_ann_screen_topk", "q_ann_ivf_topk", "q_pq_topk",
+      "q_knn_classify")
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, ResolvedHint}
     SparkEntry.all.foreach { q =>
       val hints = q.build(spark, sfDir).queryExecution.analyzed.collect {
@@ -187,6 +196,15 @@ class PlanShapeSpec extends SparkSpec {
     val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
     assert(n <= 8, s"q_pipeline_full tail plans $n exchanges (measured 5)")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("char entropy computes narrowly — only the presentation sort exchanges") {
+    // the histogram + ln-fold must live inside the scan projection; a
+    // hashpartitioning exchange would mean the per-row expression regressed
+    // to an explode+groupBy (corpus-proportional shuffle for a per-row stat)
+    val p = plan("q_char_entropy")
+    assert(!p.contains("hashpartitioning"),
+      s"char entropy shuffled the corpus:\n${p.take(1500)}")
   }
 
   test("no declared query plans a cartesian product") {
