@@ -32,6 +32,38 @@ object Advanced {
     def outputEncoder: Encoder[Long]     = Encoders.scalaLong
   }
 
+  /** The q_drift_daily kernel over an explicit (d, event_type, n) count
+    * grid — shared with the streaming fold ([[graft.streaming.Streams]]
+    * maintains the grid incrementally; drift is a view over it). All
+    * arithmetic on frames bounded by taxonomy × retention.
+    */
+  private[graft] def driftFromCounts(c: DataFrame): DataFrame = {
+    val days  = c.select("d").distinct()
+    val types = c.select("event_type").distinct()
+    val tt = types.agg(count(lit(1)).as("t")) // single-row: allowlisted
+    val fl = days.crossJoin(types)
+      .join(c, Seq("d", "event_type"), "left")
+      .withColumn("n0", coalesce(col("n"), lit(0L)))
+    val tot = fl.groupBy("d").agg(sum("n0").as("nd"))
+    val lp = fl.join(tot, "d").crossJoin(broadcast(tt))
+      .withColumn("lp_micro",
+        round(log((col("n0") + 1).cast("double") / (col("nd") + col("t")))
+          * 1000000).cast("long"))
+    val a = lp.select(col("d"), col("event_type"), col("n0"), col("nd"),
+      col("t"), col("lp_micro"))
+    val b = lp.select(col("event_type"), col("d").as("bd"),
+      col("lp_micro").as("lp_prev"))
+    a.join(b, a("event_type") === b("event_type") &&
+        col("bd") === date_sub(a("d"), 1))
+      .groupBy(a("d"))
+      .agg(min("nd").as("n_events"),
+        sum((col("n0") + 1) * (col("lp_micro") - col("lp_prev")))
+          .as("kl_scaled"),
+        (sum((col("n0") + 1) * (col("lp_micro") - col("lp_prev")))
+          / min(col("nd") + col("t")).cast("double")).as("kl_micro"))
+      .orderBy("d")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Skew-salted aggregation: events.user_id is pathologically skewed
@@ -500,33 +532,9 @@ object Advanced {
         |FROM lp a JOIN lp b
         |  ON b.event_type = a.event_type AND b.d = a.d - INTERVAL 1 DAY
         |GROUP BY a.d ORDER BY a.d""".stripMargin) { (s, dir) =>
-      val c = Tables.events(s, dir)
+      driftFromCounts(Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("d"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val days  = c.select("d").distinct()
-      val types = c.select("event_type").distinct()
-      val tt = types.agg(count(lit(1)).as("t")) // single-row: allowlisted
-      val full = days.crossJoin(types)
-        .join(c, Seq("d", "event_type"), "left")
-        .withColumn("n0", coalesce(col("n"), lit(0L)))
-      val tot = full.groupBy("d").agg(sum("n0").as("nd"))
-      val lp = full.join(tot, "d").crossJoin(broadcast(tt))
-        .withColumn("lp_micro",
-          round(log((col("n0") + 1).cast("double") / (col("nd") + col("t")))
-            * 1000000).cast("long"))
-      val a = lp.select(col("d"), col("event_type"), col("n0"), col("nd"),
-        col("t"), col("lp_micro"))
-      val b = lp.select(col("event_type"), col("d").as("bd"),
-        col("lp_micro").as("lp_prev"))
-      a.join(b, a("event_type") === b("event_type") &&
-          col("bd") === date_sub(a("d"), 1))
-        .groupBy(a("d"))
-        .agg(min("nd").as("n_events"),
-          sum((col("n0") + 1) * (col("lp_micro") - col("lp_prev")))
-            .as("kl_scaled"),
-          (sum((col("n0") + 1) * (col("lp_micro") - col("lp_prev")))
-            / min(col("nd") + col("t")).cast("double")).as("kl_micro"))
-        .orderBy("d")
+        .agg(count(lit(1)).as("n")))
     }
   )
 }

@@ -396,6 +396,27 @@ object Streams {
   case class CdcUpdate(user_id: Long, ts_us: Long, event_id: Long,
       op: String, payload_type: String, value_cents: Long)
 
+  /** Streaming face of q_drift_daily: fold one micro-batch's (day, type)
+    * counts into the maintained count grid — the incremental-maintenance
+    * shape of the CDC/MV family (foreachBatch folds; the drift table is a
+    * VIEW over the grid via [[graft.ops.Advanced.driftFromCounts]], shared
+    * Column-for-Column with the oracle-checked batch query). Late and
+    * out-of-order events are merely additive — counts are order-free — so
+    * no watermark is needed and the grid converges to the batch grid
+    * whatever the trigger layout. State is the day×type grid: bounded by
+    * taxonomy × retention, not by stream volume.
+    */
+  def foldDayTypeCounts(grid: DataFrame, batch: DataFrame): DataFrame = {
+    val bc = batch
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    grid.withColumnRenamed("n", "n_old")
+      .join(bc.withColumnRenamed("n", "n_new"), Seq("d", "event_type"), "full_outer")
+      .select(col("d"), col("event_type"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n"))
+  }
+
   /** Streaming face of Lakehouse.snapshot (q_cdc_snapshot): maintain the
     * LWW CDC snapshot incrementally, ONE state row per key (the ~40-byte
     * current winner). Emits an update row only for keys whose winner

@@ -582,6 +582,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.filter(col("end_us") <= col("start_us")).count() === 0)
   }
+
+  test("streaming drift grid equals batch q_drift_daily on an out-of-order feed") {
+    // deal the real event log into 3 triggers in HASH order (not time
+    // order): day counts arrive scattered across triggers, and late
+    // arrivals must fold in additively
+    val events = loadEvents
+    val dealt  = events.sortBy(e => e.event_id * 2654435761L % 997)
+    val thirds = dealt.grouped((dealt.size + 2) / 3).toSeq
+    val ms = MemoryStream[Event](spark)
+    var grid = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "d DATE, event_type STRING, n BIGINT"))
+    val q = ms.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        grid = Streams.foldDayTypeCounts(grid, batch).localCheckpoint()
+      }.start()
+    thirds.foreach { t => ms.addData(t); q.processAllAvailable() }
+    q.stop()
+    val streamed = ops.Advanced.driftFromCounts(grid)
+    val batch = SparkEntry.queries("q_drift_daily")(spark, sfDir)
+    assert(streamed.except(batch).count() === 0 &&
+      batch.except(streamed).count() === 0,
+      "incrementally maintained drift diverged from the batch query")
+  }
 }
 
 object StreamingSpec {
