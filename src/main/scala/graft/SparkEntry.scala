@@ -29,6 +29,7 @@ object SparkEntry {
     ops.LM.queries,
     ops.Graph.queries,
     ops.Clustering.queries,
+    ops.Sketches.queries,
     ops.Pipeline.queries
   )
 

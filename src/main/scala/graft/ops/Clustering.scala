@@ -155,3 +155,14 @@ object Clustering {
     }
   )
 }
+
+// DESIGN NOTE (probed, rejected): a distributed batch perceptron over the
+// embeddings was prototyped with the km_ trajectory mechanism (micro-snapped
+// vectors, one 65-column filtered aggregate per epoch, unrolled temp-table
+// oracle) and was oracle-exact — but the `label` column carries no linear
+// signal (a least-squares probe also collapses to the majority class), so
+// the trained model converged to the trivial all-negative predictor, and a
+// separable synthetic target needed ~60 driver-synchronous epochs (the
+// anti-pattern rejected for PQ codebook training). The supervised-training
+// surface ships as the one-shuffle Naive Bayes classifier in [[LM]]
+// (q_naive_bayes_lang) instead, which genuinely learns on this corpus.

@@ -177,6 +177,83 @@ object Graph {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       labelProp(Dedup.minhashPairs(s, dir).select("d1", "d2"))
         .orderBy("doc_id")
+    },
+
+    // Per-vertex triangle counts on the near-dup graph via degree-ordered
+    // orientation (Suri & Vassilvitskii 2011, "Counting triangles and the
+    // curse of the last reducer"): every undirected edge points from its
+    // lower (deg, id) endpoint to the higher, so each triangle is emitted
+    // exactly once at its unique apex and wedge work is Σ outdeg² with
+    // outdeg = O(√E) — the hot-vertex quadratic blowup of a naive
+    // neighborhood self-join cannot happen. A vertex's triangle count is
+    // its local clustering numerator: boilerplate mirrored across many
+    // docs forms dense triangle-rich cores the curation pass drops first.
+    // Pure integer plan (degrees, ids, counts) — cell-exact cross-engine.
+    Q("q_triangle_count",
+      s"""CREATE OR REPLACE TEMP TABLE tc_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE tc_deg AS
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT d1 AS v FROM tc_pairs
+         |    UNION ALL SELECT d2 AS v FROM tc_pairs)
+         |  GROUP BY v;
+         |CREATE OR REPLACE TEMP TABLE tc_o AS
+         |  SELECT CASE WHEN (a.deg, p.d1) < (b.deg, p.d2)
+         |              THEN p.d1 ELSE p.d2 END AS src,
+         |         CASE WHEN (a.deg, p.d1) < (b.deg, p.d2)
+         |              THEN p.d2 ELSE p.d1 END AS dst
+         |  FROM tc_pairs p JOIN tc_deg a ON a.v = p.d1
+         |                  JOIN tc_deg b ON b.v = p.d2;
+         |CREATE OR REPLACE TEMP TABLE tc_t AS
+         |  SELECT w1.src AS apex, w1.dst AS x, w2.dst AS y
+         |  FROM tc_o w1 JOIN tc_o w2
+         |    ON w1.src = w2.src AND w1.dst < w2.dst
+         |  JOIN tc_o c
+         |    ON least(c.src, c.dst) = w1.dst
+         |   AND greatest(c.src, c.dst) = w2.dst;
+         |SELECT d.v AS doc_id, d.deg,
+         |       CAST(coalesce(t.n, 0) AS BIGINT) AS n_tri
+         |FROM tc_deg d LEFT JOIN (
+         |  SELECT v, count(*) AS n FROM (
+         |    SELECT unnest([apex, x, y]) AS v FROM tc_t) GROUP BY v) t
+         |ON t.v = d.v
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      triangleCounts(Dedup.minhashPairs(s, dir).select("d1", "d2"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Per-vertex triangle counts over an undirected (d1, d2) pair list via
+    * the degree-ordered orientation documented on q_triangle_count. The
+    * pair frame checkpoints once (it is the whole MinHash pipeline); the
+    * wedge join and the closing-edge join both key on vertex ids.
+    */
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    val deg = p.select(col("d1").as("v")).union(p.select(col("d2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = p
+      .join(deg.select(col("v").as("d1"), col("deg").as("deg1")), "d1")
+      .join(deg.select(col("v").as("d2"), col("deg").as("deg2")), "d2")
+    val fwd = struct(col("deg1"), col("d1")) < struct(col("deg2"), col("d2"))
+    val oriented = withDeg.select(
+      when(fwd, col("d1")).otherwise(col("d2")).as("src"),
+      when(fwd, col("d2")).otherwise(col("d1")).as("dst"))
+      .localCheckpoint() // reused three times in the wedge + closing joins
+    val tri = oriented.as("w1")
+      .join(oriented.as("w2"),
+        col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
+      .join(oriented.as("c"),
+        least(col("c.src"), col("c.dst")) === col("w1.dst") &&
+          greatest(col("c.src"), col("c.dst")) === col("w2.dst"))
+      .select(col("w1.src").as("apex"), col("w1.dst").as("x"),
+        col("w2.dst").as("y"))
+    val perVertex = tri
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("n"), lit(0L)).as("n_tri"))
+  }
 }

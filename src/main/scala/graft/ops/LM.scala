@@ -251,6 +251,125 @@ object LM {
               .cast("long").as("pmi_micro"))
           .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
           .limit(PmiTopK)
+    },
+
+    // Multinomial Naive Bayes language classifier over BIGRAM features
+    // (McCallum & Nigam 1998's event model), Laplace-smoothed — the
+    // supervised-training member of the LM family (prototyped alternatives
+    // and the rejection rationale: the design note in [[Clustering]]).
+    // Training is ONE corpus pass down to the (class, feature) count frame;
+    // there is no iteration, which is what makes a count-based trainer the
+    // scale-correct choice. Scoring uses the SPARSE decomposition
+    //   score(d,c) = prior(c) + n_d·lp0(c) + Σ_{f∈d∩c} tf·(lp(c,f) − lp0(c))
+    // so the model frame stays observed-(c,f)-sized and a document only
+    // joins features it contains — the dense V×C grid never materializes
+    // (at 100 TB vocab it couldn't). The per-doc × class base is a
+    // broadcast crossJoin against the |classes|-row frame (the bounded
+    // dimension class, like the CMS range(0,4) fan-out). All log-probs
+    // snap to micro-nats on model frames (the house rule above); scores,
+    // argmax, and the lang tiebreak are exact integer/string comparisons —
+    // oracle-checked cell-for-cell, and LMSpec gates training accuracy
+    // well above the majority-class baseline.
+    Q("q_naive_bayes_lang",
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(ts)),
+        |                               i -> ts[i] || ' ' || ts[i+1])) AS f
+        |  FROM t),
+        |tf AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nf
+        |         FROM tf GROUP BY 1),
+        |cf AS (SELECT lang, f, CAST(count(*) AS BIGINT) AS n
+        |       FROM bg GROUP BY 1, 2),
+        |totc AS (SELECT lang, CAST(sum(n) AS BIGINT) AS totf FROM cf GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS v FROM bg),
+        |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS ndc
+        |       FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |cls AS (
+        |  SELECT totc.lang, totf,
+        |         CAST(round(ln(1.0 / (totf + v)) * 1000000) AS BIGINT) AS lp0,
+        |         CAST(round(ln(CAST(ndc AS DOUBLE) / n) * 1000000) AS BIGINT)
+        |           AS prior
+        |  FROM totc JOIN nd USING (lang) CROSS JOIN vv CROSS JOIN nn),
+        |grid AS (
+        |  SELECT cf.lang, cf.f,
+        |         CAST(round(ln(CAST(cf.n + 1 AS DOUBLE) / (cls.totf + vv.v))
+        |                    * 1000000) AS BIGINT) - cls.lp0 AS dlp
+        |  FROM cf JOIN cls USING (lang) CROSS JOIN vv),
+        |sparse AS (
+        |  SELECT tf.doc_id, g.lang, CAST(sum(tf.tf * g.dlp) AS BIGINT) AS sd
+        |  FROM tf JOIN grid g USING (f) GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT d.doc_id, c.lang AS cls,
+        |         c.prior + d.nf * c.lp0 + coalesce(s.sd, 0) AS score
+        |  FROM dlen d CROSS JOIN cls c
+        |  LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.lang = c.lang),
+        |top AS (
+        |  SELECT doc_id, cls, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, cls) AS rn
+        |  FROM scores)
+        |SELECT t.doc_id, d.lang, t.cls AS pred,
+        |       CAST(t.score AS BIGINT) AS score_micro,
+        |       CAST(CASE WHEN t.cls = d.lang THEN 1 ELSE 0 END AS INTEGER)
+        |         AS correct
+        |FROM top t JOIN documents d USING (doc_id)
+        |WHERE rn = 1 ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      naiveBayesLang(Tables.documents(s, dir))
     }
   )
+
+  /** The NB train+score pipeline over an explicit documents frame (the
+    * ScaleProbe entry point). See q_naive_bayes_lang for the math.
+    */
+  private[graft] def naiveBayesLang(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bg = base.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
+      .as("f"))
+    val tf   = bg.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("nf"))
+    val cf   = bg.groupBy("lang", "f").agg(count(lit(1)).as("n"))
+    val totc = cf.groupBy("lang").agg(sum("n").as("totf"))
+    val vv   = bg.agg(countDistinct("f").as("v")) // single-row total
+    val nd   = docs.groupBy("lang").agg(count(lit(1)).as("ndc"))
+    val nn   = docs.agg(count(lit(1)).as("n"))    // single-row total
+    val cls = totc.join(nd, "lang")
+      .crossJoin(broadcast(vv)).crossJoin(broadcast(nn))
+      .select(col("lang"), col("totf"),
+        round(log(lit(1.0) / (col("totf") + col("v"))) * 1000000)
+          .cast("long").as("lp0"),
+        round(log(col("ndc").cast("double") / col("n")) * 1000000)
+          .cast("long").as("prior"))
+    val grid = cf.join(cls, "lang").crossJoin(broadcast(vv))
+      .select(col("lang"), col("f"),
+        (round(log((col("n") + 1).cast("double") / (col("totf") + col("v")))
+          * 1000000).cast("long") - col("lp0")).as("dlp"))
+    val sparse = tf.join(grid, "f")
+      .groupBy("doc_id", "lang").agg(sum(col("tf") * col("dlp")).as("sd"))
+    val sparseR = sparse.select(col("doc_id").as("s_doc"),
+      col("lang").as("s_cls"), col("sd"))
+    val scores = dlen.crossJoin(broadcast(cls.select(
+        col("lang").as("cls"), col("lp0"), col("prior"))))
+      .join(sparseR,
+        col("doc_id") === col("s_doc") && col("cls") === col("s_cls"), "left")
+      .select(col("doc_id"), col("cls"),
+        (col("prior") + col("nf") * col("lp0")
+          + coalesce(col("sd"), lit(0L))).as("score"))
+    val top = scores.withColumn("rn",
+      row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cls"))))
+      .filter(col("rn") === 1)
+    top.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("cls").as("pred"),
+        col("score").as("score_micro"),
+        (col("cls") === col("lang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
 }

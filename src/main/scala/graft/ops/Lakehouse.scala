@@ -208,6 +208,73 @@ object Lakehouse {
         .join(keys, col("l_suppkey") === col("s_suppkey"))
         .select("l_orderkey", "l_linenumber", "l_suppkey")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Zone-map pruning over the Z-ordered layout — the stats half of the
+    // data-skipping story (q_zorder_layout is the layout half): blocks are
+    // z-value RANGES (zval div 8192 — at scale these are the row groups a
+    // zorderWrite-sorted writer emits; a value-range block needs NO global
+    // window to assign), each carrying min/max of both clustered
+    // dimensions. For the fixed 2-D rectangle predicate the query emits
+    // every block's stats, its scanned/pruned decision, and the EXACT
+    // in-block match count — so the oracle check itself proves soundness
+    // (matches only inside scanned blocks; ZonemapSpec asserts it
+    // explicitly, plus effectiveness: most blocks prune). At sf0.01 the
+    // rectangle touches 2 of 32 blocks — the 94% skip a 1-D sort could
+    // not give both dimensions at once. All-integer plan: one groupBy on
+    // the derived block id, no shuffle beyond it.
+    Q("q_zonemap_prune",
+      s"""WITH s0 AS (SELECT l_partkey, l_suppkey,
+         |              (l_partkey & 65535) AS a, (l_suppkey & 65535) AS b
+         |            FROM lineitem),
+         |s1 AS (SELECT * REPLACE (((a | (a << 8)) & 16711935) AS a,
+         |                         ((b | (b << 8)) & 16711935) AS b) FROM s0),
+         |s2 AS (SELECT * REPLACE (((a | (a << 4)) & 252645135) AS a,
+         |                         ((b | (b << 4)) & 252645135) AS b) FROM s1),
+         |s3 AS (SELECT * REPLACE (((a | (a << 2)) & 858993459) AS a,
+         |                         ((b | (b << 2)) & 858993459) AS b) FROM s2),
+         |s4 AS (SELECT * REPLACE (((a | (a << 1)) & 1431655765) AS a,
+         |                         ((b | (b << 1)) & 1431655765) AS b) FROM s3),
+         |z AS (SELECT l_partkey, l_suppkey, (a | (b << 1)) AS zval FROM s4),
+         |b AS (SELECT zval // $ZoneBlockDiv AS block,
+         |        CAST(count(*) AS BIGINT) AS n_rows,
+         |        min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |        min(l_suppkey) AS smin, max(l_suppkey) AS smax,
+         |        CAST(sum(CASE WHEN l_partkey BETWEEN $ZoneP1 AND $ZoneP2
+         |                       AND l_suppkey BETWEEN $ZoneS1 AND $ZoneS2
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |      FROM z GROUP BY 1)
+         |SELECT block, n_rows, pmin, pmax, smin, smax,
+         |       CAST(CASE WHEN pmax >= $ZoneP1 AND pmin <= $ZoneP2
+         |                  AND smax >= $ZoneS1 AND smin <= $ZoneS2
+         |                 THEN 1 ELSE 0 END AS INTEGER) AS scanned,
+         |       n_match
+         |FROM b ORDER BY block""".stripMargin) { (s, dir) =>
+      val z = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          zval(col("l_partkey"), col("l_suppkey")).as("zval"))
+      val pred = col("l_partkey").between(ZoneP1, ZoneP2) &&
+        col("l_suppkey").between(ZoneS1, ZoneS2)
+      z.groupBy(expr(s"zval div $ZoneBlockDiv").as("block"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"),
+          sum(when(pred, 1L).otherwise(0L)).as("n_match"))
+        .withColumn("scanned",
+          (col("pmax") >= ZoneP1 && col("pmin") <= ZoneP2 &&
+            col("smax") >= ZoneS1 && col("smin") <= ZoneS2).cast("int"))
+        .select("block", "n_rows", "pmin", "pmax", "smin", "smax",
+          "scanned", "n_match")
+        .orderBy("block")
     }
   )
+
+  /** Zone-map demo constants: z-range block width and the 2-D rectangle
+    * (power-of-two aligned so Z-order separates it cleanly).
+    */
+  final val ZoneBlockDiv = 8192L
+  final val ZoneP1 = 256L
+  final val ZoneP2 = 511L
+  final val ZoneS1 = 32L
+  final val ZoneS2 = 47L
 }

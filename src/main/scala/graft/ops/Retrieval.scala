@@ -319,6 +319,80 @@ object Retrieval {
         .agg(array_join(sort_array(collect_list("doc_id")), ",")
           .as("head_postings"))
       stats.join(heads, "tok").orderBy("tok")
+    },
+
+    // All-pairs sparse TF-IDF cosine similarity ≥ 0.8 over BIGRAM
+    // features, via the inverted-index join (Elsayed, Lin & Oard 2008,
+    // "Pairwise document similarity in large collections with MapReduce"):
+    // postings self-join on feature → partial dot products — candidate
+    // work is Σ_f df(f)², bounded per feature by the df cap (features in
+    // more than N/4 docs are stopword-dropped, the standard move that also
+    // kills the quadratic hot keys). NO crossJoin anywhere: docs that
+    // share no rare feature never meet. Cross-engine exactness: tf and df
+    // are integers, idf snaps to milli-nats on the 916-row FEATURE frame
+    // (the LM.scala model-frame rule), weights/dots/norms are exact i64
+    // sums, and the τ = 4/5 threshold is decided in 128-bit integer
+    // cross-multiplied form — dot²·25 ≥ 16·n1²·n2² — (Spark decimal(38,0),
+    // DuckDB HUGEINT), so NO float comparison decides a row's fate.
+    Q("q_tfidf_cosine_pairs",
+      """WITH nd AS (SELECT count(*) AS n FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ts)),
+        |                               i -> ts[i] || ' ' || ts[i+1])) AS f
+        |  FROM toks),
+        |tf AS (SELECT doc_id, f, count(*) AS tf FROM bg GROUP BY 1, 2),
+        |df AS (SELECT f, count(*) AS df FROM tf GROUP BY 1
+        |       HAVING count(*) <= (SELECT n // 4 FROM nd)),
+        |w AS (
+        |  SELECT tf.doc_id, tf.f,
+        |         tf.tf * CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE)
+        |                               / df.df) * 1000) AS BIGINT) AS w
+        |  FROM tf JOIN df USING (f)),
+        |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nsq
+        |        FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |  FROM w a JOIN w b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, dot, na.nsq AS n1sq, nb.nsq AS n2sq
+        |FROM dots JOIN nrm na ON na.doc_id = d1
+        |          JOIN nrm nb ON nb.doc_id = d2
+        |WHERE CAST(dot AS HUGEINT) * dot * 25
+        |      >= CAST(16 AS HUGEINT) * na.nsq * nb.nsq
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val bg = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
+          .as("f"))
+      val tf = bg.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
+      val nd = tf.select(countDistinct("doc_id").as("n")) // single-row total
+      val df = tf.groupBy("f").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") <= expr("n div 4"))
+        .select(col("f"), col("df"),
+          // milli-nat idf snap on the bounded feature frame
+          round(log(col("n").cast("double") / col("df")) * 1000)
+            .cast("long").as("idf_milli"))
+      val w = tf.join(df, "f")
+        .select(col("doc_id"), col("f"), (col("tf") * col("idf_milli")).as("w"))
+      val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
+      val dots = w.as("a").join(w.as("b"),
+          col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      dots
+        .join(nrm.select(col("doc_id").as("d1"), col("nsq").as("n1sq")), "d1")
+        .join(nrm.select(col("doc_id").as("d2"), col("nsq").as("n2sq")), "d2")
+        .filter(col("dot").cast("decimal(38,0)") * col("dot") * 25
+          >= col("n1sq").cast("decimal(38,0)") * col("n2sq") * 16)
+        .select("d1", "d2", "dot", "n1sq", "n2sq")
+        .orderBy("d1", "d2")
     }
   )
 }

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.exprs._
+import graft.{Q, Tables}
+
+/** Distributed-sketch operators beyond the Count–Min family in
+  * [[TextOps]]: HyperLogLog cardinality registers (Flajolet et al. 2007,
+  * "HyperLogLog: the analysis of a near-optimal cardinality estimation
+  * algorithm", AofA) built through the declarative twin — the register
+  * matrix is a pure function of the key set under the deterministic
+  * PolyHash family, so DuckDB rebuilds the IDENTICAL matrix and the
+  * sketch is fully ORACLE-CHECKED cell-for-cell (the CMS mechanism,
+  * `TextOps.scala` q_cms_counts).
+  *
+  * Reference anchor: the reference's per-day COUNT aggregation surface
+  * (`/root/reference/sql_to_line.py:91` day batching) is the exact-count
+  * plane; HLL is its bounded-state approximate twin for 100 TB-scale
+  * distinct-count questions (distinct users/URLs per partition) where an
+  * exact distinct would shuffle the full key set.
+  *
+  * Scale shape: ONE groupBy over (group, bucket) with map-side partial
+  * MAX — the shuffle carries O(partitions × groups × m) registers, never
+  * the keys themselves; registers merge by max, so the sketch is
+  * embarrassingly re-aggregable across days/shards (the property
+  * SketchesSpec asserts, alongside the estimate-accuracy gate).
+  */
+object Sketches {
+
+  /** Register count m = 64 (6 bucket bits) and the sub-hash width: the
+    * 30-bit PolyHash splits into bucket = h % 64 and a 24-bit remainder
+    * v = h div 64, so ranks live in [1, 25] (25 ⟺ v = 0).
+    */
+  final val M        = 64
+  final val SubBits  = 24
+  final val RankCap  = SubBits + 1
+
+  /** Integer HLL rank of the 24-bit remainder: position of the leftmost
+    * set bit counted from the top, 25 for an all-zero remainder. Both
+    * engines derive it from the base-2 digit count — Spark
+    * `length(conv(v, 10, 2))`, DuckDB `length(bin(v))` — which agree for
+    * every v > 0; v = 0 is the explicit cap case.
+    */
+  private def rankCol(v: Column): Column =
+    when(v === 0L, lit(RankCap))
+      .otherwise(lit(RankCap) - length(conv(v.cast("string"), 10, 2)))
+
+  private def rankSql(v: String): String =
+    s"CASE WHEN $v = 0 THEN $RankCap ELSE $RankCap - length(bin($v)) END"
+
+  /** The (group, bucket, register) matrix for one keyed frame: group by
+    * event_type plus a '*' global tier (a literal-tag UNION, identical in
+    * both engines — the FIXTURES.md augmentation pattern).
+    */
+  private[graft] def hllRegisters(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), poly_hash(col("user_id").cast("string")).as("h"))
+    val tiers = ev.unionAll(ev.select(lit("*").as("event_type"), col("h")))
+    tiers
+      .select(col("event_type"), (col("h") % M).cast("int").as("bucket"),
+        rankCol(expr(s"h div $M")).cast("int").as("rank"))
+      .groupBy("event_type", "bucket")
+      .agg(max("rank").as("register"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** HLL estimate from a register matrix for one group, computed the
+    * paper's way (alpha_m · m² / Σ 2^-M_j with empty buckets at rank 0,
+    * small-range linear counting below 2.5m when zero registers exist) —
+    * the SketchesSpec accuracy gate, not part of the oracle-compared
+    * relation (the registers are; the estimate is derived state).
+    */
+  private[graft] def estimate(registers: Seq[Int]): Double = {
+    val present = registers.size
+    val zeros   = M - present // absent buckets ⟺ rank-0 registers
+    val alpha   = 0.7213 / (1.0 + 1.079 / M)
+    val sum     = registers.map(r => math.pow(2.0, -r)).sum + zeros * 1.0
+    val raw     = alpha * M * M / sum
+    if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) else raw
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // HyperLogLog register matrix over distinct users, per event type
+    // plus the '*' global tier. Every cell — bucket id and max-rank
+    // register — is oracle-checked: the first distinct-count sketch with
+    // a cell-exact cross-engine proof (q_approx_stats' HLL++ estimate is
+    // rows-only). Estimate accuracy and max-merge re-aggregability are
+    // property-gated in SketchesSpec.
+    Q("q_hll_registers",
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |         ${Dedup.hashSql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |tiers AS (
+         |  SELECT event_type, h FROM ev
+         |  UNION ALL SELECT '*' AS event_type, h FROM ev),
+         |ranked AS (
+         |  SELECT event_type, CAST(h % $M AS INTEGER) AS bucket,
+         |         CAST(${rankSql(s"(h // $M)")} AS INTEGER) AS rank
+         |  FROM tiers)
+         |SELECT event_type, bucket, CAST(max(rank) AS INTEGER) AS register
+         |FROM ranked GROUP BY event_type, bucket
+         |ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+      hllRegisters(s, dir)
+    },
+
+    // Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    // (Achlioptas 2003, "Database-friendly random projections"): each of
+    // the 16 output coordinates is an exact integer signed sum of the
+    // micro-snapped 64-dim embedding. The sign matrix is DERIVED state —
+    // sign(i,j) from an integer hash (see [[projSign]]) — generated once
+    // in Scala and folded as literals into BOTH the codegen'd Spark
+    // expressions and the oracle SQL, so cross-engine agreement is
+    // structural. Scale shape: a pure narrow projection (the 64×16 matrix
+    // is bounded model state) — zero shuffle, composes with the scan at
+    // full parallelism; the JL distance-preservation guarantee is
+    // property-gated in SketchesSpec.
+    Q("q_rand_proj", {
+      val cols = (0 until ProjDim).map { j =>
+        val lits = (0 until EmbDim).map(i => projSign(i, j)).mkString(", ")
+        s"CAST(list_sum(list_transform(range(1, ${EmbDim + 1}), " +
+          s"i -> vm[i] * ([$lits])[i])) AS BIGINT) AS p$j"
+      }.mkString(",\n       ")
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |       $cols
+         |FROM v ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val vm = Tables(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+          "* 1000000) AS LONG))").as("vm"))
+      val cols = (0 until ProjDim).map { j =>
+        val lits = (0 until EmbDim).map(i => s"${projSign(i, j)}L").mkString(", ")
+        expr(s"aggregate(zip_with(vm, array($lits), (x, c) -> x * c), " +
+          "0L, (a, b) -> a + b)").cast("long").as(s"p$j")
+      }
+      vm.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+    }
+  )
+
+  /** Projection width and input embedding width. */
+  final val ProjDim = 16
+  final val EmbDim  = 64
+
+  /** Deterministic ±1 sign for matrix cell (i, j): parity of an integer
+    * hash — both engines consume the RESULT as literals, so the formula
+    * only needs to be deterministic, not cross-engine portable.
+    */
+  private[graft] def projSign(i: Int, j: Int): Long =
+    if (((i.toLong * 1315423911L + j.toLong * 2654435761L) % 1000000007L) % 2L == 1L)
+      1L else -1L
+}

@@ -108,4 +108,32 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(conv === want, "20-round label prop did not reach CC min-ids")
   }
+
+  test("triangle counts: known fixture + brute-force equality on the corpus graph") {
+    // fixture: the 10-11-12 triangle contributes 1 to each corner; the
+    // 1-2-3 path contributes none
+    val fx = ops.Graph.triangleCounts(fixturePairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fx === Map(1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+
+    // corpus near-dup graph: per-vertex counts vs a driver-side brute
+    // force over the collected edge list (test-only — the oriented plan
+    // exists so production never materializes neighborhoods²)
+    val pairs = ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+    val e = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    e.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val verts = adj.keys.toSeq
+    val want = verts.map { v =>
+      val nb = adj(v).toSeq
+      v -> nb.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }.toLong
+    }.toMap
+    val got = ops.Graph.triangleCounts(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want, "oriented triangle counts diverged from brute force")
+    // orientation soundness: total triangle mass is divisible by 3
+    assert(got.values.sum % 3 === 0)
+  }
 }

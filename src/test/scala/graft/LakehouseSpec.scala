@@ -74,4 +74,29 @@ class LakehouseSpec extends SparkSpec {
     zs.foreach(z => assert(z >= zMin && z <= zMax,
       s"z=$z escapes tile interval [$zMin,$zMax]"))
   }
+
+  test("zone-map pruning is sound and effective on the z-ordered blocks") {
+    import ops.Lakehouse._
+    val blocks = SparkEntry.queries("q_zonemap_prune")(spark, sfDir).collect()
+    // soundness: every predicate match sits in a scanned block
+    blocks.foreach { b =>
+      val (scanned, nMatch) = (b.getInt(6), b.getLong(7))
+      assert(scanned == 1 || nMatch == 0L,
+        s"block ${b.getLong(0)}: $nMatch matches in a pruned block")
+    }
+    // completeness: block match counts sum to the exact full-filter count
+    val total = blocks.map(_.getLong(7)).sum
+    val exact = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey").between(ZoneP1, ZoneP2) &&
+        col("l_suppkey").between(ZoneS1, ZoneS2)).count()
+    assert(total === exact)
+    // effectiveness: the 2-d rectangle prunes a majority of blocks
+    val scanned = blocks.count(_.getInt(6) == 1)
+    assert(scanned * 2 < blocks.length,
+      s"zone maps scanned $scanned of ${blocks.length} blocks — no skipping")
+    // stats are real min/max envelopes
+    blocks.foreach { b =>
+      assert(b.getLong(2) <= b.getLong(3) && b.getLong(4) <= b.getLong(5))
+    }
+  }
 }

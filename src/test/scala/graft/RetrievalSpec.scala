@@ -73,4 +73,40 @@ class RetrievalSpec extends SparkSpec {
     assert(out.agg(sum("df")).head.getLong(0) ===
       toks.distinct().count())
   }
+
+  test("tf-idf cosine pairs: postings join is COMPLETE vs brute-force all-pairs") {
+    // rebuild the integer weight vectors driver-side from first
+    // principles, score every pair exactly (BigInt — no 128-bit worries),
+    // and compare the ≥ 4/5 set with the engine's postings-join output
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+    val n = docs.length
+    val feats = docs.map { case (id, ts) =>
+      id -> ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val df = feats.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size).filter(_._2 <= n / 4).toMap
+    val idf = df.map { case (f, d) =>
+      f -> math.round(math.log(n.toDouble / d) * 1000)
+    }
+    val w = feats.view.mapValues(_.collect {
+      case (f, tf) if idf.contains(f) => f -> tf * idf(f)
+    }.toMap).toMap
+    val nsq = w.view.mapValues(v => v.values.map(x => x * x).sum).toMap
+    val ids = docs.map(_._1).sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      dot = w(i).keySet.intersect(w(j).keySet).toSeq
+        .map(f => w(i)(f) * w(j)(f)).sum
+      if dot > 0 &&
+        BigInt(dot) * BigInt(dot) * 25 >= BigInt(16) * BigInt(nsq(i)) * BigInt(nsq(j))
+    } yield (i, j, dot, nsq(i), nsq(j))).toSet
+    val got = SparkEntry.queries("q_tfidf_cosine_pairs")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === want, "postings-join pair set diverged from brute force")
+  }
 }

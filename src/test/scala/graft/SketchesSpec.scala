@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog properties the cell-exact q_hll_registers oracle can't
+  * express: estimate accuracy against the exact distinct count, max-merge
+  * re-aggregability (shard registers → global registers), and
+  * partitioning invariance.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def registers = ops.Sketches.hllRegisters(spark, sfDir)
+
+  test("global estimate lands within the m=64 error envelope of exact distinct") {
+    val regs = registers.filter(col("event_type") === "*")
+      .select("register").as[Int].collect().toSeq
+    val est = ops.Sketches.estimate(regs)
+    val exact = Tables(spark, sfDir, "events")
+      .select(countDistinct("user_id")).as[Long].head().toDouble
+    // m=64 → ~13% standard error; gate at 3 sigma
+    assert(math.abs(est - exact) / exact < 0.40,
+      s"HLL estimate $est vs exact $exact drifted past the envelope")
+  }
+
+  test("per-type estimates track per-type exact distincts") {
+    val exact = Tables(spark, sfDir, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val byType = registers.filter(col("event_type") =!= "*")
+      .as[(String, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+    byType.foreach { case (t, regs) =>
+      val est = ops.Sketches.estimate(regs)
+      assert(math.abs(est - exact(t)) / exact(t) < 0.40,
+        s"type $t: HLL $est vs exact ${exact(t)}")
+    }
+  }
+
+  test("registers merge by MAX: sharded sketches re-aggregate to the global matrix") {
+    // shard the stream by event parity, build per-shard registers with
+    // the same bucket/rank split, then max-merge — must equal the
+    // one-pass global registers exactly (the 100 TB re-aggregation path)
+    val ev = Tables(spark, sfDir, "events")
+      .select((col("event_id") % 2).as("shard"),
+        graft.functions.exprs.poly_hash(col("user_id").cast("string")).as("h"))
+    val m = ops.Sketches.M
+    val ranked = ev.select(col("shard"), (col("h") % m).cast("int").as("bucket"),
+      when(expr(s"h div $m") === 0L, lit(ops.Sketches.RankCap))
+        .otherwise(lit(ops.Sketches.RankCap) -
+          length(conv(expr(s"h div $m").cast("string"), 10, 2)))
+        .cast("int").as("rank"))
+    val sharded = ranked.groupBy("shard", "bucket").agg(max("rank").as("register"))
+      .groupBy("bucket").agg(max("register").as("register"))
+    val global = registers.filter(col("event_type") === "*")
+      .select("bucket", "register")
+    assert(sharded.except(global).count() === 0 &&
+      global.except(sharded).count() === 0,
+      "max-merged shard registers diverged from the global matrix")
+  }
+
+  test("register matrix is partitioning-invariant") {
+    val a = registers.collect().toSeq
+    val b = ops.Sketches.hllRegisters(spark, sfDir).repartition(7).collect().toSeq
+    assert(a.toSet === b.toSet)
+  }
+
+  test("JL projection preserves pairwise squared distances in expectation") {
+    val P = ops.Sketches.ProjDim
+    val rows = SparkEntry.queries("q_rand_proj")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (1 to P).map(r.getLong).toArray).toMap
+    val vm = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val ids = rows.keys.toSeq.sorted
+    val ratios = ids.sliding(2).collect { case Seq(a, b) =>
+      val dOrig = vm(a).zip(vm(b)).map { case (x, y) =>
+        val d = (x - y).toDouble; d * d }.sum
+      val dProj = rows(a).zip(rows(b)).map { case (x, y) =>
+        val d = (x - y).toDouble; d * d }.sum
+      dProj / (P * dOrig)
+    }.toSeq
+    // per-coordinate E[(s·v)²] = ‖v‖² for ±1 signs → ratio ≈ 1 with
+    // std ≈ √(2/P) ≈ 0.35; the corpus is fixed, so these are
+    // deterministic assertions, sized with generous tails
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.4, s"mean JL ratio $mean outside [0.7, 1.4]")
+    // χ²₁₆/16-shaped tails are heavy — observed min ≈ 0.048 on this
+    // corpus; the per-pair gate only guards against structural collapse
+    assert(ratios.forall(r => r > 0.01 && r < 10.0),
+      s"extreme JL ratio: min ${ratios.min}, max ${ratios.max}")
+  }
+}
