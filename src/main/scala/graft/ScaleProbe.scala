@@ -290,6 +290,76 @@ object ScaleProbe {
           (col("d2") + lit(off * i)).as("d2"))).reduce(_.union(_))
         graft.ops.Graph.labelProp(pN).count()
       }
+      // triangle counting at m× the pair graph (shifted ids → m disjoint
+      // copies, triangle mass grows exactly ∝ m): degree-ordered
+      // orientation keeps wedge work Σ outdeg², so disjoint replication
+      // must stay ~linear — a super-linear step here means the
+      // orientation (the whole point of the operator) regressed.
+      timed("triangles_replicated") {
+        val off = 1000000000L
+        val p = graft.ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+        val pN = (0 until m).map(i => p.select(
+          (col("d1") + lit(off * i)).as("d1"),
+          (col("d2") + lit(off * i)).as("d2"))).reduce(_.union(_))
+        graft.ops.Graph.triangleCounts(pN).count()
+      }
+      // Naive Bayes train+score on an m×-replicated corpus with a
+      // per-replica salt token (class-feature model genuinely grows):
+      // training is one groupBy to the (class, feature) frame and scoring
+      // one feature-keyed join — wall time must track the corpus, with
+      // the model frame growing only with distinct features.
+      timed("nb_train_score_grown") {
+        val docs = Tables.documents(spark, sfDir)
+        val dN = (0 until m).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+          .reduce(_.union(_))
+        graft.ops.LM.naiveBayesLang(dN).count()
+      }
+      // sparse tf-idf cosine pairs on a GROWN corpus (synthetic text over
+      // a vocabulary scaling with m — the simhash_pairs_grown regime):
+      // per-feature posting lists stay pinned, so Σ df² candidate work
+      // tracks the data ~linearly. Verbatim replication is intentionally
+      // NOT probed: every replica pair is a near-dup, so the OUTPUT is
+      // Θ(m²) — the operator's own floor, not a plan defect.
+      timed("tfidf_pairs_grown") {
+        // vocab scales with m so per-feature dfs stay pinned (~30, under
+        // the N/4 cap); every 10th doc duplicates its predecessor, so the
+        // TRUE pair count grows exactly ∝ m and candidate work Σ df²
+        // tracks the data — wall time must stay ~linear
+        val vocab = m * 2400
+        val docs = spark.range(m * 2000L).select(col("id").as("doc_id"),
+          expr(s"concat_ws(' ', transform(sequence(1, 40), j -> concat('w', " +
+            s"pmod((CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END) * 7919 " +
+            s"+ j * 101, $vocab))))").as("text"))
+        graft.ops.Retrieval.tfidfCosinePairsFrom(docs).count()
+      }
+      // HLL registers at m× events: the aggregate's output is ≤ 64
+      // registers per group whatever the key cardinality — the shuffle
+      // carries O(partitions × groups × 64) maxima, so wall time must
+      // track the scan (the cms_cells analog for distinct counting).
+      timed("hll_registers_replicated") {
+        graft.ops.Sketches.hllRegistersFrom(ev).count()
+      }
+      // JL projection at m× embeddings: a pure narrow map over literal
+      // sign arrays — must track the scan exactly (no shuffle at all
+      // before the presentation sort, which this count drops).
+      timed("rand_proj_replicated") {
+        val e = Tables(spark, sfDir, "embeddings")
+        val eN = (0 until m).map(i => e.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding"))).reduce(_.union(_))
+        val vm = eN.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG))")
+            .as("vm"))
+        val cols = (0 until graft.ops.Sketches.ProjDim).map { j =>
+          val lits = (0 until graft.ops.Sketches.EmbDim)
+            .map(i => s"${graft.ops.Sketches.projSign(i, j)}L").mkString(", ")
+          expr(s"aggregate(zip_with(vm, array($lits), (x, c) -> x * c), " +
+            "0L, (a, b) -> a + b)").as(s"p$j")
+        }
+        vm.select(col("vec_id") +: cols: _*).count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

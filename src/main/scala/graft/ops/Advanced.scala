@@ -535,6 +535,102 @@ object Advanced {
       driftFromCounts(Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("d"), col("event_type"))
         .agg(count(lit(1)).as("n")))
+    },
+
+    // First-order Markov transition model of per-user event sequences:
+    // lag(event_type) over each user's (ts, event_id)-ordered stream →
+    // transition counts → row-conditional log-probabilities in snapped
+    // micro-nats (the q_drift_daily arithmetic on the taxonomy² grid).
+    // The behavioral-model complement of q_user_paths (which surfaces
+    // top literal paths): the transition matrix is the generative
+    // summary, |types|² rows whatever the event volume. One per-user
+    // window pass (partitioned — the sessionize class) + one groupBy on
+    // the pair; both engines walk identical integer counts, and the only
+    // ln() snaps on the bounded transition frame.
+    Q("q_markov_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT prev, CAST(sum(n) AS BIGINT) AS nr FROM c GROUP BY 1)
+        |SELECT c.prev, c.cur, c.n, r.nr,
+        |       CAST(round(ln(CAST(c.n AS DOUBLE) / r.nr) * 1000000)
+        |            AS BIGINT) AS lp_micro
+        |FROM c JOIN r USING (prev)
+        |ORDER BY c.prev, c.cur""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lag("event_type", 1).over(w).as("prev"))
+      val c = seq.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+      val r = c.groupBy("prev").agg(sum("n").as("nr"))
+      c.join(r, "prev")
+        .select(col("prev"), col("cur"), col("n"), col("nr"),
+          round(log(col("n").cast("double") / col("nr")) * 1000000)
+            .cast("long").as("lp_micro"))
+        .orderBy("prev", "cur")
+    },
+
+    // Integer EWMA of daily event value, per event type: the recurrence
+    //   ewma_t = (3·ewma_{t−1} + v_t) div 4        (α = 1/4, trunc-div)
+    // walked in EXACT integer cents, so both engines reproduce the whole
+    // trajectory cell-for-cell — the smoothed-baseline signal behind
+    // drift/anomaly monitors. A trunc-div recurrence has no closed form,
+    // so it folds SEQUENTIALLY — but only over the (type × days) grid:
+    // the corpus reduces to daily cents with one groupBy, then each
+    // type's ≤30-day series folds inside one task via a prefix
+    // aggregate() per day (O(days²) on the bounded grid, nothing
+    // corpus-sized). The 100 TB path keeps the grid as the maintained
+    // state (the foldDayTypeCounts class) and re-folds only the tail.
+    Q("q_ewma_daily",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |srt AS (
+        |  SELECT event_type,
+        |         list(d ORDER BY d) AS ds,
+        |         list(cents ORDER BY d) AS vs
+        |  FROM daily GROUP BY event_type),
+        |tr AS (
+        |  SELECT event_type, ds,
+        |         [list_reduce(vs[1:i], (a, b) -> (3 * a + b) // 4)
+        |          for i in range(1, len(vs) + 1)] AS es,
+        |         vs
+        |  FROM srt)
+        |SELECT event_type, u.d AS d, u.cents AS cents, u.ewma AS ewma
+        |FROM (SELECT event_type,
+        |        unnest([struct_pack(d := ds[i], cents := vs[i], ewma := es[i])
+        |                for i in range(1, len(ds) + 1)]) AS u
+        |      FROM tr)
+        |ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val srt = daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("dv"))
+        .select(col("event_type"),
+          expr("transform(dv, x -> x.d)").as("ds"),
+          expr("transform(dv, x -> x.cents)").as("vs"))
+      // prefix folds: aggregate(slice) with the first element as init ==
+      // DuckDB list_reduce over the same 1-based prefix
+      val tr = srt.withColumn("es", expr(
+        "transform(sequence(1, size(vs)), i -> " +
+          "aggregate(slice(vs, 2, i - 1), element_at(vs, 1), " +
+          "(a, b) -> (3L * a + b) div 4))"))
+      tr.select(col("event_type"), explode(expr(
+          "transform(sequence(1, size(ds)), i -> struct(" +
+            "element_at(ds, i) AS d, element_at(vs, i) AS cents, " +
+            "element_at(es, i) AS ewma))")).as("u"))
+        .select(col("event_type"), col("u.d"), col("u.cents"), col("u.ewma"))
+        .orderBy("event_type", "d")
     }
   )
 }

@@ -43,6 +43,13 @@ object Retrieval {
   /** Posting-list head length for the verifiable surface. */
   final val PostingHead = 16
 
+
+  /** Fixed phrase probes for q_phrase_search (3-term phrases present in
+    * the fixture corpus at varying frequencies).
+    */
+  final val PhraseList = Seq("slow hash batch", "row column sort",
+    "stream table hash", "window fast query", "part filter scan")
+
   /** RRF constant (Cormack, Clarke & Buettcher 2009's k = 60). */
   final val RrfK = 60
 
@@ -364,35 +371,89 @@ object Retrieval {
         |WHERE CAST(dot AS HUGEINT) * dot * 25
         |      >= CAST(16 AS HUGEINT) * na.nsq * nb.nsq
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      val bg = toks.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
-          .as("f"))
-      val tf = bg.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
-      val nd = tf.select(countDistinct("doc_id").as("n")) // single-row total
-      val df = tf.groupBy("f").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nd))
-        .filter(col("df") <= expr("n div 4"))
-        .select(col("f"), col("df"),
-          // milli-nat idf snap on the bounded feature frame
-          round(log(col("n").cast("double") / col("df")) * 1000)
-            .cast("long").as("idf_milli"))
-      val w = tf.join(df, "f")
-        .select(col("doc_id"), col("f"), (col("tf") * col("idf_milli")).as("w"))
-      val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
-      val dots = w.as("a").join(w.as("b"),
-          col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(sum(col("a.w") * col("b.w")).as("dot"))
-      dots
-        .join(nrm.select(col("doc_id").as("d1"), col("nsq").as("n1sq")), "d1")
-        .join(nrm.select(col("doc_id").as("d2"), col("nsq").as("n2sq")), "d2")
-        .filter(col("dot").cast("decimal(38,0)") * col("dot") * 25
-          >= col("n1sq").cast("decimal(38,0)") * col("n2sq") * 16)
-        .select("d1", "d2", "dot", "n1sq", "n2sq")
-        .orderBy("d1", "d2")
+      tfidfCosinePairsFrom(Tables.documents(s, dir))
+    },
+
+    // Exact phrase search over a POSITIONAL postings index — the
+    // capability the head-postings build (q_inverted_postings) cannot
+    // answer: which documents contain this exact n-gram, and how often.
+    // One (doc_id, pos, tok) positional frame joins the |phrases|×3-row
+    // phrase-term frame on tok (bounded literal side — AQE broadcasts);
+    // an occurrence is a start position where ALL offsets match
+    // (groupBy(phrase, doc, start) HAVING count = len — the classic
+    // positional-intersection step, Manning/Raghavan/Schütze IR ch.2).
+    // The corpus contributes O(positions matching any phrase term) rows,
+    // never its full cross product; counts are exact integers.
+    Q("q_phrase_search",
+      s"""WITH ph AS (SELECT * FROM (VALUES
+         |    ${PhraseList.map(p => s"('$p')").mkString(", ")}) v(phrase)),
+         |pt AS (
+         |  SELECT phrase, i - 1 AS off, ts[i] AS tok
+         |  FROM (SELECT phrase, string_split(phrase, ' ') AS ts FROM ph),
+         |       range(1, 4) t(i)),
+         |pos AS (
+         |  SELECT doc_id, p.pos AS pos, p.tok AS tok
+         |  FROM (SELECT doc_id,
+         |          unnest([struct_pack(pos := i - 1, tok := ts[i])
+         |                  for i in range(1, len(ts) + 1)]) AS p
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ts
+         |              FROM documents))),
+         |starts AS (
+         |  SELECT pt.phrase, pos.doc_id, pos.pos - pt.off AS start
+         |  FROM pos JOIN pt ON pt.tok = pos.tok
+         |  WHERE pos.pos - pt.off >= 0
+         |  GROUP BY 1, 2, 3 HAVING count(*) = 3)
+         |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+         |FROM starts GROUP BY 1, 2
+         |ORDER BY phrase, doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pt = PhraseList.flatMap { p =>
+        p.split(" ").zipWithIndex.map { case (t, i) => (p, i, t) }
+      }.toDF("phrase", "off", "tok")
+      val pos = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      pos.join(pt, "tok")
+        .select(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("start"))
+        .filter(col("start") >= 0)
+        .groupBy("phrase", "doc_id", "start").agg(count(lit(1)).as("k"))
+        .filter(col("k") === 3)
+        .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_occ"))
+        .orderBy("phrase", "doc_id")
     }
   )
+
+
+  /** The sparse tf-idf cosine pair pipeline over an explicit documents
+    * frame (the ScaleProbe entry point) — see q_tfidf_cosine_pairs.
+    */
+  private[graft] def tfidfCosinePairsFrom(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val bg = toks.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
+        .as("f"))
+    val tf = bg.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
+    val nd = tf.select(countDistinct("doc_id").as("n")) // single-row total
+    val df = tf.groupBy("f").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") <= expr("n div 4"))
+      .select(col("f"), col("df"),
+        // milli-nat idf snap on the bounded feature frame
+        round(log(col("n").cast("double") / col("df")) * 1000)
+          .cast("long").as("idf_milli"))
+    val w = tf.join(df, "f")
+      .select(col("doc_id"), col("f"), (col("tf") * col("idf_milli")).as("w"))
+    val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("d1"), col("nsq").as("n1sq")), "d1")
+      .join(nrm.select(col("doc_id").as("d2"), col("nsq").as("n2sq")), "d2")
+      .filter(col("dot").cast("decimal(38,0)") * col("dot") * 25
+        >= col("n1sq").cast("decimal(38,0)") * col("n2sq") * 16)
+      .select("d1", "d2", "dot", "n1sq", "n2sq")
+      .orderBy("d1", "d2")
+  }
 }

@@ -53,8 +53,14 @@ object Sketches {
     * event_type plus a '*' global tier (a literal-tag UNION, identical in
     * both engines — the FIXTURES.md augmentation pattern).
     */
-  private[graft] def hllRegisters(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
+  private[graft] def hllRegisters(s: SparkSession, dir: String): DataFrame =
+    hllRegistersFrom(Tables(s, dir, "events"))
+
+  /** The register build over an explicit events frame — the ScaleProbe
+    * entry point.
+    */
+  private[graft] def hllRegistersFrom(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("event_type"), poly_hash(col("user_id").cast("string")).as("h"))
     val tiers = ev.unionAll(ev.select(lit("*").as("event_type"), col("h")))
     tiers
@@ -141,12 +147,78 @@ object Sketches {
           "0L, (a, b) -> a + b)").cast("long").as(s"p$j")
       }
       vm.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+    },
+
+    // Sketch-based equi-join size estimation (the AMS/CMS inner-product
+    // estimator — Alon, Matias & Szegedy 1999; Cormode & Muthukrishnan
+    // 2005 §4.2): |R ⋈ S on k| = Σ_v f_R(v)·f_S(v), estimated per CMS row
+    // as Σ_b cmsR[j][b]·cmsS[j][b] and min'd over the 4 rows — an upper
+    // bound whose slack is the collision cross-mass. The planner-side use
+    // is sizing a join BEFORE running it from two 4 KiB sketches built in
+    // each table's scan (no co-shuffle of the inputs — the sketches meet
+    // on the fixed (j, b) grid). Probed on events.user_id ⋈ o_custkey;
+    // the exact size rides along, so the oracle check also certifies the
+    // overestimate-only envelope row-for-row. Deterministic PolyHash →
+    // both engines build identical matrices; all sums exact integers.
+    Q("q_join_size_est",
+      s"""WITH h1 AS (
+         |  SELECT ${Dedup.hashSql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |h2 AS (
+         |  SELECT ${Dedup.hashSql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |c1 AS (
+         |  SELECT j, ((h * (2*j + 1) + 101*j + 17) % 1000000007) % $JsW AS b,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM h1 CROSS JOIN range(0, $JsD) t(j) GROUP BY 1, 2),
+         |c2 AS (
+         |  SELECT j, ((h * (2*j + 1) + 101*j + 17) % 1000000007) % $JsW AS b,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM h2 CROSS JOIN range(0, $JsD) t(j) GROUP BY 1, 2),
+         |est AS (
+         |  SELECT c1.j, CAST(sum(c1.n * c2.n) AS BIGINT) AS est
+         |  FROM c1 JOIN c2 ON c2.j = c1.j AND c2.b = c1.b
+         |  GROUP BY c1.j),
+         |exact AS (
+         |  SELECT CAST(sum(f1.n * f2.n) AS BIGINT) AS x FROM
+         |    (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1) f1
+         |    JOIN (SELECT o_custkey AS k, count(*) AS n FROM orders
+         |          GROUP BY 1) f2 USING (k))
+         |SELECT j, est, x AS exact, est - x AS overcount
+         |FROM est CROSS JOIN exact
+         |ORDER BY j""".stripMargin) { (s, dir) =>
+      def cells(keyed: DataFrame): DataFrame = keyed
+        .select(poly_hash(col("k").cast("string")).as("h"))
+        .select(explode(array((0 until JsD).map(j =>
+          struct(lit(j).as("j"),
+            ((col("h") * (2 * j + 1) + lit(101L * j + 17)) % 1000000007L % JsW)
+              .cast("int").as("b"))): _*)).as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+      val ev  = Tables.events(s, dir).select(col("user_id").as("k"))
+      val ord = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+      val est = cells(ev).withColumnRenamed("n", "n1")
+        .join(cells(ord).withColumnRenamed("n", "n2"), Seq("j", "b"))
+        .groupBy("j").agg(sum(col("n1") * col("n2")).as("est"))
+      val exact = ev.groupBy("k").agg(count(lit(1)).as("n1"))
+        .join(ord.groupBy("k").agg(count(lit(1)).as("n2")), "k")
+        .agg(sum(col("n1") * col("n2")).as("exact")) // single-row total
+      est.crossJoin(broadcast(exact))
+        .select(col("j"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy("j")
     }
   )
 
   /** Projection width and input embedding width. */
   final val ProjDim = 16
   final val EmbDim  = 64
+
+  /** CMS geometry for the join-size estimator (the q_cms_counts family:
+    * 4 rows × 256 buckets, same pairwise hash).
+    */
+  final val JsD = 4
+  final val JsW = 256
 
   /** Deterministic ±1 sign for matrix cell (i, j): parity of an integer
     * hash — both engines consume the RESULT as literals, so the formula

@@ -417,6 +417,26 @@ object Streams {
           .as("n"))
   }
 
+  /** Streaming face of the HLL sketch (q_hll_registers): fold a trigger's
+    * batch registers into the maintained (group, bucket) register grid by
+    * MAX — the same order-free incremental-maintenance shape as
+    * [[foldDayTypeCounts]] (max is idempotent AND commutative, so late,
+    * out-of-order, and even REPLAYED events cannot corrupt the sketch —
+    * stronger than the count grid, which tolerates reordering but not
+    * replay). No watermark; state is groups × 64 registers, independent
+    * of stream volume. Batch ≡ stream asserted in StreamingSpec via the
+    * shared register builder [[graft.ops.Sketches.hllRegistersFrom]].
+    */
+  def foldHllRegisters(grid: DataFrame, batch: DataFrame): DataFrame = {
+    val bc = graft.ops.Sketches.hllRegistersFrom(batch)
+    grid.withColumnRenamed("register", "r_old")
+      .join(bc.withColumnRenamed("register", "r_new"),
+        Seq("event_type", "bucket"), "full_outer")
+      .select(col("event_type"), col("bucket"),
+        greatest(coalesce(col("r_old"), lit(0)), coalesce(col("r_new"), lit(0)))
+          .as("register"))
+  }
+
   /** Streaming face of Lakehouse.snapshot (q_cdc_snapshot): maintain the
     * LWW CDC snapshot incrementally, ONE state row per key (the ~40-byte
     * current winner). Emits an update row only for keys whose winner

@@ -126,6 +126,13 @@ class PlanShapeSpec extends SparkSpec {
     //     count (taxonomy cardinality) — the tfidf/unigram class.
     //   - q_knn_classify: embeds q_cosine_topk — the hints are the same
     //     structurally-capped probe batch (GlobalLimit asserted below).
+    //   - q_tfidf_cosine_pairs: the hinted side is the single-row
+    //     document-count aggregate — the tfidf/unigram class.
+    //   - q_naive_bayes_lang: hinted sides are two single-row totals
+    //     (vocab size / doc count) and the |classes|-row model frame —
+    //     bounded by the label taxonomy, the q_drift_daily class.
+    //   - q_join_size_est: the hinted side is the single-row exact-size
+    //     total — the tfidf/unigram class.
     val allowed = Set(
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
@@ -134,7 +141,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_pq_topk",
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
-      "q_bm25_pruned")
+      "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
+      "q_join_size_est")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
@@ -205,6 +213,40 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_char_entropy")
     assert(!p.contains("hashpartitioning"),
       s"char entropy shuffled the corpus:\n${p.take(1500)}")
+  }
+
+  test("JL projection computes narrowly — only the presentation sort exchanges") {
+    // the 16 signed sums must stay inside the scan projection (the sign
+    // matrix is literal state); any hashpartitioning means the fold
+    // regressed to an explode+groupBy
+    val p = plan("q_rand_proj")
+    assert(!p.contains("hashpartitioning"),
+      s"q_rand_proj should not hash-shuffle:\n${p.take(1500)}")
+  }
+
+  test("sketch builds shuffle O(groups × cells), never the key stream") {
+    // HLL: partial max per (group, bucket) must combine map-side — the
+    // exchange carries registers, not user ids. Zone maps: partial
+    // min/max/count per block id. Both: ONE aggregate exchange + the
+    // presentation sort.
+    for (q <- Seq("q_hll_registers", "q_zonemap_prune")) {
+      val p = plan(q)
+      val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(n <= 2, s"$q plans $n exchanges (expected agg + sort):\n${p.take(1500)}")
+      assert(p.contains("HashAggregate"), s"$q lost map-side partial aggregation")
+    }
+  }
+
+  test("triangle count and tf-idf pairs key every join on ids/features") {
+    // both ops exist to avoid materializing neighborhoods²/docs² — every
+    // join must be a hash join on vertex ids / feature keys; a nested-loop
+    // or cartesian fallback is the scale kill
+    for (q <- Seq("q_triangle_count", "q_tfidf_cosine_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q lost its keyed joins")
+    }
   }
 
   test("no declared query plans a cartesian product") {

@@ -109,4 +109,21 @@ class RetrievalSpec extends SparkSpec {
       .toSet
     assert(got === want, "postings-join pair set diverged from brute force")
   }
+
+  test("phrase search equals a direct sliding-window scan of the text") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val want = (for {
+      p <- PhraseList
+      terms = p.split(" ").toSeq
+      (id, ts) <- docs
+      n = ts.sliding(terms.length).count(_ == terms)
+      if n > 0
+    } yield (p, id, n.toLong)).toSet
+    val got = SparkEntry.queries("q_phrase_search")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "positional-index phrase hits diverged from direct scan")
+    assert(got.nonEmpty, "no phrase matched — probe phrases went stale")
+  }
 }

@@ -65,6 +65,39 @@ class SketchesSpec extends SparkSpec {
     assert(a.toSet === b.toSet)
   }
 
+  test("join-size estimate is an upper bound and within the CMS error envelope") {
+    val rows = SparkEntry.queries("q_join_size_est")(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // overestimate-only, row by row (collision mass is non-negative)
+    rows.foreach { case (est, exact) =>
+      assert(est >= exact, s"CMS join estimate $est under exact $exact")
+    }
+    // the min over rows is the estimator; its slack is bounded by the
+    // product-mass / width envelope: min_j est ≤ exact + 4·|R|·|S|/w
+    val exact = rows.head._2
+    val n1 = Tables.events(spark, sfDir).count()
+    val n2 = Tables(spark, sfDir, "orders").count()
+    val bound = exact + 4L * n1 * n2 / ops.Sketches.JsW
+    assert(rows.map(_._1).min <= bound,
+      s"min estimate ${rows.map(_._1).min} above envelope $bound")
+  }
+
+  test("EWMA trajectory: seeded at day one, bounded by the running value range") {
+    val rows = SparkEntry.queries("q_ewma_daily")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { case (t, series) =>
+      val s = series.sortBy(_._2.toString)
+      assert(s.head._4 === s.head._3, s"$t: ewma not seeded with first value")
+      var lo = Long.MaxValue; var hi = Long.MinValue
+      s.foreach { case (_, _, v, e) =>
+        lo = math.min(lo, v); hi = math.max(hi, v)
+        // trunc-div can undershoot the true convex combination by < 1
+        assert(e >= lo - 1 && e <= hi, s"$t: ewma $e escapes [$lo, $hi]")
+      }
+    }
+  }
+
   test("JL projection preserves pairwise squared distances in expectation") {
     val P = ops.Sketches.ProjDim
     val rows = SparkEntry.queries("q_rand_proj")(spark, sfDir).collect()

@@ -608,6 +608,32 @@ class StreamingSpec extends SparkSpec {
       batch.except(streamed).count() === 0,
       "incrementally maintained drift diverged from the batch query")
   }
+
+  test("streaming HLL registers equal the batch sketch, even under replay") {
+    // same dealing as the drift test — hash order, 3 triggers — PLUS the
+    // middle trigger fed TWICE: max-merge is idempotent, so a replayed
+    // batch (the at-least-once delivery case) must not move a register
+    val events = loadEvents
+    val dealt  = events.sortBy(e => e.event_id * 2654435761L % 997)
+    val thirds = dealt.grouped((dealt.size + 2) / 3).toSeq
+    val feed   = thirds.take(2) ++ Seq(thirds(1)) ++ thirds.drop(2)
+    val ms = MemoryStream[Event](spark)
+    var grid = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, bucket INT, register INT"))
+    val q = ms.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        grid = Streams.foldHllRegisters(grid, batch).localCheckpoint()
+      }.start()
+    feed.foreach { t => ms.addData(t); q.processAllAvailable() }
+    q.stop()
+    val batch = ops.Sketches.hllRegistersFrom(
+      Tables.events(spark, sfDir))
+    assert(grid.except(batch).count() === 0 &&
+      batch.except(grid).count() === 0,
+      "incrementally maintained HLL registers diverged from the batch sketch")
+  }
 }
 
 object StreamingSpec {
