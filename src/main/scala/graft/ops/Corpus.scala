@@ -167,6 +167,51 @@ object Corpus {
 
   val queries: Seq[Q] = Seq(
 
+    // Pairwise SOURCE vocabulary overlap on bigram features: Jaccard of
+    // each source pair's distinct-feature sets — the corpus-composition
+    // diagnostic behind domain mixing (two sources with near-identical
+    // vocabularies are redundant in the mix; an outlier source is either
+    // valuable diversity or contamination). The (source, feature) distinct
+    // frame is catalog × vocabulary — MODEL-sized, not corpus-sized — so
+    // the self-join on feature fans out to at most |sources| per posting
+    // and the pair aggregate is |sources|²-bounded. Exact integer
+    // inter/union; jac is the ratio of two exact integers.
+    Q("q_source_vocab_overlap",
+      """WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+        |sv AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(range(1, len(ts)),
+        |                               i -> ts[i] || ' ' || ts[i+1])) AS f
+        |  FROM t),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM sv GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM sv a JOIN sv b ON a.f = b.f AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, inter,
+        |       za.nv + zb.nv - inter AS uni,
+        |       inter / (za.nv + zb.nv - inter) AS jac
+        |FROM p JOIN sz za ON za.source = s1 JOIN sz zb ON zb.source = s2
+        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("ts"))
+      val sv = t.select(col("source"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
+          .as("f"))
+        .distinct()
+      val sz = sv.groupBy("source").agg(count(lit(1)).as("nv"))
+      val p = sv.as("a").join(sv.as("b"),
+          col("a.f") === col("b.f") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      p.join(sz.select(col("source").as("s1"), col("nv").as("nv1")), "s1")
+        .join(sz.select(col("source").as("s2"), col("nv").as("nv2")), "s2")
+        .select(col("s1"), col("s2"), col("inter"),
+          (col("nv1") + col("nv2") - col("inter")).as("uni"),
+          (col("inter") / (col("nv1") + col("nv2") - col("inter"))).as("jac"))
+        .orderBy("s1", "s2")
+    },
+
     // Character-3-gram (shingle) Jaccard over consecutive-id pairs — the
     // n-gram flavor of near-dup scoring (word-token flavor: q_jaccard_pairs).
     Q("q_ngram_jaccard",

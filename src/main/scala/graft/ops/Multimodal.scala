@@ -83,6 +83,8 @@ object Multimodal {
   // 16-byte PCM fmt chunk + data chunk (public, ubiquitous specs).
 
   case class RealMedia(media_id: Long, kind: String, payload: Array[Byte])
+  case class AudioFrame(media_id: Long, frame: Int, n_smp: Int,
+      energy: Long, zero_cross: Int, peak: Long)
   case class RealDecoded(media_id: Long, kind: String,
       width: Option[Int], height: Option[Int],
       sample_rate: Option[Int], n_samples: Option[Int],
@@ -674,6 +676,46 @@ object Multimodal {
     }
   }
 
+  /** Per-frame audio features decoded from REAL WAV bytes: 32-sample
+    * frames, integer energy Σs², zero-crossing count, and peak |s| — the
+    * signal-processing primitives a speech/audio curation pass runs
+    * (silence trim, clipping detection, activity gating), all in exact
+    * integer arithmetic so the oracle recomputes them from the generator
+    * formula. Parsing re-checks the same header invariants as
+    * [[decodeReal]]; image payloads yield no rows. Per-row fan-out to
+    * frames inside one mapPartitions — zero shuffle.
+    */
+  def audioFrameFeatures(media: Dataset[RealMedia]): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val p = m.payload
+      if (p.length >= 44 && p(0) == 'R' && p(8) == 'W' &&
+        new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(p, 8, 4, "US-ASCII") == "WAVE" &&
+        new String(p, 36, 4, "US-ASCII") == "data") {
+        val bb = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bb.getInt(40) / 2
+        if (p.length == 44 + n * 2) {
+          val s = Array.tabulate(n)(i => bb.getShort(44 + i * 2).toLong)
+          (0 until (n + 31) / 32).map { f =>
+            val lo = f * 32
+            val hi = math.min(lo + 32, n)
+            var energy = 0L; var zc = 0; var peak = 0L
+            var i = lo
+            while (i < hi) {
+              energy += s(i) * s(i)
+              if (i > lo && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+              peak = math.max(peak, math.abs(s(i)))
+              i += 1
+            }
+            AudioFrame(m.media_id, f, hi - lo, energy, zc, peak)
+          }
+        } else Nil
+      } else Nil
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Decoded metadata — engine goes binary-encode → mapPartitions-decode;
@@ -696,6 +738,42 @@ object Multimodal {
     // PARSES them back (headers verified, padding skipped, LE int16
     // samples); the oracle recomputes every decoded value from the same
     // doc_id arithmetic the builder used. Narrow per-row work end-to-end.
+    // Per-frame audio features through the REAL WAV decode path (LE int16
+    // samples parsed from genuine RIFF bytes): frame energy, zero
+    // crossings, peak — every value recomputed by the oracle from the
+    // deterministic sample formula the builder used. Exact integers
+    // throughout; the fan-out to frames is per-row, zero shuffle.
+    Q("q_media_audio_features",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(100 + doc_id % 50 AS INTEGER) AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |s AS (
+        |  SELECT doc_id, n,
+        |         [CAST((doc_id + i * 7) % 2003 - 1001 AS BIGINT)
+        |          for i in range(0, n)] AS smp
+        |  FROM m),
+        |f AS (
+        |  SELECT doc_id, n, smp,
+        |         unnest(range(0, (n + 31) // 32)) AS frame
+        |  FROM s)
+        |SELECT doc_id AS media_id, CAST(frame AS INTEGER) AS frame,
+        |  CAST(least(frame * 32 + 32, n) - frame * 32 AS INTEGER) AS n_smp,
+        |  CAST(list_sum([smp[i + 1] * smp[i + 1]
+        |        for i in range(frame * 32, least(frame * 32 + 32, n))])
+        |    AS BIGINT) AS energy,
+        |  CAST(len(list_filter(range(frame * 32 + 1, least(frame * 32 + 32, n)),
+        |        i -> (smp[i] < 0) != (smp[i + 1] < 0))) AS INTEGER) AS zero_cross,
+        |  CAST(list_max([abs(smp[i + 1])
+        |        for i in range(frame * 32, least(frame * 32 + 32, n))])
+        |    AS BIGINT) AS peak
+        |FROM f ORDER BY media_id, frame""".stripMargin) { (s, dir) =>
+      audioFrameFeatures(encodeReal(s, dir)
+        .filter(col("kind") === "audio").as[RealMedia](
+          org.apache.spark.sql.Encoders.product[RealMedia]))
+        .toDF()
+        .orderBy("media_id", "frame")
+    },
+
     Q("q_media_codec",
       """WITH m AS (
         |  SELECT doc_id,

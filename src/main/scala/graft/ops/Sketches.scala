@@ -149,6 +149,53 @@ object Sketches {
       vm.select(col("vec_id") +: cols: _*).orderBy("vec_id")
     },
 
+    // Trailing-7-day distinct-user sketch: per-DAY HLL registers max-merged
+    // over each day's trailing week — the operational payoff of register
+    // mergeability (q_hll_registers proves the algebra; this query uses
+    // it): any time window's cardinality comes from stored daily
+    // registers, never a re-scan of the raw stream. The merge runs on the
+    // (days × 64) register grid — bounded state, the foldDayTypeCounts
+    // class — via an interval join identical in both engines; raw events
+    // are touched exactly once by the daily build.
+    Q("q_hll_window_7d",
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |         ${Dedup.hashSql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |rk AS (
+         |  SELECT d, CAST(h % $M AS INTEGER) AS bucket,
+         |         CAST(${rankSql(s"(h // $M)")} AS INTEGER) AS rank
+         |  FROM ev),
+         |daily AS (SELECT d, bucket, max(rank) AS r FROM rk GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM daily),
+         |grid AS (SELECT days.d, b.bucket
+         |         FROM days CROSS JOIN (SELECT DISTINCT bucket FROM daily) b),
+         |win AS (
+         |  SELECT g.d, g.bucket, CAST(coalesce(max(x.r), 0) AS INTEGER) AS register
+         |  FROM grid g LEFT JOIN daily x
+         |    ON x.bucket = g.bucket AND x.d BETWEEN g.d - INTERVAL 6 DAY AND g.d
+         |  GROUP BY 1, 2)
+         |SELECT d, bucket, register FROM win
+         |ORDER BY d, bucket""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("ts").cast("date").as("d"),
+          poly_hash(col("user_id").cast("string")).as("h"))
+      val daily = ev
+        .select(col("d"), (col("h") % M).cast("int").as("bucket"),
+          rankCol(expr(s"h div $M")).cast("int").as("rank"))
+        .groupBy("d", "bucket").agg(max("rank").as("r"))
+      val days    = daily.select("d").distinct()
+      val buckets = daily.select("bucket").distinct()
+      val grid    = days.crossJoin(buckets) // days × 64 — bounded grid
+      grid.join(daily.select(col("bucket").as("xb"), col("d").as("xd"),
+          col("r")),
+          col("xb") === col("bucket") &&
+            col("xd").between(date_sub(col("d"), 6), col("d")), "left")
+        .groupBy("d", "bucket")
+        .agg(coalesce(max("r"), lit(0)).cast("int").as("register"))
+        .orderBy("d", "bucket")
+    },
+
     // Sketch-based equi-join size estimation (the AMS/CMS inner-product
     // estimator — Alon, Matias & Szegedy 1999; Cormode & Muthukrishnan
     // 2005 §4.2): |R ⋈ S on k| = Σ_v f_R(v)·f_S(v), estimated per CMS row

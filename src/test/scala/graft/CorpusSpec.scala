@@ -75,4 +75,26 @@ class CorpusSpec extends SparkSpec {
     // the pipeline repopulates transparently after the release
     assert(Corpus.nearDupComponents(spark, sfDir).count() > 0)
   }
+
+  test("source vocabulary overlap: set-algebra invariants and a brute-force pair") {
+    val out = SparkEntry.queries("q_source_vocab_overlap")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sources = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(out.length === (sources * (sources - 1) / 2), "missing source pairs")
+    out.foreach { case (s1, s2, inter, uni) =>
+      assert(s1 < s2 && inter >= 0 && uni >= inter,
+        s"($s1,$s2): inter=$inter uni=$uni violates set algebra")
+    }
+    // brute-force one pair from raw text
+    val (p1, p2) = (out.head._1, out.head._2)
+    def vocab(src: String): Set[String] = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("source") === src)
+      .select("text").collect().flatMap { r =>
+        r.getString(0).split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      }.toSet
+    val (va, vb) = (vocab(p1), vocab(p2))
+    assert(out.head._3 === va.intersect(vb).size.toLong)
+    assert(out.head._4 === va.union(vb).size.toLong)
+  }
 }

@@ -153,6 +153,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio frame features cross-check against javax.sound.sampled samples") {
+    import spark.implicits._
+    val ids = (1L until 200L by 2).toSeq
+    val wavs = ids.map(id => ops.Multimodal.RealMedia(id, "audio",
+      ops.Multimodal.wavBytes(id)))
+    val got = ops.Multimodal.audioFrameFeatures(wavs.toDS()).collect()
+      .groupBy(_.media_id)
+    ids.foreach { id =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(ops.Multimodal.wavBytes(id)))
+      val raw = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val s = Array.tabulate(raw.length / 2)(i => bb.getShort(i * 2).toLong)
+      val frames = got(id).sortBy(_.frame)
+      assert(frames.length === (s.length + 31) / 32, s"id=$id frame count")
+      assert(frames.map(_.n_smp).sum === s.length, s"id=$id frames must tile samples")
+      frames.foreach { f =>
+        val seg = s.slice(f.frame * 32, f.frame * 32 + f.n_smp)
+        assert(f.energy === seg.map(x => x * x).sum)
+        assert(f.peak === seg.map(math.abs).max)
+        assert(f.zero_cross ===
+          seg.sliding(2).count(p => p.length == 2 && (p(0) < 0) != (p(1) < 0)))
+      }
+    }
+  }
+
   test("WAV parser quarantines headers javax.sound.sampled also rejects") {
     import spark.implicits._
     val good = ops.Multimodal.wavBytes(7L)

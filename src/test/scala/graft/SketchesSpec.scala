@@ -65,6 +65,45 @@ class SketchesSpec extends SparkSpec {
     assert(a.toSet === b.toSet)
   }
 
+  test("7-day window registers dominate daily registers and track exact distincts") {
+    import graft.functions.exprs.poly_hash
+    val m = ops.Sketches.M
+    val daily = Tables.events(spark, sfDir)
+      .select(col("ts").cast("date").as("d"),
+        poly_hash(col("user_id").cast("string")).as("h"))
+      .select(col("d"), (col("h") % m).cast("int").as("bucket"),
+        when(expr(s"h div $m") === 0L, lit(ops.Sketches.RankCap))
+          .otherwise(lit(ops.Sketches.RankCap) -
+            length(conv(expr(s"h div $m").cast("string"), 10, 2)))
+          .cast("int").as("rank"))
+      .groupBy("d", "bucket").agg(max("rank").as("r"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getInt(2)).toMap
+    val win = SparkEntry.queries("q_hll_window_7d")(spark, sfDir).collect()
+      .map(r => (r.getDate(0), r.getInt(1), r.getInt(2)))
+    // dominance + exact driver-side recompute of the trailing max
+    win.foreach { case (d, b, reg) =>
+      val trailing = (0 to 6).flatMap { k =>
+        val dd = java.sql.Date.valueOf(d.toLocalDate.minusDays(k)).toString
+        daily.get((dd, b))
+      }
+      val want = if (trailing.isEmpty) 0 else trailing.max
+      assert(reg === want, s"($d, $b): window register $reg != trailing max $want")
+    }
+    // the merged week sketch estimates the week's exact distinct count
+    val byDay = win.groupBy(_._1)
+    val events = Tables.events(spark, sfDir)
+      .select(col("ts").cast("date").as("d"), col("user_id"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    byDay.foreach { case (d, rows) =>
+      val exact = events.collect { case (ed, u)
+        if !ed.isAfter(d.toLocalDate) && !ed.isBefore(d.toLocalDate.minusDays(6)) => u
+      }.distinct.length
+      val est = ops.Sketches.estimate(rows.map(_._3).filter(_ > 0).toSeq)
+      assert(math.abs(est - exact) / math.max(exact, 1) < 0.45,
+        s"week ending $d: HLL $est vs exact $exact")
+    }
+  }
+
   test("join-size estimate is an upper bound and within the CMS error envelope") {
     val rows = SparkEntry.queries("q_join_size_est")(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(2)))
