@@ -631,6 +631,84 @@ object Advanced {
             "element_at(es, i) AS ewma))")).as("u"))
         .select(col("event_type"), col("u.d"), col("u.cents"), col("u.ewma"))
         .orderBy("event_type", "d")
+    },
+
+    // Cumulative distinct users per day — the REWRITE that makes "count
+    // distinct over an unbounded window" scale: the naive form re-distincts
+    // a growing set per day (Θ(days·users), a non-partitioned window over
+    // the key stream); the first-touch form is one groupBy(user) min(day),
+    // one day-keyed count, and a cumsum over the ≤`retention`-row day
+    // series — the corpus never moves twice. The day-window cumsum IS
+    // partitioned in spirit (single bounded series); its input is the
+    // day frame, not events. Exact integers throughout.
+    Q("q_cum_distinct_users",
+      """WITH ft AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+        |nd AS (SELECT d0 AS d, CAST(count(*) AS BIGINT) AS n_new FROM ft GROUP BY 1),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+        |SELECT days.d, coalesce(nd.n_new, 0) AS n_new,
+        |       CAST(sum(coalesce(nd.n_new, 0)) OVER (ORDER BY days.d)
+        |            AS BIGINT) AS cum_users
+        |FROM days LEFT JOIN nd ON nd.d = days.d
+        |ORDER BY days.d""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val ft = ev.groupBy("user_id").agg(min(col("ts").cast("date")).as("d0"))
+      val nd = ft.groupBy(col("d0").as("d")).agg(count(lit(1)).as("n_new"))
+      val days = ev.select(col("ts").cast("date").as("d")).distinct()
+      // the unbounded cumsum runs over the bounded DAY series (≤ retention
+      // rows) — the one place a single-partition window is the right call;
+      // a constant partition key keeps the global-window lock honest
+      val w = Window.partitionBy(lit(1)).orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(nd, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_users", sum("n_new").over(w))
+        .orderBy("d")
+    },
+
+    // Robust outlier detection: median / MAD (median absolute deviation)
+    // per event type, the heavy-tail-safe alternative to q_anomaly_zscore
+    // (one wild value moves a mean+stddev gate; it cannot move these
+    // medians). Exactness trick: medians of integers are k or k+0.5, so
+    // BOTH engines carry 2·median as an exact integer (med2, mad2) and
+    // the 3σ-equivalent gate |x−med| > 3·1.4826·MAD is decided by the
+    // integer cross-multiplication d2·20000 > mad2·44478 — no float
+    // compare, no truncation hazard. Exact medians need a per-group sort
+    // at scale (the percentile aggregate); groups here are the bounded
+    // taxonomy, and the gate itself composes as a narrow filter.
+    Q("q_mad_outliers",
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |med AS (SELECT event_type, CAST(2 * median(c) AS BIGINT) AS med2
+        |        FROM v GROUP BY 1),
+        |dev AS (SELECT v.event_type, abs(2 * v.c - med.med2) AS d2
+        |        FROM v JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad2
+        |        FROM dev GROUP BY 1)
+        |SELECT med.event_type, med.med2, mad.mad2,
+        |       CAST((SELECT count(*) FROM v JOIN med m2 USING (event_type)
+        |             WHERE v.event_type = med.event_type
+        |               AND abs(2 * v.c - m2.med2) * 20000 > mad.mad2 * 44478)
+        |            AS BIGINT) AS n_outliers
+        |FROM med JOIN mad USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      val med = v.groupBy("event_type")
+        .agg((expr("percentile(c, 0.5)") * 2).cast("long").as("med2"))
+      val dev = v.join(med, "event_type")
+        .select(col("event_type"), abs(col("c") * 2 - col("med2")).as("d2"))
+      val mad = dev.groupBy("event_type")
+        .agg((expr("percentile(d2, 0.5)") * 2).cast("long").as("mad2"))
+      val gate = med.join(mad, "event_type")
+      v.join(gate, "event_type")
+        .groupBy(col("event_type"))
+        .agg(first("med2").as("med2"), first("mad2").as("mad2"),
+          sum(when(abs(col("c") * 2 - col("med2")) * 20000
+            > col("mad2") * 44478, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
     }
   )
 }

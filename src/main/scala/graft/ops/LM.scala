@@ -323,18 +323,26 @@ object LM {
     }
   )
 
-  /** The NB train+score pipeline over an explicit documents frame (the
-    * ScaleProbe entry point). See q_naive_bayes_lang for the math.
+  /** Bigram feature frame (doc_id[, lang], f) for an explicit documents
+    * frame — shared by NB training and scoring.
     */
-  private[graft] def naiveBayesLang(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+  private def nbFeatures(docs: DataFrame, withLang: Boolean): DataFrame = {
+    val keep = if (withLang) Seq(col("doc_id"), col("lang")) else Seq(col("doc_id"))
+    docs.select(keep :+ split(col("text"), " ").as("ts"): _*)
       .filter(size(col("ts")) >= 2)
-    val bg = base.select(col("doc_id"), col("lang"), explode(expr(
-      "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
-      .as("f"))
-    val tf   = bg.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
-    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("nf"))
+      .select(keep :+ explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
+        .as("f"): _*)
+  }
+
+  /** NB TRAINING: one corpus pass down to the model frames —
+    * (lang, f, dlp) sparse grid and the (lang, lp0, prior) class frame.
+    * Both are bounded model state (observed class-feature pairs / the
+    * label taxonomy); at serving time they are the FROZEN side a stream
+    * joins against ([[graft.streaming.Streams.nbClassifyBatch]]).
+    */
+  private[graft] def nbModel(docs: DataFrame): (DataFrame, DataFrame) = {
+    val bg   = nbFeatures(docs, withLang = true)
     val cf   = bg.groupBy("lang", "f").agg(count(lit(1)).as("n"))
     val totc = cf.groupBy("lang").agg(sum("n").as("totf"))
     val vv   = bg.agg(countDistinct("f").as("v")) // single-row total
@@ -351,6 +359,19 @@ object LM {
       .select(col("lang"), col("f"),
         (round(log((col("n") + 1).cast("double") / (col("totf") + col("v")))
           * 1000000).cast("long") - col("lp0")).as("dlp"))
+    (grid, cls.select(col("lang"), col("lp0"), col("prior")))
+  }
+
+  /** NB SCORING against a given model: sparse per-doc feature join +
+    * the |classes|-bounded base crossJoin; argmax with the lang tiebreak.
+    * Returns (doc_id, pred, score_micro).
+    */
+  private[graft] def nbScore(docs: DataFrame, grid: DataFrame,
+      cls: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf   = nbFeatures(docs, withLang = false)
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("nf"))
     val sparse = tf.join(grid, "f")
       .groupBy("doc_id", "lang").agg(sum(col("tf") * col("dlp")).as("sd"))
     val sparseR = sparse.select(col("doc_id").as("s_doc"),
@@ -362,14 +383,23 @@ object LM {
       .select(col("doc_id"), col("cls"),
         (col("prior") + col("nf") * col("lp0")
           + coalesce(col("sd"), lit(0L))).as("score"))
-    val top = scores.withColumn("rn",
+    scores.withColumn("rn",
       row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("cls"))))
       .filter(col("rn") === 1)
-    top.join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"), col("cls").as("pred"),
-        col("score").as("score_micro"),
-        (col("cls") === col("lang")).cast("int").as("correct"))
+      .select(col("doc_id"), col("cls").as("pred"),
+        col("score").as("score_micro"))
+  }
+
+  /** The NB train+score pipeline over an explicit documents frame (the
+    * ScaleProbe entry point). See q_naive_bayes_lang for the math.
+    */
+  private[graft] def naiveBayesLang(docs: DataFrame): DataFrame = {
+    val (grid, cls) = nbModel(docs)
+    nbScore(docs, grid, cls)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("pred"), col("score_micro"),
+        (col("pred") === col("lang")).cast("int").as("correct"))
       .orderBy("doc_id")
   }
 }

@@ -417,6 +417,18 @@ object Streams {
           .as("n"))
   }
 
+  /** Streaming face of the Naive Bayes classifier (q_naive_bayes_lang):
+    * classify one trigger's document batch against the FROZEN model
+    * frames (the nearDupCuration frozen-index shape — train offline,
+    * serve on ingest). Stateless per trigger: each batch pays one sparse
+    * feature join + the |classes|-bounded base, so out-of-order or
+    * re-dealt feeds trivially reproduce the batch predictions
+    * (StreamingSpec asserts stream ≡ batch doc-for-doc).
+    */
+  def nbClassifyBatch(grid: DataFrame, cls: DataFrame,
+      batch: DataFrame): DataFrame =
+    graft.ops.LM.nbScore(batch, grid, cls)
+
   /** Streaming face of the HLL sketch (q_hll_registers): fold a trigger's
     * batch registers into the maintained (group, bucket) register grid by
     * MAX — the same order-free incremental-maintenance shape as

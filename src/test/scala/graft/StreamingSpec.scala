@@ -609,6 +609,34 @@ class StreamingSpec extends SparkSpec {
       "incrementally maintained drift diverged from the batch query")
   }
 
+  test("streaming NB classification against the frozen model equals batch scoring") {
+    // train once on the corpus (the frozen-model serve shape), then feed
+    // the same docs back through a 3-trigger hash-ordered stream — every
+    // prediction and score must equal the batch scorer doc-for-doc
+    val docsTable = Tables.documents(spark, sfDir)
+    val (grid, cls) = graft.ops.LM.nbModel(docsTable)
+    val (gridF, clsF) = (grid.localCheckpoint(), cls.localCheckpoint())
+    val docs = docsTable.select("doc_id", "text").collect()
+      .map(r => StreamingSpec.Doc(r.getLong(0), r.getString(1), ts(1)))
+    val dealt = docs.sortBy(d => d.doc_id * 2654435761L % 997)
+    val thirds = dealt.grouped((dealt.length + 2) / 3).toSeq
+    val ms = MemoryStream[StreamingSpec.Doc](spark)
+    val preds = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val q = ms.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = Streams.nbClassifyBatch(gridF, clsF, batch).collect()
+        preds.synchronized {
+          out.foreach(r => preds(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+        }
+      }.start()
+    thirds.foreach { t => ms.addData(t.toSeq); q.processAllAvailable() }
+    q.stop()
+    val batch = graft.ops.LM.nbScore(docsTable, gridF, clsF).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(preds.toMap === batch,
+      "streamed NB predictions diverged from batch scoring")
+  }
+
   test("streaming HLL registers equal the batch sketch, even under replay") {
     // same dealing as the drift test — hash order, 3 triggers — PLUS the
     // middle trigger fed TWICE: max-merge is idempotent, so a replayed
