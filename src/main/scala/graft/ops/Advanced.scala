@@ -651,19 +651,22 @@ object Advanced {
         |            AS BIGINT) AS cum_users
         |FROM days LEFT JOIN nd ON nd.d = days.d
         |ORDER BY days.d""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir)
       val ft = ev.groupBy("user_id").agg(min(col("ts").cast("date")).as("d0"))
       val nd = ft.groupBy(col("d0").as("d")).agg(count(lit(1)).as("n_new"))
       val days = ev.select(col("ts").cast("date").as("d")).distinct()
-      // the unbounded cumsum runs over the bounded DAY series (≤ retention
-      // rows) — the one place a single-partition window is the right call;
-      // a constant partition key keeps the global-window lock honest
-      val w = Window.partitionBy(lit(1)).orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      days.join(nd, Seq("d"), "left")
-        .select(col("d"), coalesce(col("n_new"), lit(0L)).as("n_new"))
-        .withColumn("cum_users", sum("n_new").over(w))
+      // the cumsum runs over the bounded DAY series (≤ retention rows):
+      // a ≤-join + groupBy on the two tiny day frames — O(days²) of GRID
+      // rows, never a corpus shuffle, and no global window (the lock the
+      // optimizer would void by eliding a constant partition key). The
+      // hinted side is the day-keyed new-user count frame — bounded by
+      // retention (PlanShapeSpec allowlist).
+      days.join(broadcast(nd.select(col("d").as("xd"), col("n_new"))),
+          col("xd") <= col("d"), "left")
+        .groupBy("d")
+        .agg(coalesce(sum(when(col("xd") === col("d"), col("n_new"))), lit(0L))
+          .as("n_new"),
+          coalesce(sum("n_new"), lit(0L)).as("cum_users"))
         .orderBy("d")
     },
 

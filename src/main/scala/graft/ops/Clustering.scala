@@ -135,25 +135,54 @@ object Clustering {
     // Oracle-checked cell-for-cell — assignment, every centroid update,
     // and the final scoring all walk the identical integer trajectory.
     Q("q_kmeans_assign",
-      s"""CREATE OR REPLACE TEMP TABLE km_v AS
-         |  SELECT vec_id,
-         |         list_transform(embedding,
-         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
-         |  FROM embeddings;
-         |CREATE OR REPLACE TEMP TABLE km_c0 AS
-         |  SELECT CAST(vec_id AS INTEGER) AS cell, vm AS cm
-         |  FROM km_v WHERE vec_id < $KmK;
-         |${(1 to KmIters).map(roundSql).mkString("\n")}
-         |SELECT vec_id, cell, dist FROM (
-         |  SELECT vec_id, cell, dist,
-         |         row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY dist, cell) AS rn
-         |  FROM (SELECT v.vec_id, c.cell, $distSql AS dist
-         |        FROM km_v v CROSS JOIN km_c$KmIters c))
+      s"""$kmScriptPrefix
+         |SELECT vec_id, cell, dist FROM ($kmFinalAssignSql)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
       kmeansAssignFrom(vmFrame(s, dir)).orderBy("vec_id")
+    },
+
+    // Per-cell inertia summary of the SAME oracle-checked Lloyd
+    // trajectory: member count and exact integer within-cell squared
+    // distance mass — the model-quality diagnostic (elbow curves, empty/
+    // degenerate cell detection, rebalance triggers for the IVF index's
+    // needsRebalance cousin). One groupBy(cell) past the assignment —
+    // k rows out whatever the corpus size.
+    Q("q_kmeans_inertia",
+      s"""$kmScriptPrefix
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(dist) AS BIGINT) AS inertia,
+         |       CAST(max(dist) AS BIGINT) AS max_dist
+         |FROM ($kmFinalAssignSql) WHERE rn = 1
+         |GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+      kmeansAssignFrom(vmFrame(s, dir))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum("dist").as("inertia"),
+          max("dist").as("max_dist"))
+        .orderBy("cell")
     }
   )
+
+  /** The shared oracle-script prefix: micro-snap, seeds, all Lloyd
+    * rounds materialized (km_v … km_c{KmIters}).
+    */
+  private def kmScriptPrefix: String =
+    s"""CREATE OR REPLACE TEMP TABLE km_v AS
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+       |  FROM embeddings;
+       |CREATE OR REPLACE TEMP TABLE km_c0 AS
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, vm AS cm
+       |  FROM km_v WHERE vec_id < $KmK;
+       |${(1 to KmIters).map(roundSql).mkString("\n")}""".stripMargin
+
+  /** Final-round argmin assignment subquery (vec_id, cell, dist, rn). */
+  private def kmFinalAssignSql: String =
+    s"""SELECT vec_id, cell, dist,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY dist, cell) AS rn
+       |  FROM (SELECT v.vec_id, c.cell, $distSql AS dist
+       |        FROM km_v v CROSS JOIN km_c$KmIters c)""".stripMargin
 }
 
 // DESIGN NOTE (probed, rejected): a distributed batch perceptron over the

@@ -592,27 +592,94 @@ object Dedup {
          |       CAST(((mk + $WinB - 1) // $WinB) * $WinB - mk AS BIGINT) AS pos
          |FROM w WHERE rn >= $WinW
          |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
-      val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= WinK)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(toks) - $WinK + 1), " +
-          s"i -> concat_ws(' ', slice(toks, i, $WinK)))"))
-          .as(Seq("pos0", "gram")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-          poly_hash(col("gram")).as("h"))
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      grams
-        .withColumn("ck", col("h") * WinB - col("pos"))
-        .withColumn("mk", min("ck").over(byPos.rowsBetween(-(WinW - 1), 0)))
-        .withColumn("rn", row_number().over(byPos))
-        .filter(col("rn") >= WinW)
-        .select(col("doc_id"),
-          expr(s"(mk + ${WinB - 1}) div $WinB").as("h"),
-          expr(s"((mk + ${WinB - 1}) div $WinB) * $WinB - mk").as("pos"))
-        .distinct()
+      winnowFps(Tables.documents(s, dir))
         .orderBy("doc_id", "pos")
+    },
+
+    // MOSS-style CONTAINMENT scoring over the winnowing fingerprints —
+    // the asymmetric near-dup detector (a short doc pasted inside a long
+    // one scores high containment but LOW Jaccard, so the MinHash/SimHash
+    // planes miss it; Schleimer et al. 2003 §5 is exactly this use).
+    // Candidates come from the fingerprint-keyed self-join — winnowed
+    // k-gram hashes are position-selected and content-rare, so posting
+    // lists stay short where raw-token postings degenerate (the reason
+    // the token-postings containment variant was rejected). Emits every
+    // sharing pair with exact integer shared/|FP| counts and the
+    // max-containment ≥ 1/2 flag decided by integer comparison.
+    Q("q_winnowing_containment",
+      s"""$winnowFpCtes,
+         |fp AS (SELECT DISTINCT doc_id, (mk + $WinB - 1) // $WinB AS h
+         |       FROM w WHERE rn >= $WinW),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nv FROM fp GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+         |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, shared, za.nv AS nv1, zb.nv AS nv2,
+         |       CAST(CASE WHEN 2 * shared >= least(za.nv, zb.nv)
+         |                 THEN 1 ELSE 0 END AS INTEGER) AS strong
+         |FROM p JOIN sz za ON za.doc_id = d1 JOIN sz zb ON zb.doc_id = d2
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val fp = winnowFps(Tables.documents(s, dir)).select("doc_id", "h").distinct()
+      val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nv"))
+      val p = fp.as("a").join(fp.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+      p.join(sz.select(col("doc_id").as("d1"), col("nv").as("nv1")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("nv").as("nv2")), "d2")
+        .select(col("d1"), col("d2"), col("shared"), col("nv1"), col("nv2"),
+          (col("shared") * 2 >= least(col("nv1"), col("nv2")))
+            .cast("int").as("strong"))
+        .orderBy("d1", "d2")
     }
   )
+
+  /** Winnowing fingerprint frame (doc_id, h, pos) over an explicit
+    * documents frame — shared by q_winnowing and the containment scorer.
+    */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= WinK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - $WinK + 1), " +
+        s"i -> concat_ws(' ', slice(toks, i, $WinK)))"))
+        .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        poly_hash(col("gram")).as("h"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    grams
+      .withColumn("ck", col("h") * WinB - col("pos"))
+      .withColumn("mk", min("ck").over(byPos.rowsBetween(-(WinW - 1), 0)))
+      .withColumn("rn", row_number().over(byPos))
+      .filter(col("rn") >= WinW)
+      .select(col("doc_id"),
+        expr(s"(mk + ${WinB - 1}) div $WinB").as("h"),
+        expr(s"((mk + ${WinB - 1}) div $WinB) * $WinB - mk").as("pos"))
+      .distinct()
+  }
+
+  /** The winnowing CTE chain up to windowed minima `w` (shared by the two
+    * winnowing oracles).
+    */
+  private def winnowFpCtes: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest([struct_pack(pos := gp,
+       |                  h := ${hashSql("array_to_string(toks[gp:gp+" + (WinK - 1) + "], ' ')")})
+       |                 for gp in range(1, len(toks) - $WinK + 2)]) AS u
+       |  FROM t WHERE len(toks) >= $WinK),
+       |k AS (
+       |  SELECT doc_id, u.pos AS pos, u.h * $WinB - u.pos AS ck,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY u.pos) AS rn
+       |  FROM g),
+       |w AS (
+       |  SELECT doc_id, rn,
+       |         min(ck) OVER (PARTITION BY doc_id ORDER BY rn
+       |           ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS mk
+       |  FROM k)""".stripMargin
 }

@@ -52,7 +52,7 @@ object Sampling {
   private[graft] def split(b: Column): Column =
     when(b < 80, "train").when(b < 90, "valid").otherwise("test")
 
-  private def splitSql(b: String): String =
+  private[graft] def splitSql(b: String): String =
     s"(CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' ELSE 'test' END)"
 
   val queries: Seq[Q] = Seq(
@@ -74,6 +74,41 @@ object Sampling {
     // the fractions land and the split is language-balanced (hash buckets
     // are independent of content). The split column itself is the same
     // narrow expression — downstream writers partition on it.
+    // Split-leakage audit — the QA gate a train/valid/test split must
+    // pass before training: documents sharing an OPENING (equal PolyHash
+    // fingerprints of the first 8 tokens — the conservative containment
+    // proxy; exact-duplicate leakage is its subset, and this corpus
+    // carries shared-opening near-dup families but zero exact dups) must
+    // not straddle split boundaries, or eval is contaminated by
+    // near-memorized training text. One (fingerprint, split) distinct
+    // frame, fingerprint-keyed self-join bounded by ≤3 splits per
+    // fingerprint — candidate work is Θ(families), never docs².
+    Q("q_split_leakage",
+      s"""WITH fs AS (
+         |  SELECT DISTINCT
+         |    ${Dedup.hashSql("array_to_string(string_split(text, ' ')[1:8], ' ')")} AS fp,
+         |    ${splitSql(bucket100Sql("doc_id"))} AS split
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.split AS s1, b.split AS s2, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM fs a JOIN fs b ON a.fp = b.fp AND a.split < b.split
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, n_shared FROM p
+         |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      import graft.functions.exprs.poly_hash
+      val fs = Tables.documents(s, dir)
+        .select(poly_hash(array_join(
+            slice(org.apache.spark.sql.functions.split(col("text"), " "), 1, 8), " "))
+            .as("fp"),
+          split(bucket100(col("doc_id"))).as("split"))
+        .distinct()
+      fs.as("a").join(fs.as("b"),
+          col("a.fp") === col("b.fp") && col("a.split") < col("b.split"))
+        .groupBy(col("a.split").as("s1"), col("b.split").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("s1", "s2")
+    },
+
     Q("q_split_train_test",
       s"""WITH s AS (
          |  SELECT ${splitSql(bucket100Sql("doc_id"))} AS split, n_chars, lang

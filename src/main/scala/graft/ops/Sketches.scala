@@ -186,7 +186,10 @@ object Sketches {
         .groupBy("d", "bucket").agg(max("rank").as("r"))
       val days    = daily.select("d").distinct()
       val buckets = daily.select("bucket").distinct()
-      val grid    = days.crossJoin(buckets) // days × 64 — bounded grid
+      // ≤64-row register-width frame: the bounded-dimension broadcast
+      // class (PlanShapeSpec allowlist) — keeps the tiny grid build a
+      // BroadcastNestedLoopJoin, never a CartesianProduct
+      val grid    = days.crossJoin(broadcast(buckets))
       grid.join(daily.select(col("bucket").as("xb"), col("d").as("xd"),
           col("r")),
           col("xb") === col("bucket") &&

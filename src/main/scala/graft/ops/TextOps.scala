@@ -155,6 +155,51 @@ object TextOps {
 
     // Quality scoring: length / stopword-density heuristics. All ratios are
     // exact-integer divisions → bit-identical doubles cross-engine.
+    // Per-language QUALITY PERCENTILE gate (the FineWeb-style "keep the
+    // top 80% of each language" curation move — an absolute threshold
+    // would gut low-resource languages whose score distribution sits
+    // lower): rank docs per lang by the q_quality_score signal and keep
+    // rank ≤ 80% of the language's count, decided by the integer
+    // cross-multiplication (rnk−1)·10 < n_lang·8 — no float percentile.
+    // The score itself is a ratio of integers (one IEEE division —
+    // bit-identical cross-engine) and ties break on doc_id, so the
+    // per-lang row_number (a partitioned window, the sessionize class)
+    // walks the same order in both engines.
+    Q("q_quality_percentile_gate",
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |         ((${hitsSql(EnStops)} / CAST(len(string_split(text, ' ')) AS INTEGER)) * 0.5 +
+         |          (CASE WHEN (CAST(length(replace(text, ' ', '')) AS INTEGER) / CAST(len(string_split(text, ' ')) AS INTEGER)) >= 3
+         |                 AND (CAST(length(replace(text, ' ', '')) AS INTEGER) / CAST(len(string_split(text, ' ')) AS INTEGER)) <= 8
+         |                THEN 0.5 ELSE 0.0 END)) AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, score,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY score DESC, doc_id) AS rnk,
+         |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+         |  FROM sc)
+         |SELECT doc_id, lang, rnk, n_lang FROM r
+         |WHERE (rnk - 1) * 10 < n_lang * 8
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks      = split(col("text"), " ")
+      val nTok      = size(toks)
+      val stopRatio = hits(toks, EnStops) / nTok
+      val avgTokLen = length(regexp_replace(col("text"), " ", "")) / nTok
+      val sc = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        (stopRatio * lit(0.5) +
+          when(avgTokLen >= 3 && avgTokLen <= 8, lit(0.5)).otherwise(lit(0.0)))
+          .as("score"))
+      val w = Window.partitionBy("lang")
+      sc.withColumn("rnk", row_number().over(
+          w.orderBy(col("score").desc, col("doc_id"))))
+        .withColumn("n_lang", count(lit(1)).over(w))
+        .filter((col("rnk") - 1) * 10 < col("n_lang") * 8)
+        .select("doc_id", "lang", "rnk", "n_lang")
+        .orderBy("doc_id")
+    },
+
     Q("q_quality_score",
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,

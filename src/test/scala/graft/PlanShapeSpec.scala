@@ -133,6 +133,10 @@ class PlanShapeSpec extends SparkSpec {
     //     bounded by the label taxonomy, the q_drift_daily class.
     //   - q_join_size_est: the hinted side is the single-row exact-size
     //     total — the tfidf/unigram class.
+    //   - q_hll_window_7d: the hinted side is the distinct-bucket frame —
+    //     ≤ 64 rows by the register-width constant, the drift_daily class.
+    //   - q_cum_distinct_users: the hinted side is the day-keyed new-user
+    //     count frame — bounded by retention days, the drift_daily class.
     val allowed = Set(
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
@@ -142,7 +146,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
       "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
-      "q_join_size_est")
+      "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
