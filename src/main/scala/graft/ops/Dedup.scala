@@ -632,8 +632,85 @@ object Dedup {
           (col("shared") * 2 >= least(col("nv1"), col("nv2")))
             .cast("int").as("strong"))
         .orderBy("d1", "d2")
+    },
+
+    // MinHash sketch CALIBRATION: the sig_agree → exact-Jaccard curve
+    // over EVERY banded candidate, with no size prefilter, agreement
+    // floor, or τ cut — the measured answer to "what threshold should
+    // MinSigAgree be?" (E[sig_agree] = NumPerms·J; the curve shows the
+    // spread the expectation hides). One row per agreement level with
+    // the exact integer pair count and intersection/union mass — the
+    // operator that justifies the production pipeline's 14-of-16 floor
+    // empirically rather than by folklore. Candidate volume is still
+    // band-bounded (Θ(collisions), never all pairs); the aggregate is
+    // 17 rows whatever the corpus.
+    Q("q_minhash_calibration",
+      s"""$hsCte, sig_t AS (
+         |  SELECT doc_id, list_transform(range(0, $NumPerms), i -> $sigExpr) AS sig
+         |  FROM hs_t
+         |), band_t AS (
+         |  SELECT doc_id, b,
+         |         array_to_string(sig[(b * $BandRows + 1):(b * $BandRows + $BandRows)], ',') AS key
+         |  FROM sig_t, range(0, $NumBands) t(b)
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM band_t l JOIN band_t r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+         |), est AS (
+         |  SELECT d1, d2,
+         |         CAST(len(list_filter(list_transform(range(1, $NumPerms + 1),
+         |           i -> sa.sig[i] = sb.sig[i]), x -> x)) AS INTEGER) AS sig_agree
+         |  FROM cand JOIN sig_t sa ON sa.doc_id = d1 JOIN sig_t sb ON sb.doc_id = d2
+         |), tk AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+         |), fullj AS (
+         |  SELECT sig_agree,
+         |         CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+         |         CAST(len(list_distinct(list_concat(a.t, b.t))) AS BIGINT) AS uni
+         |  FROM est JOIN tk a ON a.doc_id = d1 JOIN tk b ON b.doc_id = d2)
+         |SELECT sig_agree, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(inter) AS BIGINT) AS sum_inter,
+         |       CAST(sum(uni) AS BIGINT) AS sum_uni
+         |FROM fullj GROUP BY sig_agree
+         |ORDER BY sig_agree""".stripMargin) { (s, dir) =>
+      bandedCandidatesAll(s, dir)
+        .groupBy("sig_agree")
+        .agg(count(lit(1)).as("n_pairs"), sum("inter").as("sum_inter"),
+          sum("uni").as("sum_uni"))
+        .orderBy("sig_agree")
     }
   )
+
+  /** De-thresholded banded candidates at DOC level — every band collision
+    * with its signature agreement and exact Jaccard, no size prefilter,
+    * no agreement floor, no τ cut — the calibration surface behind
+    * q_minhash_calibration (mirrors the oracle CTE chain 1:1; the
+    * cluster-collapsed layout the production pipeline uses would change
+    * the pair COUNTING unit, which is the quantity being calibrated).
+    */
+  private def bandedCandidatesAll(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_sort(transform(dtoks, t => poly_hash(t))).as("th"))
+      .withColumn("sig", minhashSigsOf(col("th")))
+    val bandRows = docs.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    val cand = bandRows.join(
+        bandRows.select(col("doc_id").as("d2"), col("band").as("band2"),
+          col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("doc_id") < col("d2"))
+      .select(col("doc_id").as("d1"), col("d2")).distinct()
+    val l = docs.select(col("doc_id").as("d1"), col("sig").as("sig1"),
+      col("th").as("h1"))
+    val r = docs.select(col("doc_id").as("d2"), col("sig").as("sig2"),
+      col("th").as("h2"))
+    val inter = graft.functions.exprs.intersect_count_sorted(col("h1"), col("h2"))
+    cand.join(l, "d1").join(r, "d2")
+      .select(col("d1"), col("d2"),
+        graft.functions.exprs.count_equal(col("sig1"), col("sig2")).as("sig_agree"),
+        inter.as("inter"),
+        (size(col("h1")) + size(col("h2")) - inter).as("uni"))
+  }
 
   /** Winnowing fingerprint frame (doc_id, h, pos) over an explicit
     * documents frame — shared by q_winnowing and the containment scorer.

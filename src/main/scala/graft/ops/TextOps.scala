@@ -541,6 +541,57 @@ object TextOps {
           .orderBy("user_id", "sess")
     },
 
+    // Per-user session STATISTICS over the q_sessionize sessions — the
+    // engagement summary layer (session counts, event/duration totals,
+    // longest session) a product-analytics consumer reads instead of the
+    // raw session list. Same gaps-and-islands base (shared SQL shape),
+    // one further user-keyed aggregate; durations are exact epoch-us
+    // integer differences, the mean is an exact trunc-div. All shuffles
+    // key on user_id.
+    Q("q_session_stats",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS isnew
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, us,
+        |         CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM y
+        |), s AS (
+        |  SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(max(us) - min(us) AS BIGINT) AS dur_us
+        |  FROM z GROUP BY user_id, sess)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT) AS events_per_session,
+        |       CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+        |       CAST(max(dur_us) AS BIGINT) AS max_dur_us,
+        |       CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val us   = unix_micros(col("ts").cast("timestamp"))
+      val w    = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+      val gap  = us - lag(us, 1).over(w)
+      val isNew = when(gap.isNull || gap > 1800000000L, 1).otherwise(0)
+      val sess = sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      Tables.events(s, dir)
+        .select(col("user_id"), us.as("us"), sess.as("sess"))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n"), (max("us") - min("us")).as("dur_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
+          expr("sum(n) div count(1)").as("events_per_session"),
+          sum("dur_us").as("total_dur_us"), max("dur_us").as("max_dur_us"),
+          max("n").as("max_session_events"))
+        .orderBy("user_id")
+    },
+
     // Tumbling 1-hour windows via Spark's window() — the batch twin of the
     // Structured Streaming tumbling aggregation (graft.streaming).
     Q("q_tumbling_hourly",
