@@ -112,6 +112,67 @@ object Sketches {
       hllRegisters(s, dir)
     },
 
+    // The HLL ESTIMATE layer, oracle-checked as exact integers: the
+    // harmonic-mean denominator Σ 2^(−M_j) scaled by 2^57 is a sum of
+    // dyadic rationals with ranks ≥ 1 → every term 2^(57−M_j) ≤ 2^56 is
+    // an exact BIGINT and the 64-term sum < 2^62 never rounds — so the
+    // full estimator state (present buckets, scaled denominator) is
+    // cross-engine exact, with the true distinct count alongside for the
+    // accuracy surface (the float α·m²/denominator step is the consumer's
+    // one multiplication; SketchesSpec gates it). Registers come from the
+    // same one-shuffle build as q_hll_registers.
+    Q("q_hll_estimate",
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |         ${Dedup.hashSql("CAST(user_id AS VARCHAR)")} AS h,
+         |         user_id
+         |  FROM events),
+         |tiers AS (
+         |  SELECT event_type, h, user_id FROM ev
+         |  UNION ALL SELECT '*' AS event_type, h, user_id FROM ev),
+         |ranked AS (
+         |  SELECT event_type, CAST(h % $M AS INTEGER) AS bucket,
+         |         CAST(${rankSql(s"(h // $M)")} AS INTEGER) AS rank
+         |  FROM tiers),
+         |regs AS (
+         |  SELECT event_type, bucket, max(rank) AS register
+         |  FROM ranked GROUP BY event_type, bucket),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS present,
+         |         CAST(sum(CAST(1 AS BIGINT) << (57 - register)) AS BIGINT)
+         |           AS est_scaled_present
+         |  FROM regs GROUP BY event_type),
+         |exact AS (
+         |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+         |  FROM tiers GROUP BY event_type)
+         |SELECT a.event_type, a.present,
+         |       a.est_scaled_present
+         |         + ($M - a.present) * (CAST(1 AS BIGINT) << 57) AS est_scaled,
+         |       e.exact
+         |FROM agg a JOIN exact e USING (event_type)
+         |ORDER BY a.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), poly_hash(col("user_id").cast("string")).as("h"),
+          col("user_id"))
+      val tiers = ev.unionAll(ev.select(lit("*").as("event_type"), col("h"),
+        col("user_id")))
+      val regs = tiers
+        .select(col("event_type"), (col("h") % M).cast("int").as("bucket"),
+          rankCol(expr(s"h div $M")).cast("int").as("rank"))
+        .groupBy("event_type", "bucket").agg(max("rank").as("register"))
+      val agg = regs.groupBy("event_type")
+        .agg(count(lit(1)).as("present"),
+          sum(expr("shiftleft(1L, 57 - register)")).as("esp"))
+      val exact = tiers.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact"))
+      agg.join(exact, "event_type")
+        .select(col("event_type"), col("present"),
+          (col("esp") + (lit(M.toLong) - col("present")) * (1L << 57))
+            .as("est_scaled"),
+          col("exact"))
+        .orderBy("event_type")
+    },
+
     // Johnson–Lindenstrauss random projection with a ±1 sign matrix
     // (Achlioptas 2003, "Database-friendly random projections"): each of
     // the 16 output coordinates is an exact integer signed sum of the

@@ -65,6 +65,24 @@ class SketchesSpec extends SparkSpec {
     assert(a.toSet === b.toSet)
   }
 
+  test("scaled-denominator estimates reproduce the register estimates and track exact") {
+    val m = ops.Sketches.M
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    SparkEntry.queries("q_hll_estimate")(spark, sfDir).collect().foreach { r =>
+      val (t, present, exact) = (r.getString(0), r.getLong(1), r.getLong(3).toDouble)
+      val raw = alpha * m * m * math.pow(2.0, 57) / r.getLong(2)
+      // the paper's small-range correction: below 2.5m with empty buckets,
+      // linear counting on the zero count replaces the harmonic estimate
+      val zeros = m - present
+      val est2 = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+                 else raw
+      // the integer denominator is the oracle-checked part; this gates the
+      // float estimator on top of it
+      assert(est2 / exact > 0.5 && est2 / exact < 2.0,
+        s"$t: estimate $est2 (raw $raw) vs exact $exact")
+    }
+  }
+
   test("7-day window registers dominate daily registers and track exact distincts") {
     import graft.functions.exprs.poly_hash
     val m = ops.Sketches.M

@@ -51,4 +51,23 @@ class SourcesSpec extends SparkSpec {
       Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
     assert(msg.toLowerCase.contains("driver"), s"unexpected failure: $e")
   }
+
+  test("format matrix: documents round-trip losslessly through CSV, JSON, and ORC") {
+    // the R1 source surface beyond parquet: every built-in columnar/text
+    // format must carry the documents table bit-identically (schema
+    // pinned on read — CSV/JSON would otherwise re-infer and widen)
+    val src = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("fmt").toString
+    val want = src.orderBy("doc_id").collect().toSeq
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val path = s"$base/$fmt"
+      val w = src.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(path)
+      val r = spark.read.schema(src.schema)
+      val back = (if (fmt == "csv") r.option("header", "true") else r)
+        .format(fmt).load(path)
+      assert(back.orderBy("doc_id").collect().toSeq === want,
+        s"$fmt round-trip lost data")
+    }
+  }
 }
