@@ -32,6 +32,30 @@ object Advanced {
     def outputEncoder: Encoder[Long]     = Encoders.scalaLong
   }
 
+  /** The q_ewma_daily kernel over an explicit (event_type, d, cents)
+    * grid — shared with the streaming fold ([[graft.streaming.Streams]]
+    * maintains the grid incrementally; the EWMA trajectory is a view
+    * over it). All folds run on the bounded grid.
+    */
+  private[graft] def ewmaFromDaily(daily: DataFrame): DataFrame = {
+    val srt = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("dv"))
+      .select(col("event_type"),
+        expr("transform(dv, x -> x.d)").as("ds"),
+        expr("transform(dv, x -> x.cents)").as("vs"))
+    // prefix folds: aggregate(slice) with the first element as init ==
+    // DuckDB list_reduce over the same 1-based prefix
+    val tr = srt.withColumn("es", expr(
+      "transform(sequence(1, size(vs)), i -> " +
+        "aggregate(slice(vs, 2, i - 1), element_at(vs, 1), " +
+        "(a, b) -> (3L * a + b) div 4))"))
+    tr.select(col("event_type"), explode(expr(
+        "transform(sequence(1, size(ds)), i -> struct(" +
+          "element_at(ds, i) AS d, element_at(vs, i) AS cents, " +
+          "element_at(es, i) AS ewma))")).as("u"))
+      .select(col("event_type"), col("u.d"), col("u.cents"), col("u.ewma"))
+  }
+
   /** The q_drift_daily kernel over an explicit (d, event_type, n) count
     * grid — shared with the streaming fold ([[graft.streaming.Streams]]
     * maintains the grid incrementally; drift is a view over it). All
@@ -611,25 +635,9 @@ object Advanced {
         |                for i in range(1, len(ds) + 1)]) AS u
         |      FROM tr)
         |ORDER BY event_type, d""".stripMargin) { (s, dir) =>
-      val daily = Tables.events(s, dir)
+      ewmaFromDaily(Tables.events(s, dir)
         .groupBy(col("event_type"), col("ts").cast("date").as("d"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      val srt = daily.groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("dv"))
-        .select(col("event_type"),
-          expr("transform(dv, x -> x.d)").as("ds"),
-          expr("transform(dv, x -> x.cents)").as("vs"))
-      // prefix folds: aggregate(slice) with the first element as init ==
-      // DuckDB list_reduce over the same 1-based prefix
-      val tr = srt.withColumn("es", expr(
-        "transform(sequence(1, size(vs)), i -> " +
-          "aggregate(slice(vs, 2, i - 1), element_at(vs, 1), " +
-          "(a, b) -> (3L * a + b) div 4))"))
-      tr.select(col("event_type"), explode(expr(
-          "transform(sequence(1, size(ds)), i -> struct(" +
-            "element_at(ds, i) AS d, element_at(vs, i) AS cents, " +
-            "element_at(es, i) AS ewma))")).as("u"))
-        .select(col("event_type"), col("u.d"), col("u.cents"), col("u.ewma"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents")))
         .orderBy("event_type", "d")
     },
 

@@ -417,6 +417,27 @@ object Streams {
           .as("n"))
   }
 
+  /** Streaming face of the EWMA baseline (q_ewma_daily): maintain the
+    * (event_type, day, cents) grid incrementally — additive fold, the
+    * [[foldDayTypeCounts]] shape — and derive the EWMA trajectory as a
+    * VIEW over the bounded grid via the shared batch kernel. Late or
+    * out-of-order cents are additive, so the grid converges to the batch
+    * grid whatever the trigger layout; the O(days²)-of-grid-rows re-fold
+    * per read is the price of a trunc-div recurrence with no closed form
+    * (q_ewma_daily's design note) and touches no corpus-sized state.
+    */
+  def foldDailyCents(grid: DataFrame, batch: DataFrame): DataFrame = {
+    val bc = batch
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    grid.withColumnRenamed("cents", "c_old")
+      .join(bc.withColumnRenamed("cents", "c_new"),
+        Seq("event_type", "d"), "full_outer")
+      .select(col("event_type"), col("d"),
+        (coalesce(col("c_old"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("cents"))
+  }
+
   /** Streaming face of the Naive Bayes classifier (q_naive_bayes_lang):
     * classify one trigger's document batch against the FROZEN model
     * frames (the nearDupCuration frozen-index shape — train offline,

@@ -637,6 +637,30 @@ class StreamingSpec extends SparkSpec {
       "streamed NB predictions diverged from batch scoring")
   }
 
+  test("streaming daily-cents grid yields the batch EWMA trajectory") {
+    // hash-dealt 3-trigger feed: cents fold additively into the grid;
+    // the EWMA view over the final grid must equal q_ewma_daily exactly
+    val events = loadEvents
+    val dealt  = events.sortBy(e => e.event_id * 2654435761L % 997)
+    val thirds = dealt.grouped((dealt.size + 2) / 3).toSeq
+    val ms = MemoryStream[Event](spark)
+    var grid = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, d DATE, cents BIGINT"))
+    val q = ms.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        grid = Streams.foldDailyCents(grid, batch).localCheckpoint()
+      }.start()
+    thirds.foreach { t => ms.addData(t); q.processAllAvailable() }
+    q.stop()
+    val streamed = ops.Advanced.ewmaFromDaily(grid)
+    val batch = SparkEntry.queries("q_ewma_daily")(spark, sfDir)
+    assert(streamed.except(batch).count() === 0 &&
+      batch.except(streamed).count() === 0,
+      "incrementally maintained EWMA diverged from the batch trajectory")
+  }
+
   test("streaming HLL registers equal the batch sketch, even under replay") {
     // same dealing as the drift test — hash order, 3 triggers — PLUS the
     // middle trigger fed TWICE: max-merge is idempotent, so a replayed
