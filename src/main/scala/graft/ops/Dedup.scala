@@ -460,6 +460,42 @@ object Dedup {
         .orderBy("deg")
     },
 
+    // Per-SOURCE duplication exposure — the near-dup graph joined back to
+    // provenance: for each source, how many of its documents participate
+    // in any qualifying near-dup pair, and the exact integer ratio in
+    // permille. The curation read: a source with dup_permille near 1000
+    // is redundant mass the domain-mix stage should down-weight before
+    // training (the q_source_mix knob, now with a measured input). One
+    // distinct over the pair endpoints + one doc-keyed join + one
+    // source-keyed aggregate — the corpus moves once; ratios are exact
+    // trunc-div integers.
+    Q("q_dup_ratio_by_source",
+      s"""$minhashPairsCtes, dup_t AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT d1 AS doc_id FROM pairs_t
+         |    UNION ALL SELECT d2 AS doc_id FROM pairs_t)
+         |)
+         |SELECT d.source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(dup_t.doc_id) AS BIGINT) AS n_dup,
+         |       CAST(count(dup_t.doc_id) AS BIGINT) * 1000
+         |         // CAST(count(*) AS BIGINT) AS dup_permille
+         |FROM documents d LEFT JOIN dup_t ON dup_t.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val p = minhashPairs(s, dir)
+      val dup = p.select(col("d1").as("doc_id"))
+        .union(p.select(col("d2").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+          expr("sum(coalesce(is_dup, 0L)) * 1000 div count(1)")
+            .as("dup_permille"))
+        .orderBy("source")
+    },
+
     // Incremental dedup-on-ingest: a new batch (every 10th doc) against
     // the index built from the REST of the corpus — no index×index work.
     // The oracle runs the full-corpus doc-level pipeline and restricts to
