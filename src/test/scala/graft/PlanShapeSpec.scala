@@ -126,8 +126,13 @@ class PlanShapeSpec extends SparkSpec {
     //     count (taxonomy cardinality) — the tfidf/unigram class.
     //   - q_knn_classify: embeds q_cosine_topk — the hints are the same
     //     structurally-capped probe batch (GlobalLimit asserted below).
-    //   - q_tfidf_cosine_pairs: the hinted side is the single-row
-    //     document-count aggregate — the tfidf/unigram class.
+    //   - q_tfidf_cosine_pairs: the broadcast-hinted side is the
+    //     single-row document-count aggregate — the tfidf/unigram class.
+    //     Also carries a SHUFFLE_HASH strategy hint on the postings
+    //     self-join: not a broadcast (both sides stay shuffle-partitioned
+    //     on the feature key; build side is Θ(postings/partitions) per
+    //     task), it only steers SMJ→hash to avoid the per-output-row
+    //     buffered re-scan on dense equal-key runs.
     //   - q_naive_bayes_lang: hinted sides are two single-row totals
     //     (vocab size / doc count) and the |classes|-row model frame —
     //     bounded by the label taxonomy, the q_drift_daily class.
