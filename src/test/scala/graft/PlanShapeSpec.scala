@@ -151,7 +151,12 @@ class PlanShapeSpec extends SparkSpec {
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
       "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
-      "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users")
+      "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users",
+      // SHUFFLE_HASH strategy hint only (no broadcast): the tiled band
+      // self-join — both sides stay shuffle-partitioned on
+      // (band, key, tile); the hint steers SMJ→hash to avoid the
+      // buffered equal-key re-scan on skewed de-thresholded buckets
+      "q_minhash_calibration")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
