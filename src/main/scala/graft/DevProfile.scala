@@ -19,14 +19,12 @@ object DevProfile {
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)"); r
     }
 
+    val names = if (args.length > 1) args(1).split(",").toSeq
+                else Seq("q_tfidf_cosine_pairs", "q_minhash_calibration")
     timed("warmup (unrelated query)")(
       ops.Relational.queries.head.build(spark, sfDir).count())
-    timed("q_tfidf_cosine_pairs r1")(
-      SparkEntry.queries("q_tfidf_cosine_pairs")(spark, sfDir).count())
-    timed("q_tfidf_cosine_pairs r2")(
-      SparkEntry.queries("q_tfidf_cosine_pairs")(spark, sfDir).count())
-    timed("q_tfidf_cosine_pairs r3")(
-      SparkEntry.queries("q_tfidf_cosine_pairs")(spark, sfDir).count())
+    for (n <- names; rep <- 1 to 2)
+      timed(s"$n r$rep")(SparkEntry.queries(n)(spark, sfDir).count())
     spark.stop()
   }
 }

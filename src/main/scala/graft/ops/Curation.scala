@@ -63,6 +63,9 @@ object Curation {
   /** Max documents any one domain may contribute (q_domain_caps). */
   final val DomainCap = 15L
 
+  /** Token budget the epoch scheduler allocates (q_epoch_schedule). */
+  final val EpochBudget = 500000L
+
   /** doc_id, n_tok, and the bucket id for the two-level prefix sum. Bucket
     * width derives from max(doc_id) (one 1-row agg job) so ids spread
     * evenly over [[Buckets]] contiguous ranges — contiguity is what makes
@@ -267,6 +270,45 @@ object Curation {
           row_number().over(byDomain).cast("long").as("rnk"))
         .withColumn("kept", col("rnk") <= DomainCap)
         .orderBy("doc_id")
+    },
+
+    // EPOCH SCHEDULE — the token-budget allocator that turns a temperature
+    // mix into concrete per-source repeat counts: given a total training
+    // budget of [[EpochBudget]] tokens, allocate proportionally to
+    // sqrt(available tokens) (the alpha = 0.5 temperature — same rationale
+    // as q_domain_mix_temp: sqrt is IEEE-correctly-rounded so both engines
+    // compute bit-identical weights, unlike pow), then express each
+    // source's allocation as an epoch count (ceil of allocation over
+    // availability — epochs > 1 means the source is oversampled/repeated,
+    // the data-constrained regime; < 1 means subsampled). All arithmetic
+    // after the one sqrt snap is exact int64: weights in micro units,
+    // allocations by trunc division, the ceil as (a + c - 1) div c.
+    // Scale shape: one corpus pass to per-source token counts, then the
+    // whole schedule lives on the |sources|-row frame.
+    Q("q_epoch_schedule",
+      s"""WITH tokc AS (
+         |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1),
+         |wt AS (
+         |  SELECT source, c,
+         |         CAST(round(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS w
+         |  FROM tokc),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM wt)
+         |SELECT source, c, w,
+         |       CAST($EpochBudget * w // sw AS BIGINT) AS alloc_toks,
+         |       CAST(($EpochBudget * w // sw + c - 1) // c AS BIGINT) AS epochs
+         |FROM wt CROSS JOIN tot ORDER BY source""".stripMargin) { (s, dir) =>
+      val tokc = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("c"))
+      val wt = tokc.select(col("source"), col("c"),
+        round(sqrt(col("c").cast("double")) * 1000000).cast("long").as("w"))
+      val tot = wt.agg(sum("w").as("sw")) // single-row total
+      wt.crossJoin(broadcast(tot))
+        .select(col("source"), col("c"), col("w"),
+          expr(s"$EpochBudget * w div sw").as("alloc_toks"),
+          expr(s"($EpochBudget * w div sw + c - 1) div c").as("epochs"))
+        .orderBy("source")
     }
   )
 }

@@ -496,6 +496,37 @@ object Dedup {
         .orderBy("source")
     },
 
+    // Cross-SOURCE contamination matrix — the near-dup graph aggregated to
+    // (source, source) cells: which sources mirror each other's content.
+    // The matrix answer feeds two curation moves: same-source cells with
+    // high counts are internal boilerplate (dedup within the source),
+    // off-diagonal cells are syndication/mirroring (keep ONE of the pair
+    // of sources, or dedup across them before mixing). Cell key is
+    // least/greatest-normalized so each unordered source pair lands in
+    // one cell. Scale shape: two doc-keyed joins attach provenance to the
+    // pair frame (Θ(pairs)), then one aggregate to the |sources|²-bounded
+    // matrix — the corpus itself never re-shuffles.
+    Q("q_neardup_cross_source",
+      s"""$minhashPairsCtes
+         |SELECT least(da.source, db.source) AS src1,
+         |       greatest(da.source, db.source) AS src2,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_cross
+         |FROM pairs_t p JOIN documents da ON da.doc_id = p.d1
+         |               JOIN documents db ON db.doc_id = p.d2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      minhashPairs(s, dir)
+        .join(docs.select(col("doc_id").as("d1"), col("source").as("sa")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("source").as("sb")), "d2")
+        .groupBy(least(col("sa"), col("sb")).as("src1"),
+          greatest(col("sa"), col("sb")).as("src2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("sa") =!= col("sb")).cast("long")).as("n_cross"))
+        .orderBy("src1", "src2")
+    },
+
     // Incremental dedup-on-ingest: a new batch (every 10th doc) against
     // the index built from the REST of the corpus — no index×index work.
     // The oracle runs the full-corpus doc-level pipeline and restricts to

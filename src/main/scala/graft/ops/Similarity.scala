@@ -38,6 +38,62 @@ object Similarity {
   final val NumPlanes = 6
   final val NumTables = 6
   final val Dim       = 64
+
+  /** Hamming radius for the multi-index binary search (q_hamming_mih). */
+  final val MihTau    = 15
+  /** Substring chunks the 64-bit sign code splits into (16 bits each). */
+  final val MihChunks = 4
+  /** Per-chunk probe radius: floor(tau / chunks) — the MIH pigeonhole. */
+  final val MihRadius = MihTau / MihChunks
+
+  /** All 16-bit masks of popcount ≤ [[MihRadius]] (697 at radius 3) — the
+    * per-chunk probe neighborhood, a model-state constant. Declared before
+    * `queries` (object-init order).
+    */
+  private val mihMasks: Seq[Long] =
+    (0 until 65536).filter(m => Integer.bitCount(m) <= MihRadius).map(_.toLong)
+
+  /** Sign codes of an (vec_id, embedding) frame as two 32-bit halves —
+    * split so no value ever sets bit 63 (DuckDB aggregates over a negative
+    * BIGINT promote to HUGEINT where Spark wraps; the integer-magnitude
+    * rule). Bit i of lo/hi is the sign of dimension i / i+32.
+    */
+  private[graft] def signCodes(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        "acc + IF(embedding[i] > 0, shiftleft(1L, i), 0L))").as("lo"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        "acc + IF(embedding[i + 32] > 0, shiftleft(1L, i), 0L))").as("hi"))
+
+  /** Multi-Index-Hashing exact Hamming range search over the sign codes of
+    * an explicit embeddings frame (see q_hamming_mih for the argument).
+    */
+  private[graft] def hammingMih(emb: DataFrame): DataFrame = {
+    val codes = signCodes(emb)
+    // chunk c = bits [c·16, c·16+16) of the concatenated sign sequence
+    val ch = codes.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${MihChunks - 1}), c -> " +
+        "shiftright(IF(c < 2, lo, hi), (c % 2) * 16) & 65535L)"))
+      .as(Seq("c", "key")))
+    val probes = ch
+      .select(col("vec_id").as("v1"), col("c"), col("key"),
+        explode(typedLit(mihMasks)).as("m"))
+      .select(col("v1"), col("c"), col("key").bitwiseXOR(col("m")).as("pkey"))
+    val cand = probes.join(
+        ch.select(col("vec_id").as("v2"), col("c"), col("key").as("pkey")),
+        Seq("c", "pkey"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    cand
+      .join(codes.select(col("vec_id").as("v1"),
+        col("lo").as("lo1"), col("hi").as("hi1")), "v1")
+      .join(codes.select(col("vec_id").as("v2"),
+        col("lo").as("lo2"), col("hi").as("hi2")), "v2")
+      .select(col("v1"), col("v2"),
+        expr("bit_count(lo1 ^ lo2) + bit_count(hi1 ^ hi2)")
+          .cast("int").as("ham"))
+      .filter(col("ham") <= MihTau)
+  }
   /** Buckets probed per hash table by the ANN query (query-directed). */
   final val AnnProbes = 4
   /** Partial-dot screen: dims scored in stage 1, shortlist = 1/ScreenDen. */
@@ -939,6 +995,43 @@ object Similarity {
 
     Q.noOracle("q_semdedup_cells") { (s, dir) =>
       semDedupCells(Tables.embeddings(s, dir)).orderBy("vec_id")
+    },
+
+    // Exact Hamming range search over SIGN-QUANTIZED embeddings via
+    // Multi-Index Hashing (Norouzi, Punjani & Fleet 2012): every vector's
+    // 64-bit sign code splits into [[MihChunks]] 16-bit substrings; a pair
+    // within total distance [[MihTau]] must, by pigeonhole, agree within
+    // floor(tau/chunks) = [[MihRadius]] on SOME substring, so enumerating
+    // each substring's radius-3 neighborhood (697 masks — a model-state
+    // literal) and equi-joining probed keys against indexed keys finds
+    // every qualifying pair; an exact popcount check then removes the
+    // false candidates. The ORACLE is the brute-force all-pairs scan —
+    // output equality per round IS the proof that the index misses
+    // nothing. Scale shape: Θ(n·masks·chunks) probe rows against an
+    // n·chunks-row index, both shuffle-partitioned on (chunk, key) —
+    // linear in the corpus where brute force is quadratic (the crossover
+    // sits near n ≈ 3k; the declared sf0.1 corpus is below it, the 100 TB
+    // target is 6 orders of magnitude past it). Codes are split lo/hi
+    // 32-bit halves so no value ever sets bit 63 (DuckDB sums would
+    // promote to HUGEINT where Spark wraps — the integer-magnitude rule).
+    Q("q_hamming_mih",
+      s"""WITH codes AS (
+         |  SELECT vec_id,
+         |         CAST(list_sum([CASE WHEN embedding[i+1] > 0
+         |                        THEN (1::BIGINT << i) ELSE 0 END
+         |                        for i in range(0, 32)]) AS BIGINT) AS lo,
+         |         CAST(list_sum([CASE WHEN embedding[i+33] > 0
+         |                        THEN (1::BIGINT << i) ELSE 0 END
+         |                        for i in range(0, 32)]) AS BIGINT) AS hi
+         |  FROM embeddings)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |       CAST(bit_count(xor(a.lo, b.lo))
+         |            + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS ham
+         |FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+         |      <= $MihTau
+         |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+      hammingMih(Tables.embeddings(s, dir)).orderBy("v1", "v2")
     },
 
     Q.noOracle("q_ann_lsh_topk")(annLshTopK),

@@ -533,4 +533,70 @@ class QueriesSpec extends SparkSpec {
     assert(joined.filter(abs(col("slope") - col("bslope")) > 1e-6).count() === 0,
       "exact-integer-sum slope must agree with the builtin to float tolerance")
   }
+
+  test("MIH hamming search equals brute force; adversarial chunk spread found") {
+    import ops.Similarity.{MihTau, hammingMih, signCodes}
+    // (a) equality vs driver-side brute force on the clustered fixture
+    val emb = clusteredEmbN(300)
+    val codes = signCodes(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val brute = (for {
+      i <- codes.indices; j <- (i + 1) until codes.length
+      d = java.lang.Long.bitCount(codes(i)._2 ^ codes(j)._2) +
+        java.lang.Long.bitCount(codes(i)._3 ^ codes(j)._3)
+      if d <= MihTau
+    } yield (codes(i)._1, codes(j)._1, d)).toSet
+    val got = hammingMih(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute, "MIH must find exactly the brute-force pair set")
+    assert(brute.nonEmpty, "fixture should produce at least one in-range pair")
+
+    // (b) the pigeonhole worst case: distance exactly MihTau spread 4/4/4/3
+    // over the four 16-bit chunks (every chunk at or one past the probe
+    // radius) must be FOUND; one more differing bit (4/4/4/4) must be gone
+    import spark.implicits._
+    def vec(flips: Seq[Int]): Array[Float] =
+      Array.tabulate(64)(i => if (flips.contains(i)) -1.0f else 1.0f)
+    val spread15 = Seq(0, 1, 2, 3, 16, 17, 18, 19, 32, 33, 34, 35, 48, 49, 50)
+    val planted = Seq(
+      (0L, vec(Nil)), (1L, vec(spread15)), (2L, vec(spread15 :+ 51))
+    ).toDF("vec_id", "embedding")
+    val pp = hammingMih(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pp.contains((0L, 1L, 15)), "4/4/4/3 spread at tau must be found")
+    assert(!pp.exists(p => p._1 == 0L && p._2 == 2L), "tau+1 must be excluded")
+  }
+
+  test("epoch schedule: allocations within budget, epochs are exact ceils") {
+    import ops.Curation.EpochBudget
+    val df = SparkEntry.queries("q_epoch_schedule")(spark, sfDir)
+    val rows = df.collect()
+    val tot = rows.map(_.getAs[Long]("alloc_toks")).sum
+    assert(tot <= EpochBudget, "trunc-div allocations can never exceed budget")
+    assert(tot >= EpochBudget - rows.length * rows.length,
+      "residue of trunc division stays below one unit per source per source")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("c"); val a = r.getAs[Long]("alloc_toks")
+      assert(r.getAs[Long]("epochs") === (a + c - 1) / c)
+    }
+    // sqrt temperature flattens: allocation shares are ordered with c but
+    // strictly less spread (max/min ratio shrinks)
+    val cs = rows.map(_.getAs[Long]("c").toDouble)
+    val as = rows.map(_.getAs[Long]("alloc_toks").toDouble)
+    assert(as.max / as.min <= cs.max / cs.min + 1e-9)
+  }
+
+  test("cross-source matrix partitions the near-dup pairs; diagonal is never cross") {
+    val m = SparkEntry.queries("q_neardup_cross_source")(spark, sfDir).collect()
+    val total = m.map(_.getAs[Long]("n_pairs")).sum
+    val pairs = ops.Dedup.minhashPairs(spark, sfDir).count()
+    assert(total === pairs, "matrix cells must partition the pair set")
+    m.foreach { r =>
+      val diag = r.getAs[String]("src1") == r.getAs[String]("src2")
+      val cross = r.getAs[Long]("n_cross")
+      if (diag) assert(cross === 0L)
+      else assert(cross === r.getAs[Long]("n_pairs"),
+        "off-diagonal cells contain only cross-source pairs")
+    }
+  }
 }
