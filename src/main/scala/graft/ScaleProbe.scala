@@ -360,6 +360,44 @@ object ScaleProbe {
         }
         vm.select(col("vec_id") +: cols: _*).count()
       }
+      // k-core peel at a grown near-dup graph: m disjoint copies of the
+      // corpus pair graph (ids shifted) — vertices, edges, and the core
+      // all grow ∝ m while K is scale-free (avg-degree-derived), so the
+      // fixed-round peel must track the data linearly; a super-linear
+      // round (lineage re-execution, global state) shows immediately.
+      timed("kcore_replicated") {
+        val p0 = graft.ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+          .localCheckpoint()
+        val pN = (0 until m).map(i => p0.select(
+          (col("d1") + lit(i.toLong * 10000000L)).as("d1"),
+          (col("d2") + lit(i.toLong * 10000000L)).as("d2")))
+          .reduce(_.union(_))
+        graft.ops.Graph.kCore(pN).count()
+      }
+      // content-defined chunking at m× documents (every 10th doc
+      // duplicates its predecessor as in tfidf_pairs_grown): the position
+      // scan is Θ(chars), the ownership pass one Θ(chunks) shuffle — both
+      // linear; dup mass grows ∝ m by construction
+      timed("cdc_chunks_grown") {
+        val docs = spark.range(m * 2000L).select(col("id").as("doc_id"),
+          expr(s"concat_ws(' ', transform(sequence(1, 40), j -> concat('w', " +
+            s"pmod((CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END) * 7919 " +
+            s"+ j * 101, ${m * 2400}))))").as("text"))
+        graft.ops.Dedup.contentChunks(docs).count()
+      }
+      // MIH hamming search at m× embeddings (fresh random-ish sign codes
+      // per replica): probe volume is Θ(n·masks·chunks), candidates grow
+      // with genuine near pairs only — wall time must stay near-linear
+      // where brute force would grow ∝ m²
+      timed("mih_grown") {
+        val e = Tables(spark, sfDir, "embeddings")
+        val eN = (0 until m).map(i => e.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          expr(s"transform(embedding, (x, k) -> " +
+            s"x + CAST(sin(vec_id * 131 + k * 17 + $i) * 0.05 AS FLOAT))")
+            .as("embedding"))).reduce(_.union(_))
+        graft.ops.Similarity.hammingMih(eN).count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

@@ -32,6 +32,12 @@ object Dedup {
   final val TauNum = 9
   final val TauDen = 10
 
+  /** Content-defined chunking: rolling gram width and boundary divisor
+    * (expected chunk length = [[ChunkDiv]] chars) — q_content_chunks.
+    */
+  final val ChunkW   = 8
+  final val ChunkDiv = 64
+
   // ---- Spark side ---------------------------------------------------------
 
   private def toks: Column  = split(col("text"), " ")
@@ -527,6 +533,54 @@ object Dedup {
         .orderBy("src1", "src2")
     },
 
+    // CONTENT-DEFINED CHUNKING dedup (the storage-dedup primitive behind
+    // rsync/LBFS/FastCDC, here CDC-lite: pure rolling-gram boundaries, no
+    // min/max clamp): a position p ends a chunk when the PolyHash of the
+    // W-char gram ending at p is ≡ 0 mod [[ChunkDiv]] — boundaries are
+    // CONTENT-anchored, so an insertion early in a document shifts only
+    // the chunk it lands in and every later chunk still dedups against
+    // the unshifted copy (the property fixed-width chunking lacks, and
+    // the reason CDC finds shared spans exact doc-hash dedup misses).
+    // Emits per-doc chunk counts and the duplicated mass: an occurrence
+    // is dup iff it is not the globally-first (min doc_id·2^20 + start;
+    // doc length < 2^20 documented) occurrence of its chunk hash.
+    // Scale shape: the position scan is a narrow Θ(chars) explode;
+    // boundary collection is per-doc bounded state (the winnowing class);
+    // the ownership pass is ONE content-hash-keyed shuffle of Θ(chunks)
+    // rows; per-doc aggregation keys on doc_id.
+    Q("q_content_chunks",
+      s"""WITH b AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |         list_sort(list_distinct(list_append(
+         |           [p for p in range($ChunkW, length(text) + 1)
+         |            if ${hashSql(s"substr(text, p - ${ChunkW - 1}, $ChunkW)")} % $ChunkDiv = 0],
+         |           length(text)))) AS ends
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, z[1] AS p, z[2] AS e
+         |  FROM (SELECT doc_id,
+         |          unnest(list_zip(list_prepend(0, ends[1:len(ends)-1]),
+         |                          ends)) AS z
+         |        FROM b) t),
+         |hashed AS (
+         |  SELECT doc_id, p + 1 AS cstart, e - p AS clen,
+         |         ${hashSql("substr(text, p + 1, e - p)")} AS chash
+         |  FROM ch JOIN documents USING (doc_id)),
+         |own AS (
+         |  SELECT chash, min(doc_id * 1048576 + cstart) AS first_key
+         |  FROM hashed GROUP BY chash)
+         |SELECT h.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(h.clen) AS BIGINT) AS n_ch,
+         |       CAST(sum(CASE WHEN h.doc_id * 1048576 + h.cstart <> o.first_key
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       CAST(sum(CASE WHEN h.doc_id * 1048576 + h.cstart <> o.first_key
+         |                THEN h.clen ELSE 0 END) AS BIGINT) AS dup_chars
+         |FROM hashed h JOIN own o USING (chash)
+         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+      contentChunks(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // Incremental dedup-on-ingest: a new batch (every 10th doc) against
     // the index built from the REST of the corpus — no index×index work.
     // The oracle runs the full-corpus doc-level pipeline and restricts to
@@ -746,6 +800,46 @@ object Dedup {
         .orderBy("sig_agree")
     }
   )
+
+  /** Content-defined chunking dedup over an explicit (doc_id, text) frame
+    * (the ScaleProbe entry point) — see q_content_chunks for semantics.
+    */
+  private[graft] def contentChunks(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val bounds = base.filter(col("n") >= ChunkW)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(ChunkW), col("n"))).as("p"))
+      .filter(poly_hash(expr(
+        s"substring(text, p - ${ChunkW - 1}, $ChunkW)")) % ChunkDiv === 0)
+      .groupBy("doc_id").agg(sort_array(collect_set("p")).as("bs"))
+    val ends = base.join(bounds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        array_sort(array_distinct(concat(
+          coalesce(col("bs"), array()),
+          array(col("n"))))).as("ends"))
+    val hashed = ends
+      .select(col("doc_id"), col("text"),
+        explode(arrays_zip(
+          concat(array(lit(0)), expr("slice(ends, 1, size(ends) - 1)"))
+            .as("p0"),
+          col("ends").as("e0"))).as("z"))
+      .select(col("doc_id"),
+        (col("z.p0") + 1).as("cstart"),
+        (col("z.e0") - col("z.p0")).as("clen"),
+        poly_hash(expr("substring(text, z.p0 + 1, z.e0 - z.p0)"))
+          .as("chash"))
+    val own = hashed.groupBy("chash")
+      .agg(min(col("doc_id") * 1048576 + col("cstart")).as("first_key"))
+    hashed.join(own, "chash")
+      .withColumn("isdup",
+        (col("doc_id") * 1048576 + col("cstart") =!= col("first_key"))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("clen").as("n_ch"),
+        sum("isdup").as("n_dup"),
+        sum(col("isdup") * col("clen")).as("dup_chars"))
+  }
 
   /** De-thresholded banded candidates at DOC level — every band collision
     * with its signature agreement and exact Jaccard, no size prefilter,

@@ -136,4 +136,35 @@ class GraphSpec extends SparkSpec {
     // orientation soundness: total triangle mass is divisible by 3
     assert(got.values.sum % 3 === 0)
   }
+
+  test("k-core: fixed-round peel reaches the true fixpoint; core degrees are >= K") {
+    import ops.Graph.{KcIters, kCore}
+    val pairs = ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+    val atR  = kCore(pairs, KcIters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val atR1 = kCore(pairs, KcIters + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the declared bound really is the fixpoint at this scale — a corpus
+    // regen that slows convergence past KcIters fails here, loudly
+    assert(atR.toSet === atR1.toSet,
+      s"peel did not converge by round $KcIters")
+    // core property: every survivor keeps >= K neighbors inside the core
+    atR.foreach { case (v, coreDeg, k) =>
+      assert(coreDeg >= k, s"vertex $v kept only $coreDeg < K=$k core edges")
+    }
+    // driver-side sequential peel (to TRUE convergence) agrees
+    val e = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    e.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val k = (2L * e.length) / (2L * adj.size)
+    var alive = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val next = alive.filter(v => adj(v).count(alive) >= k)
+      changed = next != alive; alive = next
+    }
+    assert(atR.map(_._1).toSet === alive,
+      "fixed-round distributed peel diverged from the sequential k-core")
+  }
 }

@@ -156,7 +156,13 @@ class PlanShapeSpec extends SparkSpec {
       // self-join — both sides stay shuffle-partitioned on
       // (band, key, tile); the hint steers SMJ→hash to avoid the
       // buffered equal-key re-scan on skewed de-thresholded buckets
-      "q_minhash_calibration")
+      "q_minhash_calibration",
+      // the hinted side is the single-row K threshold (Σdeg div 2V) —
+      // the pagerank single-row-total class
+      "q_kcore_neardup",
+      // the hinted side is the single-row weight total Σw over the
+      // |sources|-bounded frame — the q_domain_mix_temp class
+      "q_epoch_schedule")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
