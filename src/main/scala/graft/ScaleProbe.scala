@@ -385,16 +385,22 @@ object ScaleProbe {
             s"+ j * 101, ${m * 2400}))))").as("text"))
         graft.ops.Dedup.contentChunks(docs).count()
       }
-      // MIH hamming search at m× embeddings (fresh random-ish sign codes
-      // per replica): probe volume is Θ(n·masks·chunks), candidates grow
-      // with genuine near pairs only — wall time must stay near-linear
-      // where brute force would grow ∝ m²
+      // MIH hamming search at m× embeddings. Replicas past the first are
+      // DECORRELATED (unit-amplitude phase-shifted perturbation flips
+      // roughly half the signs), so true pairs stay within-replica and the
+      // output grows ∝ m — the first probe draft jittered replicas by only
+      // ±0.05, which kept every replica of a vector sign-identical and
+      // made the OUTPUT itself Θ(m²) (90k pairs at x10), measuring pair
+      // materialization rather than index scaling. Probe volume is
+      // Θ(n·masks·chunks); wall time must stay near-linear where brute
+      // force would grow ∝ m².
       timed("mih_grown") {
         val e = Tables(spark, sfDir, "embeddings")
         val eN = (0 until m).map(i => e.select(
           (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
           expr(s"transform(embedding, (x, k) -> " +
-            s"x + CAST(sin(vec_id * 131 + k * 17 + $i) * 0.05 AS FLOAT))")
+            s"x + CAST(sin(vec_id * 131 + k * 17 + $i * 7919) " +
+            s"* (CASE WHEN $i = 0 THEN 0.0 ELSE 1.0 END) AS FLOAT))")
             .as("embedding"))).reduce(_.union(_))
         graft.ops.Similarity.hammingMih(eN).count()
       }

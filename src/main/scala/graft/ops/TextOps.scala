@@ -14,6 +14,11 @@ import graft.functions.exprs.poly_hash
   */
 object TextOps {
 
+  /** Rank cap for the Zipf fit (q_zipf_slope) — also the int64 magnitude
+    * budget for the micro-snapped regression sums.
+    */
+  final val ZipfTopR = 256
+
   private val EnStops = Seq("the", "a", "of", "and", "to", "in", "is")
   private val EsStops = Seq("el", "la", "de", "y", "que", "los")
   private val DeStops = Seq("der", "die", "das", "und", "ist", "von")
@@ -362,6 +367,62 @@ object TextOps {
             / col("total"), 6).as("coverage"))
         .filter(col("rnk") <= 100)
         .orderBy("rnk")
+    },
+
+    // Per-source ZIPF rank-frequency slope — the corpus-statistics fit
+    // behind "does this source look like natural language": a least-
+    // squares regression of ln(freq) on ln(rank) over each source's
+    // top-[[ZipfTopR]] token ranks. Natural text sits near slope −1
+    // (Zipf 1949); near-0 slopes flag uniform/generated vocabularies,
+    // steeper-than−1 flags template spam with a few dominating tokens.
+    // Exactness: ln(rank)/ln(freq) snap to integer micro-nats on the
+    // |sources|×TopR-bounded model frame, sums are exact int64 (the
+    // TopR cap is the magnitude budget: 256 ranks × micro² products
+    // stay ≪ 2^63), and the one milli-slope multiply runs in
+    // decimal(38,0)/HUGEINT so the worst-case numerator×1000 cannot
+    // wrap. Scale: one corpus pass to (source, tok) counts, a window
+    // partitioned by source, then the schedule lives on the bounded
+    // frame.
+    Q("q_zipf_slope",
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+         |freq AS (
+         |  SELECT source, t, CAST(count(*) AS BIGINT) AS f
+         |  FROM tok GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT source, f,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY f DESC, t) AS r
+         |  FROM freq),
+         |snapped AS (
+         |  SELECT source,
+         |         CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         |         CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+         |  FROM ranked WHERE r <= $ZipfTopR)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |       CAST(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS HUGEINT)
+         |            * 1000
+         |            // (count(*) * sum(x * x) - sum(x) * sum(x))
+         |            AS BIGINT) AS slope_milli
+         |FROM snapped GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val freq = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy("source").orderBy(col("f").desc, col("t"))
+      val snapped = freq
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= ZipfTopR)
+        .select(col("source"),
+          round(log(col("r").cast("double")) * 1000000).cast("long").as("x"),
+          round(log(col("f").cast("double")) * 1000000).cast("long").as("y"))
+      snapped.groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("x") * col("y")).as("sxy"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n_types"),
+          expr("CAST((CAST(n_types * sxy - sx * sy AS DECIMAL(38,0)) * 1000)" +
+            " div (n_types * sxx - sx * sx) AS BIGINT)").as("slope_milli"))
+        .orderBy("source")
     },
 
     // Unigram-LM log-probability scoring — the perplexity-proxy quality
