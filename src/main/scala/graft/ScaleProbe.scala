@@ -385,24 +385,27 @@ object ScaleProbe {
             s"+ j * 101, ${m * 2400}))))").as("text"))
         graft.ops.Dedup.contentChunks(docs).count()
       }
-      // MIH hamming search at m× embeddings. Replicas past the first are
-      // DECORRELATED (unit-amplitude phase-shifted perturbation flips
-      // roughly half the signs), so true pairs stay within-replica and the
-      // output grows ∝ m — the first probe draft jittered replicas by only
-      // ±0.05, which kept every replica of a vector sign-identical and
-      // made the OUTPUT itself Θ(m²) (90k pairs at x10), measuring pair
-      // materialization rather than index scaling. Probe volume is
-      // Θ(n·masks·chunks); wall time must stay near-linear where brute
-      // force would grow ∝ m².
+      // MIH hamming search over a synthetic corpus whose CLUSTER COUNT
+      // scales with m (40·m clusters of constant ~50-member size): the
+      // same-cluster pair density — and with it the true Hamming-pair
+      // output — stays ∝ m, so the probe measures index scaling. Design
+      // notes from two rejected drafts: replicating the 10-label
+      // embeddings table makes the OUTPUT itself quadratic in m (39M
+      // pairs at x10 — ANY replication of a fixed cluster structure
+      // does); and sin-sequence cluster signatures alias in sign space
+      // (phase step 37 ≈ 5.9·2π/9 puts clusters 9 apart within a few
+      // Hamming bits → 31% of ALL pairs qualified). Cluster base signs
+      // therefore come from murmur3 hash(cluster, dim) — iid across
+      // clusters, so cross-cluster distance concentrates at ~32 of 64 —
+      // and the ±1.05·sin member noise flips ~10% of bits, spreading
+      // within-cluster pairs across the tau boundary. Probe volume is
+      // Θ(n·masks·chunks); brute force would grow ∝ m².
       timed("mih_grown") {
-        val e = Tables(spark, sfDir, "embeddings")
-        val eN = (0 until m).map(i => e.select(
-          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
-          expr(s"transform(embedding, (x, k) -> " +
-            s"x + CAST(sin(vec_id * 131 + k * 17 + $i * 7919) " +
-            s"* (CASE WHEN $i = 0 THEN 0.0 ELSE 1.0 END) AS FLOAT))")
-            .as("embedding"))).reduce(_.union(_))
-        graft.ops.Similarity.hammingMih(eN).count()
+        val emb = spark.range(m * 2000L).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, 63), k -> CAST(" +
+            s"(pmod(hash(pmod(id, ${m * 40}), k), 2) * 2 - 1) + " +
+            s"sin(id * 101 + k * 7) * 1.05 AS FLOAT))").as("embedding"))
+        graft.ops.Similarity.hammingMih(emb).count()
       }
     }
 

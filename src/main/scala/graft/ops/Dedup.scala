@@ -549,23 +549,7 @@ object Dedup {
     // the ownership pass is ONE content-hash-keyed shuffle of Θ(chunks)
     // rows; per-doc aggregation keys on doc_id.
     Q("q_content_chunks",
-      s"""WITH b AS (
-         |  SELECT doc_id, text, length(text) AS n,
-         |         list_sort(list_distinct(list_append(
-         |           [p for p in range($ChunkW, length(text) + 1)
-         |            if ${hashSql(s"substr(text, p - ${ChunkW - 1}, $ChunkW)")} % $ChunkDiv = 0],
-         |           length(text)))) AS ends
-         |  FROM documents),
-         |ch AS (
-         |  SELECT doc_id, z[1] AS p, z[2] AS e
-         |  FROM (SELECT doc_id,
-         |          unnest(list_zip(list_prepend(0, ends[1:len(ends)-1]),
-         |                          ends)) AS z
-         |        FROM b) t),
-         |hashed AS (
-         |  SELECT doc_id, p + 1 AS cstart, e - p AS clen,
-         |         ${hashSql("substr(text, p + 1, e - p)")} AS chash
-         |  FROM ch JOIN documents USING (doc_id)),
+      s"""$chunkCtes,
          |own AS (
          |  SELECT chash, min(doc_id * 1048576 + cstart) AS first_key
          |  FROM hashed GROUP BY chash)
@@ -579,6 +563,35 @@ object Dedup {
          |FROM hashed h JOIN own o USING (chash)
          |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
       contentChunks(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Dedup SAVINGS CURVE over the content-defined chunks: one row per
+    // chunk-popularity level n_occ with the hash count, the total mass
+    // those chunks occupy, and the mass a keep-one-copy dedup at that
+    // level reclaims ((n_occ − 1)·len per hash). The curve is the
+    // storage/compute trade answer — "dedup chunks seen ≥ k times" reads
+    // straight off it — and its tail (huge n_occ) is the boilerplate
+    // detector. Two keyed aggregates past the shared chunk frame:
+    // Θ(chunks) by content hash, then the bounded popularity histogram.
+    Q("q_dedup_savings_curve",
+      s"""$chunkCtes,
+         |freq AS (
+         |  SELECT chash, CAST(count(*) AS BIGINT) AS n_occ,
+         |         min(clen) AS clen
+         |  FROM hashed GROUP BY chash)
+         |SELECT n_occ,
+         |       CAST(count(*) AS BIGINT) AS n_hashes,
+         |       CAST(sum(n_occ * clen) AS BIGINT) AS total_chars,
+         |       CAST(sum((n_occ - 1) * clen) AS BIGINT) AS saved_chars
+         |FROM freq GROUP BY n_occ ORDER BY n_occ""".stripMargin) { (s, dir) =>
+      chunkFrame(Tables.documents(s, dir))
+        .groupBy("chash")
+        .agg(count(lit(1)).as("n_occ"), min("clen").as("clen"))
+        .groupBy("n_occ")
+        .agg(count(lit(1)).as("n_hashes"),
+          sum(col("n_occ") * col("clen")).as("total_chars"),
+          sum((col("n_occ") - 1) * col("clen")).as("saved_chars"))
+        .orderBy("n_occ")
     },
 
     // Incremental dedup-on-ingest: a new batch (every 10th doc) against
@@ -801,10 +814,32 @@ object Dedup {
     }
   )
 
-  /** Content-defined chunking dedup over an explicit (doc_id, text) frame
-    * (the ScaleProbe entry point) — see q_content_chunks for semantics.
+  /** Shared oracle CTE chain for the content-defined chunk frame
+    * (b → ch → hashed) — q_content_chunks / q_dedup_savings_curve.
     */
-  private[graft] def contentChunks(docs: DataFrame): DataFrame = {
+  private def chunkCtes: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |         list_sort(list_distinct(list_append(
+       |           [p for p in range($ChunkW, length(text) + 1)
+       |            if ${hashSql(s"substr(text, p - ${ChunkW - 1}, $ChunkW)")} % $ChunkDiv = 0],
+       |           length(text)))) AS ends
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, z[1] AS p, z[2] AS e
+       |  FROM (SELECT doc_id,
+       |          unnest(list_zip(list_prepend(0, ends[1:len(ends)-1]),
+       |                          ends)) AS z
+       |        FROM b) t),
+       |hashed AS (
+       |  SELECT doc_id, p + 1 AS cstart, e - p AS clen,
+       |         ${hashSql("substr(text, p + 1, e - p)")} AS chash
+       |  FROM ch JOIN documents USING (doc_id))""".stripMargin
+
+  /** The (doc_id, cstart, clen, chash) chunk frame behind
+    * q_content_chunks / q_dedup_savings_curve.
+    */
+  private[graft] def chunkFrame(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
     val bounds = base.filter(col("n") >= ChunkW)
@@ -829,6 +864,14 @@ object Dedup {
         (col("z.e0") - col("z.p0")).as("clen"),
         poly_hash(expr("substring(text, z.p0 + 1, z.e0 - z.p0)"))
           .as("chash"))
+    hashed
+  }
+
+  /** Content-defined chunking dedup per doc (the ScaleProbe entry point) —
+    * see q_content_chunks for semantics.
+    */
+  private[graft] def contentChunks(docs: DataFrame): DataFrame = {
+    val hashed = chunkFrame(docs)
     val own = hashed.groupBy("chash")
       .agg(min(col("doc_id") * 1048576 + col("cstart")).as("first_key"))
     hashed.join(own, "chash")

@@ -79,8 +79,16 @@ object Similarity {
       .select(col("vec_id").as("v1"), col("c"), col("key"),
         explode(typedLit(mihMasks)).as("m"))
       .select(col("v1"), col("c"), col("key").bitwiseXOR(col("m")).as("pkey"))
+    // SHUFFLE_HASH strategy hint (not a broadcast): the probe side is a
+    // 697-way explode whose size Catalyst underestimates — left to its
+    // stats, the planner may pick a BROADCAST join and collect the
+    // exploded frame to the driver (observed at ScaleProbe x50:
+    // maxResultSize abort at ~1 GB). Pinning a shuffled hash join keeps
+    // both sides partitioned on (chunk, key) at any scale; the index
+    // side builds Θ(rows/partitions) per task.
     val cand = probes.join(
-        ch.select(col("vec_id").as("v2"), col("c"), col("key").as("pkey")),
+        ch.select(col("vec_id").as("v2"), col("c"), col("key").as("pkey"))
+          .hint("SHUFFLE_HASH"),
         Seq("c", "pkey"))
       .filter(col("v1") < col("v2"))
       .select("v1", "v2").distinct()
@@ -1007,13 +1015,20 @@ object Similarity {
     // every qualifying pair; an exact popcount check then removes the
     // false candidates. The ORACLE is the brute-force all-pairs scan —
     // output equality per round IS the proof that the index misses
-    // nothing. Scale shape: Θ(n·masks·chunks) probe rows against an
-    // n·chunks-row index, both shuffle-partitioned on (chunk, key) —
-    // linear in the corpus where brute force is quadratic (the crossover
-    // sits near n ≈ 3k; the declared sf0.1 corpus is below it, the 100 TB
-    // target is 6 orders of magnitude past it). Codes are split lo/hi
-    // 32-bit halves so no value ever sets bit 63 (DuckDB sums would
-    // promote to HUGEINT where Spark wraps — the integer-magnitude rule).
+    // nothing. Scale shape, stated honestly: probe work is
+    // Θ(n·masks·chunks) (linear), but the CANDIDATE set has a background
+    // floor of Θ(n²·p) where p = P(some chunk within radius) — at these
+    // parameters (16-bit chunks, radius 3) p ≈ 4·1.06% for uncorrelated
+    // codes, a 24× constant-factor cut vs brute force (measured: 83.7k
+    // candidates vs 2.0M pairs at sf0.1), not asymptotic linearity.
+    // True near-linearity needs the background collision rate driven
+    // down by parameter choice — longer codes from more dims, more and
+    // longer chunks (p halves per extra chunk bit) — which is exactly
+    // how production MIH deployments (Norouzi et al. run 128-bit codes)
+    // size the index; the operator exposes those as [[MihChunks]]/
+    // [[MihTau]]. Codes are split lo/hi 32-bit halves so no value ever
+    // sets bit 63 (DuckDB sums would promote to HUGEINT where Spark
+    // wraps — the integer-magnitude rule).
     Q("q_hamming_mih",
       s"""WITH codes AS (
          |  SELECT vec_id,

@@ -162,7 +162,13 @@ class PlanShapeSpec extends SparkSpec {
       "q_kcore_neardup",
       // the hinted side is the single-row weight total Σw over the
       // |sources|-bounded frame — the q_domain_mix_temp class
-      "q_epoch_schedule")
+      "q_epoch_schedule",
+      // SHUFFLE_HASH strategy hint only (no broadcast): the 697-way
+      // probe explode's size is underestimated by Catalyst stats, and a
+      // stats-driven broadcast would collect the exploded frame to the
+      // driver (observed maxResultSize abort at ScaleProbe x50) — the
+      // hint pins the candidate join to shuffle-partitioned hash
+      "q_hamming_mih")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
