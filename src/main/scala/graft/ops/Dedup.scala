@@ -884,6 +884,33 @@ object Dedup {
         sum(col("isdup") * col("clen")).as("dup_chars"))
   }
 
+  /** Ingest-time chunk NOVELTY against a frozen chunk-hash index (the
+    * distinct `chash` set of the indexed corpus): per incoming doc, its
+    * content-defined chunks joined against the index — n_known chunks /
+    * known_chars already present, novelty in exact permille of chars.
+    * The CDC value proposition at ingest: a re-upload scores 0 novelty,
+    * a doc that PASTES half an indexed doc around fresh text scores
+    * partial novelty — the case whole-doc hashing misclassifies as fully
+    * novel. Decisions depend only on (doc, frozen index), never batch
+    * peers or arrival order, so batch ≡ stream by construction
+    * ([[graft.streaming.Streams.chunkNoveltyIngest]]; StreamingSpec
+    * asserts equality). Scale: Θ(batch chunks) probe rows against the
+    * chash-keyed index join — the stream-static join shape.
+    */
+  private[graft] def chunkNovelty(index: DataFrame, docs: DataFrame): DataFrame = {
+    val known = index.select(col("chash")).distinct()
+      .withColumn("is_known", lit(1L))
+    chunkFrame(docs)
+      .join(known, Seq("chash"), "left")
+      .withColumn("k", coalesce(col("is_known"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("k").as("n_known"),
+        sum("clen").as("n_ch"),
+        sum(col("k") * col("clen")).as("known_chars"))
+      .withColumn("novelty_permille",
+        expr("(n_ch - known_chars) * 1000 div n_ch"))
+  }
+
   /** De-thresholded banded candidates at DOC level — every band collision
     * with its signature agreement and exact Jaccard, no size prefilter,
     * no agreement floor, no τ cut — the calibration surface behind

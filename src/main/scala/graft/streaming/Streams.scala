@@ -180,6 +180,24 @@ object Streams {
         write(graft.ops.Similarity.semDedupIngestFilter(index, cents, batch.toDF()))
       }.start()
 
+  /** Ingest-time chunk-level NOVELTY scoring against a frozen chunk-hash
+    * index — the content-defined-chunking twin of [[nearDupCuration]]:
+    * per micro-batch, each incoming doc's CDC chunks join the external
+    * index and the doc gets an exact permille novelty score (a re-upload
+    * scores 0; a doc pasting an indexed half around fresh text scores
+    * partially — the case whole-doc hashing misclassifies). foreachBatch
+    * for the family's shared reason: the per-trigger work is ordinary
+    * batch ops against external state. Batch ≡ stream by construction —
+    * scores depend only on (doc, frozen index) (StreamingSpec asserts
+    * equality across triggers). State: none — the index is external.
+    */
+  def chunkNoveltyIngest(index: DataFrame, docs: DataFrame)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        write(graft.ops.Dedup.chunkNovelty(index, batch.toDF()))
+      }.start()
+
   /** Exactly-once-per-id dedup bounded by the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     if (events.isStreaming)

@@ -390,6 +390,48 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept === Set(9002L, 9004L), s"expected fresh docs only: $batchKept")
   }
 
+  test("streaming chunk novelty against a frozen chunk index equals the batch scorer") {
+    // index = the corpus's CDC chunk hashes; the feed carries a verbatim
+    // re-upload (novelty 0), a fresh doc (novelty 1000), and the case
+    // whole-doc hashing misclassifies: an indexed doc's text pasted
+    // before fresh text (strictly partial novelty)
+    val docsTable = Tables.documents(spark, sfDir)
+    val index = graft.ops.Dedup.chunkFrame(docsTable).select("chash").cache()
+    try {
+      val srcTexts = docsTable.orderBy("doc_id").limit(2)
+        .select("text").collect().map(_.getString(0))
+      val freshTail = "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg " * 4
+      val feed = Seq(
+        StreamingSpec.Doc(9101L, srcTexts(0), ts(1)),              // re-upload
+        StreamingSpec.Doc(9102L, freshTail, ts(2)),                // fresh
+        StreamingSpec.Doc(9103L, srcTexts(1) + " " + freshTail, ts(3))) // hybrid
+      val ms = MemoryStream[StreamingSpec.Doc](spark)
+      val got = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      val q = Streams.chunkNoveltyIngest(index, ms.toDF()) { scored =>
+        got.synchronized {
+          scored.select("doc_id", "n_known", "novelty_permille").collect()
+            .foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+        }
+      }
+      ms.addData(feed(0), feed(1))
+      q.processAllAvailable()
+      ms.addData(feed(2))
+      q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      val batch = graft.ops.Dedup.chunkNovelty(index, feed.toDF())
+        .select("doc_id", "n_known", "novelty_permille").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.toMap === batch, s"stream $got != batch $batch")
+      assert(batch(9101L)._2 === 0L, s"re-upload must score 0: $batch")
+      // the hybrid: strictly between 0 and the fresh doc's score — the
+      // pasted indexed half still dedups chunk-by-chunk
+      assert(batch(9103L)._2 > 0L && batch(9103L)._2 < batch(9102L)._2,
+        s"hybrid must score partial novelty: $batch")
+      assert(batch(9103L)._1 > 0L, "hybrid must have known chunks")
+    } finally index.unpersist()
+  }
+
   test("streaming SemDeDup against frozen cells equals the batch filter on an out-of-order feed") {
     // frozen index: the real embedding corpus stamped with learned cells;
     // the stream carries SCALED re-uploads of indexed vectors (cosine
