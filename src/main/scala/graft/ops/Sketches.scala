@@ -318,8 +318,63 @@ object Sketches {
         .select(col("j"), col("est"), col("exact"),
           (col("est") - col("exact")).as("overcount"))
         .orderBy("j")
+    },
+
+    // Bottom-k QUANTILE sketch (coordinated sampling, Cohen & Kaplan
+    // 2007): the k rows with the smallest deterministic PolyHash of
+    // their unique id form an order-free, MERGEABLE uniform sample per
+    // group (min-k of a fixed hash commutes — any partitioning, any
+    // merge order, same sample), and the sample's order statistics
+    // estimate the group's quantiles with O(1/√k) rank error. Unlike
+    // KLL/MRL compaction — whose result depends on arrival order — the
+    // bottom-k sample is a pure function of the data MULTISET, which is
+    // what makes this the rare quantile sketch the DuckDB oracle can
+    // reproduce CELL-EXACTLY (same hash, same selection, same
+    // estimator; SketchesSpec gates the rank error vs exact quantiles
+    // on top). Values snap to integer micros before selection (the
+    // integer-cents rule). Scale: the per-group rank is a partitioned
+    // window; per-group state is the k-row sample (bounded model
+    // state); a pathological mega-group is the TopKAgg partial-
+    // aggregator escape hatch, the q_domain_caps note.
+    Q("q_bottomk_quantiles",
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v,
+         |         ${Dedup.hashSql("CAST(event_id AS VARCHAR)")} AS hk,
+         |         event_id
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, v,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY hk, event_id) AS rn
+         |  FROM h),
+         |smp AS (
+         |  SELECT event_type, list_sort(list(v)) AS s,
+         |         CAST(count(*) AS BIGINT) AS k
+         |  FROM r WHERE rn <= $BkK GROUP BY event_type)
+         |SELECT event_type, k,
+         |       s[CAST(ceil(0.5 * k) AS BIGINT)] AS est_p50,
+         |       s[CAST(ceil(0.9 * k) AS BIGINT)] AS est_p90,
+         |       s[CAST(ceil(0.99 * k) AS BIGINT)] AS est_p99
+         |FROM smp ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 1000000).cast("long").as("v"),
+        poly_hash(col("event_id").cast("string")).as("hk"), col("event_id"))
+      val w = Window.partitionBy("event_type").orderBy("hk", "event_id")
+      h.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= BkK)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list("v")).as("s"), count(lit(1)).as("k"))
+        .select(col("event_type"), col("k"),
+          expr("s[CAST(ceil(0.5 * k) AS INT) - 1]").as("est_p50"),
+          expr("s[CAST(ceil(0.9 * k) AS INT) - 1]").as("est_p90"),
+          expr("s[CAST(ceil(0.99 * k) AS INT) - 1]").as("est_p99"))
+        .orderBy("event_type")
     }
   )
+
+  /** Bottom-k sample size per group (q_bottomk_quantiles). */
+  final val BkK = 256
 
   /** Projection width and input embedding width. */
   final val ProjDim = 16

@@ -181,4 +181,37 @@ class SketchesSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.01 && r < 10.0),
       s"extreme JL ratio: min ${ratios.min}, max ${ratios.max}")
   }
+
+  test("bottom-k quantile sketch: exact when k covers the group, rank error within 3/sqrt(k) when it samples") {
+    import org.apache.spark.sql.functions._
+    val k = ops.Sketches.BkK
+    def rankErrors(dir: String): Seq[(String, Double, Double)] = {
+      val est = SparkEntry.queries("q_bottomk_quantiles")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+        .toMap
+      val vals = Tables.events(spark, dir)
+        .select(col("event_type"), round(col("value") * 1e6).cast("long").as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+      vals.toSeq.map { case (t, sorted) =>
+        val n = sorted.length
+        val (kk, p50, p99) = est(t)
+        def rankOf(v: Long): Double = sorted.count(_ <= v).toDouble / n
+        if (kk < n) (t, math.abs(rankOf(p50) - 0.5), math.abs(rankOf(p99) - 0.99))
+        else {
+          // sample covers the whole group -> the estimator IS quantile_disc
+          assert(p50 === sorted((math.ceil(0.5 * n) - 1).toInt),
+            s"$t: full-coverage p50 must be exact")
+          (t, 0.0, 0.0)
+        }
+      }
+    }
+    val bound = 3.0 / math.sqrt(k) // ~0.19 at k=256
+    for ((t, e50, e99) <- rankErrors("/root/testdata/sf0.01")) {
+      assert(e50 <= bound, s"$t p50 rank error $e50 > $bound")
+      assert(e99 <= bound, s"$t p99 rank error $e99 > $bound")
+    }
+    // sf0.001 groups are ~200 rows < k: full coverage, asserted exact inside
+    rankErrors(TestSpark.sf0001)
+  }
 }
