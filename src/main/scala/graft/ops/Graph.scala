@@ -223,6 +223,54 @@ object Graph {
         .orderBy("doc_id")
     },
 
+    // Local CLUSTERING COEFFICIENT per vertex (Watts & Strogatz 1998):
+    // 2·triangles / (deg·(deg−1)), in exact integer permille — rides the
+    // degree-ordered triangle machinery above, adding only the ratio.
+    // The curation read sharpens the triangle one: coefficient ≈ 1000
+    // says the neighborhood is a CLIQUE (one boilerplate blob — keep one
+    // exemplar), high degree with LOW coefficient says hub-like template
+    // reuse across unrelated docs (drop the template, keep the docs).
+    Q("q_clustering_coeff",
+      s"""CREATE OR REPLACE TEMP TABLE cc2_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE cc2_deg AS
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT d1 AS v FROM cc2_pairs
+         |    UNION ALL SELECT d2 AS v FROM cc2_pairs)
+         |  GROUP BY v;
+         |CREATE OR REPLACE TEMP TABLE cc2_o AS
+         |  SELECT CASE WHEN (a.deg, p.d1) < (b.deg, p.d2)
+         |              THEN p.d1 ELSE p.d2 END AS src,
+         |         CASE WHEN (a.deg, p.d1) < (b.deg, p.d2)
+         |              THEN p.d2 ELSE p.d1 END AS dst
+         |  FROM cc2_pairs p JOIN cc2_deg a ON a.v = p.d1
+         |                   JOIN cc2_deg b ON b.v = p.d2;
+         |CREATE OR REPLACE TEMP TABLE cc2_t AS
+         |  SELECT w1.src AS apex, w1.dst AS x, w2.dst AS y
+         |  FROM cc2_o w1 JOIN cc2_o w2
+         |    ON w1.src = w2.src AND w1.dst < w2.dst
+         |  JOIN cc2_o c
+         |    ON least(c.src, c.dst) = w1.dst
+         |   AND greatest(c.src, c.dst) = w2.dst;
+         |SELECT d.v AS doc_id, d.deg,
+         |       CAST(coalesce(t.n, 0) AS BIGINT) AS n_tri,
+         |       CAST(CASE WHEN d.deg >= 2
+         |            THEN coalesce(t.n, 0) * 2000 // (d.deg * (d.deg - 1))
+         |            ELSE 0 END AS BIGINT) AS coeff_permille
+         |FROM cc2_deg d LEFT JOIN (
+         |  SELECT v, count(*) AS n FROM (
+         |    SELECT unnest([apex, x, y]) AS v FROM cc2_t) GROUP BY v) t
+         |ON t.v = d.v
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      triangleCounts(Dedup.minhashPairs(s, dir).select("d1", "d2"))
+        .select(col("doc_id"), col("deg"), col("n_tri"),
+          when(col("deg") >= 2,
+            expr("n_tri * 2000 div (deg * (deg - 1))"))
+            .otherwise(lit(0L)).as("coeff_permille"))
+        .orderBy("doc_id")
+    },
+
     // k-CORE of the near-dup graph (Seidman 1983; distributed peel à la
     // Montresor et al.): repeatedly remove vertices with fewer than K
     // neighbors among the survivors. The core that remains is the
