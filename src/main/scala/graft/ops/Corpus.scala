@@ -257,9 +257,31 @@ object Corpus {
         .orderBy(col("n").desc, col("sh")).limit(20)
     },
 
-    // Near-dup connected components (iterative — not SQL-expressible in
-    // one statement → rows-only check; properties asserted in CorpusSpec).
-    Q.noOracle("q_dedup_components") { (s, dir) =>
+    // Near-dup connected components — ORACLE-CHECKED as of round 7: the
+    // CC fixpoint (keeper = min doc id of the component) is a pure
+    // function of the graph, not of the iteration schedule, so the
+    // engine's pointer-jumping loop and a plain min-label-propagation
+    // script must land on the SAME table once both converge. The oracle
+    // unrolls [[CcOracleIters]] propagation rounds in temp tables (the
+    // PageRank/k-core script pattern); the measured doc-graph diameter
+    // is ≤ 7 at every shipped scale and CorpusSpec asserts round
+    // [[CcOracleIters]] = round [[CcOracleIters]]+1 on the live corpus,
+    // so a regen that stretches the diameter past the unroll fails
+    // loudly rather than silently.
+    Q("q_dedup_components",
+      s"""CREATE OR REPLACE TEMP TABLE ccx_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE ccx_e AS
+         |  SELECT d1 AS v, d2 AS w FROM ccx_pairs
+         |  UNION ALL
+         |  SELECT d2 AS v, d1 AS w FROM ccx_pairs;
+         |CREATE OR REPLACE TEMP TABLE ccx_l0 AS
+         |  SELECT doc_id AS v, doc_id AS lbl FROM documents;
+         |${(1 to CcOracleIters).map(i =>
+             ccRoundSql(s"ccx_l${i - 1}", s"ccx_l$i")).mkString("\n")}
+         |SELECT v AS doc_id, lbl AS keeper FROM ccx_l$CcOracleIters
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       nearDupComponents(s, dir).orderBy("doc_id")
     },
 
@@ -268,4 +290,19 @@ object Corpus {
       trainingCorpus(s, dir).orderBy("doc_id")
     }
   )
+
+  /** Unrolled oracle rounds for the CC script (q_dedup_components). The
+    * measured doc-graph diameter is ≤ 7 at every shipped scale; 10 leaves
+    * margin, and CorpusSpec asserts the fixpoint at this bound.
+    */
+  final val CcOracleIters = 10
+
+  /** One unrolled min-label propagation round as a temp-table statement. */
+  private def ccRoundSql(prev: String, k: String): String =
+    s"""CREATE OR REPLACE TEMP TABLE $k AS
+       |  SELECT l.v, least(l.lbl, coalesce(m.nmin, l.lbl)) AS lbl
+       |  FROM $prev l LEFT JOIN (
+       |    SELECT e.w AS v, min(x.lbl) AS nmin
+       |    FROM ccx_e e JOIN $prev x ON x.v = e.v GROUP BY e.w) m
+       |  ON m.v = l.v;""".stripMargin
 }

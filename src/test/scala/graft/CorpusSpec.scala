@@ -97,4 +97,27 @@ class CorpusSpec extends SparkSpec {
     assert(out.head._3 === va.intersect(vb).size.toLong)
     assert(out.head._4 === va.union(vb).size.toLong)
   }
+
+  test("CC oracle unroll bound: min-label propagation is at fixpoint by CcOracleIters") {
+    // the q_dedup_components oracle unrolls CcOracleIters plain
+    // propagation rounds; the engine's pointer jumping converges fully.
+    // Equality of the two therefore requires the doc-graph diameter to be
+    // within the unroll — assert it directly, so a corpus regen that
+    // stretches the diameter fails loudly here rather than as an opaque
+    // oracle hash mismatch
+    val pairs = ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+    def lbl(iters: Int): Map[Long, Long] =
+      ops.Graph.labelProp(pairs, iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val atBound = lbl(ops.Corpus.CcOracleIters)
+    assert(atBound === lbl(ops.Corpus.CcOracleIters + 1),
+      s"doc graph diameter exceeds the ${ops.Corpus.CcOracleIters}-round oracle unroll")
+    // and the fixpoint agrees with the engine's pointer-jumping keepers
+    // on the docs the pair graph touches (singletons self-label in both)
+    val keepers = ops.Corpus.nearDupComponents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    atBound.foreach { case (v, l) =>
+      assert(keepers(v) === l, s"doc $v: propagation $l vs keeper ${keepers(v)}")
+    }
+  }
 }
