@@ -285,8 +285,47 @@ object Corpus {
       nearDupComponents(s, dir).orderBy("doc_id")
     },
 
-    // The composed training-corpus pipeline (rows-only).
-    Q.noOracle("q_training_corpus") { (s, dir) =>
+    // The composed training-corpus pipeline — ORACLE-CHECKED as of the
+    // round-7 close: every stage now has a SQL twin (language + stop-
+    // density + C4/Gopher gates from the q_quality_gates shape, component
+    // keepers from the unrolled CC script above, representative selection
+    // a grouped min, PII redaction the q_pii_redact regexes), so the
+    // whole composition runs as one multi-statement script and the
+    // emitted corpus — ids, lang, REDACTED text, recomputed lengths —
+    // hash-matches cell-for-cell. Same ccx_ table prefix as
+    // q_dedup_components: each script creates its tables first, so
+    // sharing a driver connection is safe (CREATE OR REPLACE).
+    Q("q_training_corpus",
+      s"""CREATE OR REPLACE TEMP TABLE ccx_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE ccx_e AS
+         |  SELECT d1 AS v, d2 AS w FROM ccx_pairs
+         |  UNION ALL
+         |  SELECT d2 AS v, d1 AS w FROM ccx_pairs;
+         |CREATE OR REPLACE TEMP TABLE ccx_l0 AS
+         |  SELECT doc_id AS v, doc_id AS lbl FROM documents;
+         |${(1 to CcOracleIters).map(i =>
+             ccRoundSql(s"ccx_l${i - 1}", s"ccx_l$i")).mkString("\n")}
+         |CREATE OR REPLACE TEMP TABLE ccx_filtered AS
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE lang = 'en'
+         |    AND (${TextOps.enHitsSql}
+         |         / CAST(len(string_split(text, ' ')) AS INTEGER)) >= 0.05
+         |    AND ${TextOps.qualityKeepSql};
+         |CREATE OR REPLACE TEMP TABLE ccx_reps AS
+         |  SELECT min(f.doc_id) AS doc_id
+         |  FROM ccx_filtered f JOIN ccx_l$CcOracleIters c ON c.v = f.doc_id
+         |  GROUP BY c.lbl;
+         |SELECT f.doc_id, f.lang,
+         |  CAST(length(regexp_replace(regexp_replace(f.text,
+         |    '${TextOps.PiiEmail}', '<EMAIL>', 'g'),
+         |    '${TextOps.PiiPhone}', '<PHONE>', 'g')) AS INTEGER) AS n_chars,
+         |  regexp_replace(regexp_replace(f.text,
+         |    '${TextOps.PiiEmail}', '<EMAIL>', 'g'),
+         |    '${TextOps.PiiPhone}', '<PHONE>', 'g') AS text
+         |FROM ccx_filtered f JOIN ccx_reps USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
       trainingCorpus(s, dir).orderBy("doc_id")
     }
   )

@@ -28,8 +28,8 @@ object TextOps {
 
   // PII patterns, restricted to the RE2 ∩ java.util.regex common subset
   // (no backrefs, no lookaround) so DuckDB and Spark compile identically.
-  private val PiiEmail = "[a-z0-9]+@[a-z]+\\.[a-z]+"
-  private val PiiPhone = "555-[0-9]{4}"
+  private[ops] val PiiEmail = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private[ops] val PiiPhone = "555-[0-9]{4}"
 
   /** Conjunctive C4/Gopher keep gate over a text column — the single
     * source of truth shared by q_quality_gates and the streaming curation
@@ -70,6 +70,8 @@ object TextOps {
 
   /** English stopword occurrence count (shared with the corpus pipeline). */
   def enStopHits(toks: Column): Column = hits(toks, EnStops)
+  /** Its DuckDB twin over a column named `text` (corpus-pipeline oracle). */
+  private[ops] def enHitsSql: String = hitsSql(EnStops)
   private def hitsSql(stops: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopsSql(stops)}, t))) AS INTEGER)"
 
