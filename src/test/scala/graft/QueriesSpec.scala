@@ -586,6 +586,49 @@ class QueriesSpec extends SparkSpec {
     assert(as.max / as.min <= cs.max / cs.min + 1e-9)
   }
 
+  test("CDC chunks tile each doc exactly; boundaries re-anchor after an insertion") {
+    import spark.implicits._
+    // (a) tiling: per doc, chunks are contiguous, start at 1, end at len
+    val docs = Tables.documents(spark, sfDir)
+    val lens = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    def num(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+      case l: Long => l; case n: Int => n.toLong
+    }
+    val chunks = ops.Dedup.chunkFrame(docs).collect()
+      .map(r => (num(r, 0), num(r, 1), num(r, 2)))
+      .groupBy(_._1).map { case (d, cs) => d -> cs.sortBy(_._2) }
+    assert(chunks.keySet === lens.keySet)
+    chunks.foreach { case (d, cs) =>
+      assert(cs.head._2 === 1L, s"doc $d first chunk must start at 1")
+      cs.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) =>
+          assert(s2 === s1 + l1, s"doc $d chunks must be contiguous")
+        case _ =>
+      }
+      assert(cs.last._2 + cs.last._3 - 1 === lens(d).toLong,
+        s"doc $d chunks must cover the text")
+    }
+    // (b) the rsync property the operator exists for: prepend a prefix to
+    // a doc — every original chunk from the second onward reappears
+    // verbatim in the shifted copy (boundaries re-anchor on content)
+    val base = docs.orderBy("doc_id").limit(1)
+      .select("text").collect().head.getString(0)
+    val two = Seq((0L, base), (1L, "inserted preamble text here " + base))
+      .toDF("doc_id", "text")
+    val ch2 = ops.Dedup.chunkFrame(two).collect()
+      .map(r => (num(r, 0), num(r, 1), num(r, 3)))
+      .groupBy(_._1).map { case (d, cs) => d -> cs.sortBy(_._2).map(_._3).toSeq }
+    val orig = ch2(0L); val shifted = ch2(1L)
+    assert(orig.size >= 3, "fixture doc should chunk into several pieces")
+    val tail = orig.drop(1)
+    // subsequence check: tail of original chunk hashes appears in order
+    var i = 0
+    shifted.foreach { h => if (i < tail.size && h == tail(i)) i += 1 }
+    assert(i === tail.size,
+      s"after an insertion, ${tail.size - i} of ${tail.size} content-anchored chunks failed to re-anchor")
+  }
+
   test("cross-source matrix partitions the near-dup pairs; diagonal is never cross") {
     val m = SparkEntry.queries("q_neardup_cross_source")(spark, sfDir).collect()
     val total = m.map(_.getAs[Long]("n_pairs")).sum
