@@ -629,6 +629,41 @@ class QueriesSpec extends SparkSpec {
       s"after an insertion, ${tail.size - i} of ${tail.size} content-anchored chunks failed to re-anchor")
   }
 
+  test("zipf slope equals a sequential reference; a planted power law reads -1") {
+    // (a) the distributed pipeline vs an independent driver-side
+    // recompute of the same snapped regression over the real corpus
+    val got = SparkEntry.queries("q_zipf_slope")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val freqs = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("f")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    def slopeOf(rf: Seq[(Long, Long)]): (Long, Long) = {
+      // rf = (rank, freq) sorted by rank, capped
+      val xy = rf.map { case (r, f) =>
+        (math.round(math.log(r.toDouble) * 1e6), math.round(math.log(f.toDouble) * 1e6))
+      }
+      val n = xy.size.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
+      val numer = BigInt(n) * sxy - BigInt(sx) * sy
+      val denom = BigInt(n) * sxx - BigInt(sx) * sx
+      (n, (numer * 1000 / denom).toLong)
+    }
+    freqs.foreach { case (src, rows) =>
+      val ranked = rows.sortBy(r => (-r._3, r._2)).zipWithIndex
+        .map { case ((_, _, f), i) => ((i + 1).toLong, f) }
+        .take(ops.TextOps.ZipfTopR).toSeq
+      assert(got(src) === slopeOf(ranked), s"source $src slope mismatch")
+    }
+    // (b) semantic gate on a planted exact power law: f(r) = C div r over
+    // 64 ranks through the same arithmetic must read ~-1000 milli
+    val planted = (1L to 64L).map(r => (r, 100000L / r))
+    val (_, s) = slopeOf(planted)
+    assert(s <= -950 && s >= -1050, s"planted Zipf law read $s milli, want ~-1000")
+  }
+
   test("cross-source matrix partitions the near-dup pairs; diagonal is never cross") {
     val m = SparkEntry.queries("q_neardup_cross_source")(spark, sfDir).collect()
     val total = m.map(_.getAs[Long]("n_pairs")).sum
