@@ -195,7 +195,11 @@ object Corpus {
         |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
       val t = Tables.documents(s, dir)
         .select(col("source"), split(col("text"), " ").as("ts"))
-      val sv = t.select(col("source"), explode(expr(
+      // size(ts) >= 2 guard (as in LM.nbFeatures): sequence(0, size-2) on a
+      // 1-token doc is the DESCENDING [0, -1], whose null bigrams would
+      // survive explode+distinct while the oracle's range(1, len) is empty.
+      val sv = t.filter(size(col("ts")) >= 2)
+        .select(col("source"), explode(expr(
           "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
           .as("f"))
         .distinct()

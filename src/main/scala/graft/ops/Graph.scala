@@ -296,7 +296,7 @@ object Graph {
          |  UNION ALL
          |  SELECT d2 AS v, d1 AS w FROM kc_pairs;
          |CREATE OR REPLACE TEMP TABLE kc_k AS
-         |  SELECT CAST(count(*) // (2 * count(DISTINCT v)) AS BIGINT) AS k
+         |  SELECT CAST(count(*) // (2 * greatest(count(DISTINCT v), 1)) AS BIGINT) AS k
          |  FROM kc_e;
          |CREATE OR REPLACE TEMP TABLE kc_a0 AS
          |  SELECT DISTINCT v FROM kc_e;
@@ -332,7 +332,11 @@ object Graph {
     val edges = p.select(col("d1").as("v"), col("d2").as("w"))
       .union(p.select(col("d2").as("v"), col("d1").as("w")))
       .repartition(col("v")).localCheckpoint()
-    val kf = edges.agg(expr("count(1) div (2 * count(DISTINCT v))").as("k"))
+    // greatest(..., 1): a degenerate empty pair graph must yield k = 0 in
+    // BOTH engines (DuckDB's // errors on zero; Spark's div nulls) — same
+    // empty-corpus convention as Corpus.componentsLoop's coalesced labelSum.
+    val kf = edges.agg(
+      expr("count(1) div (2 * greatest(count(DISTINCT v), 1))").as("k"))
     var alive = edges.select("v").distinct().localCheckpoint()
     for (_ <- 1 to iters) {
       alive = edges

@@ -443,10 +443,14 @@ object Retrieval {
     */
   private[graft] def tfidfCosinePairsFrom(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-    val bg = toks.select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
-        .as("f"))
+    // size(ts) >= 2: keep a 1-token doc from feeding the descending
+    // sequence(0, -1) (its null bigram is otherwise dropped only by
+    // accident of the null-key join below).
+    val bg = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
+          .as("f"))
     val tf = bg.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
     val nd = tf.select(countDistinct("doc_id").as("n")) // single-row total
     val df = tf.groupBy("f").agg(count(lit(1)).as("df"))
