@@ -39,9 +39,29 @@ object Clustering {
 
   /** vec_id + micro-snapped integer vector. */
   private def vmFrame(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings").select(col("vec_id"),
+    vmOf(Tables(s, dir, "embeddings"))
+
+  /** Micro-snap an explicit (vec_id, embedding) frame. */
+  private def vmOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG))")
         .as("vm"))
+
+  /** Final (vec_id, cell) assignment of the oracle-checked trajectory over
+    * an explicit (vec_id, embedding) frame — the cluster source
+    * [[Similarity.semDedupCells]] plugs into the within-cell kernel.
+    */
+  private[graft] def cellAssignments(emb: DataFrame): DataFrame =
+    kmeansAssignFrom(vmOf(emb)).select("vec_id", "cell")
+
+  /** Oracle-side twin of [[cellAssignments]]: the full km_ trajectory
+    * script plus a km_cells(vec_id, cell) temp table holding the final
+    * assignment, for composition into downstream oracle scripts.
+    */
+  private[graft] def cellsScriptSql: String =
+    s"""$kmScriptPrefix
+       |CREATE OR REPLACE TEMP TABLE km_cells AS
+       |  SELECT vec_id, cell FROM ($kmFinalAssignSql) WHERE rn = 1;""".stripMargin
 
   /** The full trajectory over an explicit (vec_id, vm) frame: seed from
     * the k lowest ids, run `iters` Lloyd rounds, emit the final

@@ -728,9 +728,9 @@ object Similarity {
   //    fixture's `label`; in production the output of any upstream
   //    clustering or sharding) → closed-form, ORACLE-CHECKED end to end.
   //  - q_semdedup_cells ([[semDedupCells]]): clusters are LEARNED by the
-  //    same deterministic Lloyd-lite quantizer IVF uses — the paper's
-  //    actual shape; iterative training is not SQL-expressible, so the
-  //    declared query is rows-only and QueriesSpec carries the gates.
+  //    integer-micro Lloyd trajectory ([[Clustering]]) — the paper's
+  //    actual shape, and since that trajectory has an unrolled temp-table
+  //    oracle, the composed query is ALSO oracle-checked end to end.
   //
   // Scale shape: ONE equi-join keyed on the cluster id (no cartesian, no
   // global window), and scored pairs reduce immediately into a per-vector
@@ -777,15 +777,17 @@ object Similarity {
         (!coalesce(col("dropped"), lit(false))).as("kept"))
   }
 
-  /** [[semDedup]] with LEARNED clusters: every vector assigned to its
-    * nearest Lloyd-lite centroid (the IVF coarse quantizer, reused).
+  /** [[semDedup]] with LEARNED clusters: every vector assigned by the
+    * integer-micro Lloyd trajectory q_kmeans_assign already oracle-checks
+    * ([[Clustering.cellAssignments]]). Swapping the float Lloyd-lite
+    * quantizer for the deterministic one makes the WHOLE learned-cell
+    * SemDeDup cell-exact across engines — the assignment joins in on
+    * vec_id and the within-cell kernel is the proven [[semDedup]].
     */
   private[graft] def semDedupCells(emb: DataFrame,
-      tau: Double = SemDedupTau): DataFrame = {
-    val cents = kmeansCentroidsFrom(emb)
-    semDedup(emb.withColumn("cell", cellOf(col("embedding"), cents)),
+      tau: Double = SemDedupTau): DataFrame =
+    semDedup(emb.join(Clustering.cellAssignments(emb), Seq("vec_id")),
       "cell", tau).withColumnRenamed("cluster", "cell")
-  }
 
   /** The frozen cell index for [[semDedupIngestFilter]]: corpus vectors
     * stamped with their nearest-centroid cell (persist this once; the
@@ -1001,7 +1003,31 @@ object Similarity {
       semDedup(Tables.embeddings(s, dir), "label").orderBy("vec_id")
     },
 
-    Q.noOracle("q_semdedup_cells") { (s, dir) =>
+    // SemDeDup with LEARNED clusters — the paper's actual shape. The
+    // oracle composes the km_ trajectory script (every Lloyd round
+    // materialized, the q_kmeans_assign mechanism) with the within-cell
+    // kernel above, cluster = final assignment: training, assignment and
+    // every keep decision are cell-exact across engines.
+    Q("q_semdedup_cells",
+      s"""${Clustering.cellsScriptSql}
+         |WITH n AS (
+         |  SELECT e.vec_id, k.cell, e.embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings e JOIN km_cells k ON k.vec_id = e.vec_id),
+         |p AS (
+         |  SELECT a.vec_id,
+         |         max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS mc,
+         |         count(*) FILTER (WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+         |                                >= $SemDedupTau) AS nd,
+         |         bool_or(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemDedupTau
+         |                 AND b.vec_id < a.vec_id) AS dropped
+         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  GROUP BY a.vec_id)
+         |SELECT n.vec_id, n.cell, round(p.mc, 6) AS max_cos,
+         |       coalesce(p.nd, 0) AS n_dups,
+         |       NOT coalesce(p.dropped, FALSE) AS kept
+         |FROM n LEFT JOIN p ON n.vec_id = p.vec_id
+         |ORDER BY n.vec_id""".stripMargin) { (s, dir) =>
       semDedupCells(Tables.embeddings(s, dir)).orderBy("vec_id")
     },
 

@@ -319,9 +319,7 @@ class QueriesSpec extends SparkSpec {
     val tau = 0.8 // clustered fixture: same-cluster cosines ~0.9, cross ~0
     // driver-side reference state: vectors (float→double, the dot_ff cast)
     // and the learned cell of every vector
-    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
-    val cellRows = emb.select(col("vec_id"),
-      ops.Similarity.cellOf(col("embedding"), cents).as("cell")).collect()
+    val cellRows = ops.Clustering.cellAssignments(emb).collect()
     val cellOfVec = cellRows.map(r => r.getLong(0) -> r.getInt(1)).toMap
     val vecs = emb.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
