@@ -164,6 +164,74 @@ object Tokenize {
     else aggregate(typedlit(merges), syms,
       (acc, m) => applyMerge(acc, m.getField("_1"), m.getField("_2")))
 
+  /** The unrolled BPE training trajectory as a DuckDB temp-table script
+    * (the km_/kc_ mechanism): bpe_v0 is the capped (word, freq, syms)
+    * dictionary; each round materializes the argmax pair (bpe_m{r}) and
+    * the re-segmented dictionary (bpe_v{r}).
+    *
+    * Greedy left-to-right NON-OVERLAPPING merge application — the part a
+    * fold-state encoding got wrong on the first probe — is expressed
+    * positionally instead of as a fold: a match at position i is
+    * (syms[i], syms[i+1]) = (l, r). For l ≠ r two matches can never be
+    * adjacent (it would need syms[i+1] = r = l), so greedy = take ALL
+    * matches; for l = r matches form consecutive islands inside symbol
+    * runs and greedy takes every OTHER match from each island's start.
+    * Both cases collapse to one rule: take a match iff its offset from
+    * its island's first match is even (gaps-and-islands parity, the
+    * [[Spans]] machinery). A taken match emits l||r at i and suppresses
+    * position i+1 (the lag(sel) skip).
+    *
+    * The script re-derives the whole trajectory, so oracle-green proves
+    * training, not just application. Assumes the corpus dictionary fits
+    * [[TrainVocabCap]] (2^18 — the shipped corpora have ~31 distinct
+    * words): past the cap the engine still encodes the FULL word frame
+    * while this script only carries capped words.
+    */
+  private def bpeRoundSql(r: Int): String =
+    s"""CREATE OR REPLACE TEMP TABLE bpe_m$r AS
+       |  SELECT p.l AS l, p.r AS r FROM (
+       |    SELECT unnest([{'l': syms[i], 'r': syms[i+1]}
+       |                   for i in range(1, len(syms))]) AS p,
+       |           freq
+       |    FROM bpe_v${r - 1} WHERE len(syms) >= 2)
+       |  GROUP BY 1, 2 ORDER BY CAST(sum(freq) AS BIGINT) DESC, l, r LIMIT 1;
+       |CREATE OR REPLACE TEMP TABLE bpe_v$r AS
+       |  WITH x AS (
+       |    SELECT word, freq, unnest(syms) AS s,
+       |           unnest(range(1, len(syms) + 1)) AS i
+       |    FROM bpe_v${r - 1}),
+       |  y AS (
+       |    SELECT word, freq, s, i,
+       |           coalesce(s = (SELECT l FROM bpe_m$r)
+       |                    AND lead(s) OVER (PARTITION BY word ORDER BY i)
+       |                        = (SELECT r FROM bpe_m$r), FALSE) AS mt
+       |    FROM x),
+       |  z AS (
+       |    SELECT word, freq, s, i, mt,
+       |           CASE WHEN mt THEN i - row_number()
+       |                OVER (PARTITION BY word, mt ORDER BY i) END AS grp
+       |    FROM y),
+       |  sel AS (
+       |    SELECT word, freq, s, i,
+       |           mt AND ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0) AS sel
+       |    FROM z),
+       |  keep AS (
+       |    SELECT word, freq, i,
+       |           CASE WHEN sel THEN (SELECT l || r FROM bpe_m$r) ELSE s END AS s,
+       |           coalesce(lag(sel) OVER (PARTITION BY word ORDER BY i), FALSE) AS skip
+       |    FROM sel)
+       |  SELECT word, freq, list(s ORDER BY i) AS syms
+       |  FROM keep WHERE NOT skip GROUP BY word, freq;""".stripMargin
+
+  /** Dictionary seed + all [[NMerges]] unrolled rounds. */
+  private def bpeScriptPrefix: String =
+    s"""CREATE OR REPLACE TEMP TABLE bpe_v0 AS
+       |  SELECT word, freq, string_split(word, '') AS syms FROM (
+       |    SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |    GROUP BY tok ORDER BY freq DESC, word LIMIT $TrainVocabCap);
+       |${(1 to NMerges).map(bpeRoundSql).mkString("\n")}""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Iteration-0 weighted pair counts — the exact aggregate every merge
@@ -188,10 +256,18 @@ object Tokenize {
           .orderBy(col("n").desc, col("pair")).limit(TopPairs)
     },
 
-    // Trained merge table + resulting subword vocabulary: rows-only by
-    // design (data-dependent loop; TokenizeSpec proves merge-list equality
-    // with a sequential reference implementation).
-    Q.noOracle("q_bpe_vocab") { (s, dir) =>
+    // Trained merge table + resulting subword vocabulary. The oracle
+    // re-derives the ENTIRE training trajectory as an unrolled temp-table
+    // script (bpeScriptPrefix) — every merge argmax and every greedy
+    // re-segmentation — so green means the distributed trainer matches
+    // round for round, not just the final counts. TokenizeSpec separately
+    // proves merge-list equality with a sequential reference.
+    Q("q_bpe_vocab",
+      s"""$bpeScriptPrefix
+         |SELECT subword, CAST(sum(freq) AS BIGINT) AS n_tokens FROM (
+         |  SELECT unnest(syms) AS subword, freq FROM bpe_v$NMerges)
+         |GROUP BY subword ORDER BY n_tokens DESC, subword""".stripMargin) {
+      (s, dir) =>
       val merges = train(s, dir, NMerges)
       wordFreq(s, dir)
         .select(col("freq"),
@@ -213,9 +289,20 @@ object Tokenize {
     // The trained encoder applies to the DISTINCT-WORD frame once
     // (vocab-sized); the corpus then just joins word → subword count — the
     // narrow layout that tokenizes 100 TB without running the merge fold
-    // per occurrence. Rows-only (training loop); TokenizeSpec recounts
-    // documents against the sequential reference encoder.
-    Q.noOracle("q_bpe_token_count") { (s, dir) =>
+    // per occurrence. Oracle: the same unrolled trajectory; bpe_v16's
+    // segment count joins back to the corpus exactly like the engine's
+    // word → n_sub join. TokenizeSpec recounts documents against the
+    // sequential reference encoder.
+    Q("q_bpe_token_count",
+      s"""$bpeScriptPrefix
+         |WITH wl AS (SELECT word, CAST(len(syms) AS INTEGER) AS n_sub
+         |            FROM bpe_v$NMerges)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents) d
+         |JOIN wl USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val merges = train(s, dir, NMerges)
       val wordLen = wordFreq(s, dir)
         .select(col("word"),
