@@ -45,13 +45,20 @@ object Similarity {
   final val MihChunks = 4
   /** Per-chunk probe radius: floor(tau / chunks) — the MIH pigeonhole. */
   final val MihRadius = MihTau / MihChunks
-
-  /** All 16-bit masks of popcount ≤ [[MihRadius]] (697 at radius 3) — the
-    * per-chunk probe neighborhood, a model-state constant. Declared before
-    * `queries` (object-init order).
+  /** Production-width 128-bit index: 8 chunks keep the per-chunk probe
+    * radius at floor(31/8) = 3 — the same 697-mask neighborhood as the
+    * 64-bit index — at the matched RELATIVE tolerance (31/128 ≈ 15/64).
+    * What the doubled width buys is verification precision, not a lower
+    * candidate floor: a random pair passes the final ≤ tau check with
+    * probability P(Binom(128,½) ≤ 31) ≈ 2.2e-9 vs P(Binom(64,½) ≤ 15)
+    * ≈ 1.3e-5 — four orders of magnitude fewer background pairs in the
+    * OUTPUT, while candidate work stays Θ(n²·p) with p ≈ 8·1.06%
+    * (p grows ∝ chunks at fixed chunk width; driving p itself down
+    * takes LONGER chunks, i.e. chunk bits sized to log₂ n — Norouzi's
+    * m = b/log₂ n rule — not more of them).
     */
-  private val mihMasks: Seq[Long] =
-    (0 until 65536).filter(m => Integer.bitCount(m) <= MihRadius).map(_.toLong)
+  final val Mih128Tau    = 31
+  final val Mih128Chunks = 8
 
   /** Sign codes of an (vec_id, embedding) frame as two 32-bit halves —
     * split so no value ever sets bit 63 (DuckDB aggregates over a negative
@@ -65,19 +72,59 @@ object Similarity {
       expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
         "acc + IF(embedding[i + 32] > 0, shiftleft(1L, i), 0L))").as("hi"))
 
+  /** 128-bit codes: words w0/w1 are the [[signCodes]] sign bits; w2/w3
+    * extend them with ORDER bits — bit i compares adjacent coordinates
+    * (x[i] > x[(i+1) mod 64]), the Winner-Take-All rank-hash family
+    * (Yagnik et al. 2011): rank comparisons are scale- and
+    * offset-invariant and exact in both engines (one float > float).
+    * Production similarity fingerprints run 128 bits (Norouzi et al.'s
+    * own evaluation width); this is that parameterization over the same
+    * 64-dim inputs.
+    */
+  private[graft] def signCodes128(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        "acc + IF(embedding[i] > 0, shiftleft(1L, i), 0L))").as("w0"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        "acc + IF(embedding[i + 32] > 0, shiftleft(1L, i), 0L))").as("w1"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        "acc + IF(embedding[i] > embedding[i + 1], shiftleft(1L, i), 0L))").as("w2"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        "acc + IF(embedding[i + 32] > embedding[(i + 33) % 64], " +
+        "shiftleft(1L, i), 0L))").as("w3"))
+
   /** Multi-Index-Hashing exact Hamming range search over the sign codes of
     * an explicit embeddings frame (see q_hamming_mih for the argument).
     */
-  private[graft] def hammingMih(emb: DataFrame): DataFrame = {
-    val codes = signCodes(emb)
-    // chunk c = bits [c·16, c·16+16) of the concatenated sign sequence
-    val ch = codes.select(col("vec_id"), posexplode(expr(
-      s"transform(sequence(0, ${MihChunks - 1}), c -> " +
-        "shiftright(IF(c < 2, lo, hi), (c % 2) * 16) & 65535L)"))
-      .as(Seq("c", "key")))
+  private[graft] def hammingMih(emb: DataFrame): DataFrame =
+    mihPairs(signCodes(emb), Seq("lo", "hi"), MihTau)
+
+  /** The production-width variant: 128-bit codes, 8 chunks, radius 3. */
+  private[graft] def hammingMih128(emb: DataFrame): DataFrame =
+    mihPairs(signCodes128(emb), Seq("w0", "w1", "w2", "w3"), Mih128Tau)
+
+  /** The MIH engine, parametric in the code words: `codes` carries
+    * `vec_id` plus `words` 32-bit-valued long columns; chunk c is bits
+    * [c·16, c·16+16) of their concatenation, probed at radius
+    * floor(tau / chunks) — the pigeonhole guarantee that every pair
+    * within `tau` collides on some probed chunk key.
+    */
+  private[graft] def mihPairs(codes: DataFrame, words: Seq[String],
+      tau: Int): DataFrame = {
+    val chunks = words.length * 2
+    val radius = tau / chunks
+    // the per-chunk probe neighborhood — a model-state literal (697 masks
+    // at radius 3)
+    val masks: Seq[Long] =
+      (0 until 65536).filter(m => Integer.bitCount(m) <= radius).map(_.toLong)
+    val ch = codes.withColumn("ws", array(words.map(col): _*))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${chunks - 1}), c -> " +
+          "shiftright(element_at(ws, CAST(c div 2 + 1 AS INT)), (c % 2) * 16) & 65535L)"))
+        .as(Seq("c", "key")))
     val probes = ch
       .select(col("vec_id").as("v1"), col("c"), col("key"),
-        explode(typedLit(mihMasks)).as("m"))
+        explode(typedLit(masks)).as("m"))
       .select(col("v1"), col("c"), col("key").bitwiseXOR(col("m")).as("pkey"))
     // SHUFFLE_HASH strategy hint (not a broadcast): the probe side is a
     // 697-way explode whose size Catalyst underestimates — left to its
@@ -92,15 +139,15 @@ object Similarity {
         Seq("c", "pkey"))
       .filter(col("v1") < col("v2"))
       .select("v1", "v2").distinct()
-    cand
-      .join(codes.select(col("vec_id").as("v1"),
-        col("lo").as("lo1"), col("hi").as("hi1")), "v1")
-      .join(codes.select(col("vec_id").as("v2"),
-        col("lo").as("lo2"), col("hi").as("hi2")), "v2")
+    val a = codes.select(
+      col("vec_id").as("v1") +: words.map(w => col(w).as(s"${w}1")): _*)
+    val b = codes.select(
+      col("vec_id").as("v2") +: words.map(w => col(w).as(s"${w}2")): _*)
+    cand.join(a, "v1").join(b, "v2")
       .select(col("v1"), col("v2"),
-        expr("bit_count(lo1 ^ lo2) + bit_count(hi1 ^ hi2)")
+        expr(words.map(w => s"bit_count(${w}1 ^ ${w}2)").mkString(" + "))
           .cast("int").as("ham"))
-      .filter(col("ham") <= MihTau)
+      .filter(col("ham") <= tau)
   }
   /** Buckets probed per hash table by the ANN query (query-directed). */
   final val AnnProbes = 4
@@ -1073,6 +1120,48 @@ object Similarity {
          |      <= $MihTau
          |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
       hammingMih(Tables.embeddings(s, dir)).orderBy("v1", "v2")
+    },
+
+    // The PRODUCTION parameterization of the same index: 128-bit codes
+    // (sign bits + Winner-Take-All rank bits, [[signCodes128]]) in 8
+    // chunks at the same per-chunk radius 3 and matched relative
+    // tolerance (31/128 ≈ 15/64) — the width Norouzi et al. evaluate
+    // at. See [[Mih128Tau]] for what the doubled width buys (background
+    // pairs in the OUTPUT drop four orders of magnitude; candidate work
+    // stays Θ(n²·p)). The oracle stays the brute-force all-pairs scan,
+    // so green re-proves index completeness at the wider width. On this
+    // near-isotropic corpus 31/128 sits BELOW the closest-pair distance
+    // at some scales (0–1 rows; min pair distance 27–33 across shipped
+    // sfs) — precisely the clean sparse regime the wider fingerprint
+    // exists for; the clustered-fixture spec drives the same index
+    // through a dense in-range pair set (>100 pairs) plus the 7×4+3
+    // pigeonhole worst case.
+    Q("q_hamming_mih128",
+      s"""WITH codes AS (
+         |  SELECT vec_id,
+         |         CAST(list_sum([CASE WHEN embedding[i+1] > 0
+         |                        THEN (1::BIGINT << i) ELSE 0 END
+         |                        for i in range(0, 32)]) AS BIGINT) AS w0,
+         |         CAST(list_sum([CASE WHEN embedding[i+33] > 0
+         |                        THEN (1::BIGINT << i) ELSE 0 END
+         |                        for i in range(0, 32)]) AS BIGINT) AS w1,
+         |         CAST(list_sum([CASE WHEN embedding[i+1] > embedding[i+2]
+         |                        THEN (1::BIGINT << i) ELSE 0 END
+         |                        for i in range(0, 32)]) AS BIGINT) AS w2,
+         |         CAST(list_sum([CASE WHEN embedding[i+33] > embedding[((i+33)%64)+1]
+         |                        THEN (1::BIGINT << i) ELSE 0 END
+         |                        for i in range(0, 32)]) AS BIGINT) AS w3
+         |  FROM embeddings)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |       CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+         |            + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+         |            AS INTEGER) AS ham
+         |FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+         |      + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+         |      <= $Mih128Tau
+         |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+      hammingMih128(Tables.embeddings(s, dir)).orderBy("v1", "v2")
     },
 
     Q.noOracle("q_ann_lsh_topk")(annLshTopK),

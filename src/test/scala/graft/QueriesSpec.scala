@@ -565,6 +565,45 @@ class QueriesSpec extends SparkSpec {
     assert(!pp.exists(p => p._1 == 0L && p._2 == 2L), "tau+1 must be excluded")
   }
 
+  test("128-bit MIH equals brute force; 8-chunk pigeonhole worst case found") {
+    import ops.Similarity.{Mih128Tau, hammingMih128, mihPairs, signCodes128}
+    // (a) equality vs driver-side brute force over the full 128-bit codes
+    // (sign + rank bits) on the clustered fixture — same-cluster pairs sit
+    // well inside tau, so the in-range set is dense, unlike the
+    // near-isotropic corpus the declared query scans
+    val emb = clusteredEmbN(300)
+    val codes = signCodes128(emb).collect()
+      .map(r => (r.getLong(0), Array(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).sortBy(_._1)
+    val brute = (for {
+      i <- codes.indices; j <- (i + 1) until codes.length
+      d = (0 until 4).map(w =>
+        java.lang.Long.bitCount(codes(i)._2(w) ^ codes(j)._2(w))).sum
+      if d <= Mih128Tau
+    } yield (codes(i)._1, codes(j)._1, d)).toSet
+    val got = hammingMih128(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute, "128-bit MIH must find exactly the brute-force set")
+    assert(brute.size > 100, s"fixture should be pair-dense, got ${brute.size}")
+
+    // (b) pigeonhole worst case on PLANTED code words: distance exactly
+    // tau = 31 spread 4/4/4/4/4/4/4/3 over the eight 16-bit chunks (only
+    // the last chunk is within the probe radius) must be FOUND; the even
+    // 4×8 = 32 spread must be gone
+    import spark.implicits._
+    def word(kLoChunk: Int, kHiChunk: Int): Long =
+      ((1L << kLoChunk) - 1) | (((1L << kHiChunk) - 1) << 16)
+    val planted = Seq(
+      (0L, 0L, 0L, 0L, 0L),
+      (1L, word(4, 4), word(4, 4), word(4, 4), word(4, 3)),
+      (2L, word(4, 4), word(4, 4), word(4, 4), word(4, 4))
+    ).toDF("vec_id", "w0", "w1", "w2", "w3")
+    val pp = mihPairs(planted, Seq("w0", "w1", "w2", "w3"), Mih128Tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pp.contains((0L, 1L, 31)), "7×4+3 spread at tau must be found")
+    assert(!pp.exists(p => p._1 == 0L && p._2 == 2L), "tau+1 must be excluded")
+  }
+
   test("epoch schedule: allocations within budget, epochs are exact ceils") {
     import ops.Curation.EpochBudget
     val df = SparkEntry.queries("q_epoch_schedule")(spark, sfDir)
