@@ -334,6 +334,32 @@ object ScaleProbe {
             s"+ j * 101, $vocab))))").as("text"))
         graft.ops.Retrieval.tfidfCosinePairsFrom(docs).count()
       }
+      // Bayardo prefix-filter candidate fraction on a grown HEAVY-TAILED
+      // corpus (the RetrievalSpec sparse fixture: a small frequent pool
+      // drives pair-sharing, a rare tail carries the norms; pools scale
+      // with m so dfs stay pinned): candidates ÷ unfiltered distinct
+      // feature-sharing pairs — the number that decides which all-pairs
+      // plan wins (see the tfidfCosinePairsFrom measured-decision note)
+      timed("tfidf_prefix_fraction_grown") {
+        val vocab = m * 40000
+        val pool = m * 5
+        val docs = spark.range(m * 600L).select(col("id").as("doc_id"),
+          expr(s"concat_ws(' ', transform(sequence(1, 40), j -> CASE WHEN j <= 8 " +
+            s"THEN concat('c', j, '_', pmod(CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END, $pool)) " +
+            s"ELSE concat('r', pmod((CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END) * 7919 " +
+            s"+ j * 101, $vocab)) END))").as("text"))
+        val w = graft.ops.Retrieval.tfidfPostings(docs)
+          .localCheckpoint()
+        val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
+        val cand = graft.ops.Retrieval.tfidfPrefixCandidates(w, nrm).count()
+        val slim = w.select("fid", "doc_id")
+        val full = slim.as("a").hint("SHUFFLE_HASH").join(slim.as("b"),
+            col("a.fid") === col("b.fid") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+        println(f"[probe] tfidf_prefix cand=$cand full=$full " +
+          f"frac=${cand.toDouble / full}%.4f")
+        cand
+      }
       // HLL registers at m× events: the aggregate's output is ≤ 64
       // registers per group whatever the key cardinality — the shuffle
       // carries O(partitions × groups × 64) maxima, so wall time must
