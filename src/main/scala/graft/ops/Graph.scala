@@ -287,6 +287,43 @@ object Graph {
     // endpoint + one degree groupBy, all keyed on vertex ids; state is
     // the O(V) alive set, checkpointed per round (the PageRank loop
     // hygiene).
+    // DEGREE ASSORTATIVITY of the near-dup graph (Newman 2002, "Assortative
+    // mixing in networks"; the networkx convention — Pearson correlation
+    // of the degrees at either end of each directed edge): positive =
+    // dup-heavy documents cluster with each other (boilerplate cliques),
+    // negative = hub-and-spoke copying (one template, many one-off
+    // copies). Exactness needs NO snapping: degrees and all five moment
+    // sums are exact integers (deg ≤ cluster size, Σxy ≪ 2⁶³ at every
+    // shipped scale); the single float step — num / sqrt(vx·vy), each
+    // factor cast int→double — is a fixed sequence of correctly-rounded
+    // IEEE ops, identical in both engines, then round(6). A regular
+    // graph (vx = 0) yields NULL via nullif in both. Scale: two
+    // vertex-keyed joins + one 6-column aggregate — no new shape beyond
+    // the degree machinery the graph suite already has.
+    Q("q_degree_assortativity",
+      s"""CREATE OR REPLACE TEMP TABLE da_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE da_e AS
+         |  SELECT d1 AS v, d2 AS w FROM da_pairs
+         |  UNION ALL
+         |  SELECT d2 AS v, d1 AS w FROM da_pairs;
+         |CREATE OR REPLACE TEMP TABLE da_deg AS
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM da_e GROUP BY 1;
+         |WITH xy AS (
+         |  SELECT dv.deg AS x, dw.deg AS y
+         |  FROM da_e e JOIN da_deg dv ON dv.v = e.v
+         |              JOIN da_deg dw ON dw.v = e.w)
+         |SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+         |       round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+         |             / nullif(sqrt(
+         |                 CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+         |                 * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)),
+         |               0), 6) AS assortativity
+         |FROM xy""".stripMargin) { (s, dir) =>
+      degreeAssortativity(Dedup.minhashPairs(s, dir).select("d1", "d2"))
+    },
+
     Q("q_kcore_neardup",
       s"""CREATE OR REPLACE TEMP TABLE kc_pairs AS
          |${Dedup.minhashPairsCtes}
@@ -314,6 +351,26 @@ object Graph {
     * see q_kcore_neardup).
     */
   final val KcIters = 8
+
+  /** Degree-Pearson over directed edge endpoints — the engine side of
+    * q_degree_assortativity (see the query comment for the exactness
+    * argument).
+    */
+  private[graft] def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("d1").as("v"), col("d2").as("w"))
+      .union(pairs.select(col("d2").as("v"), col("d1").as("w")))
+    val deg = e.groupBy("v").agg(count(lit(1)).as("deg"))
+    val xy = e.join(deg.select(col("v"), col("deg").as("x")), "v")
+      .join(deg.select(col("v").as("w"), col("deg").as("y")), "w")
+    xy.agg(count(lit(1)).as("n_endpoints"),
+        sum(expr("x * y")).as("sxy"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .select(col("n_endpoints"),
+        round(expr("CAST(n_endpoints * sxy - sx * sy AS DOUBLE)") /
+          expr("nullif(sqrt(CAST(n_endpoints * sxx - sx * sx AS DOUBLE)" +
+            " * CAST(n_endpoints * syy - sy * sy AS DOUBLE)), 0D)"), 6)
+          .as("assortativity"))
+  }
 
   /** One unrolled k-core peel round as a temp-table statement. */
   private def kcRoundSql(prev: String, k: String): String =

@@ -427,6 +427,85 @@ object TextOps {
         .orderBy("source")
     },
 
+    // HEAPS-LAW vocabulary growth (Heaps 1978): V(N) ≈ k·N^β — the
+    // corpus-statistics companion to q_zipf_slope. Natural text grows
+    // vocabulary at β ≈ 0.4–0.6; β near 0 flags a closed/generated
+    // vocabulary (this synthetic corpus), β near 1 flags id-like token
+    // streams. The curve: 20 FIXED growth checkpoints (b = doc_id·20 div
+    // (max_id+1) — single-row total, so the bucket frame is bounded
+    // model state at ANY corpus size, unlike a fixed bucket WIDTH whose
+    // frame grows with the data), cumulative tokens via a ≤-join over
+    // the 20-row series and cumulative types via the FIRST-TOUCH rewrite
+    // (min doc_id per token — one corpus groupBy; the q_cum_distinct_
+    // users mechanism, so the token stream never enters a global
+    // window). The β fit rides the q_zipf_slope machinery: ln snapped to
+    // integer micro-nats on the 20-row frame, exact integer moment sums,
+    // milli-slope decided in decimal(38,0)/HUGEINT division.
+    Q("q_heaps_law",
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |bt AS (
+        |  SELECT CAST(doc_id * 20 // (SELECT m FROM mx) AS BIGINT) AS b,
+        |         CAST(count(*) AS BIGINT) AS ntok
+        |  FROM toks GROUP BY 1),
+        |ft AS (SELECT tok, min(doc_id) AS d0 FROM toks GROUP BY 1),
+        |nt AS (
+        |  SELECT CAST(d0 * 20 // (SELECT m FROM mx) AS BIGINT) AS b,
+        |         CAST(count(*) AS BIGINT) AS n_new
+        |  FROM ft GROUP BY 1),
+        |pts AS (
+        |  SELECT a.b, CAST(sum(x.ntok) AS BIGINT) AS cum_toks,
+        |         coalesce((SELECT CAST(sum(n_new) AS BIGINT)
+        |                   FROM nt n WHERE n.b <= a.b), 0) AS cum_types
+        |  FROM bt a JOIN bt x ON x.b <= a.b
+        |  GROUP BY a.b),
+        |sn AS (
+        |  SELECT b, cum_toks, cum_types,
+        |         CAST(round(ln(CAST(cum_toks AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(cum_types AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM pts),
+        |sl AS (
+        |  SELECT CAST(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS HUGEINT)
+        |              * 1000
+        |              // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+        |           AS slope_milli
+        |  FROM sn)
+        |SELECT b, cum_toks, cum_types,
+        |       (SELECT slope_milli FROM sl) AS heaps_slope_milli
+        |FROM sn ORDER BY b""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val mx = Tables.documents(s, dir).agg((max("doc_id") + 1).as("m"))
+      val bt = toks.crossJoin(broadcast(mx))
+        .groupBy(expr("doc_id * 20 div m").as("b"))
+        .agg(count(lit(1)).as("ntok"))
+      val nt = toks.groupBy("tok").agg(min("doc_id").as("d0"))
+        .crossJoin(broadcast(mx))
+        .groupBy(expr("d0 * 20 div m").as("b"))
+        .agg(count(lit(1)).as("n_new"))
+      val pts = bt.select(col("b"))
+        .join(broadcast(bt.select(col("b").as("xb"), col("ntok"))),
+          col("xb") <= col("b"))
+        .groupBy("b").agg(sum("ntok").as("cum_toks"))
+        .join(bt.select(col("b"))
+          .join(broadcast(nt.select(col("b").as("xb"), col("n_new"))),
+            col("xb") <= col("b"), "left")
+          .groupBy("b").agg(coalesce(sum("n_new"), lit(0L)).as("cum_types")),
+          Seq("b"))
+      val sn = pts.select(col("b"), col("cum_toks"), col("cum_types"),
+        round(log(col("cum_toks").cast("double")) * 1000000)
+          .cast("long").as("x"),
+        round(log(col("cum_types").cast("double")) * 1000000)
+          .cast("long").as("y"))
+      val sl = sn.agg(count(lit(1)).as("np"), sum(expr("x * y")).as("sxy"),
+          sum("x").as("sx"), sum("y").as("sy"), sum(expr("x * x")).as("sxx"))
+        .select(expr("CAST((CAST(np * sxy - sx * sy AS DECIMAL(38,0)) * 1000)" +
+          " div (np * sxx - sx * sx) AS BIGINT)").as("heaps_slope_milli"))
+      sn.select("b", "cum_toks", "cum_types")
+        .crossJoin(broadcast(sl)).orderBy("b")
+    },
+
     // Unigram-LM log-probability scoring — the perplexity-proxy quality
     // filter: score each doc by Σ tf·ln(p(tok)) under the corpus's own
     // unigram distribution (very low scores ≈ gibberish/outlier docs; the

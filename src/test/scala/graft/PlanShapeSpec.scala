@@ -152,6 +152,12 @@ class PlanShapeSpec extends SparkSpec {
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
       "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
       "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users",
+      // the hinted sides are the single-row max-doc-id total, the two
+      // 20-row fixed-checkpoint bucket frames (bounded by construction:
+      // b = doc_id·20 div (max+1) ≤ 19 at any corpus size), and the
+      // single-row Heaps-slope fit — the tfidf/unigram + day-series
+      // classes combined
+      "q_heaps_law",
       // SHUFFLE_HASH strategy hint only (no broadcast): the tiled band
       // self-join — both sides stay shuffle-partitioned on
       // (band, key, tile); the hint steers SMJ→hash to avoid the
