@@ -47,6 +47,34 @@ object Streams {
     * The same sketch the batch q_heavy_hitters runs, now with the
     * guarantee horizon scoped per window.
     */
+  /** Windowed COUNT-MIN grid over a document stream — the oracle-checked
+    * twin of [[hotTermsPerWindow]]'s Misra–Gries summary: per (window, j,
+    * b) the exact cell count of the q_cms_counts grid (same PolyHash cell
+    * map, TextOps.cmsBuckets), so any term's windowed frequency estimate
+    * is min over its 4 cells, with the standard CMS overcount envelope.
+    * State per window is the FIXED 4×256 grid whatever the vocabulary or
+    * ingest rate; the watermark closes windows and evicts their state.
+    * Counts are additive (not max-mergeable like the HLL registers), so
+    * exactly-once delivery to the sink is the Structured Streaming
+    * aggregation guarantee this rides — a replayed TRIGGER re-emits the
+    * same finalized grid (state-store idempotence), it does not
+    * double-count. Batch ≡ stream by construction: the identical plan
+    * runs on a batch frame (StreamingSpec asserts grid equality on an
+    * out-of-order multi-batch feed).
+    */
+  def cmsGridPerWindow(docs: DataFrame): DataFrame =
+    maybeWatermarkOn(docs, "ingest_ts")
+      .select(col("ingest_ts"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("ingest_ts"),
+        graft.functions.exprs.poly_hash(col("tok")).as("h"))
+      .select(col("ingest_ts"),
+        explode(graft.ops.TextOps.cmsBuckets(col("h"))).as("jb"))
+      .groupBy(window(col("ingest_ts"), "1 hour"),
+        col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("window_us"),
+        col("j"), col("b"), col("cnt"))
+
   def hotTermsPerWindow(docs: DataFrame, k: Int = 8): DataFrame = {
     val mg = org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(k))
     maybeWatermarkOn(docs, "ingest_ts")

@@ -571,6 +571,40 @@ class StreamingSpec extends SparkSpec {
     assert(est <= 60L && est >= 60L - (68L / 5L), s"estimate $est escaped the envelope")
   }
 
+  test("streaming CMS window grid equals the batch grid on an out-of-order feed") {
+    val ms = MemoryStream[StreamingSpec.Doc](spark)
+    val docs = Seq(
+      StreamingSpec.Doc(1, "spark spark flink", ts(1)),
+      StreamingSpec.Doc(2, "alpha beta spark", ts(40)),
+      // out of order but within the 10-minute watermark of ts(40)
+      StreamingSpec.Doc(3, "beta beta gamma", ts(35)),
+      StreamingSpec.Doc(4, "delta epsilon", ts(65)))
+    val q = Streams.cmsGridPerWindow(ms.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("cms_grid").start()
+    ms.addData(docs(0), docs(1))
+    q.processAllAvailable()
+    ms.addData(docs(2), docs(3))
+    q.processAllAvailable()
+    // hour-3 sentinel: watermark passes the ends of hour-0 and hour-1,
+    // so both finalized grids emit in append mode
+    ms.addData(StreamingSpec.Doc(99, "flush", ts(190)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cms_grid")
+    assert(got.filter(col("window_us") === 0L).count() > 0,
+      "hour-0 grid must be finalized and emitted")
+    // batch ≡ stream on every closed window: identical plan, same rows
+    val batch = Streams.cmsGridPerWindow(docs.toDF())
+    assert(got.except(batch).count() === 0 && batch.except(got).count() === 0,
+      "streamed grid diverged from the batch grid")
+    // grid mass: each of the 4 rows of a window's grid counts every token
+    // exactly once — hour-0 carries docs 1-3 (9 tokens)
+    val mass = got.filter(col("window_us") === 0L)
+      .groupBy("j").agg(sum("cnt").as("m")).select("m")
+      .as[Long].collect().toSet
+    assert(mass === Set(9L), s"per-row grid mass must equal window tokens: $mass")
+  }
+
   test("streaming geofence equals the batch bbox filter over synthesized segments") {
     val ms = MemoryStream[Event](spark)
     val events = loadEvents
