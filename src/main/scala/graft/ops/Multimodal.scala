@@ -15,11 +15,13 @@ import graft.functions.exprs.poly_hash
   * the JDK's bundled `javax.imageio` (headless-safe) and uncompressed BMP
   * via a byte-level parser below; audio through a real WAV/PCM parser
   * (cross-validated against `javax.sound.sampled` in MultimodalSpec); the
-  * video-class multi-frame path through TWO real containers — animated GIF
-  * (sequence write + per-frame LZW decode) and hand-rolled MJPEG-in-AVI
-  * (RIFF chunk tree around real ImageIO JPEG frames). Only MP4/H.264-class
-  * codecs remain a clearly marked deterministic STUB: the JDK ships none
-  * and the container has no ffmpeg.
+  * video-class multi-frame path through THREE real containers — animated
+  * GIF (sequence write + per-frame LZW decode), hand-rolled MJPEG-in-AVI
+  * (RIFF chunk tree around real ImageIO JPEG frames), and JPEG-PES over
+  * MPEG-TS (full 13818-1 demux: PAT/PMT walk, MPEG CRC-32, continuity
+  * counters, PES reassembly). Only H.264-class BITSTREAM decode remains a
+  * clearly marked deterministic STUB: the JDK ships no such codec and the
+  * container has no ffmpeg.
   *
   * For the stub-backed queries the synthetic payload is the UTF-8 encoding
   * of `documents.text`, so the oracle can recompute every decoded value
@@ -610,6 +612,259 @@ object Multimodal {
     }
   }
 
+  // ---- REAL video container #2: JPEG-PES over MPEG-TS --------------------
+  //
+  // ISO/IEC 13818-1 transport stream — the broadcast/HLS container — built
+  // and parsed for real at the layer the JVM can honestly own: 188-byte
+  // fixed packets (sync 0x47, 13-bit PIDs, 4-bit continuity counters,
+  // adaptation-field stuffing), a PAT on PID 0 pointing at a PMT, a PMT
+  // declaring one private-data elementary stream (stream_type 0x06), and
+  // per-frame PES packets (start code 00 00 01, stream_id 0xBD) carrying
+  // the SAME exact-at-quality-1.0 JPEG frames the AVI path encodes. PSI
+  // sections carry the genuine MPEG CRC-32 (MSB-first 0x04C11DB7 — NOT
+  // java.util.zip's reflected IEEE variant), computed on write and
+  // verified on read; continuity counters are checked packet by packet.
+  // H.264/H.265 BITSTREAMS stay labeled out of reach (no JVM codec) — the
+  // container, demux, CRC, and frame-sampling layers are the real thing.
+
+  final val TsPmtPid = 0x100
+  final val TsEsPid  = 0x101
+
+  /** MPEG-2 PSI CRC-32: MSB-first, poly 0x04C11DB7, init all-ones, no
+    * final xor, no reflection. A section INCLUDING its trailing CRC
+    * checks to 0.
+    */
+  private[graft] def crc32Mpeg(data: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0xFFFFFFFF
+    var i = off
+    while (i < off + len) {
+      crc ^= (data(i) & 0xFF) << 24
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7
+              else crc << 1
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  /** One 188-byte packet; a short payload is pushed to the END by an
+    * adaptation field of stuffing bytes (AFC = 3), per spec.
+    */
+  private def tsPacket(pid: Int, cc: Int, pusi: Boolean,
+      payload: Array[Byte]): Array[Byte] = {
+    require(payload.length <= 184)
+    val out = new Array[Byte](188)
+    out(0) = 0x47
+    out(1) = (((if (pusi) 0x40 else 0) | (pid >> 8)) & 0xFF).toByte
+    out(2) = (pid & 0xFF).toByte
+    val adaptation = payload.length < 184
+    out(3) = (((if (adaptation) 3 else 1) << 4) | (cc & 0xF)).toByte
+    var o = 4
+    if (adaptation) {
+      val afLen = 183 - payload.length // the length byte itself excluded
+      out(o) = afLen.toByte; o += 1
+      if (afLen > 0) {
+        out(o) = 0x00; o += 1 // adaptation flags: none
+        var i = 1
+        while (i < afLen) { out(o) = 0xFF.toByte; o += 1; i += 1 }
+      }
+    }
+    System.arraycopy(payload, 0, out, o, payload.length)
+    out
+  }
+
+  /** pointer_field + PSI section with header and trailing CRC-32. */
+  private def psiBytes(tableId: Int, idField: Int,
+      body: Array[Byte]): Array[Byte] = {
+    val secLen = 5 + body.length + 4 // post-length header + body + CRC
+    val sec = Array[Byte](tableId.toByte,
+      (0xB0 | ((secLen >> 8) & 0x0F)).toByte, (secLen & 0xFF).toByte) ++
+      be16(idField) ++ Array[Byte](0xC1.toByte, 0, 0) ++ body
+    val crc = crc32Mpeg(sec, 0, sec.length)
+    Array[Byte](0) ++ sec ++ Array(
+      ((crc >> 24) & 0xFF).toByte, ((crc >> 16) & 0xFF).toByte,
+      ((crc >> 8) & 0xFF).toByte, (crc & 0xFF).toByte)
+  }
+
+  /** PES packet, stream_id 0xBD (private_stream_1), empty optional
+    * header: 00 00 01 BD len(2) 80 00 00 payload.
+    */
+  private def pesBytes(payload: Array[Byte]): Array[Byte] =
+    Array[Byte](0, 0, 1, 0xBD.toByte) ++ be16(3 + payload.length) ++
+      Array[Byte](0x80.toByte, 0x00, 0x00) ++ payload
+
+  def tsBytes(id: Long): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    try tsBytesWith(wr, id) finally wr.dispose()
+  }
+
+  /** Genuine single-program transport stream: PAT, PMT, then each
+    * constant-gray JPEG frame as one PES packet split across TS packets
+    * with sequential continuity counters. Geometry/frame constants differ
+    * from the AVI family so the two container paths cannot shadow each
+    * other's results.
+    */
+  def tsBytesWith(wr: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
+    val w = (4 + id % 6).toInt; val h = (3 + id % 4).toInt
+    val nf = (1 + id % 4).toInt
+    val frames = (0 until nf).map { f =>
+      jpegBytesWith(wr, flatFrame(((7 * id + 31L * f + 13) % 256).toInt, w, h))
+    }
+    val out = Array.newBuilder[Byte]
+    out ++= tsPacket(0, 0, pusi = true,
+      psiBytes(0x00, 1, be16(1) ++ be16(0xE000 | TsPmtPid)))
+    out ++= tsPacket(TsPmtPid, 0, pusi = true,
+      psiBytes(0x02, 1,
+        be16(0xE000 | TsEsPid) ++ be16(0xF000) ++ // PCR PID, no prog info
+          Array[Byte](0x06) ++ be16(0xE000 | TsEsPid) ++ be16(0xF000)))
+    var cc = 0
+    frames.foreach { fb =>
+      pesBytes(fb).grouped(184).zipWithIndex.foreach { case (chunk, i) =>
+        out ++= tsPacket(TsEsPid, cc, pusi = i == 0, chunk)
+        cc = (cc + 1) & 0xF
+      }
+    }
+    out.result()
+  }
+
+  case class TsFrame(media_id: Long, frame_idx: Int, width: Int, height: Int,
+      frame_sum: Long, valid: Boolean)
+
+  /** documents → genuine transport-stream payloads (every doc). One JPEG
+    * writer per partition, as in [[encodeAvi]].
+    */
+  def encodeTs(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        it.map(id => RealMedia(id, "ts", tsBytesWith(wr, id)))
+      }
+  }
+
+  /** Demultiplex the transport stream and decode every PES-carried JPEG
+    * frame. The checks are genuine: per-packet sync bytes, PAT and PMT
+    * located by PID with their MPEG CRC-32s verified (a section including
+    * its CRC must check to 0), the elementary PID taken from the PMT (not
+    * assumed), per-packet continuity counters sequential mod 16, and every
+    * PES length consistent with its payload. Malformed payloads quarantine
+    * as one valid=false row — the [[decodeAviFrames]] posture.
+    */
+  def decodeTsFrames(media: Dataset[RealMedia]): Dataset[TsFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      var rd = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+      it.flatMap { m =>
+        val p = m.payload
+        def invalid = Seq(TsFrame(m.media_id, -1, 0, 0, 0L, valid = false))
+        try {
+          require(p.length > 0 && p.length % 188 == 0)
+          val n = p.length / 188
+          def pidOf(k: Int)  = ((p(k * 188 + 1) & 0x1F) << 8) | (p(k * 188 + 2) & 0xFF)
+          def pusiOf(k: Int) = (p(k * 188 + 1) & 0x40) != 0
+          def ccOf(k: Int)   = p(k * 188 + 3) & 0xF
+          def payloadOf(k: Int): (Int, Int) = { // (offset, length) within p
+            val o = k * 188
+            require(p(o) == 0x47, "sync byte")
+            val afc = (p(o + 3) >> 4) & 3
+            require((afc & 1) != 0, "payload expected")
+            var po = o + 4
+            if ((afc & 2) != 0) {
+              val afLen = p(po) & 0xFF
+              po += 1 + afLen
+            }
+            require(po <= o + 188)
+            (po, o + 188 - po)
+          }
+          // PSI section at a packet: verify CRC, return (table_id, body)
+          def section(k: Int): (Int, Array[Byte]) = {
+            val (po, plen) = payloadOf(k)
+            val ptr = p(po) & 0xFF
+            val so = po + 1 + ptr
+            val secLen = ((p(so + 1) & 0x0F) << 8) | (p(so + 2) & 0xFF)
+            require(so + 3 + secLen <= po + plen, "section overruns packet")
+            require(crc32Mpeg(p, so, 3 + secLen) == 0, "PSI CRC mismatch")
+            (p(so) & 0xFF, p.slice(so + 8, so + 3 + secLen - 4))
+          }
+          val patK = (0 until n).find(k => pidOf(k) == 0 && pusiOf(k))
+            .getOrElse(sys.error("no PAT"))
+          val (patId, patBody) = section(patK)
+          require(patId == 0x00 && patBody.length >= 4)
+          val pmtPid = ((patBody(2) & 0x1F) << 8) | (patBody(3) & 0xFF)
+          val pmtK = (0 until n).find(k => pidOf(k) == pmtPid && pusiOf(k))
+            .getOrElse(sys.error("no PMT"))
+          val (pmtId, pmtBody) = section(pmtK)
+          require(pmtId == 0x02 && pmtBody.length >= 9)
+          require((pmtBody(4) & 0xFF) == 0x06, "expected private-data stream")
+          val esPid = ((pmtBody(5) & 0x1F) << 8) | (pmtBody(6) & 0xFF)
+          // reassemble the elementary stream, checking continuity
+          val esKs = (0 until n).filter(k => pidOf(k) == esPid)
+          require(esKs.nonEmpty, "no elementary packets")
+          esKs.zipWithIndex.foreach { case (k, i) =>
+            require(ccOf(k) == (ccOf(esKs.head) + i) % 16,
+              "continuity counter break")
+          }
+          val pesStreams = Seq.newBuilder[Array[Byte]]
+          var buf: scala.collection.mutable.ArrayBuffer[Byte] = null
+          esKs.foreach { k =>
+            val (po, plen) = payloadOf(k)
+            if (pusiOf(k)) {
+              if (buf != null) pesStreams += buf.toArray
+              buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+            }
+            require(buf != null, "payload before first PUSI")
+            var i = 0
+            while (i < plen) { buf += p(po + i); i += 1 }
+          }
+          if (buf != null) pesStreams += buf.toArray
+          val frames = pesStreams.result().map { pes =>
+            require(pes.length >= 9 && pes(0) == 0 && pes(1) == 0 &&
+              pes(2) == 1 && (pes(3) & 0xFF) == 0xBD, "PES start code")
+            val pesLen = ((pes(4) & 0xFF) << 8) | (pes(5) & 0xFF)
+            require(pesLen == pes.length - 6, "PES length mismatch")
+            val hdl = pes(8) & 0xFF
+            val jo = 9 + hdl
+            rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(pes, jo, pes.length - jo)))
+            val img = rd.read(0)
+            var sum = 0L; var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            (img.getWidth, img.getHeight, sum)
+          }
+          require(frames.nonEmpty &&
+            frames.forall { case (w, h, _) =>
+              w == frames.head._1 && h == frames.head._2 })
+          frames.zipWithIndex.map { case ((w, h, sum), f) =>
+            TsFrame(m.media_id, f, w, h, sum, valid = true)
+          }
+        } catch {
+          case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+               _: RuntimeException =>
+            invalid
+          case _: java.io.IOException | _: java.util.NoSuchElementException =>
+            rd.dispose()
+            rd = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+            invalid
+        }
+      }
+    }
+  }
+
   /** documents → genuine BMP/WAV file bytes (even ids image, odd audio). */
   def encodeReal(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
@@ -874,6 +1129,36 @@ object Multimodal {
         |WHERE f < nf
         |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
       decodeAviFrames(encodeAvi(s, dir)).toDF()
+        .filter(col("valid"))
+        .select("media_id", "frame_idx", "width", "height", "frame_sum")
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // Second REAL video container: JPEG-PES over MPEG-TS (ISO 13818-1 —
+    // the broadcast/HLS packet layer). Full demux on the read side: sync
+    // bytes, PAT→PMT walk with MPEG CRC-32 verification, PMT-declared
+    // elementary PID, continuity-counter checks, PES reassembly across
+    // packet boundaries, then the real ImageIO JPEG decode. Constant-gray
+    // frames make quality-1.0 JPEG bit-exact (the q_media_video
+    // argument), so the per-frame pixel sums are oracle-checkable
+    // cell-exact; geometry/frame constants differ from the AVI family so
+    // the two container paths cannot shadow each other. H.264-class
+    // BITSTREAM decode stays the labeled environmental stub.
+    Q("q_media_ts",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 6 AS INTEGER) AS w,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+        |         CAST(1 + doc_id % 4 AS INTEGER) AS nf
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |       w AS width, h AS height,
+        |       CAST(3 * w * h * ((7 * doc_id + 31 * f + 13) % 256) AS BIGINT)
+        |         AS frame_sum
+        |FROM m, range(0, 4) t(f)
+        |WHERE f < nf
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      decodeTsFrames(encodeTs(s, dir)).toDF()
         .filter(col("valid"))
         .select("media_id", "frame_idx", "width", "height", "frame_sum")
         .orderBy("media_id", "frame_idx")

@@ -306,6 +306,42 @@ class MultimodalSpec extends SparkSpec {
       s"malformed AVIs must quarantine, got ${out.toSeq}")
   }
 
+  test("MPEG-TS demux round-trips exact frames; CRC/continuity tampering quarantines") {
+    import spark.implicits._
+    // (a) every built stream demuxes valid with the construction sums
+    val frames = ops.Multimodal.decodeTsFrames(
+      ops.Multimodal.encodeTs(spark, sfDir)).cache()
+    try {
+      assert(frames.filter(!col("valid")).count() === 0,
+        "a built TS failed its own demuxer / the real JPEG reader")
+      val bad = frames.collect().count { fr =>
+        val (w, h) = ((4 + fr.media_id % 6).toInt, (3 + fr.media_id % 4).toInt)
+        val v = (7 * fr.media_id + 31L * fr.frame_idx + 13) % 256
+        fr.width != w || fr.height != h || fr.frame_sum != 3L * w * h * v
+      }
+      assert(bad === 0, s"$bad TS frames off the constant-gray expectation")
+    } finally frames.unpersist()
+    // (b) tampering: a flipped PSI byte must fail the MPEG CRC; a bumped
+    // continuity counter must fail the sequence check; a truncated stream
+    // must fail the 188-byte packetization — all as quarantine rows
+    val good = ops.Multimodal.tsBytes(5L)
+    val badCrc = good.clone()
+    // PSI payload rides AFTER the adaptation stuffing: locate the PAT
+    // section through the AF length byte, then flip a body byte (the
+    // program number) so only the CRC can catch it
+    val patOff = 4 + 1 + (good(4) & 0xFF)
+    badCrc(patOff + 9) = (badCrc(patOff + 9) ^ 1).toByte
+    val badCc = good.clone()
+    badCc(2 * 188 + 3) = (badCc(2 * 188 + 3) ^ 1).toByte // first ES packet cc
+    val junk = Seq(
+      ops.Multimodal.RealMedia(1L, "ts", badCrc),
+      ops.Multimodal.RealMedia(2L, "ts", badCc),
+      ops.Multimodal.RealMedia(3L, "ts", good.take(200))).toDS()
+    val out = ops.Multimodal.decodeTsFrames(junk).collect()
+    assert(out.length === 3 && out.forall(f => !f.valid && f.frame_idx == -1),
+      s"tampered transport streams must quarantine, got ${out.toSeq}")
+  }
+
   test("real codec quarantines malformed payloads instead of failing the task") {
     import spark.implicits._
     // a 54-byte 'BM' header claiming width 0: rowSize 0 would satisfy the
