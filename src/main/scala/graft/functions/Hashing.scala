@@ -107,6 +107,21 @@ object Hashing {
     }
     acc
   }
+
+  /** Integer dot product of two long vectors — the scalar-quantized
+    * (int8-in-long) inner-product kernel. Exact in 64 bits for any
+    * |q| ≤ 127 at realistic dims (64·127² ≈ 2^20).
+    */
+  def dotLL(a: ArrayData, b: ArrayData): Long = {
+    val n   = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i   = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** poly_hash(string) → long. Codegen: a single static call, stays in WSCG. */
@@ -165,6 +180,17 @@ case class DotFF(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** dot_ll(array<long>, array<long>) → long (exact integer inner product). */
+case class DotLL(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.dotLL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.dotLL($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLL =
+    copy(left = l, right = r)
+}
+
 /** Column-level API for the expression pack. */
 object exprs {
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
@@ -173,6 +199,7 @@ object exprs {
   def poly_hash(s: Column): Column             = c(PolyHash(e(s)))
   def sim_hash30(hashes: Column): Column       = c(SimHash30(e(hashes)))
   def dot_ff(a: Column, b: Column): Column     = c(DotFF(e(a), e(b)))
+  def dot_ll(a: Column, b: Column): Column     = c(DotLL(e(a), e(b)))
   def count_equal(a: Column, b: Column): Column = c(CountEqual(e(a), e(b)))
   def intersect_count_sorted(a: Column, b: Column): Column =
     c(IntersectCountSorted(e(a), e(b)))

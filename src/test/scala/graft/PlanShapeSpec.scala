@@ -146,7 +146,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
       "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk",
-      "q_ann_screen_topk", "q_ann_ivf_topk", "q_bloom_semi_join",
+      "q_ann_screen_topk", "q_ann_ivf_topk", "q_sq_topk", "q_bloom_semi_join",
       "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_pq_topk",
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
@@ -179,7 +179,7 @@ class PlanShapeSpec extends SparkSpec {
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
       "q_ann_lsh_topk", "q_ann_screen_topk", "q_ann_ivf_topk", "q_pq_topk",
-      "q_knn_classify")
+      "q_knn_classify", "q_sq_topk")
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, ResolvedHint}
     SparkEntry.all.foreach { q =>
       val hints = q.build(spark, sfDir).queryExecution.analyzed.collect {

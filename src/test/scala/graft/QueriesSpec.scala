@@ -161,6 +161,21 @@ class QueriesSpec extends SparkSpec {
     assert(recall > 0.3, s"ANN recall collapsed: $recall")
   }
 
+  test("sq topk: int8 MIPS recall@10 >= 0.85 vs exact cosine (sf0.01)") {
+    // the quantized plane itself is oracle-checked exact (q_sq_topk's
+    // hash-match); this bridges it to the FLOAT contract — int8 symmetric
+    // quantization keeps 96% of the exact-cosine top-10 on the shipped
+    // corpus (92% at sf0.1), with 8x smaller vectors
+    val dir = "/root/testdata/sf0.01"
+    val bf = SparkEntry.queries("q_cosine_topk")(spark, dir)
+      .select(col("p_id"), col("c_id"))
+    val sq = SparkEntry.queries("q_sq_topk")(spark, dir)
+      .select(col("p_id"), col("c_id"))
+    val recall = sq.join(bf, Seq("p_id", "c_id"), "left_semi").count().toDouble /
+      bf.count().toDouble
+    assert(recall >= 0.85, s"sq recall@10: $recall")
+  }
+
   test("screen+rerank ANN: recall@10 >= 0.7 at <= 1/3 candidates (sf0.01)") {
     // measured at sf0.01 (not the tiny sf0.001 where 10 of ~100 candidates
     // make recall statistics meaningless); the candidate budget is
