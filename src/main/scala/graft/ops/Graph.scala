@@ -344,8 +344,109 @@ object Graph {
          |                    JOIN kc_a$KcIters b ON b.v = e.w
          |GROUP BY a.v ORDER BY doc_id""".stripMargin) { (s, dir) =>
       kCore(Dedup.minhashPairs(s, dir).select("d1", "d2")).orderBy("doc_id")
+    },
+
+    // K-TRUSS of the near-dup graph (Cohen 2008, "Trusses: cohesive
+    // subgraphs for social network analysis"): iteratively drop edges
+    // supported by fewer than K−2 triangles until fixpoint — a STRICTER
+    // cohesion filter than k-core (every surviving edge sits in K−2
+    // strong ties, so hub-and-spoke template reuse falls away and only
+    // genuine mirror cliques survive). Support counts are schedule-free
+    // (each round's survivor set is a pure function of the previous
+    // round's edge SET), so the engine may enumerate triangles
+    // degree-ordered (Σ outdeg² wedge bound, the q_triangle_count
+    // machinery) while the oracle walks the same rounds id-ordered —
+    // identical trajectories. Unrolled KtIters rounds; GraphSpec asserts
+    // fixpoint at the bound AND agreement with a sequential truss peel.
+    // Scale shape per round: one degree groupBy, one wedge join, one
+    // closing-edge join, one support groupBy — all vertex/edge-keyed.
+    Q("q_ktruss",
+      s"""CREATE OR REPLACE TEMP TABLE kt_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE kt_e0 AS
+         |  SELECT DISTINCT least(d1, d2) AS v1, greatest(d1, d2) AS v2,
+         |         CAST(0 AS BIGINT) AS sup
+         |  FROM kt_pairs;
+         |${(1 to KtIters).map(i => ktRoundSql(s"kt_e${i - 1}", s"kt_e$i")).mkString("\n")}
+         |SELECT v1 AS d1, v2 AS d2, sup FROM kt_e$KtIters
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      kTruss(Dedup.minhashPairs(s, dir).select("d1", "d2")).orderBy("d1", "d2")
     }
   )
+
+  /** Truss order: edges must close K−2 triangles to survive a peel round. */
+  final val KtK = 6
+
+  /** Fixed truss peel rounds (fixpoint by round 3 at every shipped scale —
+    * the near-dup graph is clique-dominated, so support barely cascades).
+    */
+  final val KtIters = 4
+
+  /** One unrolled truss peel round as a temp-table statement. */
+  private def ktRoundSql(prev: String, next: String): String =
+    s"""CREATE OR REPLACE TEMP TABLE $next AS
+       |  WITH t AS (
+       |    SELECT e1.v1 AS a, e1.v2 AS b, e2.v2 AS c
+       |    FROM $prev e1 JOIN $prev e2 ON e2.v1 = e1.v1 AND e2.v2 > e1.v2
+       |    JOIN $prev e3 ON e3.v1 = e1.v2 AND e3.v2 = e2.v2),
+       |  s AS (
+       |    SELECT u.v1, u.v2, CAST(count(*) AS BIGINT) AS sup FROM (
+       |      SELECT a AS v1, b AS v2 FROM t
+       |      UNION ALL SELECT a, c FROM t
+       |      UNION ALL SELECT b, c FROM t) u
+       |    GROUP BY 1, 2)
+       |  SELECT e.v1, e.v2, s.sup
+       |  FROM $prev e JOIN s ON s.v1 = e.v1 AND s.v2 = e.v2
+       |  WHERE s.sup >= ${KtK - 2};""".stripMargin
+
+  /** Per-edge triangle supports over a canonical (v1 < v2) edge frame via
+    * the degree-ordered wedge enumeration (each triangle found once at its
+    * lowest-(deg, id) apex, then attributed to all three canonical edges).
+    */
+  private def edgeSupports(ec: DataFrame): DataFrame = {
+    val deg = ec.select(col("v1").as("v")).union(ec.select(col("v2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = ec
+      .join(deg.select(col("v").as("v1"), col("deg").as("deg1")), "v1")
+      .join(deg.select(col("v").as("v2"), col("deg").as("deg2")), "v2")
+    val fwd = struct(col("deg1"), col("v1")) < struct(col("deg2"), col("v2"))
+    val oriented = withDeg.select(
+      when(fwd, col("v1")).otherwise(col("v2")).as("src"),
+      when(fwd, col("v2")).otherwise(col("v1")).as("dst"))
+    val tris = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), "src")
+      .filter(col("x") < col("y"))
+      .join(ec.select(col("v1").as("x"), col("v2").as("y")), Seq("x", "y"))
+    tris.select(explode(array(
+        struct(least(col("src"), col("x")).as("v1"),
+          greatest(col("src"), col("x")).as("v2")),
+        struct(least(col("src"), col("y")).as("v1"),
+          greatest(col("src"), col("y")).as("v2")),
+        struct(col("x").as("v1"), col("y").as("v2")))).as("e"))
+      .select(col("e.v1"), col("e.v2"))
+      .groupBy("v1", "v2").agg(count(lit(1)).as("sup"))
+  }
+
+  /** Fixed-round truss peel over an undirected (d1, d2) pair list — the
+    * engine side of q_ktruss. Same loop hygiene as [[kCore]]: the edge
+    * frame checkpoints per round (its lineage would otherwise double per
+    * peel), each round is the [[edgeSupports]] pass plus one filter.
+    */
+  private[graft] def kTruss(pairs: DataFrame, iters: Int = KtIters): DataFrame = {
+    var ec = pairs
+      .select(least(col("d1"), col("d2")).as("v1"),
+        greatest(col("d1"), col("d2")).as("v2"))
+      .distinct().repartition(col("v1")).localCheckpoint()
+    var out = ec.withColumn("sup", lit(0L))
+    for (_ <- 1 to iters) {
+      out = ec.join(edgeSupports(ec), Seq("v1", "v2"))
+        .filter(col("sup") >= KtK - 2)
+        .localCheckpoint()
+      ec = out.select("v1", "v2")
+    }
+    out.select(col("v1").as("d1"), col("v2").as("d2"), col("sup"))
+  }
 
   /** Fixed k-core peel rounds (fixpoint by round 8 at every shipped scale;
     * see q_kcore_neardup).

@@ -167,4 +167,33 @@ class GraphSpec extends SparkSpec {
     assert(atR.map(_._1).toSet === alive,
       "fixed-round distributed peel diverged from the sequential k-core")
   }
+
+  test("k-truss: fixed-round peel reaches the fixpoint and matches a sequential truss") {
+    import ops.Graph.{KtIters, KtK, kTruss}
+    val pairs = ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val atR  = asSet(kTruss(pairs, KtIters))
+    val atR1 = asSet(kTruss(pairs, KtIters + 1))
+    assert(atR === atR1, s"truss peel did not converge by round $KtIters")
+    // truss property: every surviving edge closes >= K-2 triangles
+    assert(atR.forall(_._3 >= KtK - 2))
+    // sequential peel to TRUE convergence agrees edge-for-edge
+    var edges = pairs.collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    var changed = true
+    var sup = Map.empty[(Long, Long), Int]
+    while (changed) {
+      val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupMap(_._1)(_._2).map { case (v, ns) => v -> ns.toSet }
+      sup = edges.toSeq.map { case (a, b) =>
+        (a, b) -> (adj(a) & adj(b)).size
+      }.toMap
+      val next = edges.filter(e => sup(e) >= KtK - 2)
+      changed = next != edges; edges = next
+    }
+    assert(atR === edges.map(e => (e._1, e._2, sup(e).toLong)),
+      "fixed-round distributed truss diverged from the sequential peel")
+  }
 }
