@@ -36,6 +36,34 @@ object Sketches {
   final val SubBits  = 24
   final val RankCap  = SubBits + 1
 
+  /** Estimator constant α_m·m²·2⁵⁷ for the q_hll_intersect estimates:
+    * computed ONCE here and embedded in the oracle SQL via its round-trip
+    * decimal form (shortest-repr doubles re-parse to the identical bits
+    * in both engines), so est = C / D is a single correctly-rounded IEEE
+    * division on identical operands engine-to-engine.
+    */
+  final val HllEstC: Double =
+    0.7213 / (1.0 + 1.079 / M) * (M.toDouble * M) * (1L << 57).toDouble
+
+  /** Murmur-style 31-bit finalizer over the PolyHash (xor-shift, two odd
+    * multiplies masked to 2³¹): PolyHash of SHORT decimal-string keys only
+    * reaches ~31⁴·7, an arithmetic-progression-like orbit whose per-bucket
+    * maxima are systematically tame — raw-regime HLL ranks need avalanche
+    * uniformity the rolling hash alone doesn't give (measured: 2× under-
+    * estimate un-mixed, ~8% after the mix). Every step stays < 2⁶³ on
+    * non-negative operands, so Spark `%` and DuckDB `%` agree exactly.
+    */
+  private def mix31(h: Column): Column = {
+    val a = h.bitwiseXOR(shiftright(h, 16))
+    val b = (a * lit(2246822507L)) % lit(2147483648L)
+    val c = b.bitwiseXOR(shiftright(b, 13))
+    val d = (c * lit(3266489909L)) % lit(2147483648L)
+    d.bitwiseXOR(shiftright(d, 16))
+  }
+
+  /** Rank cap for the 25-bit post-mix remainder (v = hm div 64, hm < 2³¹). */
+  final val MixRankCap = 26
+
   /** Integer HLL rank of the 24-bit remainder: position of the leftmost
     * set bit counted from the top, 25 for an all-zero remainder. Both
     * engines derive it from the base-2 digit count — Spark
@@ -171,6 +199,138 @@ object Sketches {
             .as("est_scaled"),
           col("exact"))
         .orderBy("event_type")
+    },
+
+    // HLL SET-OPERATION estimates via inclusion–exclusion (Flajolet et
+    // al. 2007 §4 discussion): |A ∩ B| ≈ E(A) + E(B) − E(A ∪ B), where
+    // the union sketch is the REGISTER MAX-MERGE (the mergeability
+    // q_hll_registers proves) — the sketch algebra that answers audience-
+    // overlap / cross-split-contamination questions from per-partition
+    // sketches WITHOUT re-touching rows. Oracle-checked at the estimator
+    // layer: denominators are the exact dyadic integers of
+    // q_hll_estimate, and the only float steps are one literal-constant
+    // division per set (C / D, correctly rounded IEEE, identical in both
+    // engines — C is embedded as the same round-trip double literal) and
+    // the fixed-order (a + b) − u sum, then round(6). Sets are the
+    // per-orderstatus customer populations (n ≈ 1400 ≫ 2.5m — the raw-
+    // estimate regime, no linear-counting branch). Scale shape: one
+    // corpus groupBy builds the 3×64-row register matrix; every pair
+    // merge and estimate runs on that bounded model frame. The exact_
+    // columns are diagnostic ground truth (the corpus-sized distinct
+    // self-join a production run would skip — the sketch path never
+    // needs it).
+    Q("q_hll_intersect",
+      s"""WITH o AS (
+         |  SELECT o_orderstatus AS st,
+         |         ${Dedup.hashSql("CAST(o_custkey AS VARCHAR)")} AS h,
+         |         o_custkey
+         |  FROM orders),
+         |x1 AS (SELECT st, o_custkey, xor(h, h >> 16) AS x FROM o),
+         |x2 AS (SELECT st, o_custkey, (x * 2246822507) % 2147483648 AS x FROM x1),
+         |x3 AS (SELECT st, o_custkey, xor(x, x >> 13) AS x FROM x2),
+         |x4 AS (SELECT st, o_custkey, (x * 3266489909) % 2147483648 AS x FROM x3),
+         |mx AS (SELECT st, o_custkey, xor(x, x >> 16) AS hm FROM x4),
+         |regs AS (
+         |  SELECT st, CAST(hm % $M AS INTEGER) AS bucket,
+         |         max(CAST(CASE WHEN hm // $M = 0 THEN $MixRankCap
+         |                  ELSE $MixRankCap - length(bin(hm // $M)) END
+         |             AS INTEGER)) AS register
+         |  FROM mx GROUP BY 1, 2),
+         |d AS (
+         |  SELECT st,
+         |         CAST(sum(CAST(1 AS BIGINT) << (57 - register)) AS BIGINT)
+         |           + ($M - count(*)) * (CAST(1 AS BIGINT) << 57) AS dn
+         |  FROM regs GROUP BY st),
+         |pairs AS (
+         |  SELECT a.st AS s1, b.st AS s2
+         |  FROM (SELECT DISTINCT st FROM o) a, (SELECT DISTINCT st FROM o) b
+         |  WHERE a.st < b.st),
+         |mu AS (
+         |  SELECT p.s1, p.s2, r.bucket, max(r.register) AS register
+         |  FROM pairs p JOIN regs r ON r.st = p.s1 OR r.st = p.s2
+         |  GROUP BY 1, 2, 3),
+         |du AS (
+         |  SELECT s1, s2,
+         |         CAST(sum(CAST(1 AS BIGINT) << (57 - register)) AS BIGINT)
+         |           + ($M - count(*)) * (CAST(1 AS BIGINT) << 57) AS dn
+         |  FROM mu GROUP BY 1, 2),
+         |nx AS (
+         |  SELECT st, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n
+         |  FROM o GROUP BY st),
+         |ex AS (
+         |  SELECT a.st AS s1, b.st AS s2, CAST(count(*) AS BIGINT) AS exact_inter
+         |  FROM (SELECT DISTINCT st, o_custkey FROM o) a
+         |  JOIN (SELECT DISTINCT st, o_custkey FROM o) b
+         |    ON b.o_custkey = a.o_custkey AND a.st < b.st
+         |  GROUP BY 1, 2)
+         |SELECT p.s1, p.s2, na.n AS n_a, nb.n AS n_b, ex.exact_inter,
+         |       round($HllEstC / CAST(da.dn AS DOUBLE), 6) AS est_a,
+         |       round($HllEstC / CAST(db.dn AS DOUBLE), 6) AS est_b,
+         |       round($HllEstC / CAST(du.dn AS DOUBLE), 6) AS est_u,
+         |       round(($HllEstC / CAST(da.dn AS DOUBLE)
+         |              + $HllEstC / CAST(db.dn AS DOUBLE))
+         |             - $HllEstC / CAST(du.dn AS DOUBLE), 6) AS est_inter
+         |FROM pairs p
+         |JOIN d da ON da.st = p.s1 JOIN d db ON db.st = p.s2
+         |JOIN du ON du.s1 = p.s1 AND du.s2 = p.s2
+         |JOIN nx na ON na.st = p.s1 JOIN nx nb ON nb.st = p.s2
+         |JOIN ex ON ex.s1 = p.s1 AND ex.s2 = p.s2
+         |ORDER BY p.s1, p.s2""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderstatus").as("st"),
+          poly_hash(col("o_custkey").cast("string")).as("h"), col("o_custkey"))
+      val hm = mix31(col("h"))
+      val v  = expr(s"hm div $M")
+      val rk = when(v === 0L, lit(MixRankCap))
+        .otherwise(lit(MixRankCap) - length(conv(v.cast("string"), 10, 2)))
+      val regs = o.withColumn("hm", hm)
+        .select(col("st"), (col("hm") % M).cast("int").as("bucket"),
+          rk.cast("int").as("rank"))
+        .groupBy("st", "bucket").agg(max("rank").as("register"))
+      def denom(df: DataFrame, keys: Seq[String]): DataFrame = df
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("present"),
+          sum(expr("shiftleft(1L, 57 - register)")).as("esp"))
+        .select(keys.map(col) :+
+          (col("esp") + (lit(M.toLong) - col("present")) * (1L << 57)).as("dn"): _*)
+      val d = denom(regs, Seq("st"))
+      // status-taxonomy pair frame: both sides bounded by the distinct
+      // o_orderstatus cardinality (3) — broadcast keeps the non-equi pair
+      // join out of CartesianProduct (allowlisted, the drift_daily class)
+      val pairs = regs.select("st").distinct()
+        .join(broadcast(regs.select(col("st").as("s2")).distinct()),
+          col("st") < col("s2"))
+        .select(col("st").as("s1"), col("s2"))
+      val mu = pairs.join(regs.select(col("st").as("s1"), col("bucket"),
+          col("register")), Seq("s1"))
+        .select(col("s1"), col("s2"), col("bucket"), col("register"))
+        .unionAll(pairs.join(regs.select(col("st").as("s2"), col("bucket"),
+            col("register")), Seq("s2"))
+          .select(col("s1"), col("s2"), col("bucket"), col("register")))
+        .groupBy("s1", "s2", "bucket").agg(max("register").as("register"))
+      val du = denom(mu, Seq("s1", "s2"))
+      val nx = o.groupBy("st").agg(countDistinct("o_custkey").as("n"))
+      val dk = o.select(col("st"), col("o_custkey")).distinct()
+      val ex = dk.as("a")
+        .join(dk.select(col("st").as("s2"), col("o_custkey")).as("b"),
+          col("a.o_custkey") === col("b.o_custkey") && col("st") < col("s2"))
+        .groupBy(col("st").as("s1"), col("s2"))
+        .agg(count(lit(1)).as("exact_inter"))
+      def est(dn: Column): Column = lit(HllEstC) / dn.cast("double")
+      pairs
+        .join(d.select(col("st").as("s1"), col("dn").as("dna")), Seq("s1"))
+        .join(d.select(col("st").as("s2"), col("dn").as("dnb")), Seq("s2"))
+        .join(du.select(col("s1"), col("s2"), col("dn").as("dnu")), Seq("s1", "s2"))
+        .join(nx.select(col("st").as("s1"), col("n").as("n_a")), Seq("s1"))
+        .join(nx.select(col("st").as("s2"), col("n").as("n_b")), Seq("s2"))
+        .join(ex, Seq("s1", "s2"))
+        .select(col("s1"), col("s2"), col("n_a"), col("n_b"), col("exact_inter"),
+          round(est(col("dna")), 6).as("est_a"),
+          round(est(col("dnb")), 6).as("est_b"),
+          round(est(col("dnu")), 6).as("est_u"),
+          round((est(col("dna")) + est(col("dnb"))) - est(col("dnu")), 6)
+            .as("est_inter"))
+        .orderBy("s1", "s2")
     },
 
     // Johnson–Lindenstrauss random projection with a ±1 sign matrix

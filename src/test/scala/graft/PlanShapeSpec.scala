@@ -152,6 +152,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
       "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
       "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users",
+      // the hinted side is the distinct order-status frame — bounded by
+      // the status taxonomy (3 values), the drift_daily class
+      "q_hll_intersect",
       // the hinted sides are the single-row max-doc-id total, the two
       // 20-row fixed-checkpoint bucket frames (bounded by construction:
       // b = doc_id·20 div (max+1) ≤ 19 at any corpus size), and the

@@ -214,4 +214,20 @@ class SketchesSpec extends SparkSpec {
     // sf0.001 groups are ~200 rows < k: full coverage, asserted exact inside
     rankErrors(TestSpark.sf0001)
   }
+
+  test("HLL inclusion-exclusion intersections track exact overlap (sf0.01)") {
+    // n ~= 1430 per status >> 2.5m: the raw-estimate regime the mix31
+    // avalanche finalizer exists for. Incl-excl amplifies single-set error
+    // (three estimates combine), so the gate is 2.5x the 13% single-set
+    // sigma; measured worst case on the shipped corpus is ~10%.
+    val rows = SparkEntry.queries("q_hll_intersect")(spark, "/root/testdata/sf0.01")
+      .select("exact_inter", "est_inter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(0).toDouble
+      val est   = r.getDouble(1)
+      assert(math.abs(est - exact) / exact <= 0.33,
+        s"intersection estimate $est vs exact $exact drifted past the envelope")
+    }
+  }
 }
