@@ -108,6 +108,43 @@ object Hashing {
     acc
   }
 
+  /** 128-bit occurrence-weighted SimHash over raw token strings, as four
+    * 32-bit words (packed little-endian: word i carries salted hashes
+    * 2i / 2i+1 in its low / high 16 bits). Each token contributes eight
+    * word-salted PolyHashes (`tok + "#w"`), of which the low 16 bits vote
+    * per bit position — the production-width fingerprint (Manku et al.
+    * 2007 run 64-bit; 128 matches the Norouzi MIH evaluation width) built
+    * from the same public rolling hash the 30-bit SimHash uses, so the
+    * DuckDB oracle reproduces every bit with list_transform arithmetic.
+    */
+  def simHash128(toks: ArrayData): ArrayData = {
+    val n      = toks.numElements()
+    val counts = new Array[Int](128)
+    var i      = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i).toString
+      var w = 0
+      while (w < 8) {
+        val h = polyHash(UTF8String.fromString(t + "#" + w))
+        var j = 0
+        while (j < 16) {
+          if (((h >> j) & 1L) == 1L) counts(w * 16 + j) += 1
+          else counts(w * 16 + j) -= 1
+          j += 1
+        }
+        w += 1
+      }
+      i += 1
+    }
+    val words = new Array[Long](4)
+    var b = 0
+    while (b < 128) {
+      if (counts(b) > 0) words(b / 32) |= (1L << (b % 32))
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
+  }
+
   /** Integer dot product of two long vectors — the scalar-quantized
     * (int8-in-long) inner-product kernel. Exact in 64 bits for any
     * |q| ≤ 127 at realistic dims (64·127² ≈ 2^20).
@@ -180,6 +217,17 @@ case class DotFF(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** sim_hash128(array<string>) → array<long> (four 32-bit words). */
+case class SimHash128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.simHash128(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simHash128($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash128 =
+    copy(child = newChild)
+}
+
 /** dot_ll(array<long>, array<long>) → long (exact integer inner product). */
 case class DotLL(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -198,6 +246,7 @@ object exprs {
 
   def poly_hash(s: Column): Column             = c(PolyHash(e(s)))
   def sim_hash30(hashes: Column): Column       = c(SimHash30(e(hashes)))
+  def sim_hash128(toks: Column): Column        = c(SimHash128(e(toks)))
   def dot_ff(a: Column, b: Column): Column     = c(DotFF(e(a), e(b)))
   def dot_ll(a: Column, b: Column): Column     = c(DotLL(e(a), e(b)))
   def count_equal(a: Column, b: Column): Column = c(CountEqual(e(a), e(b)))

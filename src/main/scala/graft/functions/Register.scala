@@ -21,6 +21,8 @@ object Register {
       arity("poly_hash", 1)(es => PolyHash(es.head)), "scala_udf")
     reg.createOrReplaceTempFunction("sim_hash30",
       arity("sim_hash30", 1)(es => SimHash30(es.head)), "scala_udf")
+    reg.createOrReplaceTempFunction("sim_hash128",
+      arity("sim_hash128", 1)(es => SimHash128(es.head)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_ff",
       arity("dot_ff", 2)(es => DotFF(es(0), es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("count_equal",

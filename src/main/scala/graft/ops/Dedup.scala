@@ -375,6 +375,28 @@ object Dedup {
   final val SimBandW  = 10
   final val SimHamMax = 2
 
+  /** 128-bit SimHash pair tolerance (q_simhash_pairs128): tau = 8 over
+    * 8 MIH chunks → per-chunk probe radius 1 (17 masks). The matched
+    * RELATIVE tolerance of the 30-bit ham ≤ 2 contract (2/30 ≈ 8/128).
+    */
+  final val Sim128Tau = 8
+
+  /** 128-bit fingerprint pair search over an explicit documents frame:
+    * [[graft.functions.Hashing.simHash128]] codes through the
+    * [[Similarity.mihPairs]] engine.
+    */
+  private[graft] def simhash128PairsFrom(docs: DataFrame): DataFrame = {
+    import graft.functions.exprs.sim_hash128
+    val codes = docs
+      .select(col("doc_id").as("vec_id"),
+        sim_hash128(split(col("text"), " ")).as("sw"))
+      .select(col("vec_id"), col("sw").getItem(0).as("w0"),
+        col("sw").getItem(1).as("w1"), col("sw").getItem(2).as("w2"),
+        col("sw").getItem(3).as("w3"))
+    Similarity.mihPairs(codes, Seq("w0", "w1", "w2", "w3"), Sim128Tau)
+      .select(col("v1").as("d1"), col("v2").as("d2"), col("ham"))
+  }
+
   /** Winnowing (q_winnowing): gram size in tokens, window size in grams,
     * and the composite-key base (must exceed any gram position; gram
     * hashes are < 10⁹+7 so h·WinB < 2^51 — no int64 overflow).
@@ -683,6 +705,51 @@ object Dedup {
          |FROM cand WHERE bit_count(xor(sig1, sig2)) <= $SimHamMax
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       simhashPairsFrom(Tables.documents(s, dir)).orderBy("d1", "d2")
+    },
+
+    // PRODUCTION-WIDTH SimHash pairs: 128-bit fingerprints (the Norouzi
+    // MIH evaluation width) probed by the multi-index Hamming engine —
+    // 8×16-bit chunks at radius floor(8/8) = 1, so the per-chunk probe
+    // neighborhood is just 17 masks (vs 697 at radius 3). Pigeonhole:
+    // ham ≤ 8 over 8 chunks leaves some chunk ≤ 1 — the index finds
+    // EVERY qualifying pair, and the oracle IS the brute-force all-pairs
+    // scan, so hash-green re-proves completeness at this width (the
+    // q_hamming_mih contract, now on the TEXT dedup plane). The 2×-wider
+    // code buys output precision: P(Binom(128,½) ≤ 8) ≈ 5e-25 background
+    // pairs vs ≈ 2e-5 for 30-bit ham ≤ 2. Scale shape: per doc
+    // 8 chunk keys × 17 probes through one SHUFFLE_HASH-pinned join —
+    // Θ(docs × 136) probe rows, never all-pairs.
+    Q("q_simhash_pairs128",
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |hw AS (
+         |  SELECT doc_id, w,
+         |         list_transform(ts, t -> ${hashSql("t || '#' || CAST(w AS VARCHAR)")}) AS hs
+         |  FROM tk, range(0, 8) r(w)),
+         |sg AS (
+         |  SELECT doc_id, w, CAST(list_sum(list_transform(range(0, 16), j ->
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |           CASE WHEN ((h >> j) & 1) = 1 THEN CAST(1 AS BIGINT)
+         |                ELSE CAST(-1 AS BIGINT) END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+         |    AS BIGINT) AS s16
+         |  FROM hw),
+         |wd AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN w = 0 THEN s16 WHEN w = 1 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w0,
+         |    CAST(sum(CASE WHEN w = 2 THEN s16 WHEN w = 3 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w1,
+         |    CAST(sum(CASE WHEN w = 4 THEN s16 WHEN w = 5 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w2,
+         |    CAST(sum(CASE WHEN w = 6 THEN s16 WHEN w = 7 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w3
+         |  FROM sg GROUP BY doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+         |            + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+         |         AS INTEGER) AS ham
+         |FROM wd a JOIN wd b ON b.doc_id > a.doc_id
+         |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+         |      + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= $Sim128Tau
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      simhash128PairsFrom(Tables.documents(s, dir)).orderBy("d1", "d2")
     },
 
     // Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

@@ -177,7 +177,10 @@ class PlanShapeSpec extends SparkSpec {
       // stats-driven broadcast would collect the exploded frame to the
       // driver (observed maxResultSize abort at ScaleProbe x50) — the
       // hint pins the candidate join to shuffle-partitioned hash
-      "q_hamming_mih", "q_hamming_mih128")
+      "q_hamming_mih", "q_hamming_mih128",
+      // same engine, text plane: the 128-bit SimHash pair search rides
+      // mihPairs and carries the identical SHUFFLE_HASH pin
+      "q_simhash_pairs128")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
