@@ -88,6 +88,40 @@ object Advanced {
       .orderBy("d")
   }
 
+  /** CUSUM kernel over an explicit (d, c) daily-count frame — the engine
+    * side of q_cusum_changepoint, factored out so AdvancedSpec can feed a
+    * constructed mean-shifted series. Both ≤-joins broadcast day-bounded
+    * frames (the q_cum_distinct_users allowlist class); the single-row
+    * stats frame rides the same hint.
+    */
+  private[graft] def cusumFrom(dc: DataFrame): DataFrame = {
+    val st = dc.agg(expr("sum(c) div count(1)").as("mean"))
+    val b  = dc.select(col("d").as("xd"), col("c").as("xc"))
+    val pre = dc.select("d")
+      .join(broadcast(b), col("xd") <= col("d"))
+      .groupBy("d")
+      .agg(sum(when(col("xd") === col("d"), col("xc"))).as("c"),
+        count(lit(1)).as("nd"), sum("xc").as("cs"))
+      .crossJoin(broadcast(st))
+      .select(col("d"), col("c"), col("mean"),
+        (col("cs") - col("nd") * (col("mean") + expr("mean div 20"))).as("pu"),
+        (col("nd") * (col("mean") - expr("mean div 20")) - col("cs")).as("pd"))
+    val rp = pre.select(col("d").as("xd"), col("pu").as("xpu"),
+      col("pd").as("xpd"))
+    pre.join(broadcast(rp), col("xd") <= col("d"))
+      .groupBy("d")
+      .agg(min(col("c")).as("c"), min(col("mean")).as("mean"),
+        min(col("pu")).as("pu"), min(col("pd")).as("pd"),
+        min(col("xpu")).as("rmu"), min(col("xpd")).as("rmd"))
+      .select(col("d"), col("c"),
+        (col("pu") - least(lit(0L), col("rmu"))).as("s_up"),
+        (col("pd") - least(lit(0L), col("rmd"))).as("s_dn"),
+        ((col("pu") - least(lit(0L), col("rmu"))) > expr("mean div 2"))
+          .as("flag_up"),
+        ((col("pd") - least(lit(0L), col("rmd"))) > expr("mean div 2"))
+          .as("flag_dn"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Skew-salted aggregation: events.user_id is pathologically skewed
@@ -675,6 +709,49 @@ object Advanced {
         .agg(coalesce(sum(when(col("xd") === col("d"), col("n_new"))), lit(0L))
           .as("n_new"),
           coalesce(sum("n_new"), lit(0L)).as("cum_users"))
+        .orderBy("d")
+    },
+
+    // CUSUM changepoint trajectories (Page 1954) over the daily event
+    // rate: one-sided cumulative sums S⁺ (rate shifted UP) and S⁻ (rate
+    // shifted DOWN) with a 5% slack band around the series mean, flagged
+    // when either exceeds h = mean/2. The recurrence
+    // S_d = max(0, S_{d-1} + (c_d − k)) is NOT computed as a scan:
+    // S_d = P_d − min(0, min_{j≤d} P_j) on prefix sums P, so the whole
+    // trajectory is two ≤-joins over the BOUNDED day series (the
+    // q_cum_distinct_users rewrite — the corpus shuffles once into daily
+    // counts; everything after runs on ≤retention-row frames, exact
+    // integers throughout, no global window). The shipped series is
+    // stationary, so the flags stay false here; AdvancedSpec plants a
+    // mean-shifted series and asserts S⁺ crosses h within days of the
+    // break while the pre-break prefix stays quiet.
+    Q("q_cusum_changepoint",
+      """WITH dc AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(sum(c) // count(*) AS BIGINT) AS mean FROM dc),
+        |p AS (
+        |  SELECT d, c,
+        |         sum(c) OVER (ORDER BY d)
+        |           - row_number() OVER (ORDER BY d)
+        |             * (SELECT mean + mean // 20 FROM st) AS pu,
+        |         row_number() OVER (ORDER BY d)
+        |             * (SELECT mean - mean // 20 FROM st)
+        |           - sum(c) OVER (ORDER BY d) AS pd
+        |  FROM dc),
+        |r AS (
+        |  SELECT d, c, pu, pd,
+        |         min(pu) OVER (ORDER BY d) AS rmu,
+        |         min(pd) OVER (ORDER BY d) AS rmd
+        |  FROM p)
+        |SELECT d, c,
+        |       CAST(pu - least(0, rmu) AS BIGINT) AS s_up,
+        |       CAST(pd - least(0, rmd) AS BIGINT) AS s_dn,
+        |       (pu - least(0, rmu)) > (SELECT mean // 2 FROM st) AS flag_up,
+        |       (pd - least(0, rmd)) > (SELECT mean // 2 FROM st) AS flag_dn
+        |FROM r ORDER BY d""".stripMargin) { (s, dir) =>
+      cusumFrom(Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("d")).agg(count(lit(1)).as("c")))
         .orderBy("d")
     },
 

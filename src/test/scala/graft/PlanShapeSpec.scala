@@ -155,6 +155,10 @@ class PlanShapeSpec extends SparkSpec {
       // the hinted side is the distinct order-status frame — bounded by
       // the status taxonomy (3 values), the drift_daily class
       "q_hll_intersect",
+      // both ≤-join hinted sides are day-bounded frames (daily counts /
+      // daily prefix sums) plus the single-row mean — the
+      // q_cum_distinct_users class
+      "q_cusum_changepoint",
       // the hinted sides are the single-row max-doc-id total, the two
       // 20-row fixed-checkpoint bucket frames (bounded by construction:
       // b = doc_id·20 div (max+1) ≤ 19 at any corpus size), and the

@@ -161,6 +161,28 @@ class QueriesSpec extends SparkSpec {
     assert(recall > 0.3, s"ANN recall collapsed: $recall")
   }
 
+  test("cusum detects a planted mean shift, stays quiet before it") {
+    // 40 days at 100/day then 20 at 130/day: global mean 110, slack 5 ->
+    // pre-break S+ pins at 0 (100 < k_up = 115), post-break S+ climbs
+    // 15/day and crosses h = 55 on the 4th shifted day
+    import spark.implicits._
+    val frame = (1 to 60).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1).toString),
+        if (i <= 40) 100L else 130L)
+    }.toDF("d", "c")
+    val out = ops.Advanced.cusumFrom(frame).orderBy("d").collect()
+    assert(out.length === 60)
+    val byDay = out.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getLong(2), r.getBoolean(4)) // (day, s_up, flag_up)
+    }
+    byDay.filter(_._1 <= 40).foreach { case (day, sUp, flag) =>
+      assert(sUp === 0L && !flag, s"day $day: S+ $sUp flag $flag before the break")
+    }
+    byDay.filter(_._1 >= 45).foreach { case (day, _, flag) =>
+      assert(flag, s"day $day: upward shift undetected")
+    }
+  }
+
   test("sq topk: int8 MIPS recall@10 >= 0.85 vs exact cosine (sf0.01)") {
     // the quantized plane itself is oracle-checked exact (q_sq_topk's
     // hash-match); this bridges it to the FLOAT contract — int8 symmetric
