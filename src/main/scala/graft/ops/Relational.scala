@@ -39,6 +39,46 @@ object Relational {
             to_date(col("o_orderdate")).as("d"))
     },
 
+    // SKYLINE / Pareto frontier (Börzsönyi et al. 2001, "The Skyline
+    // Operator"): orders not dominated on (earlier date, higher total) —
+    // A dominates B iff A.date ≤ B.date ∧ A.price ≥ B.price with one
+    // strict. The naive form is an all-pairs NOT EXISTS (Θ(n²) — dead at
+    // scale); in 2-D dominance factors through the DATE axis, so the
+    // skyline is exactly "day-max rows whose price beats every earlier
+    // day's max" — one corpus groupBy to the bounded day-max frame, a
+    // prefix-max ≤-join on that frame (the cum_distinct_users class),
+    // and one broadcast join back to the corpus. Same-day price ties:
+    // neither order strictly dominates, both stay (mp = price keeps
+    // every max-priced order of a record day).
+    Q("q_skyline_orders",
+      """WITH dmax AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, max(o_totalprice) AS mp
+        |  FROM orders GROUP BY 1),
+        |pm AS (
+        |  SELECT a.d, a.mp, max(b.mp) AS pmax_lt
+        |  FROM dmax a LEFT JOIN dmax b ON b.d < a.d
+        |  GROUP BY a.d, a.mp)
+        |SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d, o.o_totalprice
+        |FROM orders o JOIN pm ON pm.d = CAST(o.o_orderdate AS DATE)
+        |WHERE pm.mp = o.o_totalprice
+        |  AND (pm.pmax_lt IS NULL OR pm.pmax_lt < o.o_totalprice)
+        |ORDER BY d, o.o_orderkey""".stripMargin) { (s, dir) =>
+      val dmax = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(max("o_totalprice").as("mp"))
+      val b = dmax.select(col("d").as("xd"), col("mp").as("xmp"))
+      val pm = dmax.join(broadcast(b), col("xd") < col("d"), "left")
+        .groupBy("d", "mp").agg(max("xmp").as("pmax_lt"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
+          col("o_totalprice"))
+        .join(broadcast(pm), Seq("d"))
+        .filter(col("mp") === col("o_totalprice") &&
+          (col("pmax_lt").isNull || col("pmax_lt") < col("o_totalprice")))
+        .select(col("o_orderkey"), col("d"), col("o_totalprice"))
+        .orderBy("d", "o_orderkey")
+    },
+
     // Hash equi-join, orders ⋈ customer.
     Q("q_join_orders_customer",
       """SELECT o_orderkey, c_name, o_totalprice, c_acctbal

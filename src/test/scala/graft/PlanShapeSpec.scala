@@ -159,6 +159,9 @@ class PlanShapeSpec extends SparkSpec {
       // daily prefix sums) plus the single-row mean — the
       // q_cum_distinct_users class
       "q_cusum_changepoint",
+      // hinted sides are the day-max frame and its prefix-max derivative —
+      // bounded by the order-date domain, the q_cum_distinct_users class
+      "q_skyline_orders",
       // the hinted sides are the single-row max-doc-id total, the two
       // 20-row fixed-checkpoint bucket frames (bounded by construction:
       // b = doc_id·20 div (max+1) ≤ 19 at any corpus size), and the

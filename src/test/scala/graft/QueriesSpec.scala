@@ -161,6 +161,23 @@ class QueriesSpec extends SparkSpec {
     assert(recall > 0.3, s"ANN recall collapsed: $recall")
   }
 
+  test("skyline prefix-max rewrite equals the all-pairs dominance definition") {
+    // sf0.001: brute-force NOT EXISTS is feasible and IS the definition
+    val dir = TestSpark.sf0001
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").as("p")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val brute = o.filter { case (k, d, p) =>
+      !o.exists { case (k2, d2, p2) =>
+        k2 != k && !d2.isAfter(d) && p2 >= p && (d2.isBefore(d) || p2 > p)
+      }
+    }.map(_._1).toSet
+    val sky = SparkEntry.queries("q_skyline_orders")(spark, dir)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(sky === brute, "prefix-max skyline diverged from the dominance definition")
+  }
+
   test("cusum detects a planted mean shift, stays quiet before it") {
     // 40 days at 100/day then 20 at 130/day: global mean 110, slack 5 ->
     // pre-break S+ pins at 0 (100 < k_up = 115), post-break S+ climbs
