@@ -47,6 +47,30 @@ object LM {
   /** The bigram-NLL pipeline over an explicit documents frame (ScaleProbe
     * entry point).
     */
+  /** Kneser–Ney bigram table over an explicit documents frame — the
+    * engine side of q_kneser_ney (see the query comment for the exact
+    * rational formulation).
+    */
+  private[graft] def kneserNeyFrom(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val c2 = docs
+      .select(toks.as("toks")).filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1  = c2.groupBy("w1").agg(sum("c2").as("c1c"), count(lit(1)).as("n1p"))
+    val nc  = c2.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val tot = c2.agg(count(lit(1)).as("nt"))
+    c2.join(c1, "w1").join(nc, "w2").crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c2"),
+        expr("((4 * c2 - 3) * nt + 3 * n1p * nc) * 1000000 div (4 * c1c * nt)")
+          .as("p_kn_micro"),
+        expr("(3 * n1p * 1000000) div (4 * c1c)").as("lambda_micro"))
+  }
+
   private[graft] def bigramNllFrom(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val bg = docs
@@ -125,6 +149,46 @@ object LM {
          |FROM bg JOIN lp USING (w1, w2)
          |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
       bigramNllFrom(Tables.documents(s, dir))
+    },
+
+    // Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; Chen &
+    // Goodman 1999 eq. 4.25) — the standard n-gram smoother: absolute
+    // discount d = 3/4 off every observed bigram, the freed mass
+    // λ(w1) = d·N1+(w1·)/c(w1) backing off to the CONTINUATION unigram
+    // P_cont(w2) = N1+(·w2)/N1+(··) (how many contexts a word follows —
+    // "Francisco" is frequent but only ever follows "San", so its
+    // continuation probability is tiny). With d rational, every
+    // probability is an exact integer ratio:
+    //   p = [(4·c2 − 3)·Nt + 3·N1p(w1)·Ncont(w2)] / (4·c1c(w1)·Nt)
+    // carried in micro units by one trunc-div — NO libm anywhere (the
+    // first LM-plane query with zero float steps; magnitude budget:
+    // num·10⁶ ≤ 4·c2·Nt·10⁶ ≈ 2^58 at sf0.1). LMSpec proves per-context
+    // normalization: observed mass + λ·(unseen continuation mass) = 1
+    // exactly, from the emitted integers. Scale shape: one corpus
+    // shuffle to the bigram-type frame; every other aggregate and join
+    // is vocab-sized (AQE broadcasts them while small).
+    Q("q_kneser_ney",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c2 AS (
+        |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM (SELECT unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+        |                for i in range(1, len(toks))]) AS p
+        |        FROM t WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1c,
+        |              CAST(count(*) AS BIGINT) AS n1p
+        |       FROM c2 GROUP BY w1),
+        |nc AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM c2 GROUP BY w2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c2)
+        |SELECT c2.w1, c2.w2, c2.c2,
+        |       CAST(((4 * c2.c2 - 3) * tot.nt + 3 * c1.n1p * nc.nc) * 1000000
+        |            // (4 * c1.c1c * tot.nt) AS BIGINT) AS p_kn_micro,
+        |       CAST((3 * c1.n1p * 1000000) // (4 * c1.c1c) AS BIGINT)
+        |         AS lambda_micro
+        |FROM c2 JOIN c1 USING (w1) JOIN nc USING (w2) CROSS JOIN tot
+        |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      kneserNeyFrom(Tables.documents(s, dir)).orderBy("w1", "w2")
     },
 
     // DSIR-style importance selection: per-token log-ratio

@@ -31,4 +31,32 @@ class LMSpec extends SparkSpec {
     val b = ops.LM.naiveBayesLang(docs.repartition(13)).collect().toSeq
     assert(a === b, "NB output depends on physical partitioning")
   }
+
+  test("Kneser-Ney is a proper distribution: per-context mass sums to exactly 1") {
+    // From the EXACT rationals (re-derived from the same counts the query
+    // emits): sum over observed continuations of (4c2-3)/(4c1c) plus
+    // lambda * [continuation mass of ALL words] must equal 1, because
+    // sum_w2 Ncont(w2) = Nt by construction. BigInt arithmetic - no
+    // tolerance.
+    val c2 = ops.LM.kneserNeyFrom(Tables.documents(spark, sfDir))
+      .select("w1", "c2").collect()
+      .groupBy(_.getString(0)).map { case (w1, rs) =>
+        (w1, rs.map(_.getLong(1)))
+      }
+    val rows = ops.LM.kneserNeyFrom(Tables.documents(spark, sfDir))
+      .groupBy("w2").count().collect() // Ncont per w2 re-derivation
+    val nt = BigInt(rows.map(_.getLong(1)).sum)
+    // per context: observed mass num/den with den = 4*c1c*nt
+    c2.take(200).foreach { case (w1, cs) =>
+      val c1c = BigInt(cs.sum)
+      val n1p = BigInt(cs.length)
+      val den = 4 * c1c * nt
+      // observed discounted mass + lambda * (sum over ALL w2 of Ncont/Nt):
+      // sum_obs (4c2-3)*nt + 3*n1p*nt  ==  den  must hold exactly
+      val obs = cs.map(c => (4 * BigInt(c) - 3) * nt).sum
+      val lam = 3 * n1p * nt
+      assert(obs + lam === den,
+        s"context '$w1': KN mass ${obs + lam} != $den")
+    }
+  }
 }

@@ -149,6 +149,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_ann_screen_topk", "q_ann_ivf_topk", "q_sq_topk", "q_bloom_semi_join",
       "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_pq_topk",
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
+      // the hinted side is the single-row bigram-type total — the
+      // tfidf/unigram single-row class
+      "q_kneser_ney",
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
       "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
       "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users",
