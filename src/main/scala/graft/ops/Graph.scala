@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.Q
+import graft.{Q, Tables}
 
 /** Graph centrality over the near-duplicate graph: PageRank (Brin & Page
   * 1998) on the qualifying-pair edge list the MinHash pipeline already
@@ -111,6 +111,66 @@ object Graph {
     r.select(col("v").as("doc_id"), col("deg"), col("pr").as("pr_micro"))
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; Jeh & Widom 2002): the
+    * teleport vector is concentrated on a SEED set — here one hub per
+    * source (highest near-dup degree, ties to the lowest doc id), so the
+    * stationary mass reads "how much of each source's duplication
+    * neighborhood does this document sit in". Same exact integer-micro
+    * trajectory as [[pageRank]] — the only change is the base term
+    * 0.15·10⁶/|S| paid to seeds instead of 0.15·10⁶/n to everyone.
+    */
+  private[graft] def pprSeeded(pairs: DataFrame, docs: DataFrame,
+      iters: Int = PrIters): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    val edges = p.select(col("d1").as("v"), col("d2").as("w"))
+      .union(p.select(col("d2").as("v"), col("d1").as("w")))
+      .repartition(col("v")).localCheckpoint()
+    val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
+    // one seed per source: max (deg, lowest id) — |sources|-bounded frame
+    val seeds = deg.join(docs.select(col("doc_id").as("v"), col("source")), "v")
+      .groupBy("source")
+      .agg(max(struct(col("deg"), (-col("v")).as("nv"))).as("m"))
+      .select((-col("m.nv")).as("v"))
+    val ns = seeds.agg(count(lit(1)).as("ns")) // single-row: allowlisted class
+    val sd = seeds.withColumn("is_seed", lit(true))
+    var r = deg.crossJoin(broadcast(ns))
+      .join(broadcast(sd), Seq("v"), "left")
+      .select(col("v"), col("deg"), col("ns"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"),
+        when(col("is_seed"),
+          round(lit(1000000.0) / col("ns")).cast("long"))
+          .otherwise(lit(0L)).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(r.select(col("v"), expr("pr div deg").as("c")), "v")
+        .groupBy(col("w").as("v")).agg(sum("c").as("csum"))
+      r = deg.crossJoin(broadcast(ns))
+        .join(broadcast(sd), Seq("v"), "left")
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"), col("deg"), col("ns"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed"),
+          round(when(coalesce(col("is_seed"), lit(false)),
+            lit(150000.0) / col("ns")).otherwise(lit(0.0))
+            + lit(0.85) * coalesce(col("csum"), lit(0L))).cast("long").as("pr"))
+        .localCheckpoint()
+    }
+    r.select(col("v").as("doc_id"), col("deg"), col("is_seed"),
+      col("pr").as("ppr_micro"))
+  }
+
+  /** One unrolled personalized round: pp_r{k-1} → pp_r{k}. */
+  private def pprRoundSql(prev: String, k: String): String =
+    s"""CREATE OR REPLACE TEMP TABLE $k AS
+       |  SELECT d.v, d.deg,
+       |         CAST(round(CASE WHEN sd.v IS NOT NULL THEN 150000.0 / nt.ns
+       |                         ELSE 0.0 END
+       |                    + 0.85 * coalesce(s.c, 0)) AS BIGINT) AS pr
+       |  FROM pp_deg d CROSS JOIN pp_ns nt
+       |  LEFT JOIN pp_seed sd ON sd.v = d.v
+       |  LEFT JOIN (
+       |    SELECT e.w AS v, CAST(sum(r.pr // r.deg) AS BIGINT) AS c
+       |    FROM pp_e e JOIN $prev r ON r.v = e.v GROUP BY e.w) s ON s.v = d.v;""".stripMargin
+
   /** One unrolled oracle round as a MATERIALIZED temp-table statement:
     * pr_r{k-1} → pr_r{k}.
     */
@@ -154,6 +214,47 @@ object Graph {
          |SELECT v AS doc_id, deg, pr AS pr_micro FROM pr_r$PrIters
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       pageRank(Dedup.minhashPairs(s, dir).select("d1", "d2")).orderBy("doc_id")
+    },
+
+    // PERSONALIZED PageRank from per-source hub seeds (see [[pprSeeded]]),
+    // oracle-checked on the full graph via the same unrolled temp-table
+    // trajectory as q_pagerank_neardup — the seed indicator joins into
+    // every round's base term, everything else is the proven integer
+    // recurrence. Curation read: a document with high seeded mass but a
+    // DIFFERENT source than the seed it drains from is cross-source
+    // contamination (q_neardup_cross_source's ranking twin).
+    Q("q_ppr_seeded",
+      s"""CREATE OR REPLACE TEMP TABLE pp_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE pp_e AS
+         |  SELECT d1 AS v, d2 AS w FROM pp_pairs
+         |  UNION ALL
+         |  SELECT d2 AS v, d1 AS w FROM pp_pairs;
+         |CREATE OR REPLACE TEMP TABLE pp_deg AS
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM pp_e GROUP BY v;
+         |CREATE OR REPLACE TEMP TABLE pp_seed AS
+         |  SELECT v FROM (
+         |    SELECT g.v, row_number() OVER (PARTITION BY d.source
+         |             ORDER BY g.deg DESC, g.v) AS rn
+         |    FROM pp_deg g JOIN documents d ON d.doc_id = g.v)
+         |  WHERE rn = 1;
+         |CREATE OR REPLACE TEMP TABLE pp_ns AS
+         |  SELECT CAST(count(*) AS BIGINT) AS ns FROM pp_seed;
+         |CREATE OR REPLACE TEMP TABLE pp_r0 AS
+         |  SELECT g.v, g.deg,
+         |         CASE WHEN sd.v IS NOT NULL
+         |              THEN CAST(round(1000000.0 / nt.ns) AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS pr
+         |  FROM pp_deg g CROSS JOIN pp_ns nt
+         |  LEFT JOIN pp_seed sd ON sd.v = g.v;
+         |${(1 to PrIters).map(i => pprRoundSql(s"pp_r${i - 1}", s"pp_r$i")).mkString("\n")}
+         |SELECT r.v AS doc_id, r.deg, (sd.v IS NOT NULL) AS is_seed,
+         |       r.pr AS ppr_micro
+         |FROM pp_r$PrIters r LEFT JOIN pp_seed sd ON sd.v = r.v
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      pprSeeded(Dedup.minhashPairs(s, dir).select("d1", "d2"),
+        Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Bounded-hop min-label propagation over the full near-dup graph —

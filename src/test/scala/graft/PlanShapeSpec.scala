@@ -152,6 +152,9 @@ class PlanShapeSpec extends SparkSpec {
       // the hinted side is the single-row bigram-type total — the
       // tfidf/unigram single-row class
       "q_kneser_ney",
+      // hinted sides are the single-row seed count and the |sources|-
+      // bounded seed frame — the pagerank single-row + drift_daily classes
+      "q_ppr_seeded",
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
       "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
       "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users",
