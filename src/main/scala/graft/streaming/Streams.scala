@@ -87,6 +87,27 @@ object Streams {
         col("e.items").as("word"), col("e.ests").as("est"))
   }
 
+  /** Per-window Heaps point — ingested tokens vs distinct vocabulary
+    * types per event-time hour, the streaming twin of q_heaps_law's
+    * checkpoint curve (vocabulary growth V(n) ~ K·n^β watched live: a
+    * window whose type count jumps OFF the fitted curve is a domain/
+    * pipeline shift, the vocabulary face of q_drift_daily). Exact
+    * distinct-per-window via CHAINED time-window aggregation (Spark 3.5+
+    * multiple-stateful-operator support): the (window, token) count map
+    * is the first state, the per-window reduction re-windows its window
+    * column — no approximate sketch, so batch ≡ stream cell-for-cell.
+    * State is vocab-per-window-bounded and the watermark evicts it.
+    */
+  def heapsPerWindow(docs: DataFrame): DataFrame =
+    maybeWatermarkOn(docs, "ingest_ts")
+      .select(col("ingest_ts"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+      .select(unix_micros(col("window.start")).as("window_us"),
+        col("n_tokens"), col("n_types"))
+
   private def maybeWatermarkOn(df: DataFrame, tsCol: String): DataFrame =
     if (df.isStreaming) df.withWatermark(tsCol, WatermarkDelay) else df
 

@@ -605,6 +605,32 @@ class StreamingSpec extends SparkSpec {
     assert(mass === Set(9L), s"per-row grid mass must equal window tokens: $mass")
   }
 
+  test("windowed Heaps points equal the batch reduction on an out-of-order feed") {
+    val ms = MemoryStream[StreamingSpec.Doc](spark)
+    val docs = Seq(
+      StreamingSpec.Doc(1, "spark spark flink", ts(1)),
+      StreamingSpec.Doc(2, "alpha beta spark", ts(40)),
+      StreamingSpec.Doc(3, "beta beta gamma", ts(35)), // late, inside watermark
+      StreamingSpec.Doc(4, "delta epsilon", ts(65)))
+    val q = Streams.heapsPerWindow(ms.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("heaps_win").start()
+    ms.addData(docs(0), docs(1))
+    q.processAllAvailable()
+    ms.addData(docs(2), docs(3))
+    q.processAllAvailable()
+    ms.addData(StreamingSpec.Doc(99, "flush", ts(190)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("heaps_win")
+    // hour 0 carries docs 1-3: 9 tokens over 5 types
+    val w0 = got.filter(col("window_us") === 0L)
+      .select("n_tokens", "n_types").as[(Long, Long)].collect()
+    assert(w0.toSeq === Seq((9L, 5L)), s"hour-0 Heaps point: ${w0.toSeq}")
+    val batch = Streams.heapsPerWindow(docs.toDF())
+    assert(got.except(batch).count() === 0 && batch.except(got).count() === 0,
+      "streamed Heaps points diverged from the batch reduction")
+  }
+
   test("streaming geofence equals the batch bbox filter over synthesized segments") {
     val ms = MemoryStream[Event](spark)
     val events = loadEvents
