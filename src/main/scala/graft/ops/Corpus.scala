@@ -289,6 +289,47 @@ object Corpus {
       nearDupComponents(s, dir).orderBy("doc_id")
     },
 
+    // Per-cluster dedup REPORT: the duplicate-cluster inventory a curation
+    // run reads before deleting anything — for every non-singleton
+    // component: member count, how many SOURCES it spans (cross-source
+    // spread = licensing/contamination signal, cf. q_neardup_cross_source),
+    // and the character mass the dedup pass will reclaim (everything but
+    // the keeper). Rides the oracle-checked CC keeper labels (same
+    // unrolled min-propagation script as q_dedup_components — the ccx_
+    // tables are CREATE OR REPLACE, so script composition stays safe) plus
+    // one docs join and one label-keyed groupBy.
+    Q("q_dedup_cluster_stats",
+      s"""CREATE OR REPLACE TEMP TABLE ccx_pairs AS
+         |${Dedup.minhashPairsCtes}
+         |SELECT d1, d2 FROM pairs_t;
+         |CREATE OR REPLACE TEMP TABLE ccx_e AS
+         |  SELECT d1 AS v, d2 AS w FROM ccx_pairs
+         |  UNION ALL
+         |  SELECT d2 AS v, d1 AS w FROM ccx_pairs;
+         |CREATE OR REPLACE TEMP TABLE ccx_l0 AS
+         |  SELECT doc_id AS v, doc_id AS lbl FROM documents;
+         |${(1 to CcOracleIters).map(i =>
+             ccRoundSql(s"ccx_l${i - 1}", s"ccx_l$i")).mkString("\n")}
+         |SELECT l.lbl AS keeper, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(CASE WHEN l.v = l.lbl THEN 0 ELSE d.n_chars END)
+         |         AS BIGINT) AS reclaim_chars
+         |FROM ccx_l$CcOracleIters l JOIN documents d ON d.doc_id = l.v
+         |GROUP BY l.lbl HAVING count(*) >= 2
+         |ORDER BY keeper""".stripMargin) { (s, dir) =>
+      nearDupComponents(s, dir)
+        .join(Tables.documents(s, dir), "doc_id")
+        .groupBy("keeper")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          sum("n_chars").as("sum_chars"),
+          sum(when(col("doc_id") === col("keeper"), lit(0L))
+            .otherwise(col("n_chars"))).as("reclaim_chars"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("keeper")
+    },
+
     // The composed training-corpus pipeline — ORACLE-CHECKED as of the
     // round-7 close: every stage now has a SQL twin (language + stop-
     // density + C4/Gopher gates from the q_quality_gates shape, component
