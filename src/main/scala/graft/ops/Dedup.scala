@@ -488,6 +488,54 @@ object Dedup {
         .orderBy("deg")
     },
 
+    // GINI concentration of duplication mass per source: is a source's
+    // near-dup exposure spread thinly (mirrored-corpus syndrome, Gini → 0)
+    // or concentrated in a few boilerplate hubs (template syndrome,
+    // Gini → 1, fix by dropping the hubs)? Exact integers end to end: the
+    // sorted-rank Gini formula G = (2·Σ r·x − (n+1)·Σx)/(n·Σx) needs one
+    // PARTITIONED row_number (source-keyed — scales with the biggest
+    // source, never a global window) and is tie-order-invariant (equal x
+    // swap freely in Σ r·x), carried in micro units by one trunc-div;
+    // an undupped source (Σx = 0) yields NULL via nullif in both engines.
+    Q("q_gini_dup_mass",
+      s"""$minhashPairsCtes, dg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT d1 AS doc_id FROM pairs_t
+         |    UNION ALL
+         |    SELECT d2 AS doc_id FROM pairs_t)
+         |  GROUP BY doc_id),
+         |ad AS (
+         |  SELECT d.doc_id, d.source, coalesce(dg.deg, 0) AS x
+         |  FROM documents d LEFT JOIN dg ON dg.doc_id = d.doc_id),
+         |rk AS (
+         |  SELECT source, x,
+         |         row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS r
+         |  FROM ad)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(x) AS BIGINT) AS dup_mass,
+         |       CAST((2 * sum(r * x) - (count(*) + 1) * sum(x)) * 1000000
+         |            // nullif(count(*) * sum(x), 0) AS BIGINT) AS gini_micro
+         |FROM rk GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val p = minhashPairs(s, dir)
+      val dg = p.select(col("d1").as("doc_id"))
+        .union(p.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      val ad = Tables.documents(s, dir).select("doc_id", "source")
+        .join(dg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("deg"), lit(0L)).as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("x", "doc_id")
+      ad.withColumn("r", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("x").as("dup_mass"),
+          sum(expr("r * x")).as("srx"))
+        .select(col("source"), col("n_docs"), col("dup_mass"),
+          expr("(2 * srx - (n_docs + 1) * dup_mass) * 1000000" +
+            " div nullif(n_docs * dup_mass, 0)").as("gini_micro"))
+        .orderBy("source")
+    },
+
     // Per-SOURCE duplication exposure — the near-dup graph joined back to
     // provenance: for each source, how many of its documents participate
     // in any qualifying near-dup pair, and the exact integer ratio in
