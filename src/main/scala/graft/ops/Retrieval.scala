@@ -53,6 +53,18 @@ object Retrieval {
   /** RRF constant (Cormack, Clarke & Buettcher 2009's k = 60). */
   final val RrfK = 60
 
+  /** RBO truncation depth and persistence (q_rbo_rankings). */
+  final val RboDepth = 10
+  final val RboP     = 0.9
+
+  /** Per-depth RBO weight (1−p)·p^(d−1)/d, PRE-SCALED to micro units —
+    * computed once, embedded as the identical round-trip double literal
+    * in both engines, so each term is one multiply+round on an exact
+    * integer agreement count.
+    */
+  private[graft] def rboWeight(d: Int): Double =
+    (1.0 - RboP) * math.pow(RboP, d - 1) / d * 1000000.0
+
   /** Probe vector id for the hybrid-retrieval query. */
   final val ProbeId = 0L
 
@@ -291,6 +303,105 @@ object Retrieval {
             + coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)))
             .as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
+    },
+
+    // RANK-BIASED OVERLAP (Webber et al. 2010) between the exact float
+    // cosine ranking and the int8 scalar-quantized ranking for the pinned
+    // probe — the top-weighted answer to "how much does quantization
+    // PERTURB the ranking" (the recall gate only asks set membership):
+    // RBO_min@k = Σ_{d≤k} (1−p)·p^(d−1)·X_d/d with agreement depth
+    // X_d = |top-d(cos) ∩ top-d(sq)|, persistence p = 0.9. Determinism:
+    // each per-depth weight is precomputed ONCE in Scala (pre-scaled to
+    // micro) and embedded as the same round-trip double literal in both
+    // engines (the HllEstC pattern), each term is one multiply+round on
+    // the exact integer X_d, and the cumulative RBO is an INTEGER sum —
+    // no float accumulation order anywhere. Every frame after the two
+    // top-k stages is ≤ RboDepth rows: bounded model state, broadcast by
+    // construction.
+    Q("q_rbo_rankings", {
+      val depVals = (1 to RboDepth)
+        .map(d => s"($d, ${rboWeight(d)})").mkString(", ")
+      s"""WITH nv AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |           AS nrm
+         |  FROM embeddings),
+         |pv AS (SELECT v, nrm FROM nv WHERE vec_id = $ProbeId),
+         |cs AS (
+         |  SELECT c.vec_id AS id,
+         |         round(list_dot_product(c.v, pv.v) / (c.nrm * pv.nrm), 6)
+         |           AS cos_r
+         |  FROM nv c, pv WHERE c.vec_id <> $ProbeId),
+         |ctop AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY cos_r DESC, id)
+         |           AS BIGINT) AS rank_cos
+         |  FROM (SELECT id, cos_r FROM cs ORDER BY cos_r DESC, id
+         |        LIMIT $RboDepth)),
+         |qv AS (
+         |  SELECT vec_id,
+         |         [greatest(-127, least(127, (CAST(round(embedding[i+1]::DOUBLE * 1000000) AS BIGINT) * 127) // 1000000)) for i in range(64)] AS qv
+         |  FROM embeddings),
+         |pq AS (SELECT qv FROM qv WHERE vec_id = $ProbeId),
+         |qs AS (
+         |  SELECT c.vec_id AS id,
+         |         CAST(list_sum([c.qv[i+1] * pq.qv[i+1] for i in range(64)])
+         |           AS BIGINT) AS dot_q
+         |  FROM qv c, pq WHERE c.vec_id <> $ProbeId),
+         |qtop AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY dot_q DESC, id)
+         |           AS BIGINT) AS rank_sq
+         |  FROM (SELECT id, dot_q FROM qs ORDER BY dot_q DESC, id
+         |        LIMIT $RboDepth)),
+         |f AS (SELECT ctop.id, rank_cos, rank_sq
+         |      FROM ctop JOIN qtop ON qtop.id = ctop.id),
+         |dep AS (SELECT * FROM (VALUES $depVals) t(d, cm)),
+         |xd AS (
+         |  SELECT dep.d, dep.cm, CAST(count(f.id) AS BIGINT) AS x_d
+         |  FROM dep LEFT JOIN f
+         |    ON f.rank_cos <= dep.d AND f.rank_sq <= dep.d
+         |  GROUP BY 1, 2),
+         |tm AS (SELECT d, x_d,
+         |       CAST(round(CAST(cm AS DOUBLE) * x_d) AS BIGINT) AS term_micro
+         |       FROM xd)
+         |SELECT CAST(a.d AS BIGINT) AS d, a.x_d,
+         |       CAST(sum(b.term_micro) AS BIGINT) AS rbo_micro
+         |FROM tm a JOIN tm b ON b.d <= a.d
+         |GROUP BY a.d, a.x_d ORDER BY d""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.exprs.{dot_ff, dot_ll}
+      val nv = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(dot_ff(col("embedding"), col("embedding"))))
+      val pv = nv.filter(col("vec_id") === ProbeId)
+        .select(col("embedding").as("pemb"), col("nrm").as("pn"))
+      val ctop = rankOf(
+        nv.filter(col("vec_id") =!= ProbeId).crossJoin(broadcast(pv))
+          .select(col("vec_id").as("id"),
+            round(dot_ff(col("embedding"), col("pemb"))
+              / (col("nrm") * col("pn")), 6).as("cos_r"))
+          .orderBy(col("cos_r").desc, col("id")).limit(RboDepth),
+        col("cos_r"), col("id"), "rank_cos")
+      val qv = Similarity.sqQuantized(Tables.embeddings(s, dir))
+      val pq = qv.filter(col("vec_id") === ProbeId).select(col("qv").as("pqv"))
+      val qtop = rankOf(
+        qv.filter(col("vec_id") =!= ProbeId).crossJoin(broadcast(pq))
+          .select(col("vec_id").as("id"),
+            dot_ll(col("qv"), col("pqv")).as("dot_q"))
+          .orderBy(col("dot_q").desc, col("id")).limit(RboDepth),
+        col("dot_q"), col("id"), "rank_sq")
+      val f = ctop.join(qtop, Seq("id"))
+      import s.implicits._
+      val dep = (1 to RboDepth).map(d => (d, rboWeight(d))).toDF("d", "cm")
+      val tm = broadcast(dep)
+        .join(broadcast(f),
+          col("rank_cos") <= col("d") && col("rank_sq") <= col("d"), "left")
+        .groupBy("d", "cm").agg(count(col("id")).as("x_d"))
+        .select(col("d"), col("x_d"),
+          round(col("cm") * col("x_d")).cast("long").as("term_micro"))
+      val tb = tm.select(col("d").as("xd"), col("term_micro").as("xt"))
+      tm.join(broadcast(tb), col("xd") <= col("d"))
+        .groupBy("d", "x_d").agg(sum("xt").as("rbo_micro"))
+        .select(col("d").cast("long").as("d"), col("x_d"), col("rbo_micro"))
+        .orderBy("d")
     },
 
     // Inverted-index posting build, verifiable surface: per term the df

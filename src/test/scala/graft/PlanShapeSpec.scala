@@ -155,6 +155,11 @@ class PlanShapeSpec extends SparkSpec {
       // hinted sides are the single-row seed count and the |sources|-
       // bounded seed frame — the pagerank single-row + drift_daily classes
       "q_ppr_seeded",
+      // embeds q_bm25_topk (its literal-bounded hints) + the pinned
+      // single-row probe (the rrf class) + three ≤RboDepth-row frames
+      // (depth grid, joined rank lists, per-depth terms) — bounded by the
+      // k/depth literals, not by data
+      "q_rbo_rankings",
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
       "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
       "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users",
