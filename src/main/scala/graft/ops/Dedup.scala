@@ -464,6 +464,51 @@ object Dedup {
       minhashPairs(s, dir).orderBy("d1", "d2")
     },
 
+    // b-BIT MINHASH (Li & König 2010, b = 1): store only the LOWEST BIT
+    // of each of the 16 permutation minima — 1/64th the signature bytes —
+    // and estimate Jaccard from bit agreement via the unbiased correction
+    // Ĵ = 2·(a₁/k) − 1 (a random non-matching minimum agrees on its low
+    // bit half the time, so E[a₁/k] = (1+J)/2). Emitted per qualifying
+    // pair next to the full-width estimate: at k = 16 the 1-bit estimator
+    // is honest-but-coarse (quantized to 1/8ths, σ ≈ 0.25 at J ≈ 0.9) —
+    // the STORAGE/variance trade the paper quantifies, here exact-integer
+    // and oracle-checked (agreement counts are integers; both estimates
+    // one trunc-div). Scale: rides the existing banded candidate pairs;
+    // adds one narrow per-doc signature projection + two doc-keyed joins.
+    Q("q_bbit_minhash",
+      s"""$minhashPairsCtes
+         |SELECT p.d1, p.d2, p.sig_agree,
+         |       CAST(len(list_filter(list_transform(range(1, $NumPerms + 1),
+         |         i -> (sa.sig[i] % 2) = (sb.sig[i] % 2)), x -> x))
+         |         AS INTEGER) AS bit_agree,
+         |       CAST(p.sig_agree * 1000000 // $NumPerms AS BIGINT)
+         |         AS est_full_micro,
+         |       CAST((2 * len(list_filter(list_transform(range(1, $NumPerms + 1),
+         |         i -> (sa.sig[i] % 2) = (sb.sig[i] % 2)), x -> x))
+         |         - $NumPerms) * 1000000 // $NumPerms AS BIGINT)
+         |         AS est_1bit_micro
+         |FROM pairs_t p
+         |JOIN sig_t sa ON sa.doc_id = p.d1
+         |JOIN sig_t sb ON sb.doc_id = p.d2
+         |ORDER BY p.d1, p.d2""".stripMargin) { (s, dir) =>
+      import graft.functions.exprs.count_equal
+      val lowBits = (c: Column) => transform(c, x => x % 2)
+      val sg = Tables.documents(s, dir)
+        .select(col("doc_id"), minhashSigs.as("sig"))
+      val ba = count_equal(lowBits(col("siga")), lowBits(col("sigb")))
+        .cast("int")
+      minhashPairs(s, dir).select("d1", "d2", "sig_agree")
+        .join(sg.select(col("doc_id").as("d1"), col("sig").as("siga")), "d1")
+        .join(sg.select(col("doc_id").as("d2"), col("sig").as("sigb")), "d2")
+        .withColumn("bit_agree", ba)
+        .select(col("d1"), col("d2"), col("sig_agree"), col("bit_agree"),
+          expr(s"CAST(sig_agree * 1000000 div $NumPerms AS BIGINT)")
+            .as("est_full_micro"),
+          expr(s"CAST((2 * bit_agree - $NumPerms) * 1000000 div $NumPerms AS BIGINT)")
+            .as("est_1bit_micro"))
+        .orderBy("d1", "d2")
+    },
+
     // Near-dup degree histogram over the qualifying-pair graph: how many
     // docs have exactly `deg` near-duplicates — the shape that tells you
     // whether duplication is a few huge boilerplate clusters (heavy tail)
