@@ -433,6 +433,28 @@ object ScaleProbe {
             s"sin(id * 101 + k * 7) * 1.05 AS FLOAT))").as("embedding"))
         graft.ops.Similarity.hammingMih(emb).count()
       }
+      // 128-bit SimHash pair search over a grown text corpus (every 10th
+      // doc duplicates its predecessor, vocab ∝ m — the cdc_chunks_grown
+      // constructor): true near-dup pairs grow ∝ m while the probe volume
+      // stays Θ(docs × 8 chunks × 17 masks); brute force would be ∝ m²
+      def grownDocs = spark.range(m * 2000L).select(col("id").as("doc_id"),
+        expr(s"concat_ws(' ', transform(sequence(1, 40), j -> concat('w', " +
+          s"pmod((CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END) * 7919 " +
+          s"+ j * 101, ${m * 2400}))))").as("text"))
+      timed("simhash128_grown") {
+        graft.ops.Dedup.simhash128PairsFrom(grownDocs).count()
+      }
+      // truss peel over the fingerprint graph of the same grown corpus:
+      // dup families (and so edges, triangles, surviving truss) grow ∝ m;
+      // each of the KtIters rounds is one wedge + one closing join + one
+      // support groupBy on the current edge set. The minhash DOC graph was
+      // measured and rejected as the truss substrate (279M triangles at
+      // sf0.1 → 16 s/round inherent; see the q_ktruss plan decision)
+      timed("ktruss_grown") {
+        graft.ops.Graph.kTruss(
+          graft.ops.Dedup.simhash128PairsFrom(grownDocs).select("d1", "d2"))
+          .count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

@@ -381,6 +381,36 @@ object Dedup {
     */
   final val Sim128Tau = 8
 
+  /** The 128-bit fingerprint word table (doc_id, w0..w3) as ONE SELECT —
+    * shared between the q_simhash_pairs128 oracle (as a CTE) and the
+    * q_ktruss oracle script (as a temp-table source). Nested CTEs are
+    * inlined as subqueries so the text drops into either context.
+    */
+  private[ops] def simhash128WordsSelect: String =
+    s"""  SELECT doc_id,
+       |    CAST(sum(CASE WHEN w = 0 THEN s16 WHEN w = 1 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w0,
+       |    CAST(sum(CASE WHEN w = 2 THEN s16 WHEN w = 3 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w1,
+       |    CAST(sum(CASE WHEN w = 4 THEN s16 WHEN w = 5 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w2,
+       |    CAST(sum(CASE WHEN w = 6 THEN s16 WHEN w = 7 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w3
+       |  FROM (
+       |    SELECT doc_id, w, CAST(list_sum(list_transform(range(0, 16), j ->
+       |      CASE WHEN list_sum(list_transform(hs, h ->
+       |             CASE WHEN ((h >> j) & 1) = 1 THEN CAST(1 AS BIGINT)
+       |                  ELSE CAST(-1 AS BIGINT) END)) > 0
+       |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS s16
+       |    FROM (
+       |      SELECT doc_id, w,
+       |             list_transform(string_split(text, ' '),
+       |               t -> ${hashSql("t || '#' || CAST(w AS VARCHAR)")}) AS hs
+       |      FROM documents, range(0, 8) r(w)))
+       |  GROUP BY doc_id""".stripMargin
+
+  /** [[simhash128WordsSelect]] as a `;`-terminated statement body for
+    * temp-table scripts.
+    */
+  private[ops] def simhash128WordsSql: String = s"$simhash128WordsSelect;"
+
   /** 128-bit fingerprint pair search over an explicit documents frame:
     * [[graft.functions.Hashing.simHash128]] codes through the
     * [[Similarity.mihPairs]] engine.
@@ -813,27 +843,9 @@ object Dedup {
     // 8 chunk keys × 17 probes through one SHUFFLE_HASH-pinned join —
     // Θ(docs × 136) probe rows, never all-pairs.
     Q("q_simhash_pairs128",
-      s"""WITH tk AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |hw AS (
-         |  SELECT doc_id, w,
-         |         list_transform(ts, t -> ${hashSql("t || '#' || CAST(w AS VARCHAR)")}) AS hs
-         |  FROM tk, range(0, 8) r(w)),
-         |sg AS (
-         |  SELECT doc_id, w, CAST(list_sum(list_transform(range(0, 16), j ->
-         |    CASE WHEN list_sum(list_transform(hs, h ->
-         |           CASE WHEN ((h >> j) & 1) = 1 THEN CAST(1 AS BIGINT)
-         |                ELSE CAST(-1 AS BIGINT) END)) > 0
-         |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
-         |    AS BIGINT) AS s16
-         |  FROM hw),
-         |wd AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN w = 0 THEN s16 WHEN w = 1 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w0,
-         |    CAST(sum(CASE WHEN w = 2 THEN s16 WHEN w = 3 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w1,
-         |    CAST(sum(CASE WHEN w = 4 THEN s16 WHEN w = 5 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w2,
-         |    CAST(sum(CASE WHEN w = 6 THEN s16 WHEN w = 7 THEN s16 * 65536 ELSE 0 END) AS BIGINT) AS w3
-         |  FROM sg GROUP BY doc_id)
+      s"""WITH wd AS (
+         |${simhash128WordsSelect}
+         |)
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |       CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
          |            + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))

@@ -447,32 +447,42 @@ object Graph {
       kCore(Dedup.minhashPairs(s, dir).select("d1", "d2")).orderBy("doc_id")
     },
 
-    // K-TRUSS of the near-dup graph (Cohen 2008, "Trusses: cohesive
-    // subgraphs for social network analysis"): iteratively drop edges
-    // supported by fewer than K−2 triangles until fixpoint — a STRICTER
-    // cohesion filter than k-core (every surviving edge sits in K−2
-    // strong ties, so hub-and-spoke template reuse falls away and only
-    // genuine mirror cliques survive). Support counts are schedule-free
-    // (each round's survivor set is a pure function of the previous
-    // round's edge SET), so the engine may enumerate triangles
-    // degree-ordered (Σ outdeg² wedge bound, the q_triangle_count
-    // machinery) while the oracle walks the same rounds id-ordered —
-    // identical trajectories. Unrolled KtIters rounds; GraphSpec asserts
-    // fixpoint at the bound AND agreement with a sequential truss peel.
-    // Scale shape per round: one degree groupBy, one wedge join, one
+    // K-TRUSS (Cohen 2008, "Trusses: cohesive subgraphs for social
+    // network analysis") over the 128-BIT FINGERPRINT pair graph:
+    // iteratively drop edges supported by fewer than K−2 triangles — a
+    // STRICTER cohesion filter than k-core (every surviving edge sits in
+    // K−2 strong ties, so hub-and-spoke template chains fall away and
+    // only genuine mirror cliques survive; the sf0.01 peel 363 → 67 → 35
+    // shows exactly that pruning). The graph choice is a MEASURED plan
+    // decision: on the jac ≥ 0.9 minhash doc graph the synthetic dup
+    // families are ~600-strong near-cliques (279M triangles at sf0.1 —
+    // avg support 312), so exact edge-support there costs Ω(triangles) ≈
+    // 16 s/ROUND with the best plan (SHUFFLE_HASH + AQE-off, 172 s
+    // hintless) and the peel removes 0.1% per round — truss cohesion is
+    // the wrong question for a clique blow-up; the ham ≤ 8 fingerprint
+    // graph (q_simhash_pairs128's) is the tight-tie graph the operator
+    // is FOR. Support counts are schedule-free (each round's survivor
+    // set is a pure function of the previous round's edge SET), so the
+    // engine enumerates triangles degree-ordered (Σ outdeg² wedge bound)
+    // while the oracle walks the same rounds id-ordered — identical
+    // trajectories. Unrolled KtIters rounds; GraphSpec asserts fixpoint
+    // at the bound AND agreement with a sequential truss peel. Scale
+    // shape per round: one degree groupBy, one wedge join, one
     // closing-edge join, one support groupBy — all vertex/edge-keyed.
     Q("q_ktruss",
-      s"""CREATE OR REPLACE TEMP TABLE kt_pairs AS
-         |${Dedup.minhashPairsCtes}
-         |SELECT d1, d2 FROM pairs_t;
+      s"""CREATE OR REPLACE TEMP TABLE kt_wd AS
+         |${Dedup.simhash128WordsSql}
          |CREATE OR REPLACE TEMP TABLE kt_e0 AS
-         |  SELECT DISTINCT least(d1, d2) AS v1, greatest(d1, d2) AS v2,
-         |         CAST(0 AS BIGINT) AS sup
-         |  FROM kt_pairs;
+         |  SELECT a.doc_id AS v1, b.doc_id AS v2, CAST(0 AS BIGINT) AS sup
+         |  FROM kt_wd a JOIN kt_wd b ON b.doc_id > a.doc_id
+         |  WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+         |        + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+         |        <= ${Dedup.Sim128Tau};
          |${(1 to KtIters).map(i => ktRoundSql(s"kt_e${i - 1}", s"kt_e$i")).mkString("\n")}
          |SELECT v1 AS d1, v2 AS d2, sup FROM kt_e$KtIters
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      kTruss(Dedup.minhashPairs(s, dir).select("d1", "d2")).orderBy("d1", "d2")
+      kTruss(Dedup.simhash128PairsFrom(Tables.documents(s, dir))
+        .select("d1", "d2")).orderBy("d1", "d2")
     }
   )
 
@@ -515,10 +525,21 @@ object Graph {
     val oriented = withDeg.select(
       when(fwd, col("v1")).otherwise(col("v2")).as("src"),
       when(fwd, col("v2")).otherwise(col("v1")).as("dst"))
+    // SHUFFLE_HASH pins on the wedge self-join and the closing-edge join:
+    // clique hubs make both DENSE equal-key joins (runs of ~clique-size on
+    // both sides), where SMJ pays its buffered re-scan per OUTPUT row —
+    // the q_tfidf_cosine_pairs pathology. Measured on the 894k-edge,
+    // 279M-triangle minhash doc graph at sf0.1: hintless 172 s → pinned
+    // 63 s for the 4-round peel (that graph was then rejected as the
+    // declared substrate — see q_ktruss); on the declared fingerprint
+    // graph the pins are neutral and AQE (left ON) coalesces the tiny
+    // per-round stages (21 s AQE-off → 5 s warm).
     val tris = oriented.select(col("src"), col("dst").as("x"))
-      .join(oriented.select(col("src"), col("dst").as("y")), "src")
+      .join(oriented.select(col("src"), col("dst").as("y")).hint("SHUFFLE_HASH"),
+        "src")
       .filter(col("x") < col("y"))
-      .join(ec.select(col("v1").as("x"), col("v2").as("y")), Seq("x", "y"))
+      .join(ec.select(col("v1").as("x"), col("v2").as("y")).hint("SHUFFLE_HASH"),
+        Seq("x", "y"))
     tris.select(explode(array(
         struct(least(col("src"), col("x")).as("v1"),
           greatest(col("src"), col("x")).as("v2")),
@@ -530,9 +551,13 @@ object Graph {
   }
 
   /** Fixed-round truss peel over an undirected (d1, d2) pair list — the
-    * engine side of q_ktruss. Same loop hygiene as [[kCore]]: the edge
-    * frame checkpoints per round (its lineage would otherwise double per
-    * peel), each round is the [[edgeSupports]] pass plus one filter.
+    * engine side of q_ktruss. Loop hygiene: the edge frame checkpoints
+    * per round, AQE is toggled off for the loop body (the componentsOf
+    * rationale — per-round re-planning of pre-sized tiny stages is pure
+    * overhead), and the support frame IS the next edge frame: an edge
+    * with zero triangles never appears in the support aggregation, so
+    * `sup >= K-2` (K ≥ 3) filters the inner-join semantics for free —
+    * no join back to the edge list.
     */
   private[graft] def kTruss(pairs: DataFrame, iters: Int = KtIters): DataFrame = {
     var ec = pairs
@@ -541,7 +566,7 @@ object Graph {
       .distinct().repartition(col("v1")).localCheckpoint()
     var out = ec.withColumn("sup", lit(0L))
     for (_ <- 1 to iters) {
-      out = ec.join(edgeSupports(ec), Seq("v1", "v2"))
+      out = edgeSupports(ec)
         .filter(col("sup") >= KtK - 2)
         .localCheckpoint()
       ec = out.select("v1", "v2")

@@ -170,7 +170,8 @@ class GraphSpec extends SparkSpec {
 
   test("k-truss: fixed-round peel reaches the fixpoint and matches a sequential truss") {
     import ops.Graph.{KtIters, KtK, kTruss}
-    val pairs = ops.Dedup.minhashPairs(spark, sfDir).select("d1", "d2")
+    val pairs = ops.Dedup.simhash128PairsFrom(Tables.documents(spark, sfDir))
+      .select("d1", "d2")
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val atR  = asSet(kTruss(pairs, KtIters))

@@ -196,6 +196,13 @@ class PlanShapeSpec extends SparkSpec {
       // driver (observed maxResultSize abort at ScaleProbe x50) — the
       // hint pins the candidate join to shuffle-partitioned hash
       "q_hamming_mih", "q_hamming_mih128",
+      // SHUFFLE_HASH strategy hints only (no broadcast): the per-round
+      // wedge self-join and closing-edge join are dense equal-key joins
+      // on clique hubs — SMJ's buffered re-scan per output row costs 10×
+      // (measured 172 s → 63 s for the 4-round peel on the minhash doc
+      // graph at sf0.1 before the substrate decision); the pair source
+      // also carries mihPairs' pinned chunk join (the q_hamming_mih class)
+      "q_ktruss",
       // same engine, text plane: the 128-bit SimHash pair search rides
       // mihPairs and carries the identical SHUFFLE_HASH pin
       "q_simhash_pairs128")
