@@ -263,7 +263,8 @@ object Sketches {
          |  JOIN (SELECT DISTINCT st, o_custkey FROM o) b
          |    ON b.o_custkey = a.o_custkey AND a.st < b.st
          |  GROUP BY 1, 2)
-         |SELECT p.s1, p.s2, na.n AS n_a, nb.n AS n_b, ex.exact_inter,
+         |SELECT p.s1, p.s2, na.n AS n_a, nb.n AS n_b,
+         |       coalesce(ex.exact_inter, 0) AS exact_inter,
          |       round($HllEstC / CAST(da.dn AS DOUBLE), 6) AS est_a,
          |       round($HllEstC / CAST(db.dn AS DOUBLE), 6) AS est_b,
          |       round($HllEstC / CAST(du.dn AS DOUBLE), 6) AS est_u,
@@ -274,7 +275,7 @@ object Sketches {
          |JOIN d da ON da.st = p.s1 JOIN d db ON db.st = p.s2
          |JOIN du ON du.s1 = p.s1 AND du.s2 = p.s2
          |JOIN nx na ON na.st = p.s1 JOIN nx nb ON nb.st = p.s2
-         |JOIN ex ON ex.s1 = p.s1 AND ex.s2 = p.s2
+         |LEFT JOIN ex ON ex.s1 = p.s1 AND ex.s2 = p.s2
          |ORDER BY p.s1, p.s2""".stripMargin) { (s, dir) =>
       val o = Tables(s, dir, "orders")
         .select(col("o_orderstatus").as("st"),
@@ -323,8 +324,12 @@ object Sketches {
         .join(du.select(col("s1"), col("s2"), col("dn").as("dnu")), Seq("s1", "s2"))
         .join(nx.select(col("st").as("s1"), col("n").as("n_a")), Seq("s1"))
         .join(nx.select(col("st").as("s2"), col("n").as("n_b")), Seq("s2"))
-        .join(ex, Seq("s1", "s2"))
-        .select(col("s1"), col("s2"), col("n_a"), col("n_b"), col("exact_inter"),
+        // LEFT join: a disjoint pair (zero shared customers) must still
+        // emit its inclusion–exclusion estimate — the 'no contamination'
+        // answer — rather than vanish with the empty exact diagnostic.
+        .join(ex, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"), col("n_a"), col("n_b"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
           round(est(col("dna")), 6).as("est_a"),
           round(est(col("dnb")), 6).as("est_b"),
           round(est(col("dnu")), 6).as("est_u"),

@@ -501,7 +501,8 @@ object TextOps {
         |sl AS (
         |  SELECT CAST(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS HUGEINT)
         |              * 1000
-        |              // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+        |              // nullif(count(*) * sum(x * x) - sum(x) * sum(x), 0)
+        |              AS BIGINT)
         |           AS slope_milli
         |  FROM sn)
         |SELECT b, cum_toks, cum_types,
@@ -534,7 +535,8 @@ object TextOps {
       val sl = sn.agg(count(lit(1)).as("np"), sum(expr("x * y")).as("sxy"),
           sum("x").as("sx"), sum("y").as("sy"), sum(expr("x * x")).as("sxx"))
         .select(expr("CAST((CAST(np * sxy - sx * sy AS DECIMAL(38,0)) * 1000)" +
-          " div (np * sxx - sx * sx) AS BIGINT)").as("heaps_slope_milli"))
+          " div nullif(np * sxx - sx * sx, 0) AS BIGINT)")
+          .as("heaps_slope_milli"))
       sn.select("b", "cum_toks", "cum_types")
         .crossJoin(broadcast(sl)).orderBy("b")
     },

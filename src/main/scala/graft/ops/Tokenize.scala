@@ -126,6 +126,16 @@ object Tokenize {
         .orderBy(col("freq").desc, col("word")).limit(TrainVocabCap)
         .collect()
         .map(r => (r.getString(0).split(""), r.getLong(1)))
+      // Fail LOUDLY (not as a confusing oracle hash-red) if the corpus
+      // dictionary saturates the cap: past it the oracle script trains on
+      // the capped dictionary while the engine encodes the full word
+      // frame, so oracle-green would silently stop meaning trajectory
+      // equality. A full collect (== cap rows) is the cheapest exact
+      // signal that the corpus MAY exceed the cap.
+      require(vocab.length < TrainVocabCap,
+        s"BPE training dictionary hit TrainVocabCap=$TrainVocabCap: the " +
+        "capped-oracle contract (Tokenize.bpeScriptPrefix) no longer " +
+        "holds for this corpus; raise the cap or drop the oracle")
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var stop = false
       while (merges.length < nMerges && !stop) {
