@@ -404,6 +404,99 @@ object Retrieval {
         .orderBy("d")
     },
 
+    // PER-PROBE RBO across the whole probe batch — q_rbo_rankings
+    // generalized from the pinned probe to every probe of the proven
+    // top-k contract (Similarity.probeBatch), making the quantization-
+    // drift metric CORPUS-WIDE: one RBO_min@k curve per probe, so skewed
+    // perturbation (most probes unharmed, a few rankings scrambled)
+    // becomes visible where the single-probe metric and the set-only
+    // recall gate are both blind. Same determinism skeleton — exact
+    // integer agreement depths X_d on the two hash-proven rankings
+    // (q_cosine_topk / q_sq_topk), per-depth weights precomputed micro
+    // literals, one multiply+round per term, integer cumulative sum; the
+    // cumsum is a p_id-PARTITIONED window (the global-window lock does
+    // not apply). Scale shape: everything downstream of the two top-k
+    // stages is ≤ probes×k rows — the probe batch is GlobalLimit-capped
+    // by construction, so the per-probe frames are bounded model state.
+    Q("q_rbo_per_probe", {
+      val depVals = (1 to RboDepth)
+        .map(d => s"($d, ${rboWeight(d)})").mkString(", ")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |           AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT * FROM n WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+         |d0 AS (
+         |  SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+         |         round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos_r
+         |  FROM p, n c WHERE c.vec_id <> p.vec_id),
+         |ctop AS (
+         |  SELECT p_id, c_id, rank_cos FROM (
+         |    SELECT p_id, c_id, row_number() OVER (PARTITION BY p_id
+         |             ORDER BY cos_r DESC, c_id) AS rank_cos
+         |    FROM d0)
+         |  WHERE rank_cos <= $RboDepth),
+         |qv AS (
+         |  SELECT vec_id,
+         |         [greatest(-127, least(127, (CAST(round(embedding[i+1]::DOUBLE * 1000000) AS BIGINT) * 127) // 1000000)) for i in range(64)] AS qv
+         |  FROM embeddings),
+         |pq AS (SELECT * FROM qv WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+         |dq AS (
+         |  SELECT pq.vec_id AS p_id, c.vec_id AS c_id,
+         |         CAST(list_sum([pq.qv[i+1] * c.qv[i+1] for i in range(64)])
+         |           AS BIGINT) AS dot_q
+         |  FROM pq, qv c WHERE c.vec_id <> pq.vec_id),
+         |qtop AS (
+         |  SELECT p_id, c_id, rank_sq FROM (
+         |    SELECT p_id, c_id, row_number() OVER (PARTITION BY p_id
+         |             ORDER BY dot_q DESC, c_id) AS rank_sq
+         |    FROM dq)
+         |  WHERE rank_sq <= $RboDepth),
+         |f AS (
+         |  SELECT ctop.p_id, ctop.c_id, rank_cos, rank_sq
+         |  FROM ctop JOIN qtop
+         |    ON qtop.p_id = ctop.p_id AND qtop.c_id = ctop.c_id),
+         |dep AS (SELECT * FROM (VALUES $depVals) t(d, cm)),
+         |pb AS (SELECT DISTINCT p_id FROM ctop),
+         |xd AS (
+         |  SELECT pb.p_id, dep.d, dep.cm, CAST(count(f.c_id) AS BIGINT) AS x_d
+         |  FROM pb CROSS JOIN dep
+         |  LEFT JOIN f ON f.p_id = pb.p_id
+         |             AND f.rank_cos <= dep.d AND f.rank_sq <= dep.d
+         |  GROUP BY 1, 2, 3),
+         |tm AS (
+         |  SELECT p_id, d, x_d,
+         |         CAST(round(CAST(cm AS DOUBLE) * x_d) AS BIGINT) AS term_micro
+         |  FROM xd)
+         |SELECT p_id, CAST(d AS BIGINT) AS d, x_d,
+         |       CAST(sum(term_micro) OVER (PARTITION BY p_id ORDER BY d)
+         |         AS BIGINT) AS rbo_micro
+         |FROM tm ORDER BY p_id, d""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val c = Similarity.cosineTopK(s, dir)
+        .select(col("p_id"), col("c_id"), col("rank").as("rank_cos"))
+      val q = Similarity.sqTopK(s, dir)
+        .select(col("p_id").as("qp"), col("c_id").as("qc"),
+          col("rank").as("rank_sq"))
+      val f = c.join(q, col("qp") === col("p_id") && col("qc") === col("c_id"))
+        .select(col("p_id").as("fp"), col("c_id"),
+          col("rank_cos"), col("rank_sq"))
+      val dep = (1 to RboDepth).map(d => (d, rboWeight(d))).toDF("d", "cm")
+      val xd = c.select("p_id").distinct()
+        .crossJoin(broadcast(dep))
+        .join(f, col("fp") === col("p_id")
+          && col("rank_cos") <= col("d") && col("rank_sq") <= col("d"), "left")
+        .groupBy("p_id", "d", "cm").agg(count(col("c_id")).as("x_d"))
+      val tm = xd.select(col("p_id"), col("d"), col("x_d"),
+        round(col("cm") * col("x_d")).cast("long").as("term_micro"))
+      val w = Window.partitionBy("p_id").orderBy("d")
+      tm.select(col("p_id"), col("d").cast("long").as("d"), col("x_d"),
+          sum("term_micro").over(w).as("rbo_micro"))
+        .orderBy("p_id", "d")
+    },
+
     // Inverted-index posting build, verifiable surface: per term the df
     // (posting length), cf (corpus frequency), and the posting-list HEAD —
     // the first PostingHead doc_ids by a term-keyed row_number, so the

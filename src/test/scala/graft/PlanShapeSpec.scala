@@ -160,6 +160,10 @@ class PlanShapeSpec extends SparkSpec {
       // (depth grid, joined rank lists, per-depth terms) — bounded by the
       // k/depth literals, not by data
       "q_rbo_rankings",
+      // embeds q_cosine_topk + q_sq_topk (their structurally-capped probe
+      // batches — GlobalLimit under each hint) plus the 10-row depth-
+      // weight literal frame — bounded by the RboDepth literal
+      "q_rbo_per_probe",
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
       "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
       "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users",
