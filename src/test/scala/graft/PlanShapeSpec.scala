@@ -200,6 +200,9 @@ class PlanShapeSpec extends SparkSpec {
       // driver (observed maxResultSize abort at ScaleProbe x50) — the
       // hint pins the candidate join to shuffle-partitioned hash
       "q_hamming_mih", "q_hamming_mih128",
+      // same engine, perceptual-image plane: the dHash pair search rides
+      // mihPairs and carries the identical SHUFFLE_HASH pin
+      "q_dhash_mih",
       // SHUFFLE_HASH strategy hints only (no broadcast): the per-round
       // wedge self-join and closing-edge join are dense equal-key joins
       // on clique hubs — SMJ's buffered re-scan per output row costs 10×
