@@ -432,7 +432,8 @@ object Similarity {
       .select(col("p_id"), cosR.as("cos_r"), col("c_id")))
   }
 
-  private[graft] def prunedSurvivorsFrom(emb: DataFrame): DataFrame = {
+  private[graft] def prunedSurvivorsFrom(emb: DataFrame,
+      shortlist: Int = BoundShortlist): DataFrame = {
     val e = withNorm(emb)
       .withColumn("hv", slice(col("embedding"), 1, ScreenDims))
       .withColumn("tn", sqrt(dot_ff(
@@ -448,7 +449,7 @@ object Similarity {
     val cosR    = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
 
     // 1. lower bound: kth exact cosine among the partial-dot shortlist
-    val short = udaf(new graft.functions.TopKAgg(BoundShortlist))
+    val short = udaf(new graft.functions.TopKAgg(shortlist))
     val exact10 = udaf(new graft.functions.TopKAgg(10))
     val bound = pairs
       .select(col("p_id"), headDot.as("pd"), col("c_id"))
@@ -533,13 +534,18 @@ object Similarity {
       dot_ff(v, typedlit(c.map(_.toFloat).toSeq)) / lit(if (n == 0) 1.0 else n)
     }: _*)
 
-  /** The `IvfProbes` best cells for a probe vector, best-first. */
-  private[graft] def probeCells(v: Column, cents: Array[Array[Double]]): Column = {
+  /** The `nprobe` best cells for a probe vector, best-first. The cell
+    * lists NEST across nprobe settings (same best-first order sliced
+    * shorter/longer) — the structural fact the calibration sweep's
+    * monotonicity rests on.
+    */
+  private[graft] def probeCells(v: Column, cents: Array[Array[Double]],
+      nprobe: Int = IvfProbes): Column = {
     val scores = centScores(v, cents)
     slice(transform(
       array_sort(transform(sequence(lit(0), lit(cents.length - 1)), i =>
         struct((-element_at(scores, i + 1)).as("s"), i.as("i")))),
-      x => x("i").cast("int")), 1, IvfProbes)
+      x => x("i").cast("int")), 1, nprobe)
   }
 
   /** IVF (inverted-file) ANN top-k: k-means-lite coarse quantizer, each
@@ -567,18 +573,86 @@ object Similarity {
     * query above and the incrementally-appended index below.
     */
   private[graft] def annIvfTopKIndexed(indexed: DataFrame,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]]): DataFrame =
+    rankTopK(ivfScored(indexed, cents, IvfProbes))
+
+  /** The IVF candidate-scoring stage at an explicit nprobe — the swept
+    * knob of the calibration curve.
+    */
+  private[graft] def ivfScored(indexed: DataFrame,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
     val e = withNorm(indexed)
     val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
       col("nrm").as("cn"), col("cell"))
     val probes = probeBatch(e)
       .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("nrm").as("pn"),
-        explode(probeCells(col("embedding"), cents)).as("cell"))
+        explode(probeCells(col("embedding"), cents, nprobe)).as("cell"))
     val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
     // each candidate lives in exactly ONE cell → no pair dedup needed
-    rankTopK(cands.join(probes, Seq("cell"))
+    cands.join(probes, Seq("cell"))
       .filter(col("p_id") =!= col("c_id"))
-      .select(col("p_id"), cosR.as("cos_r"), col("c_id")))
+      .select(col("p_id"), cosR.as("cos_r"), col("c_id"))
+  }
+
+  // ---- ANN calibration sweep ------------------------------------------
+
+  /** Swept knob values per ANN family. Each family's candidate sets NEST
+    * across settings (probeCells slices one best-first cell order; the
+    * LSH flip-mask list is a prefix take; TopKAgg shortlists are prefixes
+    * of one pd order), so recall / candidate count are STRUCTURALLY
+    * monotone in the knob — the property QueriesSpec gates.
+    */
+  final val IvfSweep    = Seq(1, 2, 4, 8, 16)
+  final val LshSweep    = Seq(1, 2, 4, 6)
+  final val ScreenSweep = Seq(16, 64, 256)
+
+  /** Measured recall-vs-candidates calibration curves for the ANN family —
+    * the q_minhash_calibration pattern applied to vector search, making
+    * the recall-gated (⊘) queries self-documenting: one row per
+    * (family, setting) with the exact scored-candidate count, its
+    * fraction of the brute-force pair space (micro units), and recall@10
+    * against the exact cosine ranking (micro units). The exact top-k
+    * ground truth is collected ONCE as bounded model state (≤ probes×10
+    * rows — the probe batch is GlobalLimit-capped) and joined back as a
+    * literal frame, so the 12 swept settings never recompute it. The IVF
+    * row at nprobe = IvfCells scans every cell — its recall is exactly
+    * 10⁶ by construction, a built-in self-check; the screen family is
+    * exact at every shortlist (recall ≡ 10⁶), its knob trades CANDIDATE
+    * work instead. Scale shape: each setting is one cell/bucket join +
+    * two O(1)-row aggregates; nothing corpus-sized leaves the executors.
+    */
+  def annCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val exactRows = cosineTopKFrom(emb).select("p_id", "c_id")
+      .as[(Long, Long)].collect()
+    val exactLit = exactRows.toSeq.toDF("p_id", "c_id")
+    val nExact   = exactRows.length.toLong
+    val nVec     = emb.count()
+    val nProbes  = exactRows.map(_._1).distinct.length.toLong
+    val denom    = math.max(nProbes * (nVec - 1), 1L)
+
+    val cents   = kmeansCentroidsFrom(emb)
+    val indexed = ivfAssign(emb, cents)
+
+    def curve(family: String, setting: Int, scored: DataFrame): DataFrame = {
+      val nCand = scored.agg(count(lit(1)).as("n_cand"))
+      val nHit = rankTopK(scored).select("p_id", "c_id")
+        .join(broadcast(exactLit), Seq("p_id", "c_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      nCand.crossJoin(broadcast(nHit))
+        .select(lit(family).as("family"), lit(setting).as("setting"),
+          col("n_cand"),
+          expr(s"n_cand * 1000000 div $denom").as("cand_frac_micro"),
+          expr(s"n_hit * 1000000 div $nExact").as("recall10_micro"))
+    }
+
+    val curves =
+      IvfSweep.map(p => curve("ivf", p, ivfScored(indexed, cents, p))) ++
+      LshSweep.map(p =>
+        curve("lsh", p, lshScoredFrom(emb, NumTables, NumPlanes, p))) ++
+      ScreenSweep.map(sl => curve("screen", sl, prunedSurvivorsFrom(emb, sl)))
+    curves.reduce(_.unionByName(_)).orderBy("family", "setting")
   }
 
   // ---- incremental IVF maintenance -----------------------------------
@@ -1234,6 +1308,8 @@ object Similarity {
 
     Q.noOracle("q_ann_ivf_topk")(annIvfTopK),
 
-    Q.noOracle("q_pq_topk")(pqTopK)
+    Q.noOracle("q_pq_topk")(pqTopK),
+
+    Q.noOracle("q_ann_calibration")(annCalibration)
   )
 }

@@ -164,6 +164,11 @@ class PlanShapeSpec extends SparkSpec {
       // batches — GlobalLimit under each hint) plus the 10-row depth-
       // weight literal frame — bounded by the RboDepth literal
       "q_rbo_per_probe",
+      // hinted sides are the collected exact-top-k literal frame (bounded:
+      // GlobalLimit-capped probes × 10), the per-setting single-row hit
+      // aggregates, and the embedded probe-batch/bound hints of the swept
+      // ANN operators (each GlobalLimit-capped or single-row)
+      "q_ann_calibration",
       "q_pmi_collocations", "q_drift_daily", "q_knn_classify",
       "q_bm25_pruned", "q_tfidf_cosine_pairs", "q_naive_bayes_lang",
       "q_join_size_est", "q_hll_window_7d", "q_cum_distinct_users",

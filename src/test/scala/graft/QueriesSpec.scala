@@ -755,6 +755,31 @@ class QueriesSpec extends SparkSpec {
     assert(s <= -950 && s >= -1050, s"planted Zipf law read $s milli, want ~-1000")
   }
 
+  test("ANN calibration: curves are monotone in the knob; full-scan rows are exact") {
+    val rows = SparkEntry.queries("q_ann_calibration")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("family"), r.getAs[Int]("setting"),
+        r.getAs[Long]("n_cand"), r.getAs[Long]("cand_frac_micro"),
+        r.getAs[Long]("recall10_micro")))
+    val byFam = rows.groupBy(_._1).map { case (f, rs) => f -> rs.sortBy(_._2) }
+    assert(byFam.keySet === Set("ivf", "lsh", "screen"))
+    // nested candidate sets ⇒ recall and candidate count never DROP as the
+    // knob grows (ivf/lsh); the screen family is exact at every shortlist
+    // and its knob buys candidate REDUCTION instead
+    for (f <- Seq("ivf", "lsh"); Array(a, b) <- byFam(f).sliding(2)) {
+      assert(a._3 <= b._3, s"$f candidates dropped: ${a} -> ${b}")
+      assert(a._5 <= b._5, s"$f recall dropped: ${a} -> ${b}")
+    }
+    for (Array(a, b) <- byFam("screen").sliding(2))
+      assert(a._3 >= b._3, s"screen survivors grew with the shortlist: $a -> $b")
+    byFam("screen").foreach(r =>
+      assert(r._5 === 1000000L, s"screen family must be exact, got $r"))
+    // nprobe = IvfCells scans every cell: recall exactly 1, frac exactly
+    // the brute-force pair space
+    val full = byFam("ivf").last
+    assert(full._5 === 1000000L && full._4 === 1000000L,
+      s"full-scan IVF row must be exact: $full")
+  }
+
   test("cross-source matrix partitions the near-dup pairs; diagonal is never cross") {
     val m = SparkEntry.queries("q_neardup_cross_source")(spark, sfDir).collect()
     val total = m.map(_.getAs[Long]("n_pairs")).sum
