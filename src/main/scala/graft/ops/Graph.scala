@@ -425,6 +425,50 @@ object Graph {
       degreeAssortativity(Dedup.minhashPairs(s, dir).select("d1", "d2"))
     },
 
+    // WINDOWED degree assortativity — the same Newman coefficient per
+    // event-time hour over the user↔item interaction graph of the events
+    // stream (edge = (user_id, props.k), item ids offset into a disjoint
+    // vertex namespace). This is the BATCH TWIN of
+    // streaming.Streams.assortativityPerWindow: the identical plan — two
+    // windowed aggregates, two window-equality joins, one re-windowed
+    // closing aggregate — runs unchanged as a Structured Streaming job
+    // four stateful operators deep (StreamingSpec proves batch ≡ stream
+    // on an out-of-order multi-trigger edge feed), so oracle-green here
+    // certifies the streaming operator's arithmetic too. Exactness: the
+    // q_degree_assortativity convention (exact integer moments, one fixed
+    // IEEE step, round 6, nullif for regular windows).
+    Q("q_assortativity_windowed",
+      """WITH e0 AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS window_us,
+        |         user_id AS v,
+        |         1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+        |  FROM events),
+        |dirr AS (
+        |  SELECT window_us, v, w FROM e0
+        |  UNION ALL
+        |  SELECT window_us, w AS v, v AS w FROM e0),
+        |deg AS (
+        |  SELECT window_us, v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM dirr GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT d.window_us, dv.deg AS x, dw.deg AS y
+        |  FROM dirr d
+        |  JOIN deg dv ON dv.window_us = d.window_us AND dv.v = d.v
+        |  JOIN deg dw ON dw.window_us = d.window_us AND dw.v = d.w)
+        |SELECT window_us, CAST(count(*) AS BIGINT) AS n_endpoints,
+        |       round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+        |             / nullif(sqrt(
+        |                 CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+        |                 * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)),
+        |               0), 6) AS assortativity
+        |FROM xy GROUP BY window_us ORDER BY window_us""".stripMargin) { (s, dir) =>
+      val edges = Tables.events(s, dir).select(col("ts"),
+        col("user_id").as("v"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("w"))
+      graft.streaming.Streams.assortativityPerWindow(edges)
+        .orderBy("window_us")
+    },
+
     Q("q_kcore_neardup",
       s"""CREATE OR REPLACE TEMP TABLE kc_pairs AS
          |${Dedup.minhashPairsCtes}

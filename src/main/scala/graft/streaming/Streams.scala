@@ -108,6 +108,73 @@ object Streams {
       .select(unix_micros(col("window.start")).as("window_us"),
         col("n_tokens"), col("n_types"))
 
+  /** Per-window degree assortativity over an EDGE STREAM — the streaming
+    * graph plane: Newman's degree Pearson (the q_degree_assortativity
+    * batch twin) per event-time hour, watched live (a window whose mixing
+    * coefficient flips sign is a structural shift in who links to whom —
+    * e.g. boilerplate cliques appearing in an ingest feed). Input:
+    * (ts, v, w) undirected edges.
+    *
+    * This is the streaming plane's first STREAM-STREAM-JOIN-FED chained
+    * aggregate — four stateful operators deep (Spark 3.5+ multiple-
+    * stateful-operator support): (1) the per-(window, v, w) edge-
+    * multiplicity aggregate and (2) the per-(window, v) degree aggregate
+    * are two windowed aggregations of the same watermarked feed; (3) ONE
+    * window-equality stream-stream join of the two AGGREGATED streams
+    * attaches the tail endpoint's degree x = deg(v) to each edge type;
+    * (4+5) two chained re-windowed aggregates fold the moments. The
+    * single-join shape is forced AND sufficient: forced, because a join
+    * whose input is itself a join output is outside the supported
+    * multiple-stateful-operator patterns (probed on this engine: the
+    * second join emits nothing — its left side's rows only surface after
+    * the watermark already passed their window), and sufficient because
+    * the head-endpoint moments fold without a second join — grouping the
+    * joined frame by (window, head w) gives cnt = Σm = deg(w) and
+    * sumx = Σ m·deg(v), so Σxy = Σ_w deg(w)·sumx(w), Σy = Σ_w deg(w)²,
+    * Σy² = Σ_w deg(w)³, all exact integers. Each stage keeps exactly ONE
+    * event-time column (the right side's window copy drops at the join)
+    * and every piece of state — the two aggregation maps, the join
+    * buffers, the per-head partials — evicts when the watermark closes
+    * its window. The only float step is the batch twin's fixed IEEE
+    * sequence (num / sqrt(vx·vy), each factor cast int→double, then
+    * round(6)) on exact integer moments, so batch ≡ stream cell-for-cell
+    * (StreamingSpec asserts it on an out-of-order multi-trigger feed).
+    */
+  def assortativityPerWindow(edges: DataFrame): DataFrame = {
+    val wm = maybeWatermarkOn(edges, "ts")
+    val dir = wm
+      .select(window(col("ts"), "1 hour").as("win"), col("v"), col("w"))
+      .unionByName(wm.select(window(col("ts"), "1 hour").as("win"),
+        col("w").as("v"), col("v").as("w")))
+    val em = dir.groupBy(col("win"), col("v"), col("w"))
+      .agg(count(lit(1)).as("m"))
+    val deg = dir.groupBy(col("win"), col("v"))
+      .agg(count(lit(1)).as("deg"))
+    // window-equality join of two aggregated streams; the right side's
+    // window copy must DROP at once — at most one event-time column may
+    // flow into the next stateful operator
+    val withX = em.join(
+      deg.select(col("win").as("winx"), col("v").as("vx"), col("deg").as("x")),
+      col("winx") === col("win") && col("vx") === col("v"))
+      .drop("winx", "vx")
+    val perHead = withX
+      .groupBy(window(col("win"), "1 hour"), col("w"))
+      .agg(sum("m").as("cnt"), sum(expr("m * x")).as("sumx"),
+        sum(expr("m * x * x")).as("sumxx"))
+    perHead
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(sum("cnt").as("n_endpoints"),
+        sum(expr("cnt * sumx")).as("sxy"),
+        sum("sumx").as("sx"), sum(expr("cnt * cnt")).as("sy"),
+        sum("sumxx").as("sxx"), sum(expr("cnt * cnt * cnt")).as("syy"))
+      .select(unix_micros(col("window.start")).as("window_us"),
+        col("n_endpoints"),
+        round(expr("CAST(n_endpoints * sxy - sx * sy AS DOUBLE)") /
+          expr("nullif(sqrt(CAST(n_endpoints * sxx - sx * sx AS DOUBLE)" +
+            " * CAST(n_endpoints * syy - sy * sy AS DOUBLE)), 0D)"), 6)
+          .as("assortativity"))
+  }
+
   private def maybeWatermarkOn(df: DataFrame, tsCol: String): DataFrame =
     if (df.isStreaming) df.withWatermark(tsCol, WatermarkDelay) else df
 

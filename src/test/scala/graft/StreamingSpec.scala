@@ -631,6 +631,50 @@ class StreamingSpec extends SparkSpec {
       "streamed Heaps points diverged from the batch reduction")
   }
 
+  test("windowed assortativity equals batch through the stream-stream-join chain") {
+    // the 4-stateful-operator pipeline (two windowed aggs → two window-
+    // equality joins → re-windowed closing agg) on an out-of-order
+    // multi-trigger edge feed. Hour 0 is a planted 3-leaf star — the
+    // perfectly DISASSORTATIVE graph, r = −1 exactly; hour 1 is a path
+    // with a doubled edge, exercising multi-edge weighting (r = −0.8).
+    val ms = MemoryStream[StreamingSpec.Edge](spark)
+    val edges = Seq(
+      StreamingSpec.Edge(ts(50), 1, 101),
+      StreamingSpec.Edge(ts(55), 1, 102),
+      StreamingSpec.Edge(ts(61), 1, 2),
+      StreamingSpec.Edge(ts(58), 1, 103), // late hour-0 edge, inside watermark
+      StreamingSpec.Edge(ts(65), 1, 2),   // doubled edge
+      StreamingSpec.Edge(ts(70), 2, 3))
+    val q = Streams.assortativityPerWindow(ms.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("assort_win").start()
+    ms.addData(edges(0), edges(1), edges(2))
+    q.processAllAvailable()
+    ms.addData(edges(3), edges(4), edges(5))
+    q.processAllAvailable()
+    // closing a window must cascade through FOUR stateful operators, each
+    // holding results one microbatch behind the watermark — two flush
+    // triggers give the chain the batches it needs to drain
+    ms.addData(StreamingSpec.Edge(ts(190), 9, 10))
+    q.processAllAvailable()
+    ms.addData(StreamingSpec.Edge(ts(400), 9, 10))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("assort_win")
+    val w = got.filter(col("window_us") < 7200000000L)
+      .select("window_us", "n_endpoints", "assortativity")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(w.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((0L, 6L, -1.0), (3600000000L, 6L, -0.8)),
+      s"closed windows: ${w.toSeq}")
+    // batch ≡ stream over every edge whose window the stream closed (the
+    // planted hours plus the first flush edge; the second flush's own
+    // window never finalizes and is excluded from both sides)
+    val batch = Streams.assortativityPerWindow(
+      (edges :+ StreamingSpec.Edge(ts(190), 9, 10)).toDF())
+    assert(got.except(batch).count() === 0 && batch.except(got).count() === 0,
+      "streamed assortativity diverged from the batch twin")
+  }
+
   test("streaming geofence equals the batch bbox filter over synthesized segments") {
     val ms = MemoryStream[Event](spark)
     val events = loadEvents
@@ -793,4 +837,5 @@ class StreamingSpec extends SparkSpec {
 object StreamingSpec {
   case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
   case class Vec(vec_id: Long, embedding: Seq[Float])
+  case class Edge(ts: java.sql.Timestamp, v: Long, w: Long)
 }
