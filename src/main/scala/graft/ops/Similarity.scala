@@ -1140,6 +1140,52 @@ object Similarity {
         .orderBy("p_id")
     },
 
+    // HARD-NEGATIVE MINING — the contrastive-training data op (the
+    // in-batch-negatives refinement every dense-retriever recipe uses,
+    // e.g. DPR/Contriever): for each probe, the top-10 most-similar
+    // vectors whose LABEL DIFFERS — maximally confusing non-matches. Rides
+    // the proven exact-cosine contract (same probe batch, same rounded-
+    // cosine (cos_r DESC, c_id) ranking) with the label-mismatch predicate
+    // pushed BELOW the top-k aggregator, so the mined negatives are exact,
+    // not a post-filter of an overall top-k (a negative can rank far past
+    // the overall top-10). Same scale shape as q_cosine_topk: probes
+    // broadcast, partial top-k per partition, shuffle O(partitions ×
+    // probes × k).
+    Q("q_hard_negatives",
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT * FROM n WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024
+        |), d AS (
+        |  SELECT p.vec_id AS p_id, c.vec_id AS c_id, c.label AS neg_label,
+        |         round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos_r
+        |  FROM p, n c
+        |  WHERE c.vec_id <> p.vec_id AND c.label <> p.label
+        |)
+        |SELECT p_id, rank, c_id, neg_label, cos_r FROM (
+        |  SELECT p_id, c_id, neg_label, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY p_id
+        |           ORDER BY cos_r DESC, c_id) AS INTEGER) AS rank
+        |  FROM d)
+        |WHERE rank <= 10 ORDER BY p_id, rank""".stripMargin) { (s, dir) =>
+      val e = withNorm(Tables.embeddings(s, dir))
+      val probes = probeBatch(e).select(col("vec_id").as("p_id"),
+        col("embedding").as("pv"), col("nrm").as("pn"),
+        col("label").as("p_label"))
+      val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("label").as("c_label"))
+      val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+      rankTopK(cands.join(broadcast(probes),
+          col("p_id") =!= col("c_id") && col("p_label") =!= col("c_label"))
+          .select(col("p_id"), cosR.as("cos_r"), col("c_id")))
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("c_id"), col("label").as("neg_label")), "c_id")
+        .select("p_id", "rank", "c_id", "neg_label", "cos_r")
+        .orderBy("p_id", "rank")
+    },
+
     // Embedding-cosine near-dup over consecutive-id pairs (exact slice).
     Q("q_embed_neardup",
       """WITH n AS (

@@ -145,7 +145,7 @@ class PlanShapeSpec extends SparkSpec {
     val allowed = Set(
       "q_range_join_buckets", "q_join_broadcast_dims", "q_tpch_q5_region",
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
-      "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk",
+      "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk", "q_hard_negatives",
       "q_ann_screen_topk", "q_ann_ivf_topk", "q_sq_topk", "q_bloom_semi_join",
       "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_pq_topk",
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
@@ -222,7 +222,10 @@ class PlanShapeSpec extends SparkSpec {
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
       "q_ann_lsh_topk", "q_ann_screen_topk", "q_ann_ivf_topk", "q_pq_topk",
-      "q_knn_classify", "q_sq_topk")
+      "q_knn_classify", "q_sq_topk",
+      // the label-mismatch negative miner: same structurally-capped probe
+      // batch broadcast (GlobalLimit under the hint)
+      "q_hard_negatives")
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, ResolvedHint}
     SparkEntry.all.foreach { q =>
       val hints = q.build(spark, sfDir).queryExecution.analyzed.collect {
