@@ -797,79 +797,6 @@ object Advanced {
           sum(when(abs(col("c") * 2 - col("med2")) * 20000
             > col("mad2") * 44478, 1L).otherwise(0L)).as("n_outliers"))
         .orderBy("event_type")
-    },
-
-    // WINDOWED FUNNEL CONVERSION — the ordered-sequence product-analytics
-    // staple: users who viewed, then clicked within 24 h of their FIRST
-    // view, then purchased within 24 h of that qualifying click. Each
-    // stage is a conditional first-event aggregate (min ts under the
-    // previous stage's deadline), so the whole funnel is three
-    // user-keyed groupBys chained by equi-joins — no per-user event-list
-    // collection, no window over the raw stream; timestamps compare as
-    // exact epoch-micro integers. Scale: events shuffle once per stage on
-    // user_id (and a production run fuses stages into one shuffle by
-    // pre-partitioning on user_id); stage frames shrink monotonically.
-    Q("q_funnel_conversion",
-      """WITH a AS (
-        |  SELECT user_id, min(epoch_us(ts)) AS ta FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |b AS (
-        |  SELECT e.user_id, min(epoch_us(e.ts)) AS tb
-        |  FROM events e JOIN a ON a.user_id = e.user_id
-        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > a.ta
-        |    AND epoch_us(e.ts) <= a.ta + 86400000000 GROUP BY 1),
-        |c AS (
-        |  SELECT e.user_id, min(epoch_us(e.ts)) AS tc
-        |  FROM events e JOIN b ON b.user_id = e.user_id
-        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.tb
-        |    AND epoch_us(e.ts) <= b.tb + 86400000000 GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS INTEGER) AS stage, 'view' AS event_type,
-        |         CAST(count(*) AS BIGINT) AS n_users FROM a
-        |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM b
-        |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM c)
-        |ORDER BY stage""".stripMargin) { (s, dir) =>
-      val day = 86400000000L
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val a = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("us").as("ta"))
-      val b = ev.filter(col("event_type") === "click").join(a, "user_id")
-        .filter(col("us") > col("ta") && col("us") <= col("ta") + day)
-        .groupBy("user_id").agg(min("us").as("tb"))
-      val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
-        .filter(col("us") > col("tb") && col("us") <= col("tb") + day)
-        .groupBy("user_id").agg(min("us").as("tc"))
-      def stage(n: Int, et: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(n).as("stage"), lit(et).as("event_type"), col("n_users"))
-      stage(1, "view", a).unionByName(stage(2, "click", b))
-        .unionByName(stage(3, "purchase", c)).orderBy("stage")
-    },
-
-    // COHORT RETENTION — users bucketed by first-active day, distinct
-    // active users per (cohort, day offset 0..7): the table behind every
-    // retention curve. One distinct projection, one user-keyed min, one
-    // join back, one (cohort, offset) groupBy — the (user, day) distinct
-    // frame is the only corpus-sized shuffle and the output is
-    // (retention horizon × cohorts) rows, bounded model state.
-    Q("q_cohort_retention",
-      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-        |f AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY 1)
-        |SELECT f.cohort_day, CAST(ud.d - f.cohort_day AS INTEGER) AS day_offset,
-        |       CAST(count(*) AS BIGINT) AS n_users
-        |FROM ud JOIN f ON f.user_id = ud.user_id
-        |WHERE ud.d - f.cohort_day <= 7
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val ud = Tables.events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      val f = ud.groupBy("user_id").agg(min("d").as("cohort_day"))
-      ud.join(f, "user_id")
-        .select(col("cohort_day"),
-          datediff(col("d"), col("cohort_day")).as("day_offset"))
-        .filter(col("day_offset") <= 7)
-        .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_day", "day_offset")
     }
   )
 }

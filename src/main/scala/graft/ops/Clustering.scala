@@ -179,6 +179,42 @@ object Clustering {
         .agg(count(lit(1)).as("n"), sum("dist").as("inertia"),
           max("dist").as("max_dist"))
         .orderBy("cell")
+    },
+
+    // PROTOTYPICALITY ranking + outlier pruning (Sorscher et al. 2022,
+    // "Beyond neural scaling laws: beating power law scaling via data
+    // pruning" — self-supervised prototype metric = distance to the
+    // example's cluster centroid): within each cell of the SAME
+    // oracle-checked Lloyd trajectory, rank members by exact integer
+    // squared distance (rank 1 = most prototypical) and flag the farthest
+    // quarter as pruned — the abundant-data regime keeps prototypical
+    // mass and drops outliers (the scarce-data regime flips the flag; the
+    // rank column serves both). The prune gate is pure integer
+    // cross-multiplication (rank·4 > n·3), no fractions. The window
+    // partitions by cell — never global.
+    Q("q_prototypicality",
+      s"""$kmScriptPrefix
+         |WITH a AS (
+         |  SELECT vec_id, cell, dist FROM ($kmFinalAssignSql) WHERE rn = 1),
+         |r AS (
+         |  SELECT vec_id, cell, dist,
+         |         CAST(row_number() OVER (PARTITION BY cell
+         |                ORDER BY dist, vec_id) AS BIGINT) AS proto_rank,
+         |         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+         |  FROM a)
+         |SELECT vec_id, cell, dist, proto_rank,
+         |       (proto_rank * 4 > n_cell * 3) AS pruned
+         |FROM r ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy("dist", "vec_id")
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      kmeansAssignFrom(vmFrame(s, dir))
+        .select(col("vec_id"), col("cell"), col("dist"),
+          row_number().over(w).cast("long").as("proto_rank"),
+          count(lit(1)).over(wc).as("n_cell"))
+        .select(col("vec_id"), col("cell"), col("dist"), col("proto_rank"),
+          (col("proto_rank") * 4 > col("n_cell") * 3).as("pruned"))
+        .orderBy("vec_id")
     }
   )
 

@@ -109,6 +109,66 @@ object Shards {
          |                               ORDER BY key, doc_id) AS BIGINT) AS pos
          |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
       shardAssign(Tables.documents(s, dir), NShards).orderBy("doc_id")
+    },
+
+    // RENDEZVOUS (highest-random-weight) sharding — Thaler & Ravishankar
+    // 1996: doc d lands on argmax_s weight(d, s). The elastic-resharding
+    // complement of the mod-N layout above: removing a shard moves ONLY
+    // the keys whose argmax was the removed shard (≈ 1/N of the corpus),
+    // where mod-(N−1) would reshuffle nearly everything. The query emits
+    // both the full-fleet and the drained (last shard removed) argmax per
+    // document plus the moved flag; the rendezvous stability theorem —
+    // moved ⟺ the full-fleet winner was the removed shard — is gated in
+    // QueriesSpec over this exact output. Weights ride the [[Sampling]]
+    // mixer family (third stream constant [[C3]], shard id folded in
+    // before the second multiply-mod round), so both engines compute the
+    // same pure-integer argmax; ties break to the lowest shard id in a
+    // (−w, s) struct min. Scale: a narrow per-row argmax over N literal
+    // weight expressions — zero shuffle; N is fleet size, not data.
+    Q("q_rendezvous_shards", {
+      def wSql(s: Int) = // shard·A precomputed: s·A overflows INT32 inline
+        s"(((((doc_id % $H) * $B + (doc_id // $H) * $A + ${s.toLong * A}" +
+          s" + $C3) % $M) * $A + $B) % $M)"
+      def argmaxCte(name: String, n: Int) =
+        s"""$name AS (
+           |  SELECT doc_id, s FROM (
+           |    SELECT doc_id, CAST(t.s AS BIGINT) AS s,
+           |           row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY CASE ${(0 until n).map(i =>
+                  s"WHEN t.s = $i THEN ${wSql(i)}").mkString(" ")} END DESC,
+           |             t.s) AS rn
+           |    FROM documents, range(0, $n) t(s))
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH ${argmaxCte("a8", NShards)},
+         |${argmaxCte("a7", NShards - 1)}
+         |SELECT a8.doc_id, a8.s AS shard_full, a7.s AS shard_drained,
+         |       (a8.s <> a7.s) AS moved
+         |FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id
+         |ORDER BY a8.doc_id""".stripMargin
+    }) { (s, dir) =>
+      def pick(n: Int): Column = array_min(array((0 until n).map(sh =>
+        struct((-hrwWeight(col("doc_id"), sh)).as("nw"), lit(sh).as("s"))): _*))
+        .getField("s").cast("long")
+      Tables.documents(s, dir).select(col("doc_id"),
+          pick(NShards).as("shard_full"), pick(NShards - 1).as("shard_drained"))
+        .withColumn("moved", col("shard_full") =!= col("shard_drained"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Third mixer-stream constant — rendezvous weights must correlate with
+    * neither the sample gate (C) nor the shuffle key ([[C2]]).
+    */
+  final val C3 = 7717L
+
+  /** HRW weight of (id, shard): the [[shuffleKey]] two-round mixer with
+    * the shard id folded into round 1. Products stay < 2^62.
+    */
+  def hrwWeight(id: Column, shard: Int): Column = {
+    val lo = pmod(id, lit(H))
+    val hi = shiftright(id, 31)
+    val k1 = pmod(lo * lit(B) + hi * lit(A) + lit(shard.toLong * A) + lit(C3),
+      lit(M))
+    pmod(k1 * lit(A) + lit(B), lit(M))
+  }
 }

@@ -755,6 +755,24 @@ class QueriesSpec extends SparkSpec {
     assert(s <= -950 && s >= -1050, s"planted Zipf law read $s milli, want ~-1000")
   }
 
+  test("rendezvous sharding: draining a shard moves exactly its own keys") {
+    // the HRW stability theorem on the emitted assignment: a key moves
+    // under N → N−1 iff its full-fleet argmax was the removed shard —
+    // and every such key must move (its winner no longer exists)
+    val rows = SparkEntry.queries("q_rendezvous_shards")(spark, sfDir)
+      .select("shard_full", "shard_drained", "moved").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (full, drained, moved) =>
+      assert(moved === (full === ops.Shards.NShards - 1L),
+        s"stability violated: full=$full drained=$drained moved=$moved")
+      assert(drained < ops.Shards.NShards - 1L || !moved)
+    }
+    // balance sanity: the removed shard held roughly 1/N of the corpus
+    val frac = rows.count(_._3).toDouble / rows.length
+    assert(frac > 0.04 && frac < 0.25, s"removed-shard share: $frac")
+  }
+
   test("ANN calibration: curves are monotone in the knob; full-scan rows are exact") {
     val rows = SparkEntry.queries("q_ann_calibration")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("family"), r.getAs[Int]("setting"),
