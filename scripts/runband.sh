@@ -12,4 +12,4 @@ for i in $(seq 1 "$N"); do
     > "/tmp/band/run$i.json"
 done
 python3 scripts/benchband.py /tmp/band/run*.json --note \
-  "round-8 final inventory (195 queries), idle window, local[32] sf0.1"
+  "round-9 final inventory (204 queries), idle window (load < 1 verified), local[32] sf0.1"
