@@ -271,18 +271,21 @@ object Multimodal {
     img
   }
 
+  /** One perceptual-family raster as genuine PNG bytes. */
+  private[graft] def percPngBytes(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(percImage(id), "png", bos),
+      "no PNG writer")
+    bos.toByteArray
+  }
+
   /** documents → genuine PNG bytes of the perceptual-family raster. */
   def encodePerc(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
     Tables.documents(spark, sfDir).select("doc_id").as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        it.map { id =>
-          val bos = new java.io.ByteArrayOutputStream()
-          require(javax.imageio.ImageIO.write(percImage(id), "png", bos),
-            "no PNG writer")
-          RealMedia(id, "png", bos.toByteArray)
-        }
+        it.map(id => RealMedia(id, "png", percPngBytes(id)))
       }
   }
 

@@ -363,6 +363,31 @@ class MultimodalSpec extends SparkSpec {
       s"malformed payloads must quarantine, got ${out.map(_.kind).toSeq}")
   }
 
+  test("perceptual dHash is container-invariant: PNG and BMP encodings hash alike") {
+    // the property that makes a PERCEPTUAL hash one: the code depends on
+    // the decoded pixels only, so re-encoding through a different
+    // (lossless) container must not move a single bit — here the same
+    // rasters through the JDK's PNG and BMP writers and back through
+    // their real readers
+    import javax.imageio.ImageIO
+    val ids = Tables.documents(spark, sfDir).select("doc_id").as[Long]
+      .collect().take(64)
+    assert(ids.nonEmpty)
+    ids.foreach { id =>
+      val img = ImageIO.read(
+        new java.io.ByteArrayInputStream(ops.Multimodal.percPngBytes(id)))
+      def reencoded(fmt: String): (Long, Long) = {
+        val bos = new java.io.ByteArrayOutputStream()
+        assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+        ops.Multimodal.dhashOf(
+          ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray)))
+      }
+      assert(reencoded("png") === reencoded("bmp"),
+        s"dHash of doc $id differs across containers")
+      assert(reencoded("png") === ops.Multimodal.dhashOf(img))
+    }
+  }
+
   test("perceptual dHash: every planted retouched pair is recovered by MIH") {
     // recall of the planted family = 1: each (base, retouch) pair must
     // fall within DhashTau and therefore appear in the MIH pair output
