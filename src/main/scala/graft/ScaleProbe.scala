@@ -455,6 +455,25 @@ object ScaleProbe {
           graft.ops.Dedup.simhash128PairsFrom(grownDocs).select("d1", "d2"))
           .count()
       }
+      // perceptual dHash pair search at m× images: the percImage
+      // generator is pure in the id, so retouched-pair mass grows ∝ m by
+      // construction (every 5th id); the probe walks the REAL path —
+      // PNG encode, real decode, 9×8 resample, 4-chunk MIH at radius 2 —
+      // so this measures codec + index together. Candidate volume is
+      // Θ(n · 4 chunks · 137 masks); brute force would be ∝ m².
+      timed("dhash_mih_grown") {
+        import spark.implicits._
+        val media = spark.range(m * 5000L).as[Long].mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => graft.ops.Multimodal.RealMedia(
+            id, "png", graft.ops.Multimodal.percPngBytes(id)))
+        }
+        graft.ops.Similarity.mihPairs(
+            graft.ops.Multimodal.dhashCodes(media).toDF()
+              .withColumnRenamed("media_id", "vec_id"),
+            Seq("dlo", "dhi"), graft.ops.Multimodal.DhashTau)
+          .count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of
