@@ -474,6 +474,23 @@ object ScaleProbe {
             Seq("dlo", "dhi"), graft.ops.Multimodal.DhashTau)
           .count()
       }
+      // the Norouzi chunk-width lever, measured: SAME corpus, SAME exact
+      // output (QueriesSpec proves set equality), but 3 chunks of 21/22
+      // bits — bucket keys 2^21+ so occupancy stays < 1 at 250k codes
+      // where the 16-bit geometry's Θ(n²·p) term owns the wall
+      timed("dhash_mih_grown_wide") {
+        import spark.implicits._
+        val media = spark.range(m * 5000L).as[Long].mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => graft.ops.Multimodal.RealMedia(
+            id, "png", graft.ops.Multimodal.percPngBytes(id)))
+        }
+        graft.ops.Similarity.mihPairsChunked(
+            graft.ops.Multimodal.dhashCodes(media).toDF()
+              .withColumnRenamed("media_id", "vec_id"),
+            Seq("dlo", "dhi"), graft.ops.Multimodal.DhashTau, 3)
+          .count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

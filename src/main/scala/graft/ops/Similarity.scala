@@ -149,6 +149,71 @@ object Similarity {
           .cast("int").as("ham"))
       .filter(col("ham") <= tau)
   }
+  /** All Hamming-ball masks of `width` bits up to `radius` flips. */
+  private def masksUpTo(width: Int, radius: Int): Seq[Long] = {
+    def combos(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until width).flatMap(i =>
+        combos(i + 1, left - 1).map(m => m | (1L << i)))
+    (0 to radius).flatMap(combos(0, _))
+  }
+
+  /** [[mihPairs]] generalized to an ARBITRARY chunk count over the same
+    * 32-bit code words — the Norouzi m = b/log₂(n) sizing lever made
+    * executable. Fewer, wider chunks trade a larger per-chunk probe
+    * neighborhood for exponentially lower bucket occupancy: at τ = 8
+    * over 64-bit codes, 4×16-bit chunks probe 137 masks into 2¹⁶-key
+    * buckets (occupancy n/2¹⁶ — past n ≈ 10⁵ the Θ(n²·p) term owns the
+    * wall, measured in SCALING.md), while 3×21/22-bit chunks probe
+    * 232/254 masks into 2²¹⁺-key buckets — occupancy stays < 1 to
+    * n ≈ 2M. Same pigeonhole contract: radius = τ div chunks, and
+    * chunks·(radius+1) > τ guarantees every true pair collides on some
+    * probed chunk (asserted); the exact Hamming filter at the end is
+    * unchanged, so the OUTPUT is identical at any chunk count —
+    * QueriesSpec proves set equality against the 16-bit engine.
+    */
+  private[graft] def mihPairsChunked(codes: DataFrame, words: Seq[String],
+      tau: Int, nChunks: Int): DataFrame = {
+    val bits   = words.length * 32
+    val radius = tau / nChunks
+    require(nChunks * (radius + 1) > tau,
+      s"pigeonhole violated: $nChunks chunks at radius $radius cover only " +
+        s"${nChunks * (radius + 1) - 1} < tau=$tau")
+    val starts = (0 to nChunks).map(c => c * bits / nChunks)
+    val maskArrays: Seq[Seq[Long]] =
+      (0 until nChunks).map(c => masksUpTo(starts(c + 1) - starts(c), radius))
+    def keyExpr(c: Int): Column = expr(
+      s"aggregate(sequence(${starts(c)}, ${starts(c + 1) - 1}), 0L, " +
+        "(acc, j) -> acc + IF((shiftright(element_at(ws, " +
+        "CAST(j div 32 + 1 AS INT)), CAST(j % 32 AS INT)) & 1) = 1, " +
+        s"shiftleft(1L, CAST(j - ${starts(c)} AS INT)), 0L))")
+    val ch = codes.withColumn("ws", array(words.map(col): _*))
+      .select(col("vec_id"),
+        posexplode(array((0 until nChunks).map(keyExpr): _*))
+          .as(Seq("c", "key")))
+    val probes = ch
+      .select(col("vec_id").as("v1"), col("c"), col("key"),
+        explode(element_at(typedlit(maskArrays), col("c") + 1)).as("m"))
+      .select(col("v1"), col("c"), col("key").bitwiseXOR(col("m")).as("pkey"))
+    // same SHUFFLE_HASH rationale as mihPairs: the exploded probe side's
+    // stats are underestimated; pin the shuffled hash join
+    val cand = probes.join(
+        ch.select(col("vec_id").as("v2"), col("c"), col("key").as("pkey"))
+          .hint("SHUFFLE_HASH"),
+        Seq("c", "pkey"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    val a = codes.select(
+      col("vec_id").as("v1") +: words.map(w => col(w).as(s"${w}1")): _*)
+    val b = codes.select(
+      col("vec_id").as("v2") +: words.map(w => col(w).as(s"${w}2")): _*)
+    cand.join(a, "v1").join(b, "v2")
+      .select(col("v1"), col("v2"),
+        expr(words.map(w => s"bit_count(${w}1 ^ ${w}2)").mkString(" + "))
+          .cast("int").as("ham"))
+      .filter(col("ham") <= tau)
+  }
+
   /** Buckets probed per hash table by the ANN query (query-directed). */
   final val AnnProbes = 4
   /** Partial-dot screen: dims scored in stage 1, shortlist = 1/ScreenDen. */

@@ -755,6 +755,28 @@ class QueriesSpec extends SparkSpec {
     assert(s <= -950 && s >= -1050, s"planted Zipf law read $s milli, want ~-1000")
   }
 
+  test("chunk-width generalized MIH equals the 16-bit engine on the dHash corpus") {
+    // the Norouzi sizing lever must be output-invariant: any chunk count
+    // satisfying the pigeonhole contract yields the SAME exact pair set
+    // (the chunks only steer candidate generation; the Hamming filter is
+    // the contract). 4 chunks reproduces the classic geometry; 3 chunks
+    // is the wide-bucket configuration the x50 probe measures.
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("v1", "v2", "ham").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val codes = ops.Multimodal.dhashCodes(ops.Multimodal.encodePerc(spark, sfDir))
+      .toDF().withColumnRenamed("media_id", "vec_id").localCheckpoint()
+    val base = pairSet(ops.Similarity.mihPairs(
+      codes, Seq("dlo", "dhi"), ops.Multimodal.DhashTau))
+    assert(base.nonEmpty)
+    for (nc <- Seq(3, 4)) {
+      val got = pairSet(ops.Similarity.mihPairsChunked(
+        codes, Seq("dlo", "dhi"), ops.Multimodal.DhashTau, nc))
+      assert(got === base, s"chunked MIH ($nc chunks) diverged: " +
+        s"${(got diff base).take(3)} / ${(base diff got).take(3)}")
+    }
+  }
+
   test("rendezvous sharding: draining a shard moves exactly its own keys") {
     // the HRW stability theorem on the emitted assignment: a key moves
     // under N → N−1 iff its full-fleet argmax was the removed shard —
