@@ -158,6 +158,45 @@ object Similarity {
     (0 to radius).flatMap(combos(0, _))
   }
 
+  /** Chunk-count sizing for [[mihPairsChunked]], executable: minimize the
+    * engine's actual cost model over valid chunk counts. Per code the
+    * index probes m·|masks(m)| chunk keys, and each probe row meets
+    * ~n/2^width index entries (bucket occupancy), so
+    * cost(m) ≈ n · m · masks(m) · (1 + n/2^width) — the first factor is
+    * the probe explode, the second the candidate join fan. This is
+    * Norouzi's m = b/log₂(n) intuition with the engine's own constants:
+    * the pure formula targets occupancy ≈ 1, but in a shuffled-join
+    * engine occupancy multiplies CANDIDATE rows, so the model leans one
+    * notch wider (at n=250k, b=64, τ=8 it picks 3 chunks — the
+    * configuration the x50 probe measured 7.5× faster than 4×16-bit,
+    * where the pure formula rounds to 4). The pigeonhole contract holds
+    * for every m ≥ 1 (m·(⌊τ/m⌋+1) ≥ τ+1), so the mask budget (masks are
+    * driver-built literal model state) is about probe cost, never
+    * correctness.
+    */
+  private[graft] def mihChunksFor(n: Long, bits: Int, tau: Int,
+      maskBudget: Long = 4096L): Int = {
+    def nMasks(width: Int, radius: Int): Long = {
+      var total = 0L; var c = 1L
+      for (k <- 0 to radius) {
+        total += c
+        c = c * (width - k) / (k + 1)
+      }
+      total
+    }
+    val nn = math.max(2L, n).toDouble
+    val valid = (1 to bits).filter { m =>
+      val width = (bits + m - 1) / m
+      width <= 63 && nMasks(width, tau / m) <= maskBudget
+    }
+    require(valid.nonEmpty, s"no chunk count fits maskBudget=$maskBudget")
+    valid.minBy { m =>
+      val width = (bits + m - 1) / m
+      m.toDouble * nMasks(width, tau / m) *
+        (1.0 + nn / math.pow(2.0, width.toDouble))
+    }
+  }
+
   /** [[mihPairs]] generalized to an ARBITRARY chunk count over the same
     * 32-bit code words — the Norouzi m = b/log₂(n) sizing lever made
     * executable. Fewer, wider chunks trade a larger per-chunk probe

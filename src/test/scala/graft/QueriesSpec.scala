@@ -775,6 +775,14 @@ class QueriesSpec extends SparkSpec {
       assert(got === base, s"chunked MIH ($nc chunks) diverged: " +
         s"${(got diff base).take(3)} / ${(base diff got).take(3)}")
     }
+    // the cost-model sizer reproduces the MEASURED x50 decision (3 wide
+    // chunks beat 4×16-bit 7.5× at 250k codes) and stays pigeonhole-valid
+    // on degenerate inputs
+    assert(ops.Similarity.mihChunksFor(250000L, 64, 8) === 3)
+    for (n <- Seq(2L, 5000L, 2000000L)) {
+      val m = ops.Similarity.mihChunksFor(n, 64, 8)
+      assert(m >= 1 && m * (8 / m + 1) > 8, s"n=$n picked invalid m=$m")
+    }
   }
 
   test("rendezvous sharding: draining a shard moves exactly its own keys") {
