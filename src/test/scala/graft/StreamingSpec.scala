@@ -675,6 +675,35 @@ class StreamingSpec extends SparkSpec {
       "streamed assortativity diverged from the batch twin")
   }
 
+  test("windowed assortativity drops beyond-watermark edges") {
+    // the state-boundedness claim's other half: an edge arriving AFTER
+    // the watermark passed its window is filtered at the first stateful
+    // operator — its window never materializes (where the batch twin
+    // would emit it), so closed-window state really is evictable
+    val ms = MemoryStream[StreamingSpec.Edge](spark)
+    val q = Streams.assortativityPerWindow(ms.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("assort_late").start()
+    ms.addData(StreamingSpec.Edge(ts(200), 1, 2), StreamingSpec.Edge(ts(205), 1, 3))
+    q.processAllAvailable()
+    ms.addData(StreamingSpec.Edge(ts(30), 7, 8)) // hour 0 — far past watermark
+    q.processAllAvailable()
+    ms.addData(StreamingSpec.Edge(ts(400), 9, 10))
+    q.processAllAvailable()
+    ms.addData(StreamingSpec.Edge(ts(600), 9, 10))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("assort_late")
+      .select("window_us", "n_endpoints", "assortativity").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(!got.exists(_._1 == 0L),
+      s"beyond-watermark hour-0 edge leaked into ${got.toSeq}")
+    // the live hour-3 star (1-2, 1-3) still closes exactly
+    assert(got.contains((10800000000L, 4L, Some(-1.0))),
+      s"hour-3 window missing: ${got.toSeq}")
+  }
+
   test("streaming geofence equals the batch bbox filter over synthesized segments") {
     val ms = MemoryStream[Event](spark)
     val events = loadEvents
