@@ -25,6 +25,28 @@ object Dedup {
   final val NumPerms   = 16
   final val BandRows   = 8
   final val NumBands   = NumPerms / BandRows
+
+  /** The LSH S-curve made executable (the companion of
+    * Similarity.mihChunksFor): pick (bands, rows) for a TARGET Jaccard
+    * threshold under a signature budget — the (b, r) with b·r ≤ budget
+    * whose collision threshold (1/b)^(1/r) lands closest to the target
+    * in log space (log space because the curve's steepness, not the
+    * absolute offset, is what the threshold controls; q_minhash_
+    * calibration MEASURES the resulting curve). Driver-side integer
+    * search over the divisor grid — model-state cheap at any budget.
+    */
+  private[graft] def bandsFor(targetJaccard: Double,
+      sigBudget: Int): (Int, Int) = {
+    require(targetJaccard > 0 && targetJaccard < 1, s"bad τ=$targetJaccard")
+    val cands = for {
+      r <- 1 to sigBudget
+      b <- 1 to sigBudget / r
+    } yield (b, r)
+    cands.minBy { case (b, r) =>
+      (math.abs(math.log(math.pow(1.0 / b, 1.0 / r))
+        - math.log(targetJaccard)), -(b * r))
+    }
+  }
   /** Candidate prefilter: signature components agreeing (estimates Jaccard). */
   final val MinSigAgree = 14
   final val JaccardTau  = 0.9
