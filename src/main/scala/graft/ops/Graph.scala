@@ -430,9 +430,12 @@ object Graph {
     // stream (edge = (user_id, props.k), item ids offset into a disjoint
     // vertex namespace). This is the BATCH TWIN of
     // streaming.Streams.assortativityPerWindow: the identical plan — two
-    // windowed aggregates, two window-equality joins, one re-windowed
-    // closing aggregate — runs unchanged as a Structured Streaming job
-    // four stateful operators deep (StreamingSpec proves batch ≡ stream
+    // windowed aggregates, ONE window-equality join (the SQL oracle's
+    // second join is the batch-only formulation; the streaming chain
+    // folds it into the per-head moment aggregate, Streams.scala), one
+    // re-windowed closing aggregate — runs unchanged as a Structured
+    // Streaming job four stateful operators deep (StreamingSpec proves
+    // batch ≡ stream
     // on an out-of-order multi-trigger edge feed), so oracle-green here
     // certifies the streaming operator's arithmetic too. Exactness: the
     // q_degree_assortativity convention (exact integer moments, one fixed
@@ -441,7 +444,7 @@ object Graph {
       """WITH e0 AS (
         |  SELECT epoch_us(date_trunc('hour', ts)) AS window_us,
         |         user_id AS v,
-        |         1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+        |         -1 - CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
         |  FROM events),
         |dirr AS (
         |  SELECT window_us, v, w FROM e0
@@ -462,9 +465,13 @@ object Graph {
         |                 * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)),
         |               0), 6) AS assortativity
         |FROM xy GROUP BY window_us ORDER BY window_us""".stripMargin) { (s, dir) =>
+      // Item vertices live in the NEGATIVE id half-space (w = -1 - k):
+      // a sign split keeps the user/item namespaces disjoint for ALL
+      // non-negative ids — no "user_id < offset" bound to outgrow at
+      // production scale (both id families are generator-nonnegative).
       val edges = Tables.events(s, dir).select(col("ts"),
         col("user_id").as("v"),
-        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("w"))
+        (lit(-1L) - get_json_object(col("props"), "$.k").cast("long")).as("w"))
       graft.streaming.Streams.assortativityPerWindow(edges)
         .orderBy("window_us")
     },

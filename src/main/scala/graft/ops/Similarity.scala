@@ -731,7 +731,9 @@ object Similarity {
     val exactRows = cosineTopKFrom(emb).select("p_id", "c_id")
       .as[(Long, Long)].collect()
     val exactLit = exactRows.toSeq.toDF("p_id", "c_id")
-    val nExact   = exactRows.length.toLong
+    // Guard like denom below: an empty probe batch (nExact = 0) must not
+    // turn the recall column into silent NULLs via div-by-zero.
+    val nExact   = math.max(exactRows.length.toLong, 1L)
     val nVec     = emb.count()
     val nProbes  = exactRows.map(_._1).distinct.length.toLong
     val denom    = math.max(nProbes * (nVec - 1), 1L)

@@ -157,16 +157,24 @@ object Streams {
       deg.select(col("win").as("winx"), col("v").as("vx"), col("deg").as("x")),
       col("winx") === col("win") && col("vx") === col("v"))
       .drop("winx", "vx")
+    // The cubic/product moment terms fold in DECIMAL(38,0), not Long:
+    // a hub vertex with per-window degree ~2M would wrap cnt³ past 2⁶³
+    // silently while the DuckDB batch oracle folds the same moments in
+    // HUGEINT — the decimal fold keeps the two engines exact to degree
+    // ~4.6e12 (cnt³ < 1e38) instead of ~2.1e6.
     val perHead = withX
       .groupBy(window(col("win"), "1 hour"), col("w"))
-      .agg(sum("m").as("cnt"), sum(expr("m * x")).as("sumx"),
-        sum(expr("m * x * x")).as("sumxx"))
+      .agg(sum("m").as("cnt"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * x")).as("sumx"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * x * x")).as("sumxx"))
     perHead
       .groupBy(window(col("window"), "1 hour"))
       .agg(sum("cnt").as("n_endpoints"),
-        sum(expr("cnt * sumx")).as("sxy"),
-        sum("sumx").as("sx"), sum(expr("cnt * cnt")).as("sy"),
-        sum("sumxx").as("sxx"), sum(expr("cnt * cnt * cnt")).as("syy"))
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * sumx")).as("sxy"),
+        sum("sumx").as("sx"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("sy"),
+        sum("sumxx").as("sxx"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt")).as("syy"))
       .select(unix_micros(col("window.start")).as("window_us"),
         col("n_endpoints"),
         round(expr("CAST(n_endpoints * sxy - sx * sy AS DOUBLE)") /

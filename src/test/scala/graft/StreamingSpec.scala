@@ -632,8 +632,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("windowed assortativity equals batch through the stream-stream-join chain") {
-    // the 4-stateful-operator pipeline (two windowed aggs → two window-
-    // equality joins → re-windowed closing agg) on an out-of-order
+    // the 4-stateful-operator pipeline (two windowed aggs → ONE window-
+    // equality join → re-windowed closing agg; the oracle's second join
+    // is folded into the per-head moment aggregate) on an out-of-order
     // multi-trigger edge feed. Hour 0 is a planted 3-leaf star — the
     // perfectly DISASSORTATIVE graph, r = −1 exactly; hour 1 is a path
     // with a doubled edge, exercising multi-edge weighting (r = −0.8).
