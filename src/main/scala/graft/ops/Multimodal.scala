@@ -1423,8 +1423,11 @@ object Multimodal {
     },
 
     // Perceptual near-duplicate pair search: the dHash codes ride the
-    // parametric MIH engine (Similarity.mihPairs — the q_hamming_mih
-    // index) at radius DhashTau; the oracle is the brute-force all-pairs
+    // parametric MIH engine (Similarity.mihPairsChunked — the
+    // q_hamming_mih index, geometry sized from the corpus count via
+    // Similarity.mihChunksFor; the count comes from the documents table,
+    // 1:1 with encodePerc rows, so the decode never runs twice) at
+    // radius DhashTau; the oracle is the brute-force all-pairs
     // scan, so green re-proves pigeonhole completeness on this third code
     // family (embedding sign codes, SimHash text codes, now perceptual
     // image codes). Retouched copies land at Hamming 0–6, the background
@@ -1438,10 +1441,12 @@ object Multimodal {
          |WHERE bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi))
          |      <= $DhashTau
          |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
-      Similarity.mihPairs(
+      Similarity.mihPairsChunked(
           dhashCodes(encodePerc(s, dir)).toDF()
             .withColumnRenamed("media_id", "vec_id"),
-          Seq("dlo", "dhi"), DhashTau)
+          Seq("dlo", "dhi"), DhashTau,
+          Similarity.mihChunksFor(
+            Tables.documents(s, dir).count(), 64, DhashTau))
         .orderBy("v1", "v2")
     }
   )

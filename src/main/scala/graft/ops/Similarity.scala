@@ -95,13 +95,28 @@ object Similarity {
 
   /** Multi-Index-Hashing exact Hamming range search over the sign codes of
     * an explicit embeddings frame (see q_hamming_mih for the argument).
+    * The chunk GEOMETRY is sized from the corpus count through the
+    * engine's own cost model ([[mihChunksFor]]) rather than pinned at
+    * 4×16-bit: the x50 ScaleProbe measured the static geometry's slow
+    * regime (153 s vs 20.3 s at 250k codes — bucket occupancy n/2¹⁶
+    * multiplies candidate rows), and the sizer reproduces the measured
+    * 3-chunk decision there while picking narrow-probe geometries at
+    * small n. The count is one long of model state; output is
+    * chunk-count-invariant (exact Hamming filter — QueriesSpec proves
+    * set equality across geometries and against brute force).
     */
-  private[graft] def hammingMih(emb: DataFrame): DataFrame =
-    mihPairs(signCodes(emb), Seq("lo", "hi"), MihTau)
+  private[graft] def hammingMih(emb: DataFrame): DataFrame = {
+    val codes = signCodes(emb)
+    mihPairsChunked(codes, Seq("lo", "hi"), MihTau,
+      mihChunksFor(emb.count(), 64, MihTau))
+  }
 
-  /** The production-width variant: 128-bit codes, 8 chunks, radius 3. */
+  /** The production-width variant: 128-bit codes, radius Mih128Tau,
+    * chunk count sized from the corpus like [[hammingMih]].
+    */
   private[graft] def hammingMih128(emb: DataFrame): DataFrame =
-    mihPairs(signCodes128(emb), Seq("w0", "w1", "w2", "w3"), Mih128Tau)
+    mihPairsChunked(signCodes128(emb), Seq("w0", "w1", "w2", "w3"),
+      Mih128Tau, mihChunksFor(emb.count(), 128, Mih128Tau))
 
   /** The MIH engine, parametric in the code words: `codes` carries
     * `vec_id` plus `words` 32-bit-valued long columns; chunk c is bits
