@@ -973,6 +973,94 @@ object TextOps {
         entTot.as("ent_micro_tot"),
         (entTot / length(col("text")).cast("double")).as("ent_per_char_micro"))
         .orderBy("doc_id")
+    },
+
+    // UNICODE CANONICALIZATION (NFC + simple-map lowercase + ASCII
+    // whitespace collapse — functions.TextNorm, a codegen'd Catalyst
+    // expression). The fixture text is pure ASCII (probed: max codepoint
+    // 0x7e), which would make this gate vacuous — so each document gets a
+    // deterministic NON-ASCII decorated raw string, and consecutive
+    // (even, odd) documents get DIFFERENT raw forms of the SAME canonical
+    // string: composed vs combining-mark accents (é vs e+U+0301, Å vs
+    // A+U+030A, the U+212B angstrom-sign singleton), case, and
+    // tab/newline/run-of-space noise. Green proves the full chain agrees
+    // with DuckDB's nfc_normalize + utf8proc lower + regexp collapse,
+    // per cell. Scale shape: stateless narrow per-row kernel, zero
+    // shuffle, WholeStageCodegen via one static call.
+    Q("q_text_normalize",
+      s"""WITH r AS (SELECT doc_id, $rawVariantSql AS raw FROM documents)
+         |SELECT doc_id, raw, ${graft.functions.TextNorm.normalizeSql("raw")}
+         |         AS norm_text
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rawVariant.as("raw"))
+        .withColumn("norm_text",
+          graft.functions.TextNormExprs.normalize_text(col("raw")))
+        .orderBy("doc_id")
+    },
+
+    // The fingerprint plane RE-DECLARED over canonicalized text: exact-dup
+    // detection (q_doc_fingerprint's PolyHash contract) finds the
+    // (even, odd) raw variants only AFTER normalization — the reason
+    // production pipelines canonicalize before dedup. Every pair collapses
+    // to dup_group_size 2; the brute raw strings never collide. The group
+    // count rides a fingerprint-partitioned window (content-keyed, never
+    // global).
+    Q("q_fingerprint_normalized",
+      s"""WITH r AS (SELECT doc_id, $rawVariantSql AS raw FROM documents),
+         |n AS (SELECT doc_id,
+         |             ${graft.functions.TextNorm.normalizeSql("raw")} AS nt
+         |      FROM r),
+         |f AS (SELECT doc_id, ${Dedup.hashSql("nt")} AS fp FROM n)
+         |SELECT doc_id, fp,
+         |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT)
+         |         AS dup_group_size
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          poly_hash(graft.functions.TextNormExprs.normalize_text(rawVariant))
+            .as("fp"))
+        .withColumn("dup_group_size",
+          count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
+        .orderBy("doc_id")
     }
   )
+
+  // ---- Unicode canonicalization fixtures (round 10) ---------------------
+
+  /** Deterministic non-ASCII raw decoration: pair p = doc_id div 2 picks
+    * the canonical string (via style p % 3 and a per-pair fragment), and
+    * doc_id % 2 picks which RAW FORM of it this document carries. Unicode
+    * escapes throughout so source encoding can't drift: U+0301 combining
+    * acute, U+030A combining ring, U+0308 combining diaeresis, U+212B
+    * angstrom sign (an NFC singleton), Greek sigma/alpha.
+    */
+  private def rawVariant: Column = {
+    val frag  = expr("concat('doc ', CAST(doc_id div 2 AS STRING))")
+    val style = expr("(doc_id div 2) % 3")
+    val odd   = expr("doc_id % 2 = 1")
+    val head = when(style === 0,
+        when(odd, lit("  CAFÉ  DU\tJOUR "))
+          .otherwise(lit("Café du Jour ")))
+      .when(style === 1,
+        when(odd, lit("Ångström\t"))
+          .otherwise(lit("Ångström ")))
+      .otherwise(
+        when(odd, lit(" σασ\n "))
+          .otherwise(lit("ΣΑΣ ")))
+    concat(head, frag, when(odd, lit("  ")).otherwise(lit("")))
+  }
+
+  /** The identical decoration in DuckDB SQL (same escapes, same casing). */
+  private def rawVariantSql: String =
+    "(CASE WHEN (doc_id // 2) % 3 = 0 THEN " +
+      "(CASE WHEN doc_id % 2 = 1 THEN '  CAFÉ  DU\tJOUR ' " +
+      "ELSE 'Café du Jour ' END) " +
+      "WHEN (doc_id // 2) % 3 = 1 THEN " +
+      "(CASE WHEN doc_id % 2 = 1 THEN 'Ångström\t' " +
+      "ELSE 'Ångström ' END) " +
+      "ELSE (CASE WHEN doc_id % 2 = 1 THEN ' σασ\n ' " +
+      "ELSE 'ΣΑΣ ' END) END " +
+      "|| 'doc ' || CAST(doc_id // 2 AS VARCHAR) " +
+      "|| (CASE WHEN doc_id % 2 = 1 THEN '  ' ELSE '' END))"
 }

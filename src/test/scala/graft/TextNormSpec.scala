@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.TextNorm
+
+/** Gates for the Unicode canonicalization kernel. The fixture corpus is
+  * pure ASCII, so the REAL non-ASCII behavior is pinned here against
+  * values computed in DuckDB 1.0 this session
+  * (`trim(regexp_replace(lower(nfc_normalize($1)), '[ \t\n\r]+', ' ', 'g'), ' ')`)
+  * — the exact oracle chain q_text_normalize runs.
+  */
+class TextNormSpec extends SparkSpec {
+
+  private def n(s: String): String =
+    TextNorm.normalize(UTF8String.fromString(s)).toString
+
+  test("NFC composition: decomposed and singleton forms collapse") {
+    // e + U+0301 -> é; A + U+030A -> å; o + U+0308 -> ö; U+212B -> å
+    assert(n("Café") === "café")
+    assert(n("café") === "café")
+    assert(n("Ångström") === "ångström")
+    assert(n("Ångström") === "ångström")
+  }
+
+  test("simple-map lowercase: the DuckDB utf8proc parity pins") {
+    // U+0130 maps to plain i (simple map) — NOT "i" + combining dot
+    // (String.toLowerCase's full map), which DuckDB would hash-mismatch
+    assert(n("İstanbul") === "istanbul")
+    assert(n("İstanbul").length === 8)
+    // capital sigma maps to σ in EVERY position — no contextual final ς
+    assert(n("ΣΑΣ Σ") === "σασ σ")
+    // sharp s is lower already: lower(), not case-FOLDING (no ß -> ss)
+    assert(n("STRAßE") === "straße")
+    // supplementary-plane codepoints pass through by codepoint
+    assert(n(new String(Character.toChars(0x1F600)) + " X")
+      === new String(Character.toChars(0x1F600)) + " x")
+  }
+
+  test("whitespace: collapse + trim over exactly { space, tab, LF, CR }") {
+    assert(n("  a \t\r\n bc  ") === "a bc")
+    assert(n(" \t ") === "")
+    assert(n("") === "")
+    // U+000B is OUTSIDE the class by contract (Java \s and RE2 \s
+    // disagree on it; the kernel pins the explicit 4-char class)
+    assert(n("ab") === "ab")
+  }
+
+  test("idempotence over the declared fixture raws") {
+    import spark.implicits._
+    val out = graft.ops.TextOps.queries.find(_.name == "q_text_normalize").get
+      .build(spark, sfDir)
+      .select("raw", "norm_text").as[(String, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (raw, norm) =>
+      assert(n(raw) === norm)
+      assert(n(norm) === norm, s"not idempotent on: $norm")
+    }
+  }
+
+  test("(even, odd) raw variants normalize equal; distinct pairs differ") {
+    import spark.implicits._
+    val rows = graft.ops.TextOps.queries.find(_.name == "q_text_normalize").get
+      .build(spark, sfDir)
+      .select("doc_id", "norm_text").as[(Long, String)].collect().toMap
+    val pairs = rows.keys.filter(id => id % 2 == 0 && rows.contains(id + 1))
+    assert(pairs.nonEmpty)
+    pairs.foreach(id => assert(rows(id) === rows(id + 1)))
+    val canon = pairs.map(rows).toSeq
+    assert(canon.distinct.size === canon.size, "cross-pair collision")
+  }
+}
