@@ -30,7 +30,8 @@ object SparkEntry {
     ops.Graph.queries,
     ops.Clustering.queries,
     ops.Sketches.queries,
-    ops.Pipeline.queries
+    ops.Pipeline.queries,
+    ops.Profile.queries
   )
 
   def all: Seq[Q] = modules.flatten

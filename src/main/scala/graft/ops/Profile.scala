@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Data profiling + declarative constraint checks — the quality report a
+  * pipeline runs before (and after) every ingest: per-column completeness
+  * / cardinality / bounds, and a (check, status, n_violations) report
+  * frame in the Deequ/Great-Expectations shape.
+  *
+  * Scale shape: ONE aggregation pass per profiled table computes every
+  * column's statistics together (count/min/max fold map-side; the exact
+  * distinct counts share one Expand — the multi-distinct plan Spark
+  * already uses for multi-count(DISTINCT) SQL). The single aggregated row
+  * per table is bounded model state (O(columns), data-independent), so
+  * reshaping it into per-column rows on the driver is a constant-size
+  * operation at any corpus size. At 100 TB the one swap worth making is
+  * exact distinct → approx_count_distinct (HLL, no Expand) — kept exact
+  * here because the DuckDB oracle proves exact values; the HLL register
+  * plane (q_hll_registers) already ships the approximate path.
+  *
+  * Constraint checks fold to conditional counts inside one aggregate per
+  * table (plus one anti-join pass for the FK check — the referenced side
+  * is a dim table; no hint, the planner picks the join strategy by
+  * size). Every check emits a row even when green, so a consumer diffs
+  * reports structurally; one check (`o_orderdate_within_1995`) is
+  * expected to FAIL on the fixture, proving the fail path end-to-end.
+  */
+object Profile {
+
+  /** Cross-engine rendering of min/max per column type: integers/strings
+    * verbatim, doubles micro-snapped (integer-micro rule), timestamps as
+    * epoch micros — every branch a deterministic integer/string cast in
+    * both engines.
+    */
+  private def renderSpark(c: Column, dt: DataType): Column = dt match {
+    case LongType | IntegerType => c.cast("string")
+    case StringType             => c
+    case DoubleType  => round(c * lit(1000000.0)).cast("long").cast("string")
+    // NTZ casts to session-zone timestamp first (sessions pin UTC — the
+    // Tables.events layout-normalization rule), so epoch micros agree
+    // with DuckDB's epoch_us at identical instants
+    case TimestampType | TimestampNTZType =>
+      unix_micros(c.cast(TimestampType)).cast("string")
+    case other => throw new IllegalArgumentException(s"unprofiled type $other")
+  }
+
+  private def renderSql(name: String, dt: DataType): (String, String) = dt match {
+    case LongType | IntegerType =>
+      (s"CAST(min($name) AS VARCHAR)", s"CAST(max($name) AS VARCHAR)")
+    case StringType => (s"min($name)", s"max($name)")
+    case DoubleType =>
+      (s"CAST(CAST(round(min($name) * 1000000.0) AS BIGINT) AS VARCHAR)",
+        s"CAST(CAST(round(max($name) * 1000000.0) AS BIGINT) AS VARCHAR)")
+    case TimestampType | TimestampNTZType =>
+      (s"CAST(epoch_us(min($name)) AS VARCHAR)",
+        s"CAST(epoch_us(max($name)) AS VARCHAR)")
+    case other => throw new IllegalArgumentException(s"unprofiled type $other")
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("column_name", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_null", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("min_val", StringType, nullable = true),
+    StructField("max_val", StringType, nullable = true),
+    StructField("is_unique", BooleanType, nullable = false)))
+
+  /** One-pass profile of every column of `df`, reshaped to one row per
+    * column. The collected aggregate is a single row of width
+    * O(columns) — bounded model state, never data-proportional.
+    */
+  def profileTable(df: DataFrame, table: String): DataFrame = {
+    val cols = df.schema.fields.toSeq
+    val aggs = cols.flatMap { f =>
+      Seq(count(col(f.name)).as(s"nn_${f.name}"),
+        countDistinct(col(f.name)).as(s"nd_${f.name}"),
+        renderSpark(min(col(f.name)), f.dataType).as(s"mn_${f.name}"),
+        renderSpark(max(col(f.name)), f.dataType).as(s"mx_${f.name}"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
+    val n   = row.getAs[Long]("n_rows")
+    val out = cols.map { f =>
+      val nn = row.getAs[Long](s"nn_${f.name}")
+      val nd = row.getAs[Long](s"nd_${f.name}")
+      Row(table, f.name, n, n - nn, nd,
+        row.getAs[String](s"mn_${f.name}"), row.getAs[String](s"mx_${f.name}"),
+        nn == n && nd == n)
+    }
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out, 1), outSchema)
+  }
+
+  private def profileSql(table: String, cols: Seq[(String, DataType)]): String =
+    cols.map { case (name, dt) =>
+      val (mn, mx) = renderSql(name, dt)
+      s"""SELECT '$table' AS table_name, '$name' AS column_name,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(*) - count($name) AS BIGINT) AS n_null,
+         |       CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |       $mn AS min_val, $mx AS max_val,
+         |       (count($name) = count(*) AND count(DISTINCT $name) = count(*))
+         |         AS is_unique
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  private val CustomerCols: Seq[(String, DataType)] = Seq(
+    "c_custkey" -> LongType, "c_name" -> StringType,
+    "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+    "c_mktsegment" -> StringType)
+
+  private val OrdersCols: Seq[(String, DataType)] = Seq(
+    "o_orderkey" -> LongType, "o_custkey" -> LongType,
+    "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+    "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType)
+
+  /** The constraint catalog: per-table conditional-count checks (one
+    * aggregate pass each) plus the FK anti-join. `expectFail` marks the
+    * demonstration check.
+    */
+  private def statusOf(v: Column): Column =
+    when(v === 0L, lit("pass")).otherwise(lit("fail"))
+
+  def constraintReport(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(s, dir)
+    val orders   = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+
+    def checksFor(df: DataFrame, table: String,
+        checks: Seq[(String, Column)]): DataFrame =
+      df.agg(checks.head._2.as("v0"),
+          checks.tail.zipWithIndex.map { case ((_, c), i) =>
+            c.as(s"v${i + 1}") }: _*)
+        .select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(table).as("table_name"), lit(name).as("check_name"),
+            col(s"v$i").cast("long").as("n_violations"))
+        }: _*)).as("r"))
+        .select(col("r.table_name"), col("r.check_name"), col("r.n_violations"))
+
+    def vcount(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+    val custChecks = checksFor(customer, "customer", Seq(
+      "c_custkey_not_null" -> vcount(col("c_custkey").isNull),
+      "c_custkey_unique"   -> (count(lit(1)) - countDistinct(col("c_custkey"))),
+      "c_acctbal_in_range" -> vcount(col("c_acctbal").isNull ||
+        col("c_acctbal") < -1000.0 || col("c_acctbal") > 10000.0)))
+
+    val ordChecks = checksFor(orders, "orders", Seq(
+      "o_orderkey_unique"        -> (count(lit(1)) - countDistinct(col("o_orderkey"))),
+      "o_totalprice_positive"    -> vcount(col("o_totalprice").isNull ||
+        col("o_totalprice") <= 0.0),
+      "o_orderdate_within_1995"  -> vcount(col("o_orderdate").isNull ||
+        year(col("o_orderdate")) =!= 1995)))
+
+    val liChecks = checksFor(lineitem, "lineitem", Seq(
+      "l_quantity_range_1_50" -> vcount(col("l_quantity").isNull ||
+        col("l_quantity") < 1.0 || col("l_quantity") > 50.0)))
+
+    val fk = orders.select(col("o_custkey"))
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .select(lit("orders").as("table_name"),
+        lit("o_custkey_fk_customer").as("check_name"), col("n_violations"))
+
+    custChecks.unionByName(ordChecks).unionByName(liChecks).unionByName(fk)
+      .withColumn("status", statusOf(col("n_violations")))
+      .select("table_name", "check_name", "status", "n_violations")
+      .orderBy("table_name", "check_name")
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q_profile_columns",
+      s"""${profileSql("customer", CustomerCols)}
+         |UNION ALL
+         |${profileSql("orders", OrdersCols)}
+         |ORDER BY table_name, column_name""".stripMargin) { (s, dir) =>
+      profileTable(Tables.customer(s, dir), "customer")
+        .unionByName(profileTable(Tables.orders(s, dir), "orders"))
+        .orderBy("table_name", "column_name")
+    },
+
+    Q("q_constraint_report",
+      """SELECT table_name, check_name,
+        |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status,
+        |       n_violations
+        |FROM (
+        |  SELECT 'customer' AS table_name, 'c_custkey_not_null' AS check_name,
+        |         CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_violations
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'c_custkey_unique',
+        |         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'c_acctbal_in_range',
+        |         CAST(count(*) FILTER (c_acctbal IS NULL
+        |              OR c_acctbal < -1000.0 OR c_acctbal > 10000.0) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderkey_unique',
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_totalprice_positive',
+        |         CAST(count(*) FILTER (o_totalprice IS NULL
+        |              OR o_totalprice <= 0.0) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderdate_within_1995',
+        |         CAST(count(*) FILTER (o_orderdate IS NULL
+        |              OR year(o_orderdate) <> 1995) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey_fk_customer',
+        |         CAST((SELECT count(*) FROM orders o
+        |               LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |               WHERE c.c_custkey IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_quantity_range_1_50',
+        |         CAST(count(*) FILTER (l_quantity IS NULL
+        |              OR l_quantity < 1.0 OR l_quantity > 50.0) AS BIGINT)
+        |  FROM lineitem)
+        |ORDER BY table_name, check_name""".stripMargin)(constraintReport)
+  )
+}
