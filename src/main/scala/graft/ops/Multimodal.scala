@@ -334,11 +334,83 @@ object Multimodal {
     }
   }
 
-  /** The closed-form dHash-code SQL shared by both perceptual oracles:
-    * recomputes the grid comparisons from the generative pixel arithmetic
-    * (the engine computes them from decoded PNG pixels).
+  case class AhashCode(media_id: Long, alo: Long, ahi: Long)
+  case class PercCodes(media_id: Long,
+      dlo: Long, dhi: Long, alo: Long, ahi: Long)
+
+  /** 64-bit average hash (aHash — the mean-threshold member of Krawetz's
+    * perceptual family, beside dHash's gradient member): 8×8
+    * nearest-neighbor luma samples (sx = gx·w div 8, sy = gy·h div 8 —
+    * the same integer resample discipline as [[dhashOf]]), bit (gy·8+gx)
+    * set iff sample·64 > Σ samples. The mean threshold is decided by
+    * integer cross-multiplication, never a float mean, so the code from
+    * DECODED pixels equals the closed-form oracle exactly.
     */
-  private def dhashCodesSql: String =
+  private[graft] def ahashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val v   = new Array[Long](64)
+    var sum = 0L
+    var gy  = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val p = ((img.getRGB(gx * w / 8, sy) >> 16) & 0xff).toLong
+        v(gy * 8 + gx) = p
+        sum += p
+        gx += 1
+      }
+      gy += 1
+    }
+    var lo = 0L; var hi = 0L
+    var i  = 0
+    while (i < 64) {
+      if (v(i) * 64L > sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
+  /** aHash codes from real PNG decode (the [[dhashCodes]] contract). */
+  def ahashCodes(media: Dataset[RealMedia]): Dataset[AhashCode] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"perceptual PNG ${m.media_id} failed to decode")
+        val (lo, hi) = ahashOf(img)
+        AhashCode(m.media_id, lo, hi)
+      }
+    }
+  }
+
+  /** Both perceptual codes from ONE decode pass — the agreement query
+    * never decodes a payload twice.
+    */
+  def percCodes(media: Dataset[RealMedia]): Dataset[PercCodes] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"perceptual PNG ${m.media_id} failed to decode")
+        val (dlo, dhi) = dhashOf(img)
+        val (alo, ahi) = ahashOf(img)
+        PercCodes(m.media_id, dlo, dhi, alo, ahi)
+      }
+    }
+  }
+
+  /** The generative-family prefix shared by every perceptual-code oracle:
+    * which base image each document renders, whether it is the retouched
+    * copy, and its raster dimensions.
+    */
+  private def percPrefixSql: String =
     """WITH pm AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 5 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
@@ -348,8 +420,14 @@ object Multimodal {
       |  SELECT doc_id, b, pert,
       |         CAST(16 + b % 7 AS BIGINT) AS w,
       |         CAST(12 + b % 5 AS BIGINT) AS h
-      |  FROM pm),
-      |gp AS (
+      |  FROM pm)""".stripMargin
+
+  /** The closed-form dHash-code SQL shared by both perceptual oracles:
+    * recomputes the grid comparisons from the generative pixel arithmetic
+    * (the engine computes them from decoded PNG pixels).
+    */
+  private def dhashCodesSql: String = percPrefixSql + ",\n" +
+    """gp AS (
       |  SELECT doc_id, b, pert, w, CAST(i AS BIGINT) AS i,
       |         ((i // 8) * h) // 8 AS sy,
       |         ((i % 8) * w) // 9 AS sxa,
@@ -373,6 +451,34 @@ object Multimodal {
       |         CAST(sum(CASE WHEN i >= 32 AND va < vb
       |                  THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhi
       |  FROM pv GROUP BY doc_id)""".stripMargin
+
+  /** Closed-form aHash CTEs (appended after [[percPrefixSql]] or
+    * [[dhashCodesSql]]): 8×8 nearest-neighbor samples, mean threshold
+    * decided by integer cross-multiplication (v·64 > Σv — never a float
+    * mean), mirroring [[ahashOf]] bit for bit.
+    */
+  private def ahashCtesSql: String =
+    """,
+      |ag AS (
+      |  SELECT doc_id, b, pert, w, CAST(i AS BIGINT) AS i,
+      |         ((i // 8) * h) // 8 AS sy,
+      |         ((i % 8) * w) // 8 AS sx
+      |  FROM pg, range(0, 64) t(i)),
+      |apv AS (
+      |  SELECT doc_id, i,
+      |         ((b*131 + 31*(sy*w+sx) + ((b+sy*w+sx)*(b+sy*w+sx)) % 257) % 256
+      |          + CASE WHEN pert AND (sy*w+sx) % 29 = 0 THEN 97 ELSE 0 END)
+      |           % 256 AS v
+      |  FROM ag),
+      |asum AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s
+      |         FROM apv GROUP BY doc_id),
+      |acodes AS (
+      |  SELECT p.doc_id AS media_id,
+      |         CAST(sum(CASE WHEN i < 32 AND v * 64 > s
+      |                  THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS alo,
+      |         CAST(sum(CASE WHEN i >= 32 AND v * 64 > s
+      |                  THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahi
+      |  FROM apv p JOIN asum USING (doc_id) GROUP BY p.doc_id)""".stripMargin
 
   // ---- REAL multi-frame container: animated GIF via ImageIO -------------
   //
@@ -1447,6 +1553,68 @@ object Multimodal {
           Seq("dlo", "dhi"), DhashTau,
           Similarity.mihChunksFor(
             Tables.documents(s, dir).count(), 64, DhashTau))
+        .orderBy("v1", "v2")
+    },
+
+    // AVERAGE HASH — the mean-threshold perceptual code beside dHash's
+    // gradient code, from the same real PNG decode; a FOURTH code family
+    // through the parametric MIH engine. Oracle: the closed-form pixel
+    // arithmetic with the mean decided by integer cross-multiplication.
+    Q("q_ahash_codes",
+      s"""$percPrefixSql$ahashCtesSql
+         |SELECT media_id, alo, ahi FROM acodes ORDER BY media_id""".stripMargin) {
+      (s, dir) =>
+        ahashCodes(encodePerc(s, dir)).toDF()
+          .select("media_id", "alo", "ahi").orderBy("media_id")
+    },
+
+    // CROSS-HASH AGREEMENT: per-pair (dham, aham) for every pair close
+    // under EITHER code — the report that tells an operator where the two
+    // perceptual families agree (retouch pairs: both small) and where
+    // they diverge (aHash flips more bits when an edit shifts the global
+    // mean; dHash only where it crosses a local gradient). Candidates
+    // come from one sized-MIH pass per family (pigeonhole covers each
+    // OR-arm; the union covers the predicate), codes decode ONCE
+    // (percCodes), and the oracle is the brute-force all-pairs scan —
+    // green re-proves completeness of both passes simultaneously.
+    Q("q_hash_agreement",
+      s"""$dhashCodesSql$ahashCtesSql,
+         |codes AS (
+         |  SELECT d.media_id, d.dlo, d.dhi, a.alo, a.ahi
+         |  FROM dcodes d JOIN acodes a USING (media_id))
+         |SELECT a.media_id AS v1, b.media_id AS v2,
+         |       CAST(bit_count(xor(a.dlo, b.dlo))
+         |            + bit_count(xor(a.dhi, b.dhi)) AS INTEGER) AS dham,
+         |       CAST(bit_count(xor(a.alo, b.alo))
+         |            + bit_count(xor(a.ahi, b.ahi)) AS INTEGER) AS aham
+         |FROM codes a JOIN codes b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi))
+         |        <= $DhashTau
+         |   OR bit_count(xor(a.alo, b.alo)) + bit_count(xor(a.ahi, b.ahi))
+         |        <= $DhashTau
+         |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+      val codes = percCodes(encodePerc(s, dir)).toDF()
+      val m = Similarity.mihChunksFor(
+        Tables.documents(s, dir).count(), 64, DhashTau)
+      val vc = codes.withColumnRenamed("media_id", "vec_id")
+      val cand = Similarity.mihPairsChunked(
+          vc.select("vec_id", "dlo", "dhi"), Seq("dlo", "dhi"), DhashTau, m)
+        .select("v1", "v2")
+        .unionByName(Similarity.mihPairsChunked(
+            vc.select("vec_id", "alo", "ahi"), Seq("alo", "ahi"), DhashTau, m)
+          .select("v1", "v2"))
+        .distinct()
+      val a = codes.select(col("media_id").as("v1"), col("dlo").as("dlo1"),
+        col("dhi").as("dhi1"), col("alo").as("alo1"), col("ahi").as("ahi1"))
+      val b = codes.select(col("media_id").as("v2"), col("dlo").as("dlo2"),
+        col("dhi").as("dhi2"), col("alo").as("alo2"), col("ahi").as("ahi2"))
+      cand.join(a, "v1").join(b, "v2")
+        .select(col("v1"), col("v2"),
+          expr("CAST(bit_count(dlo1 ^ dlo2) + bit_count(dhi1 ^ dhi2) AS INT)")
+            .as("dham"),
+          expr("CAST(bit_count(alo1 ^ alo2) + bit_count(ahi1 ^ ahi2) AS INT)")
+            .as("aham"))
+        .filter(col("dham") <= DhashTau || col("aham") <= DhashTau)
         .orderBy("v1", "v2")
     }
   )

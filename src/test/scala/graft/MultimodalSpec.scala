@@ -407,4 +407,38 @@ class MultimodalSpec extends SparkSpec {
       s"${missed.length}/${planted.length} retouched pairs above DhashTau: " +
         missed.take(5).mkString(", "))
   }
+
+  test("perceptual aHash: container-invariant, and agreement covers every planted pair") {
+    import javax.imageio.ImageIO
+    // container invariance (the dHash gate, fourth code family)
+    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+      .collect().take(32).foreach { id =>
+      val img = ImageIO.read(
+        new java.io.ByteArrayInputStream(ops.Multimodal.percPngBytes(id)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "bmp", bos))
+      assert(ops.Multimodal.ahashOf(ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray)))
+        === ops.Multimodal.ahashOf(img),
+        s"aHash of doc $id differs across containers")
+    }
+    // the agreement frame contains every planted pair, with BOTH hams in
+    // the near-dup regime for at least the dHash arm (aHash may sit at
+    // the valley edge — that divergence is the report's point)
+    val agree = ops.Multimodal.queries.find(_.name == "q_hash_agreement").get
+      .build(spark, sfDir)
+      .select("v1", "v2", "dham", "aham")
+      .as[(Long, Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val planted = Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+      .filter(id => id % 5 == 1).map(id => (id - 1, id))
+    assert(planted.nonEmpty)
+    planted.foreach { p =>
+      assert(agree.contains(p), s"planted pair $p missing from agreement")
+      val (dh, ah) = agree(p)
+      assert(dh <= ops.Multimodal.DhashTau, s"planted $p dham=$dh")
+      assert(ah <= ops.Multimodal.DhashTau + 4, s"planted $p aham=$ah")
+    }
+  }
 }
