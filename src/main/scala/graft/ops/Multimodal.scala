@@ -406,6 +406,37 @@ object Multimodal {
     }
   }
 
+  /** Batch core of the perceptual INGEST twin: per incoming image, decode
+    * → dHash → count frozen-index codes within [[DhashTau]] — a re-upload
+    * or retouch of an indexed image scores ≥ 1 (drop it), fresh content
+    * scores 0 (keep). Decisions depend only on (image, frozen index) —
+    * never on batch peers or arrival order — so batch ≡ stream by
+    * construction (StreamingSpec asserts it on an out-of-order
+    * multi-trigger feed). Candidates ride the cross-frame sized-MIH join
+    * ([[Similarity.mihJoinChunked]]): per-trigger cost is
+    * batch-proportional, the index partitions on (chunk, key).
+    */
+  def percIngestScoreCodes(indexCodes: DataFrame, inCodes: DataFrame,
+      nIndex: Long): DataFrame = {
+    val m = Similarity.mihChunksFor(math.max(nIndex, 2L), 64, DhashTau)
+    val matches = Similarity.mihJoinChunked(
+        inCodes.withColumnRenamed("media_id", "vec_id"),
+        indexCodes.withColumnRenamed("media_id", "vec_id"),
+        Seq("dlo", "dhi"), DhashTau, m)
+      .groupBy(col("p_id").as("media_id"))
+      .agg(count(lit(1)).as("nm"))
+    inCodes.select("media_id")
+      .join(matches, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("nm"), lit(0L)).as("n_index_matches"))
+      .withColumn("is_novel", col("n_index_matches") === 0L)
+  }
+
+  /** [[percIngestScoreCodes]] from raw media payloads (one decode pass). */
+  def percIngestScore(indexCodes: DataFrame, incoming: Dataset[RealMedia],
+      nIndex: Long): DataFrame =
+    percIngestScoreCodes(indexCodes, dhashCodes(incoming).toDF(), nIndex)
+
   /** The generative-family prefix shared by every perceptual-code oracle:
     * which base image each document renders, whether it is the retouched
     * copy, and its raster dimensions.
@@ -1616,6 +1647,34 @@ object Multimodal {
             .as("aham"))
         .filter(col("dham") <= DhashTau || col("aham") <= DhashTau)
         .orderBy("v1", "v2")
+    },
+
+    // PERCEPTUAL INGEST against a frozen code index — the batch twin of
+    // streaming.Streams.percIngest (the nearDupCuration/semDedupIngest/
+    // chunkNoveltyIngest family, applied to images): index = the %5==0
+    // family (every retouch's base), incoming = the %5∈{1,2} docs, so the
+    // feed mixes guaranteed dups (retouches of indexed bases) with
+    // guaranteed-novel content. Oracle: brute-force left join on the
+    // Hamming predicate — green proves the cross-frame MIH join's
+    // completeness AND the match counts exactly.
+    Q("q_perc_ingest",
+      s"""$dhashCodesSql,
+         |idx AS (SELECT * FROM dcodes WHERE media_id % 5 = 0),
+         |inc AS (SELECT * FROM dcodes WHERE media_id % 5 IN (1, 2))
+         |SELECT i.media_id,
+         |       CAST(count(x.media_id) AS BIGINT) AS n_index_matches,
+         |       (count(x.media_id) = 0) AS is_novel
+         |FROM inc i LEFT JOIN idx x
+         |  ON bit_count(xor(i.dlo, x.dlo)) + bit_count(xor(i.dhi, x.dhi))
+         |     <= $DhashTau
+         |GROUP BY i.media_id ORDER BY i.media_id""".stripMargin) { (s, dir) =>
+      val codes = dhashCodes(encodePerc(s, dir)).toDF()
+      val idx = codes.filter(col("media_id") % 5 === 0)
+      val inc = codes.filter(col("media_id") % 5 === 1 ||
+        col("media_id") % 5 === 2)
+      val nIdx = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0).count()
+      percIngestScoreCodes(idx, inc, nIdx).orderBy("media_id")
     }
   )
 }

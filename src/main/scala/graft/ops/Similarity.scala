@@ -226,8 +226,13 @@ object Similarity {
     * unchanged, so the OUTPUT is identical at any chunk count —
     * QueriesSpec proves set equality against the 16-bit engine.
     */
-  private[graft] def mihPairsChunked(codes: DataFrame, words: Seq[String],
-      tau: Int, nChunks: Int): DataFrame = {
+  /** Chunk geometry shared by the chunked MIH engines: bit offsets of the
+    * nChunks chunk boundaries over the concatenated words, per-chunk
+    * Hamming-ball mask literals, and the per-chunk key extraction
+    * expression (bits sliced out of the `ws` word array).
+    */
+  private def mihGeometry(words: Seq[String], tau: Int, nChunks: Int)
+      : (Seq[Seq[Long]], Int => Column) = {
     val bits   = words.length * 32
     val radius = tau / nChunks
     require(nChunks * (radius + 1) > tau,
@@ -241,10 +246,20 @@ object Similarity {
         "(acc, j) -> acc + IF((shiftright(element_at(ws, " +
         "CAST(j div 32 + 1 AS INT)), CAST(j % 32 AS INT)) & 1) = 1, " +
         s"shiftleft(1L, CAST(j - ${starts(c)} AS INT)), 0L))")
-    val ch = codes.withColumn("ws", array(words.map(col): _*))
+    (maskArrays, keyExpr)
+  }
+
+  private def chunkKeysOf(codes: DataFrame, words: Seq[String],
+      nChunks: Int, keyExpr: Int => Column): DataFrame =
+    codes.withColumn("ws", array(words.map(col): _*))
       .select(col("vec_id"),
         posexplode(array((0 until nChunks).map(keyExpr): _*))
           .as(Seq("c", "key")))
+
+  private[graft] def mihPairsChunked(codes: DataFrame, words: Seq[String],
+      tau: Int, nChunks: Int): DataFrame = {
+    val (maskArrays, keyExpr) = mihGeometry(words, tau, nChunks)
+    val ch = chunkKeysOf(codes, words, nChunks, keyExpr)
     val probes = ch
       .select(col("vec_id").as("v1"), col("c"), col("key"),
         explode(element_at(typedlit(maskArrays), col("c") + 1)).as("m"))
@@ -263,6 +278,42 @@ object Similarity {
       col("vec_id").as("v2") +: words.map(w => col(w).as(s"${w}2")): _*)
     cand.join(a, "v1").join(b, "v2")
       .select(col("v1"), col("v2"),
+        expr(words.map(w => s"bit_count(${w}1 ^ ${w}2)").mkString(" + "))
+          .cast("int").as("ham"))
+      .filter(col("ham") <= tau)
+  }
+
+  /** Cross-frame MIH: every (probe, index) pair within Hamming `tau`,
+    * NOT a self-join — the ingest-vs-frozen-index shape. Probe rows
+    * explode into per-chunk Hamming-ball keys and meet the index's plain
+    * chunk keys on (chunk, key); pigeonhole (radius = τ div chunks)
+    * guarantees every true pair collides on some probed chunk, and the
+    * exact Hamming filter closes. Scale: Θ(probes·chunks·masks) probe
+    * rows against an index partitioned once on (chunk, key) — the probe
+    * side is the (small) ingest batch, so per-trigger cost is
+    * batch-proportional, never index².
+    */
+  private[graft] def mihJoinChunked(probe: DataFrame, index: DataFrame,
+      words: Seq[String], tau: Int, nChunks: Int): DataFrame = {
+    val (maskArrays, keyExpr) = mihGeometry(words, tau, nChunks)
+    val probes = chunkKeysOf(probe, words, nChunks, keyExpr)
+      .select(col("vec_id").as("p_id"), col("c"), col("key"),
+        explode(element_at(typedlit(maskArrays), col("c") + 1)).as("m"))
+      .select(col("p_id"), col("c"), col("key").bitwiseXOR(col("m")).as("pkey"))
+    // same SHUFFLE_HASH rationale as mihPairs: exploded-side stats are
+    // underestimated; pin the shuffled hash join
+    val cand = probes.join(
+        chunkKeysOf(index, words, nChunks, keyExpr)
+          .select(col("vec_id").as("i_id"), col("c"), col("key").as("pkey"))
+          .hint("SHUFFLE_HASH"),
+        Seq("c", "pkey"))
+      .select("p_id", "i_id").distinct()
+    val a = probe.select(
+      col("vec_id").as("p_id") +: words.map(w => col(w).as(s"${w}1")): _*)
+    val b = index.select(
+      col("vec_id").as("i_id") +: words.map(w => col(w).as(s"${w}2")): _*)
+    cand.join(a, "p_id").join(b, "i_id")
+      .select(col("p_id"), col("i_id"),
         expr(words.map(w => s"bit_count(${w}1 ^ ${w}2)").mkString(" + "))
           .cast("int").as("ham"))
       .filter(col("ham") <= tau)

@@ -322,6 +322,28 @@ object Streams {
         write(graft.ops.Dedup.chunkNovelty(index, batch.toDF()))
       }.start()
 
+  /** Ingest-time PERCEPTUAL dedup against a frozen dHash code index — the
+    * image-plane member of the [[nearDupCuration]] family: per
+    * micro-batch, decode each incoming payload, dHash it, and score it
+    * against the external index through the cross-frame sized-MIH join
+    * (Multimodal.percIngestScore); a retouch of an indexed image scores
+    * ≥ 1, fresh content 0. foreachBatch for the family's shared reason:
+    * the per-trigger work is ordinary batch ops against external state.
+    * Batch ≡ stream by construction — scores depend only on (image,
+    * frozen index) (StreamingSpec asserts equality on an out-of-order
+    * multi-trigger feed). State: none — the index is external.
+    */
+  def percIngest(indexCodes: DataFrame, nIndex: Long, media: DataFrame)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import batch.sparkSession.implicits._
+        write(graft.ops.Multimodal.percIngestScore(indexCodes,
+          batch.select("media_id", "kind", "payload")
+            .as[graft.ops.Multimodal.RealMedia],
+          nIndex))
+      }.start()
+
   /** Exactly-once-per-id dedup bounded by the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     if (events.isStreaming)

@@ -480,6 +480,53 @@ class StreamingSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("streaming perceptual ingest equals the batch score on an out-of-order feed") {
+    // frozen index: dHash codes of the %5==0 family (every retouch's
+    // base); the stream carries real PNG payloads — retouches of indexed
+    // images (must score >= 1) and never-indexed images (must score 0) —
+    // dealt out of id order across two triggers
+    val docs = Tables.documents(spark, sfDir).select("doc_id").as[Long]
+      .collect()
+    val index = graft.ops.Multimodal.dhashCodes(
+        graft.ops.Multimodal.encodePerc(spark, sfDir)
+          .filter(col("media_id") % 5 === 0))
+      .toDF().cache()
+    try {
+      val nIdx = index.count()
+      val dupIds   = docs.filter(_ % 5 == 1).take(4)
+      val freshIds = docs.filter(_ % 5 == 2).take(4)
+      assert(dupIds.nonEmpty && freshIds.nonEmpty)
+      val feed = (dupIds ++ freshIds).map(id => StreamingSpec.Media(
+        id, "png", graft.ops.Multimodal.percPngBytes(id)))
+      val dealt = feed.sortBy(m => m.media_id * 2654435761L % 997).toSeq
+      val ms  = MemoryStream[StreamingSpec.Media](spark)
+      val got = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+      val q = Streams.percIngest(index, nIdx, ms.toDF()) { scored =>
+        got.synchronized {
+          scored.select("media_id", "n_index_matches", "is_novel").collect()
+            .foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getBoolean(2)))
+        }
+      }
+      val (h1, h2) = dealt.splitAt(3)
+      ms.addData(h1)
+      q.processAllAvailable()
+      ms.addData(h2)
+      q.processAllAvailable()
+      q.stop()
+      val batch = graft.ops.Multimodal.percIngestScore(index,
+          feed.toSeq.toDS().map(m =>
+            graft.ops.Multimodal.RealMedia(m.media_id, m.kind, m.payload)),
+          nIdx)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+        .toMap
+      assert(got.toMap === batch, s"stream $got != batch $batch")
+      dupIds.foreach(id =>
+        assert(batch(id)._1 >= 1L && !batch(id)._2, s"retouch $id: ${batch(id)}"))
+      freshIds.foreach(id =>
+        assert(batch(id)._1 === 0L && batch(id)._2, s"fresh $id: ${batch(id)}"))
+    } finally index.unpersist()
+  }
+
   test("streaming CDC snapshot equals the batch snapshot on an out-of-order multi-trigger feed") {
     // the real sf0.001 changelog (1000 events, 15 keys, tombstones mixed
     // in), dealt into 3 triggers in hash order — NOT time order — so
@@ -868,4 +915,5 @@ object StreamingSpec {
   case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
   case class Vec(vec_id: Long, embedding: Seq[Float])
   case class Edge(ts: java.sql.Timestamp, v: Long, w: Long)
+  case class Media(media_id: Long, kind: String, payload: Array[Byte])
 }
