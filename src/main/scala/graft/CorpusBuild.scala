@@ -29,15 +29,34 @@ object CorpusBuild {
     ops.Corpus.trainingCorpus(spark, sfDir)
       .withColumn("split", ops.Sampling.split(ops.Sampling.bucket100(col("doc_id"))))
 
-  def build(spark: SparkSession, sfDir: String, outDir: String): Unit =
-    corpusWithSplit(spark, sfDir)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("split")
-      .parquet(outDir)
+  /** Shard-route option: when `hrwShards` is set, each document also gets
+    * its rendezvous (HRW) shard — the elastic layout (ops.Shards.hrwShard,
+    * the oracle-checked q_rendezvous_shards assignment): resizing the
+    * fleet later moves only ≈ 1/(N±1) of the keys, in the arrivals-only
+    * direction, where the mod-N scatter would reshuffle nearly all of
+    * them. A narrow per-row argmax — the extra column costs no shuffle;
+    * the write partitions by (split, shard) so a training job reading one
+    * split still prunes, and each shard is one file set.
+    */
+  def build(spark: SparkSession, sfDir: String, outDir: String,
+      hrwShards: Option[Int] = None): Unit = hrwShards match {
+    case None =>
+      corpusWithSplit(spark, sfDir)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("split")
+        .parquet(outDir)
+    case Some(n) =>
+      corpusWithSplit(spark, sfDir)
+        .withColumn("shard", ops.Shards.hrwShard(col("doc_id"), n))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("split", "shard")
+        .parquet(outDir)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir  = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "/tmp/corpus_out"
+    val hrwShards = if (args.length > 2) Some(args(2).toInt) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,7 +64,7 @@ object CorpusBuild {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, sfDir, outDir)
+    build(spark, sfDir, outDir, hrwShards)
     val back = spark.read.parquet(outDir)
     back.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(s"[corpus] ${r.getString(0)}: ${r.getLong(1)} docs"))

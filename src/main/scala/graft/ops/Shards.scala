@@ -115,16 +115,19 @@ object Shards {
     // 1996: doc d lands on argmax_s weight(d, s). The elastic-resharding
     // complement of the mod-N layout above: removing a shard moves ONLY
     // the keys whose argmax was the removed shard (≈ 1/N of the corpus),
-    // where mod-(N−1) would reshuffle nearly everything. The query emits
-    // both the full-fleet and the drained (last shard removed) argmax per
-    // document plus the moved flag; the rendezvous stability theorem —
-    // moved ⟺ the full-fleet winner was the removed shard — is gated in
-    // QueriesSpec over this exact output. Weights ride the [[Sampling]]
-    // mixer family (third stream constant [[C3]], shard id folded in
-    // before the second multiply-mod round), so both engines compute the
-    // same pure-integer argmax; ties break to the lowest shard id in a
-    // (−w, s) struct min. Scale: a narrow per-row argmax over N literal
-    // weight expressions — zero shuffle; N is fleet size, not data.
+    // and ADDING a shard moves only the keys the new shard now wins
+    // (≈ 1/(N+1)) — where mod-(N±1) would reshuffle nearly everything.
+    // The query emits the full-fleet, drained (last shard removed) and
+    // grown (one shard added) argmax per document plus both moved flags;
+    // the two stability theorems — moved ⟺ the full-fleet winner was the
+    // removed shard; moved_up ⟺ the NEW shard is the grown winner — are
+    // gated in QueriesSpec over this exact output. Weights ride the
+    // [[Sampling]] mixer family (third stream constant [[C3]], shard id
+    // folded in before the second multiply-mod round), so both engines
+    // compute the same pure-integer argmax; ties break to the lowest
+    // shard id in a (−w, s) struct min. Scale: a narrow per-row argmax
+    // over N literal weight expressions — zero shuffle; N is fleet size,
+    // not data.
     Q("q_rendezvous_shards", {
       def wSql(s: Int) = // shard·A precomputed: s·A overflows INT32 inline
         s"(((((doc_id % $H) * $B + (doc_id // $H) * $A + ${s.toLong * A}" +
@@ -140,21 +143,36 @@ object Shards {
            |    FROM documents, range(0, $n) t(s))
            |  WHERE rn = 1)""".stripMargin
       s"""WITH ${argmaxCte("a8", NShards)},
-         |${argmaxCte("a7", NShards - 1)}
+         |${argmaxCte("a7", NShards - 1)},
+         |${argmaxCte("a9", NShards + 1)}
          |SELECT a8.doc_id, a8.s AS shard_full, a7.s AS shard_drained,
-         |       (a8.s <> a7.s) AS moved
+         |       (a8.s <> a7.s) AS moved,
+         |       a9.s AS shard_grown, (a8.s <> a9.s) AS moved_up
          |FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id
+         |        JOIN a9 ON a9.doc_id = a8.doc_id
          |ORDER BY a8.doc_id""".stripMargin
     }) { (s, dir) =>
-      def pick(n: Int): Column = array_min(array((0 until n).map(sh =>
-        struct((-hrwWeight(col("doc_id"), sh)).as("nw"), lit(sh).as("s"))): _*))
-        .getField("s").cast("long")
       Tables.documents(s, dir).select(col("doc_id"),
-          pick(NShards).as("shard_full"), pick(NShards - 1).as("shard_drained"))
+          hrwShard(col("doc_id"), NShards).as("shard_full"),
+          hrwShard(col("doc_id"), NShards - 1).as("shard_drained"))
         .withColumn("moved", col("shard_full") =!= col("shard_drained"))
+        .withColumn("shard_grown", hrwShard(col("doc_id"), NShards + 1))
+        .withColumn("moved_up", col("shard_full") =!= col("shard_grown"))
         .orderBy("doc_id")
     }
   )
+
+  /** HRW argmax over `n` shards: the shard whose weight wins for `id`
+    * (ties to the lowest shard id via the (−w, s) struct min) — a narrow
+    * per-row expression over n weight literals, zero shuffle. This is the
+    * shard-route option CorpusBuild exposes: mod-N scatter ([[shardAssign]])
+    * when the fleet is fixed, HRW when shards come and go (only ≈ 1/(N+1)
+    * of keys move per resize, in the arrivals-only direction).
+    */
+  def hrwShard(id: Column, n: Int): Column =
+    array_min(array((0 until n).map(sh =>
+      struct((-hrwWeight(id, sh)).as("nw"), lit(sh).as("s"))): _*))
+      .getField("s").cast("long")
 
   /** Third mixer-stream constant — rendezvous weights must correlate with
     * neither the sample gate (C) nor the shuffle key ([[C2]]).

@@ -33,4 +33,28 @@ class CorpusBuildSpec extends SparkSpec {
       .findFirstIn(one.queryExecution.executedPlan.toString).isDefined,
       "split filter did not reach PartitionFilters")
   }
+
+  test("HRW shard route writes (split, shard) partitions matching the verified argmax") {
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "corpus_hrw").toString
+    try {
+      val n = ops.Shards.NShards
+      CorpusBuild.build(spark, sfDir, out, Some(n))
+      val back = spark.read.parquet(out)
+      // shard column is exactly the oracle-checked rendezvous assignment
+      assert(back.filter(
+        col("shard") =!= ops.Shards.hrwShard(col("doc_id"), n)).count() === 0)
+      // nested shard= dirs exist under each split
+      val splitDirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("split="))
+      assert(splitDirs.nonEmpty)
+      val shardDirs = splitDirs.head.listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName)
+      assert(shardDirs.nonEmpty, "expected shard= partition dirs")
+      // row inventory unchanged by the extra route column
+      assert(back.count() ===
+        SparkEntry.queries("q_training_corpus")(spark, sfDir).count())
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out))
+  }
 }

@@ -803,6 +803,26 @@ class QueriesSpec extends SparkSpec {
     assert(frac > 0.04 && frac < 0.25, s"removed-shard share: $frac")
   }
 
+  test("rendezvous sharding: growing the fleet moves keys only INTO the new shard") {
+    // the complement theorem (scale-UP): under N → N+1 every move lands
+    // on the NEW shard — existing shards never exchange keys with each
+    // other, because all old weights are unchanged and only a new
+    // candidate argmax appeared
+    val rows = SparkEntry.queries("q_rendezvous_shards")(spark, sfDir)
+      .select("shard_full", "shard_grown", "moved_up").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (full, grown, movedUp) =>
+      assert(movedUp === (grown === ops.Shards.NShards.toLong),
+        s"arrivals-only violated: full=$full grown=$grown moved_up=$movedUp")
+      assert(movedUp || grown === full,
+        s"unmoved key changed shard: full=$full grown=$grown")
+    }
+    // the new shard captured roughly 1/(N+1) of the corpus
+    val frac = rows.count(_._3).toDouble / rows.length
+    assert(frac > 0.04 && frac < 0.25, s"new-shard share: $frac")
+  }
+
   test("ANN calibration: curves are monotone in the knob; full-scan rows are exact") {
     val rows = SparkEntry.queries("q_ann_calibration")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("family"), r.getAs[Int]("setting"),
