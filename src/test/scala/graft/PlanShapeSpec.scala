@@ -208,6 +208,13 @@ class PlanShapeSpec extends SparkSpec {
       // same engine, perceptual-image plane: the dHash pair search rides
       // mihPairs and carries the identical SHUFFLE_HASH pin
       "q_dhash_mih",
+      // same engine twice (one sized-MIH pass per code family) — both
+      // hints are the mihPairsChunked SHUFFLE_HASH pin, no broadcast
+      "q_hash_agreement",
+      // the cross-frame ingest variant (mihJoinChunked): identical
+      // SHUFFLE_HASH rationale — the exploded PROBE side's stats are
+      // underestimated; both sides stay partitioned on (chunk, key)
+      "q_perc_ingest",
       // SHUFFLE_HASH strategy hints only (no broadcast): the per-round
       // wedge self-join and closing-edge join are dense equal-key joins
       // on clique hubs — SMJ's buffered re-scan per output row costs 10×
