@@ -226,6 +226,24 @@ object Profile {
         |         CAST(count(*) FILTER (l_quantity IS NULL
         |              OR l_quantity < 1.0 OR l_quantity > 50.0) AS BIGINT)
         |  FROM lineitem)
-        |ORDER BY table_name, check_name""".stripMargin)(constraintReport)
+        |ORDER BY table_name, check_name""".stripMargin)(constraintReport),
+
+    // The constraint catalog as a LIVE per-window feed — the batch twin
+    // of streaming.Streams.constraintMonitor (same code path; StreamingSpec
+    // proves batch ≡ stream on an out-of-order feed). One windowed
+    // aggregate, each check a stateless conditional sum; this is how the
+    // report above runs on an ingest stream rather than a parked table.
+    Q("q_constraint_windowed",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_us,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) FILTER (value IS NULL OR value < 1.0)
+        |            AS BIGINT) AS v_value_low,
+        |       CAST(count(*) FILTER (event_type IS NULL OR event_type
+        |            NOT IN ('click', 'error', 'purchase', 'signup', 'view'))
+        |            AS BIGINT) AS v_unknown_type
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.streaming.Streams.constraintMonitor(Tables.events(s, dir))
+        .orderBy("window_us")
+    }
   )
 }

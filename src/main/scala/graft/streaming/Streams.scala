@@ -322,6 +322,34 @@ object Streams {
         write(graft.ops.Dedup.chunkNovelty(index, batch.toDF()))
       }.start()
 
+  /** Event types the constraint monitor accepts — the fixture taxonomy;
+    * production swaps in its own catalog literal.
+    */
+  final val KnownEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-window CONSTRAINT MONITOR — the ops.Profile check catalog run as
+    * a live data-quality feed: per event-time hour, row count plus
+    * violation counts for each declared check (here: value missing or
+    * below the valid floor; event_type outside the known taxonomy). Each
+    * check is a stateless conditional sum inside ONE windowed aggregate —
+    * the curation-filter pattern applied to data quality — so state is
+    * O(open windows), watermark-evicted, and batch ≡ stream exactly
+    * (integer counts, no floats anywhere). The batch twin is declared as
+    * q_constraint_windowed (oracle-checked); StreamingSpec asserts the
+    * stream equals it on an out-of-order multi-trigger feed.
+    */
+  def constraintMonitor(events: DataFrame): DataFrame =
+    maybeWatermarkOn(events, "ts")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull || col("value") < 1.0, 1L)
+          .otherwise(0L)).as("v_value_low"),
+        sum(when(col("event_type").isNull ||
+            !col("event_type").isInCollection(KnownEventTypes), 1L)
+          .otherwise(0L)).as("v_unknown_type"))
+      .select(unix_micros(col("window.start")).as("window_us"),
+        col("n_rows"), col("v_value_low"), col("v_unknown_type"))
+
   /** Ingest-time PERCEPTUAL dedup against a frozen dHash code index — the
     * image-plane member of the [[nearDupCuration]] family: per
     * micro-batch, decode each incoming payload, dHash it, and score it

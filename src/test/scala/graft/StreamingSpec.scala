@@ -480,6 +480,41 @@ class StreamingSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("windowed constraint monitor equals batch on an out-of-order multi-trigger feed") {
+    // hour 0 carries one value-floor violation and one unknown event
+    // type; hour 1 is clean — late hour-0 rows arrive in trigger 2
+    // inside the watermark
+    def ev(id: Long, min: Long, v: Double, typ: String) =
+      Event(id, ts(min), 1L, typ, v, "{}")
+    val feed = Seq(
+      ev(1, 5, 10.0, "click"),
+      ev(2, 20, 0.5, "view"),        // value below floor
+      ev(3, 55, 3.0, "purchase"),    // trigger-1 max: watermark 45 keeps hour 0 open
+      ev(4, 10, 2.0, "zzz_bogus"),   // unknown type, late hour-0 row (inside watermark)
+      ev(5, 80, 4.0, "signup"))
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.constraintMonitor(ms.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("cmon").start()
+    ms.addData(feed(0), feed(1), feed(2))
+    q.processAllAvailable()
+    ms.addData(feed(3), feed(4))
+    q.processAllAvailable()
+    // flush: advance the watermark far past both windows
+    ms.addData(ev(99, 100000, 9.0, "click"))
+    q.processAllAvailable()
+    ms.addData(ev(100, 100001, 9.0, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cmon")
+      .filter(col("window_us") < 100L * 3600L * 1000000L)
+    val batch = Streams.constraintMonitor(feed.toDF())
+    assert(got.except(batch).count() === 0 && batch.except(got).count() === 0,
+      s"stream ${got.collect().toSeq} != batch ${batch.collect().toSeq}")
+    val h0 = batch.filter(col("window_us") === 0L).collect()(0)
+    assert(h0.getLong(1) === 4L && h0.getLong(2) === 1L && h0.getLong(3) === 1L,
+      s"hour-0 checks: $h0")
+  }
+
   test("streaming perceptual ingest equals the batch score on an out-of-order feed") {
     // frozen index: dHash codes of the %5==0 family (every retouch's
     // base); the stream carries real PNG payloads — retouches of indexed
