@@ -491,6 +491,38 @@ object ScaleProbe {
             Seq("dlo", "dhi"), graft.ops.Multimodal.DhashTau, 3)
           .count()
       }
+      // the INGEST shape: FIXED 500-code probe batch against a frozen
+      // index of m×5000 iid codes (hash-mixed words — the corpus-design
+      // rule: never replicate structure). Half the batch is planted
+      // 2-bit retouches of indexed codes, half is a fresh hash stream.
+      // Per-trigger cost should grow only with the index's chunk-key
+      // build (∝ m, one pass), never index² — the claim q_perc_ingest's
+      // Scaladoc makes, measured here. The sized geometry widens chunks
+      // as the index grows (mihChunksFor inside percIngestScoreCodes).
+      timed("perc_ingest_grown") {
+        def mix(c: String, k1: Long, k2: Long) = expr(
+          s"(($c * $k1 + $k2) % 4294967296 + 4294967296) % 4294967296")
+        val index = spark.range(m * 5000L).select(col("id").as("media_id"),
+          mix("id", 2654435761L, 97L).as("dlo"),
+          mix("id", 40503L * 65537L, 31L).as("dhi"))
+        val dups = spark.range(250L).select((col("id") * 17L).as("src"))
+          .join(index, col("src") === col("media_id"))
+          .select((col("media_id") + 10000000L).as("media_id"),
+            col("dlo").bitwiseXOR(lit(0x00000009L)).as("dlo"), col("dhi"))
+        val fresh = spark.range(250L).select(
+          (col("id") + 20000000L).as("media_id"),
+          mix("id", 1099511627791L, 7L).as("dlo"),
+          mix("id", 2862933555777941757L % 4294967296L, 13L).as("dhi"))
+        graft.ops.Multimodal.percIngestScoreCodes(
+          index, dups.unionByName(fresh), m * 5000L).count()
+      }
+      // the profiler's one-pass multi-distinct aggregate at m× rows:
+      // count/min/max fold map-side; the exact distincts share one
+      // Expand (rows × columns inside the scan stage) — growth should be
+      // ~linear in input, the q_profile_columns 100 TB claim
+      timed("profile_grown") {
+        graft.ops.Profile.profileTable(ev, "events_grown").count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of
