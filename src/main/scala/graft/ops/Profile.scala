@@ -173,6 +173,92 @@ object Profile {
       .orderBy("table_name", "check_name")
   }
 
+  // ---- incremental (mergeable) profile algebra --------------------------
+
+  /** The tall per-(row, column) frame for the incremental profile: one
+    * struct per profiled column carrying the canonical distinct-hash key
+    * (doubles micro-snapped, timestamps epoch-us — identical strings in
+    * both engines), the numeric image for min/max, and the string image
+    * for string-typed columns.
+    */
+  private def tallEvents(ev: DataFrame): DataFrame = {
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val micro = round(col("value") * lit(1000000.0)).cast("long")
+    ev.select(col("half"), explode(array(
+        struct(lit("event_type").as("cname"), col("event_type").as("key"),
+          nullL.as("num"), col("event_type").as("str")),
+        struct(lit("ts").as("cname"),
+          unix_micros(col("ts")).cast("string").as("key"),
+          unix_micros(col("ts")).as("num"), nullS.as("str")),
+        struct(lit("user_id").as("cname"),
+          col("user_id").cast("string").as("key"),
+          col("user_id").as("num"), nullS.as("str")),
+        struct(lit("value").as("cname"), micro.cast("string").as("key"),
+          micro.as("num"), nullS.as("str")))).as("c"))
+      .select(col("half"), col("c.cname"), col("c.key"), col("c.num"),
+        col("c.str"))
+  }
+
+  /** Per-batch profile STATE, keyed by `half`: the count/min-max partials
+    * plus the per-column HLL register matrix (≤ M rows per column). Each
+    * batch's state is bounded model state — O(columns · M) rows
+    * regardless of batch size.
+    */
+  private[graft] def incrementalStates(ev: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.exprs.poly_hash
+    val tall = tallEvents(ev)
+    val counts = tall.groupBy("half", "cname").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("key").isNull, 1L).otherwise(0L)).as("n_null"),
+      min("num").as("mn_num"), max("num").as("mx_num"),
+      min("str").as("mn_str"), max("str").as("mx_str"))
+    val regs = tall.filter(col("key").isNotNull)
+      .select(col("half"), col("cname"), poly_hash(col("key")).as("h"))
+      .select(col("half"), col("cname"),
+        (col("h") % Sketches.M).cast("int").as("bucket"),
+        Sketches.rankCol(expr(s"h div ${Sketches.M}")).cast("int").as("rank"))
+      .groupBy("half", "cname", "bucket")
+      .agg(max("rank").as("register"))
+    (counts, regs)
+  }
+
+  /** Merge profile states across batches: counts ADD, min/max FOLD,
+    * registers take the per-bucket MAX — every operation associative and
+    * commutative, so any ingest order yields the same profile. Only the
+    * bounded states meet here; the raw batches never do.
+    */
+  private[graft] def mergeProfileStates(states: (DataFrame, DataFrame))
+      : (DataFrame, DataFrame) = {
+    val (counts, regs) = states
+    (counts.groupBy("cname").agg(
+        sum("n").as("n_rows"), sum("n_null").as("n_null"),
+        min("mn_num").as("mn_num"), max("mx_num").as("mx_num"),
+        min("mn_str").as("mn_str"), max("mx_str").as("mx_str")),
+      regs.groupBy("cname", "bucket").agg(max("register").as("register")))
+  }
+
+  /** Finalize a merged state into the profile row per column (the
+    * q_hll_estimate integer-scaled estimator convention).
+    */
+  private[graft] def finalizeProfile(merged: (DataFrame, DataFrame))
+      : DataFrame = {
+    val (counts, regs) = merged
+    val hll = regs.groupBy("cname").agg(
+        count(lit(1)).as("present"),
+        sum(expr("shiftleft(1L, 57 - register)")).as("esp"))
+      .select(col("cname"), col("present"),
+        (col("esp") + (lit(Sketches.M.toLong) - col("present")) * (1L << 57))
+          .as("est_scaled"))
+    counts.join(hll, "cname")
+      .select(col("cname").as("column_name"), col("n_rows"), col("n_null"),
+        coalesce(col("mn_num").cast("string"), col("mn_str")).as("min_val"),
+        coalesce(col("mx_num").cast("string"), col("mx_str")).as("max_val"),
+        col("present"), col("est_scaled"))
+      .orderBy("column_name")
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q_profile_columns",
@@ -227,6 +313,66 @@ object Profile {
         |              OR l_quantity < 1.0 OR l_quantity > 50.0) AS BIGINT)
         |  FROM lineitem)
         |ORDER BY table_name, check_name""".stripMargin)(constraintReport),
+
+    // INCREMENTAL (mergeable) PROFILE — profile-on-ingest without a
+    // full-table repass: every statistic is an algebra whose states
+    // merge associatively (counts add, min/max fold, distinct rides the
+    // oracle-checked HLL register matrix whose merge is per-bucket MAX —
+    // the q_hll_registers plane applied per COLUMN). The engine computes
+    // the state per half (event_id % 2 — two "ingest batches"), merges
+    // ONLY the states, and finalizes; the oracle computes the whole table
+    // directly — row equality IS the mergeability theorem, cell-exact,
+    // including the integer-scaled HLL estimate (dyadic-rational
+    // denominator, the q_hll_estimate convention). Distinct keys are
+    // canonicalized before hashing (doubles micro-snapped, timestamps as
+    // epoch micros) so both engines hash identical strings. Scale shape:
+    // the tall frame is rows × columns inside the scan stage (the
+    // profiler's Expand analog), each state is ≤ M+1 rows per column —
+    // bounded model state per batch; a 100 TB ingest keeps the running
+    // state and folds each arriving batch in O(batch) — the exact
+    // pattern StreamingSpec already proves for windowed HLL registers.
+    Q("q_profile_incremental",
+      s"""WITH keys AS (
+         |  SELECT 'event_type' AS cname, event_type AS key,
+         |         NULL::BIGINT AS num, event_type AS str FROM events
+         |  UNION ALL
+         |  SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR), epoch_us(ts), NULL
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'user_id', CAST(user_id AS VARCHAR), user_id, NULL
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'value',
+         |         CAST(CAST(round(value * 1000000.0) AS BIGINT) AS VARCHAR),
+         |         CAST(round(value * 1000000.0) AS BIGINT), NULL
+         |  FROM events),
+         |cnts AS (
+         |  SELECT cname, CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(count(*) - count(key) AS BIGINT) AS n_null,
+         |         coalesce(CAST(min(num) AS VARCHAR), min(str)) AS min_val,
+         |         coalesce(CAST(max(num) AS VARCHAR), max(str)) AS max_val
+         |  FROM keys GROUP BY cname),
+         |hashed AS (
+         |  SELECT cname, ${Dedup.hashSql("key")} AS h
+         |  FROM keys WHERE key IS NOT NULL),
+         |regs AS (
+         |  SELECT cname, CAST(h % ${Sketches.M} AS INTEGER) AS bucket,
+         |         max(${Sketches.rankSql(s"(h // ${Sketches.M})")}) AS register
+         |  FROM hashed GROUP BY cname, bucket),
+         |hll AS (
+         |  SELECT cname, CAST(count(*) AS BIGINT) AS present,
+         |         CAST(sum(CAST(1 AS BIGINT) << (57 - register))
+         |              + (${Sketches.M} - count(*))
+         |                * (CAST(1 AS BIGINT) << 57) AS BIGINT) AS est_scaled
+         |  FROM regs GROUP BY cname)
+         |SELECT cname AS column_name, n_rows, n_null, min_val, max_val,
+         |       present, est_scaled
+         |FROM cnts JOIN hll USING (cname)
+         |ORDER BY column_name""".stripMargin) { (s, dir) =>
+      val halves = incrementalStates(
+        Tables.events(s, dir).withColumn("half", col("event_id") % 2))
+      finalizeProfile(mergeProfileStates(halves))
+    },
 
     // The constraint catalog as a LIVE per-window feed — the batch twin
     // of streaming.Streams.constraintMonitor (same code path; StreamingSpec

@@ -70,11 +70,11 @@ object Sketches {
     * `length(conv(v, 10, 2))`, DuckDB `length(bin(v))` — which agree for
     * every v > 0; v = 0 is the explicit cap case.
     */
-  private def rankCol(v: Column): Column =
+  private[graft] def rankCol(v: Column): Column =
     when(v === 0L, lit(RankCap))
       .otherwise(lit(RankCap) - length(conv(v.cast("string"), 10, 2)))
 
-  private def rankSql(v: String): String =
+  private[graft] def rankSql(v: String): String =
     s"CASE WHEN $v = 0 THEN $RankCap ELSE $RankCap - length(bin($v)) END"
 
   /** The (group, bucket, register) matrix for one keyed frame: group by

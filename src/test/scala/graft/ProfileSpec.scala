@@ -21,6 +21,46 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("incremental profile: any batch partitioning merges to the identical profile") {
+    // the oracle already proves merged(2 halves) == whole table; here the
+    // associativity claim at k batches — 7 hash-dealt batches produce the
+    // SAME profile, so ingest order/granularity can never change it
+    val ev  = Tables.events(spark, sfDir)
+    def profileWith(half: org.apache.spark.sql.Column) =
+      ops.Profile.finalizeProfile(ops.Profile.mergeProfileStates(
+        ops.Profile.incrementalStates(ev.withColumn("half", half))))
+        .collect().map(_.toSeq).toSeq
+    val two   = profileWith(col("event_id") % 2)
+    val seven = profileWith(col("event_id") * 2654435761L % 7)
+    val one   = profileWith(lit(0L))
+    assert(two === seven && two === one, "profile depends on batching")
+  }
+
+  test("incremental profile: HLL distinct estimate lands near the exact count") {
+    import spark.implicits._
+    val rows = ops.Profile.queries.find(_.name == "q_profile_incremental").get
+      .build(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+    val exact = Map(
+      "event_type" -> ev.select("event_type").distinct().count(),
+      "user_id"    -> ev.select("user_id").distinct().count(),
+      "ts"         -> ev.select("ts").distinct().count(),
+      "value"      -> ev.select(round(col("value") * 1000000).cast("long"))
+        .distinct().count())
+    rows.foreach { r =>
+      val (cname, present, estScaled) =
+        (r.getString(0), r.getLong(5), r.getLong(6))
+      val est = ops.Sketches.HllEstC / estScaled.toDouble
+      val e   = exact(cname)
+      // raw-regime HLL at m=64: generous 2x envelope (small-range linear
+      // counting applies below 2.5m — recompute it the estimator's way)
+      val adj = if (est <= 2.5 * 64 && present < 64)
+        64.0 * math.log(64.0 / (64 - present)) else est
+      assert(adj > e / 2.0 && adj < e * 2.0,
+        s"$cname: est $adj vs exact $e (present=$present)")
+    }
+  }
+
   test("constraint report exercises BOTH statuses on the fixture") {
     val rows = ops.Profile.queries.find(_.name == "q_constraint_report").get
       .build(spark, sfDir).collect()
