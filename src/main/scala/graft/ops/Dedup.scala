@@ -434,8 +434,14 @@ object Dedup {
   private[ops] def simhash128WordsSql: String = s"$simhash128WordsSelect;"
 
   /** 128-bit fingerprint pair search over an explicit documents frame:
-    * [[graft.functions.Hashing.simHash128]] codes through the
-    * [[Similarity.mihPairs]] engine.
+    * [[graft.functions.Hashing.simHash128]] codes through the sized
+    * parametric MIH engine — the chunk geometry comes from the corpus
+    * count via [[Similarity.mihChunksFor]] (at τ = 8 over 128 bits the
+    * model picks ≥ 9 chunks, which drops the per-chunk radius to 0:
+    * exact-key probes, ONE mask per chunk vs the static 8×16-bit
+    * layout's 17 — pigeonhole still covers because 9 chunks × radius 0
+    * pigeonholes any ≤ 8 flips). Output is chunk-count-invariant (exact
+    * Hamming filter; the brute-force oracles re-prove it).
     */
   private[graft] def simhash128PairsFrom(docs: DataFrame): DataFrame = {
     import graft.functions.exprs.sim_hash128
@@ -445,7 +451,8 @@ object Dedup {
       .select(col("vec_id"), col("sw").getItem(0).as("w0"),
         col("sw").getItem(1).as("w1"), col("sw").getItem(2).as("w2"),
         col("sw").getItem(3).as("w3"))
-    Similarity.mihPairs(codes, Seq("w0", "w1", "w2", "w3"), Sim128Tau)
+    Similarity.mihPairsChunked(codes, Seq("w0", "w1", "w2", "w3"), Sim128Tau,
+      Similarity.mihChunksFor(docs.count(), 128, Sim128Tau))
       .select(col("v1").as("d1"), col("v2").as("d2"), col("ham"))
   }
 
