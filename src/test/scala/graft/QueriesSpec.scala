@@ -783,6 +783,26 @@ class QueriesSpec extends SparkSpec {
       val m = ops.Similarity.mihChunksFor(n, 64, 8)
       assert(m >= 1 && m * (8 / m + 1) > 8, s"n=$n picked invalid m=$m")
     }
+    // the sizer now backs SIX declared queries across three bit widths —
+    // sweep (n, bits, τ) over every shipped parameterization and assert
+    // the invariants the engines rely on: pigeonhole coverage, word
+    // alignment (width ≤ 63 so chunk keys fit a Long), and mask budget
+    for (bits <- Seq(64, 128); tau <- Seq(8, 31);
+         n <- Seq(2L, 500L, 5000L, 100000L, 2000000L)) {
+      val m      = ops.Similarity.mihChunksFor(n, bits, tau)
+      val radius = tau / m
+      assert(m >= 1 && m <= bits, s"($n,$bits,$tau) m=$m out of range")
+      assert(m * (radius + 1) > tau,
+        s"($n,$bits,$tau) m=$m violates pigeonhole")
+      assert((bits + m - 1) / m <= 63, s"($n,$bits,$tau) m=$m chunk too wide")
+    }
+    // at τ=8 over 128 bits (the shipped simhash128 parameterization) the
+    // model must pick a radius-0 geometry — exact chunk keys, 1 mask —
+    // at every fixture-to-production count
+    for (n <- Seq(500L, 5000L, 250000L)) {
+      val m = ops.Similarity.mihChunksFor(n, 128, 8)
+      assert(8 / m === 0, s"128-bit τ=8 at n=$n picked radius ${8 / m}")
+    }
   }
 
   test("rendezvous sharding: draining a shard moves exactly its own keys") {

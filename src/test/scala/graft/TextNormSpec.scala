@@ -46,6 +46,34 @@ class TextNormSpec extends SparkSpec {
     assert(n("ab") === "ab")
   }
 
+  test("generative property: idempotent, and invariant to the input's normalization form") {
+    // deterministic LCG over a pool of tricky codepoints (accents,
+    // combining marks, singletons, Greek/Cyrillic, ws, supplementary) —
+    // for every generated string: normalize is idempotent, and feeding
+    // the NFD/NFC re-normalizations of the SAME string yields the same
+    // canonical output (the property that makes fingerprints stable
+    // across upstream encoders)
+    val pool: Array[String] = Array("a", "B", "é", "É", "é",
+      "Å", "Å", "Å", "ö", "ö", "ß", "Σ", "σ", "И", "и",
+      " ", "\t", "\n", "\r", "ﬁ", new String(Character.toChars(0x1F600)),
+      "ñ", "Ñ", "ç", "Ç")
+    var seed = 123456789L
+    def nextInt(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    (1 to 200).foreach { _ =>
+      val s = (1 to (1 + nextInt(24))).map(_ => pool(nextInt(pool.length)))
+        .mkString
+      val out = n(s)
+      assert(n(out) === out, s"not idempotent on ${s.getBytes("UTF-8").toSeq}")
+      val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(n(nfd) === out && n(nfc) === out,
+        s"form-sensitive on ${s.getBytes("UTF-8").toSeq}")
+    }
+  }
+
   test("idempotence over the declared fixture raws") {
     import spark.implicits._
     val out = graft.ops.TextOps.queries.find(_.name == "q_text_normalize").get
