@@ -803,6 +803,16 @@ class QueriesSpec extends SparkSpec {
       val m = ops.Similarity.mihChunksFor(n, 128, 8)
       assert(8 / m === 0, s"128-bit τ=8 at n=$n picked radius ${8 / m}")
     }
+    // cross-engine algebra: the CROSS-FRAME join applied to (A, A) and
+    // restricted above the diagonal must equal the self-join pair
+    // engine — the identity that lets q_perc_ingest's oracle certify
+    // the same machinery the pair queries ship
+    val self = ops.Similarity.mihJoinChunked(codes, codes,
+        Seq("dlo", "dhi"), ops.Multimodal.DhashTau, 3)
+      .filter(col("p_id") < col("i_id"))
+      .select(col("p_id").as("v1"), col("i_id").as("v2"), col("ham"))
+    assert(pairSet(self) === base,
+      "mihJoinChunked(A, A) above the diagonal diverged from mihPairsChunked(A)")
   }
 
   test("rendezvous sharding: draining a shard moves exactly its own keys") {
