@@ -397,9 +397,12 @@ object Dedup {
   final val SimBandW  = 10
   final val SimHamMax = 2
 
-  /** 128-bit SimHash pair tolerance (q_simhash_pairs128): tau = 8 over
-    * 8 MIH chunks → per-chunk probe radius 1 (17 masks). The matched
+  /** 128-bit SimHash pair tolerance (q_simhash_pairs128): the matched
     * RELATIVE tolerance of the 30-bit ham ≤ 2 contract (2/30 ≈ 8/128).
+    * Chunk geometry is NOT fixed here: `simhash128PairsFrom` routes
+    * through the corpus-sized `Similarity.mihChunksFor(n, 128, τ)`,
+    * which at τ=8 picks ≥ 9 radius-0 chunks (exact chunk keys, 1 mask)
+    * at every measured corpus count.
     */
   final val Sim128Tau = 8
 

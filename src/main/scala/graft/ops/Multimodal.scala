@@ -236,8 +236,10 @@ object Multimodal {
   // Measured at sf0.1: retouched pairs land at Hamming 0–6 (avg 2.1),
   // the background ramp starts at 9 — τ = 8 sits in the valley.
 
-  /** Hamming radius for the perceptual pair search (4 chunks → per-chunk
-    * probe radius 2).
+  /** Hamming radius for the perceptual pair search. Chunk geometry is
+    * corpus-sized via `Similarity.mihChunksFor(n, 64, τ)` (3 wide
+    * chunks, per-chunk radius 2, at measured fixture-to-250k counts),
+    * not fixed here.
     */
   final val DhashTau = 8
 

@@ -125,23 +125,28 @@ object Profile {
   private def statusOf(v: Column): Column =
     when(v === 0L, lit("pass")).otherwise(lit("fail"))
 
+  private[graft] def checksFor(df: DataFrame, table: String,
+      checks: Seq[(String, Column)]): DataFrame =
+    df.agg(checks.head._2.as("v0"),
+        checks.tail.zipWithIndex.map { case ((_, c), i) =>
+          c.as(s"v${i + 1}") }: _*)
+      .select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(table).as("table_name"), lit(name).as("check_name"),
+          col(s"v$i").cast("long").as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.table_name"), col("r.check_name"), col("r.n_violations"))
+
+  /** coalesce: sum() over an EMPTY table is NULL in Spark, while the
+    * DuckDB oracle's count(*) FILTER is 0 — an empty ingest batch must
+    * report pass/0 in both engines.
+    */
+  private[graft] def vcount(cond: Column): Column =
+    coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+
   def constraintReport(s: SparkSession, dir: String): DataFrame = {
     val customer = Tables.customer(s, dir)
     val orders   = Tables.orders(s, dir)
     val lineitem = Tables.lineitem(s, dir)
-
-    def checksFor(df: DataFrame, table: String,
-        checks: Seq[(String, Column)]): DataFrame =
-      df.agg(checks.head._2.as("v0"),
-          checks.tail.zipWithIndex.map { case ((_, c), i) =>
-            c.as(s"v${i + 1}") }: _*)
-        .select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
-          struct(lit(table).as("table_name"), lit(name).as("check_name"),
-            col(s"v$i").cast("long").as("n_violations"))
-        }: _*)).as("r"))
-        .select(col("r.table_name"), col("r.check_name"), col("r.n_violations"))
-
-    def vcount(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
     val custChecks = checksFor(customer, "customer", Seq(
       "c_custkey_not_null" -> vcount(col("c_custkey").isNull),

@@ -1040,27 +1040,27 @@ object TextOps {
     val style = expr("(doc_id div 2) % 3")
     val odd   = expr("doc_id % 2 = 1")
     val head = when(style === 0,
-        when(odd, lit("  CAFÉ  DU\tJOUR "))
-          .otherwise(lit("Café du Jour ")))
+        when(odd, lit("  CAFE\u0301  DU\tJOUR "))
+          .otherwise(lit("Caf\u00E9 du Jour ")))
       .when(style === 1,
-        when(odd, lit("Ångström\t"))
-          .otherwise(lit("Ångström ")))
+        when(odd, lit("A\u030Angstro\u0308m\t"))
+          .otherwise(lit("\u212Bngstr\u00F6m ")))
       .otherwise(
-        when(odd, lit(" σασ\n "))
-          .otherwise(lit("ΣΑΣ ")))
+        when(odd, lit(" \u03C3\u03B1\u03C3\n "))
+          .otherwise(lit("\u03A3\u0391\u03A3 ")))
     concat(head, frag, when(odd, lit("  ")).otherwise(lit("")))
   }
 
   /** The identical decoration in DuckDB SQL (same escapes, same casing). */
   private def rawVariantSql: String =
     "(CASE WHEN (doc_id // 2) % 3 = 0 THEN " +
-      "(CASE WHEN doc_id % 2 = 1 THEN '  CAFÉ  DU\tJOUR ' " +
-      "ELSE 'Café du Jour ' END) " +
+      "(CASE WHEN doc_id % 2 = 1 THEN '  CAFE\u0301  DU\tJOUR ' " +
+      "ELSE 'Caf\u00E9 du Jour ' END) " +
       "WHEN (doc_id // 2) % 3 = 1 THEN " +
-      "(CASE WHEN doc_id % 2 = 1 THEN 'Ångström\t' " +
-      "ELSE 'Ångström ' END) " +
-      "ELSE (CASE WHEN doc_id % 2 = 1 THEN ' σασ\n ' " +
-      "ELSE 'ΣΑΣ ' END) END " +
+      "(CASE WHEN doc_id % 2 = 1 THEN 'A\u030Angstro\u0308m\t' " +
+      "ELSE '\u212Bngstr\u00F6m ' END) " +
+      "ELSE (CASE WHEN doc_id % 2 = 1 THEN ' \u03C3\u03B1\u03C3\n ' " +
+      "ELSE '\u03A3\u0391\u03A3 ' END) END " +
       "|| 'doc ' || CAST(doc_id // 2 AS VARCHAR) " +
       "|| (CASE WHEN doc_id % 2 = 1 THEN '  ' ELSE '' END))"
 }

@@ -61,6 +61,23 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("constraint checks on an EMPTY table report 0 violations, not NULL") {
+    // cross-engine contract for empty ingest batches: Spark's sum() over
+    // zero rows is NULL where DuckDB's count(*) FILTER is 0 — the
+    // coalesce in Profile.vcount must pin both to pass/0
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val rows = ops.Profile.checksFor(empty, "empty_batch", Seq(
+        "k_not_null" -> ops.Profile.vcount(col("k").isNull),
+        "v_in_range" -> ops.Profile.vcount(col("v") < 0.0 || col("v") > 1.0)))
+      .collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(!r.isNullAt(2), s"NULL n_violations on empty input: $r")
+      assert(r.getLong(2) === 0L)
+    }
+  }
+
   test("constraint report exercises BOTH statuses on the fixture") {
     val rows = ops.Profile.queries.find(_.name == "q_constraint_report").get
       .build(spark, sfDir).collect()

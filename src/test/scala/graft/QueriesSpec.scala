@@ -784,10 +784,14 @@ class QueriesSpec extends SparkSpec {
       assert(m >= 1 && m * (8 / m + 1) > 8, s"n=$n picked invalid m=$m")
     }
     // the sizer now backs SIX declared queries across three bit widths —
-    // sweep (n, bits, τ) over every shipped parameterization and assert
-    // the invariants the engines rely on: pigeonhole coverage, word
-    // alignment (width ≤ 63 so chunk keys fit a Long), and mask budget
-    for (bits <- Seq(64, 128); tau <- Seq(8, 31);
+    // sweep (n, bits, τ) over every shipped parameterization (taus are
+    // read from the shipped constants, not literals, so a retune here
+    // can't silently drop coverage) and assert the invariants the
+    // engines rely on: pigeonhole coverage, word alignment (width ≤ 63
+    // so chunk keys fit a Long), and mask budget
+    val shippedTaus = Seq(ops.Similarity.MihTau, ops.Similarity.Mih128Tau,
+      ops.Dedup.Sim128Tau, ops.Multimodal.DhashTau).distinct
+    for (bits <- Seq(64, 128); tau <- shippedTaus;
          n <- Seq(2L, 500L, 5000L, 100000L, 2000000L)) {
       val m      = ops.Similarity.mihChunksFor(n, bits, tau)
       val radius = tau / m
