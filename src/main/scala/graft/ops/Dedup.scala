@@ -62,7 +62,21 @@ object Dedup {
 
   // ---- Spark side ---------------------------------------------------------
 
-  private def toks: Column  = split(col("text"), " ")
+  /** Canonicalize-before-dedup (C4/CCNet): every fingerprint-identity
+    * plane in this file — whole-doc PolyHash, MinHash/Jaccard token sets,
+    * SimHash 30/128 — tokenizes CANONICAL text, so two documents that
+    * differ only in composed-vs-decomposed accents, case, or whitespace
+    * runs dedup as the same document. The kernel is the codegen'd
+    * [[graft.functions.NormalizeText]]; its DuckDB mirror
+    * [[graft.functions.TextNorm.normalizeSql]] wraps `text` in every
+    * oracle below. POSITIONAL planes (winnowing, dup spans, CDC chunks)
+    * deliberately stay on raw text: their outputs are offsets/spans into
+    * the document as stored, and provenance must map back to raw
+    * positions.
+    */
+  private def normText: Column =
+    graft.functions.TextNormExprs.normalize_text(col("text"))
+  private def toks: Column  = split(normText, " ")
   private def dtoks: Column = array_distinct(toks)
   /** Per-token 30-bit polynomial hashes (distinct tokens → set semantics). */
   private def tokenHashes: Column = transform(dtoks, t => poly_hash(t))
@@ -124,6 +138,12 @@ object Dedup {
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
+  /** Canonicalized `text` in DuckDB SQL — the oracle twin of [[normText]],
+    * wrapped around `text` at every fingerprint-identity tokenize site.
+    */
+  private[ops] def normTextSql: String =
+    graft.functions.TextNorm.normalizeSql("text")
+
   /** Polynomial hash of an arbitrary SQL string expression, char by char. */
   def hashSql(e: String): String =
     s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
@@ -134,7 +154,7 @@ object Dedup {
   private def hsCteWhere(where: String): String =
     s"""WITH hs_t AS (
        |  SELECT doc_id,
-       |         list_transform(list_distinct(string_split(text, ' ')),
+       |         list_transform(list_distinct(string_split(${normTextSql}, ' ')),
        |                        t -> ${hashSql("t")}) AS hs
        |  FROM documents$where
        |)""".stripMargin
@@ -360,7 +380,7 @@ object Dedup {
        |           i -> sa.sig[i] = sb.sig[i]), x -> x)) AS INTEGER) AS sig_agree
        |  FROM cand JOIN sig_t sa ON sa.doc_id = d1 JOIN sig_t sb ON sb.doc_id = d2
        |), tk AS (
-       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents$where
+       |  SELECT doc_id, list_distinct(string_split(${normTextSql}, ' ')) AS t FROM documents$where
        |), pairs_t AS (
        |  SELECT d1, d2, sig_agree,
        |         CAST(len(list_intersect(a.t, b.t)) AS INTEGER) AS inter,
@@ -377,7 +397,7 @@ object Dedup {
   private def simhashSgCtes: String =
     s"""WITH hs_t AS (
        |  SELECT doc_id,
-       |         list_transform(string_split(text, ' '), t -> ${hashSql("t")}) AS hs
+       |         list_transform(string_split(${normTextSql}, ' '), t -> ${hashSql("t")}) AS hs
        |  FROM documents
        |), sg AS (
        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), j ->
@@ -426,7 +446,7 @@ object Dedup {
        |      AS BIGINT) AS s16
        |    FROM (
        |      SELECT doc_id, w,
-       |             list_transform(string_split(text, ' '),
+       |             list_transform(string_split(${normTextSql}, ' '),
        |               t -> ${hashSql("t || '#' || CAST(w AS VARCHAR)")}) AS hs
        |      FROM documents, range(0, 8) r(w)))
        |  GROUP BY doc_id""".stripMargin
@@ -450,7 +470,9 @@ object Dedup {
     import graft.functions.exprs.sim_hash128
     val codes = docs
       .select(col("doc_id").as("vec_id"),
-        sim_hash128(split(col("text"), " ")).as("sw"))
+        sim_hash128(split(
+          graft.functions.TextNormExprs.normalize_text(col("text")), " "))
+          .as("sw"))
       .select(col("vec_id"), col("sw").getItem(0).as("w0"),
         col("sw").getItem(1).as("w1"), col("sw").getItem(2).as("w2"),
         col("sw").getItem(3).as("w3"))
@@ -471,7 +493,9 @@ object Dedup {
     * (needs doc_id + text) — the ScaleProbe entry point.
     */
   private[graft] def simhashPairsFrom(docs: DataFrame): DataFrame = {
-    val sig = sim_hash30(transform(split(col("text"), " "), t => poly_hash(t)))
+    val sig = sim_hash30(transform(split(
+      graft.functions.TextNormExprs.normalize_text(col("text")), " "),
+      t => poly_hash(t)))
     val sg  = docs.select(col("doc_id"), sig.as("sig"))
     val bands = sg
       .select(col("doc_id"), col("sig"),
@@ -492,12 +516,14 @@ object Dedup {
 
   val queries: Seq[Q] = Seq(
 
-    // Whole-document fingerprint (rolling polynomial hash over all chars).
+    // Whole-document fingerprint (rolling polynomial hash over all chars
+    // of the CANONICALIZED text — exact-dup detection must not split on
+    // accent encoding, case, or whitespace runs).
     Q("q_doc_fingerprint",
-      s"SELECT doc_id, ${hashSql("text")} AS fp FROM documents ORDER BY doc_id") {
+      s"SELECT doc_id, ${hashSql(normTextSql)} AS fp FROM documents ORDER BY doc_id") {
       (s, dir) =>
         Tables.documents(s, dir)
-          .select(col("doc_id"), poly_hash(col("text")).as("fp"))
+          .select(col("doc_id"), poly_hash(normText).as("fp"))
           .orderBy("doc_id")
     },
 
@@ -794,7 +820,7 @@ object Dedup {
     // Exact n-gram (word 1-gram set) Jaccard over consecutive-id pairs —
     // the deterministic all-checked slice of pairwise similarity.
     Q("q_jaccard_pairs",
-      """WITH tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+      s"""WITH tk AS (SELECT doc_id, list_distinct(string_split(${normTextSql}, ' ')) AS t FROM documents)
         |SELECT a.doc_id AS d1, b.doc_id AS d2,
         |       CAST(len(list_intersect(a.t, b.t)) AS INTEGER) AS inter,
         |       CAST(len(list_distinct(list_concat(a.t, b.t))) AS INTEGER) AS uni,
@@ -999,7 +1025,7 @@ object Dedup {
          |           i -> sa.sig[i] = sb.sig[i]), x -> x)) AS INTEGER) AS sig_agree
          |  FROM cand JOIN sig_t sa ON sa.doc_id = d1 JOIN sig_t sb ON sb.doc_id = d2
          |), tk AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+         |  SELECT doc_id, list_distinct(string_split(${normTextSql}, ' ')) AS t FROM documents
          |), fullj AS (
          |  SELECT sig_agree,
          |         CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,

@@ -93,7 +93,10 @@ object TextOps {
     * a driver OOM.
     */
   private[graft] def decontaminateFrom(docs: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
+    // canonicalize before gram matching: contamination that crosses the
+    // split with different accent encoding / case / whitespace is still
+    // contamination (same contract as the Dedup fingerprint planes)
+    val t = split(graft.functions.TextNormExprs.normalize_text(col("text")), " ")
     val g = docs.select(col("doc_id"), Sampling.bucket100(col("doc_id")).as("b"), t.as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), col("b"),
@@ -669,7 +672,7 @@ object TextOps {
     Q("q_decontaminate",
       s"""WITH t AS (
          |  SELECT doc_id, ${Sampling.bucket100Sql("doc_id")} AS b,
-         |         string_split(text, ' ') AS t
+         |         string_split(${graft.functions.TextNorm.normalizeSql("text")}, ' ') AS t
          |  FROM documents
          |), g AS (
          |  SELECT DISTINCT doc_id, b,

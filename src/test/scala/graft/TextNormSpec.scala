@@ -86,6 +86,56 @@ class TextNormSpec extends SparkSpec {
     }
   }
 
+  test("canonicalize-before-dedup: the PRODUCTION planes catch a non-ASCII " +
+      "near-dup pair the raw pipeline misses") {
+    import spark.implicits._
+    import graft.functions.exprs.poly_hash
+    import graft.functions.TextNormExprs.normalize_text
+    // same canonical document, two raw encodings: composed é + mixed
+    // case vs combining-mark e+́ + tab/newline/run-of-space noise;
+    // doc 3 is unrelated. Raw token sets share only the tokens that
+    // happen to agree in case ("du"/"jour"-class) — Jaccard far below
+    // the 0.9 qualifying bar — while canonical token sets are IDENTICAL.
+    val docs = Seq(
+      (1L, "Caf\u00E9 du jour MARKET Report Alpha beta GAMMA delta EPSILON zeta ETA"),
+      (2L, "  CAFE\u0301\tDU jour market report alpha BETA gamma DELTA epsilon ZETA eta\n"),
+      (3L, "totally different content words one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+
+    // exact-dup plane (q_doc_fingerprint's contract): canonical PolyHash
+    // collapses the pair, raw PolyHash never does
+    val fps = docs.select(col("doc_id"), poly_hash(col("text")).as("raw_fp"),
+        poly_hash(normalize_text(col("text"))).as("norm_fp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L)._2 === fps(2L)._2, "canonical fingerprints must collide")
+    assert(fps(1L)._1 !== fps(2L)._1, "raw fingerprints must not collide")
+    assert(fps(3L)._2 !== fps(1L)._2)
+
+    // MinHash/cluster plane: clusterFrameOf (which now tokenizes the
+    // canonical text) puts the pair in ONE token-set cluster…
+    val clusters = ops.Dedup.clusterFrameOf(docs)
+      .select("ms").as[Seq[Long]].collect().map(_.toSet)
+    assert(clusters.contains(Set(1L, 2L)),
+      s"normalized cluster frame missed the pair: ${clusters.toSeq}")
+    // …while the raw-token grouping (the pre-round-11 pipeline) leaves
+    // three singletons
+    val rawClusters = docs
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => poly_hash(t))).as("th"))
+      .groupBy("th").agg(collect_list("doc_id").as("ms"))
+      .select("ms").as[Seq[Long]].collect().map(_.toSet)
+    assert(rawClusters.forall(_.size === 1),
+      s"raw pipeline should not find the pair: ${rawClusters.toSeq}")
+
+    // SimHash plane: the banded 30-bit engine finds the pair at Hamming 0
+    val simPairs = ops.Dedup.simhashPairsFrom(docs)
+      .select("d1", "d2", "ham").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt))
+    assert(simPairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
+      s"simhash plane missed the canonical pair: ${simPairs.toSeq}")
+  }
+
   test("(even, odd) raw variants normalize equal; distinct pairs differ") {
     import spark.implicits._
     val rows = graft.ops.TextOps.queries.find(_.name == "q_text_normalize").get
