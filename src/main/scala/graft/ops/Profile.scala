@@ -264,6 +264,48 @@ object Profile {
       .orderBy("column_name")
   }
 
+  /** Two-snapshot drift frame over an events-shaped input (needs
+    * event_id + the profiled columns) — q_profile_drift's engine, exposed
+    * for the spec and ScaleProbe. See the query scaladoc for the
+    * threshold algebra.
+    */
+  private[graft] def profileDrift(ev0: DataFrame): DataFrame = {
+    val maxId = ev0.agg(max("event_id")).head.getLong(0)
+    val tall = tallEvents(ev0.withColumn("half",
+      when(expr(s"event_id * 4 div ${maxId + 1}") === 0, lit(0L))
+        .otherwise(lit(1L))))
+    val stats = tall.groupBy("half", "cname").agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("key"))).as("n_null"),
+      countDistinct(col("key")).as("n_distinct"),
+      min("num").as("mn"), max("num").as("mx"))
+    val before = stats.filter(col("half") === 0)
+      .select(col("cname"), col("n").as("bn"), col("n_null").as("bnull"),
+        col("n_distinct").as("bd"), col("mn").as("bmn"), col("mx").as("bmx"))
+    val after = stats.filter(col("half") === 1)
+      .select(col("cname"), col("n").as("an"), col("n_null").as("anull"),
+        col("n_distinct").as("ad"), col("mn").as("amn"), col("mx").as("amx"))
+    before.join(after, "cname")
+      .select(col("cname"), explode(array(
+        struct(lit("n").as("stat"), col("bn").as("stat_before"),
+          col("an").as("stat_after")),
+        struct(lit("n_null").as("stat"), col("bnull").as("stat_before"),
+          col("anull").as("stat_after")),
+        struct(lit("n_distinct").as("stat"), col("bd").as("stat_before"),
+          col("ad").as("stat_after")),
+        struct(lit("min_num").as("stat"), col("bmn").as("stat_before"),
+          col("amn").as("stat_after")),
+        struct(lit("max_num").as("stat"), col("bmx").as("stat_before"),
+          col("amx").as("stat_after")))).as("r"))
+      .select(col("cname").as("column_name"), col("r.stat"),
+        col("r.stat_before"), col("r.stat_after"))
+      .filter(!(col("column_name") === "event_type" &&
+        col("stat").isin("min_num", "max_num")))
+      .withColumn("drifted",
+        abs(col("stat_after") - col("stat_before")) * 5 >
+          greatest(abs(col("stat_before")), lit(1L)))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q_profile_columns",
@@ -377,6 +419,67 @@ object Profile {
       val halves = incrementalStates(
         Tables.events(s, dir).withColumn("half", col("event_id") % 2))
       finalizeProfile(mergeProfileStates(halves))
+    },
+
+    // PROFILE DRIFT report — the schema/distribution monitor that pairs
+    // with q_drift_daily: diff two profile snapshots (here the first
+    // QUARTER of event ids vs the rest — the checkpoint-count bucketing
+    // pattern; ids arrive in time order, so the split is a short early
+    // era vs the longer tail, the yesterday-vs-last-month comparison a
+    // monitor actually runs) into one (column, stat, before, after,
+    // drifted) row per tracked statistic. All stats are exact int64
+    // (counts, exact distincts, micro-snapped numeric min/max), and the
+    // drift gate is integer cross-multiplication —
+    // |after−before|·5 > max(|before|,1), i.e. relative change > 20% —
+    // never a float compare. Both statuses appear at EVERY shipped scale
+    // by construction: the 1:3 eras make the per-column row counts
+    // drift (volume drift), while the categorical event_type arity,
+    // null counts, and the user_id domain hold.
+    // Scale shape: one narrow tall-frame aggregate per snapshot (the
+    // incremental profiler's Expand analog), a 2×|columns|-row pivot
+    // join, and a constant-width explode — the corpus never shuffles
+    // more than (half, cname)-keyed partials; the max(event_id) seed is
+    // a single-value driver collect (bounded model state, the packing-
+    // offset precedent).
+    Q("q_profile_drift",
+      s"""WITH mxr AS (SELECT max(event_id) AS m FROM events),
+         |e AS (SELECT CASE WHEN event_id * 4 // (m + 1) = 0 THEN 0 ELSE 1
+         |             END AS half, ts, user_id,
+         |             event_type, value FROM events, mxr),
+         |t AS (
+         |  SELECT half, 'event_type' AS cname, event_type AS key,
+         |         CAST(NULL AS BIGINT) AS num FROM e
+         |  UNION ALL SELECT half, 'ts', CAST(epoch_us(ts) AS VARCHAR),
+         |            epoch_us(ts) FROM e
+         |  UNION ALL SELECT half, 'user_id', CAST(user_id AS VARCHAR),
+         |            user_id FROM e
+         |  UNION ALL SELECT half, 'value',
+         |            CAST(CAST(round(value * 1000000.0) AS BIGINT) AS VARCHAR),
+         |            CAST(round(value * 1000000.0) AS BIGINT) FROM e),
+         |s AS (SELECT half, cname, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(count(*) - count(key) AS BIGINT) AS n_null,
+         |             CAST(count(DISTINCT key) AS BIGINT) AS n_distinct,
+         |             min(num) AS mn, max(num) AS mxv
+         |      FROM t GROUP BY half, cname),
+         |j AS (SELECT a.cname, a.n AS bn, b.n AS an, a.n_null AS bnull,
+         |             b.n_null AS anull, a.n_distinct AS bd,
+         |             b.n_distinct AS ad, a.mn AS bmn, b.mn AS amn,
+         |             a.mxv AS bmx, b.mxv AS amx
+         |      FROM s a JOIN s b ON a.cname = b.cname
+         |                       AND a.half = 0 AND b.half = 1),
+         |st AS (
+         |  SELECT cname, 'n' AS stat, bn AS stat_before, an AS stat_after FROM j
+         |  UNION ALL SELECT cname, 'n_null', bnull, anull FROM j
+         |  UNION ALL SELECT cname, 'n_distinct', bd, ad FROM j
+         |  UNION ALL SELECT cname, 'min_num', bmn, amn FROM j
+         |            WHERE cname <> 'event_type'
+         |  UNION ALL SELECT cname, 'max_num', bmx, amx FROM j
+         |            WHERE cname <> 'event_type')
+         |SELECT cname AS column_name, stat, stat_before, stat_after,
+         |       (abs(stat_after - stat_before) * 5
+         |          > greatest(abs(stat_before), 1)) AS drifted
+         |FROM st ORDER BY column_name, stat""".stripMargin) { (s, dir) =>
+      profileDrift(Tables.events(s, dir)).orderBy("column_name", "stat")
     },
 
     // The constraint catalog as a LIVE per-window feed — the batch twin

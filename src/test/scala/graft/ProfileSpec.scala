@@ -61,6 +61,26 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("profile drift: both statuses appear, and the gate is the exact 20% rule") {
+    val rows = ops.Profile.queries.find(_.name == "q_profile_drift").get
+      .build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // the 1:3 era split makes row counts drift at every scale; the
+    // categorical arity, null counts, and user_id domain hold
+    assert(rows(("ts", "n"))._3 && rows(("value", "n"))._3,
+      "volume drift must be flagged")
+    assert(!rows(("event_type", "n_distinct"))._3)
+    assert(!rows(("ts", "n_null"))._3 && !rows(("user_id", "min_num"))._3)
+    // every emitted verdict must equal the integer cross-multiplied rule
+    rows.foreach { case ((c, st), (b, a, d)) =>
+      assert(d === (math.abs(a - b) * 5 > math.max(math.abs(b), 1L)),
+        s"gate mismatch on ($c, $st): before=$b after=$a drifted=$d")
+    }
+    // string-typed min/max rows are excluded by contract
+    assert(!rows.contains(("event_type", "min_num")))
+  }
+
   test("constraint checks on an EMPTY table report 0 violations, not NULL") {
     // cross-engine contract for empty ingest batches: Spark's sum() over
     // zero rows is NULL where DuckDB's count(*) FILTER is 0 — the
