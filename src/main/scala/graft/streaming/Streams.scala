@@ -350,6 +350,78 @@ object Streams {
       .select(unix_micros(col("window.start")).as("window_us"),
         col("n_rows"), col("v_value_low"), col("v_unknown_type"))
 
+  /** Replay-safe running-state fold for [[profileIngest]] — the
+    * foreachBatch face of the mergeable profiler whose algebra
+    * q_profile_incremental proves batch-side (counts ADD, min/max FOLD,
+    * HLL registers MAX). Exactly-once under trigger REPLAY: Structured
+    * Streaming can re-run the most recent micro-batch after a recovery,
+    * and the count components are NOT idempotent under a double fold —
+    * so the fold keeps (committed base, last batch id, last batch
+    * state) and a re-delivered batch id REPLACES the last state instead
+    * of adding to it (the Sinks exactly-once-manifest rule applied to
+    * aggregation state). A batch with a NEW id first commits the
+    * previous state into the base (compacted: the base never exceeds
+    * O(columns · M) rows), then becomes the new last. State lives as two
+    * localCheckpoint'ed bounded frames; the raw batches are never
+    * retained.
+    */
+  private[graft] final class ProfileFold(write: DataFrame => Unit) {
+    import graft.ops.Profile
+    private var base: Option[(DataFrame, DataFrame)] = None
+    private var last: Option[(Long, (DataFrame, DataFrame))] = None
+
+    private def compact(c: DataFrame, r: DataFrame): (DataFrame, DataFrame) =
+      (c.groupBy("cname").agg(
+          sum("n").as("n"), sum("n_null").as("n_null"),
+          min("mn_num").as("mn_num"), max("mx_num").as("mx_num"),
+          min("mn_str").as("mn_str"), max("mx_str").as("mx_str"))
+        .localCheckpoint(),
+       r.groupBy("cname", "bucket").agg(max("register").as("register"))
+        .localCheckpoint())
+
+    def step(batch: DataFrame, batchId: Long): Unit = {
+      val st0 = Profile.incrementalStates(batch.withColumn("half", lit(0L)))
+      val st  = (st0._1.drop("half").localCheckpoint(),
+                 st0._2.drop("half").localCheckpoint())
+      last match {
+        case Some((id, prev)) if id != batchId =>
+          base = Some(base match {
+            case Some((bc, br)) =>
+              compact(bc.unionByName(prev._1), br.unionByName(prev._2))
+            case None => prev
+          })
+        case _ => () // same id re-delivered: replace, never double-count
+      }
+      last = Some((batchId, st))
+      val (cAll, rAll) = base match {
+        case Some((bc, br)) =>
+          (bc.unionByName(st._1), br.unionByName(st._2))
+        case None => st
+      }
+      write(Profile.finalizeProfile(Profile.mergeProfileStates((cAll, rAll))))
+    }
+  }
+
+  /** Streaming twin of the MERGEABLE PROFILER (q_profile_incremental):
+    * per trigger, reduce the arriving micro-batch to its bounded profile
+    * state (O(columns · M) rows whatever the batch size) and fold it into
+    * the running state via [[ProfileFold]]; each trigger emits the
+    * finalized whole-stream profile so far — a live data-profile feed
+    * whose final row set equals the batch profiler over everything
+    * ingested (StreamingSpec asserts equality on an out-of-order
+    * multi-trigger feed INCLUDING a replayed trigger). foreachBatch for
+    * the family's shared reason: the per-trigger work is ordinary batch
+    * aggregation folded into external bounded state.
+    */
+  def profileIngest(events: DataFrame)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold = new ProfileFold(write)
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fold.step(batch.toDF(), id)
+      }.start()
+  }
+
   /** Ingest-time PERCEPTUAL dedup against a frozen dHash code index — the
     * image-plane member of the [[nearDupCuration]] family: per
     * micro-batch, decode each incoming payload, dHash it, and score it

@@ -480,6 +480,54 @@ class StreamingSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("running profile ingest equals the batch profiler; a replayed trigger folds once") {
+    import org.apache.spark.sql.Row
+    // out-of-order feed: trigger 2 carries EARLIER timestamps (and the
+    // extremes of value/user_id) than trigger 1 — the profiler is
+    // order-free, so the running profile must not care
+    def ev(id: Long, min: Long, u: Long, typ: String, v: Double) =
+      Event(id, ts(min), u, typ, v, "{}")
+    val feed1 = Seq(ev(10, 120, 3, "click", 7.25), ev(11, 150, 4, "view", 2.5),
+      ev(12, 200, 3, "click", 7.25))
+    val feed2 = Seq(ev(1, 5, 9, "purchase", 0.011111), ev(2, 10, 1, "error", 480.5))
+    val whole = (feed1 ++ feed2).toDF()
+    val want = graft.ops.Profile.finalizeProfile(graft.ops.Profile
+      .mergeProfileStates(graft.ops.Profile.incrementalStates(
+        whole.withColumn("half", col("event_id") % 2)))).collect().toSeq
+
+    // streaming face: per-trigger emissions, the last one is the whole-feed profile
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.profileIngest(ms.toDF())(df => emitted += df.collect().toSeq)
+    ms.addData(feed1)
+    q.processAllAvailable()
+    ms.addData(feed2)
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.size >= 2)
+    assert(emitted.last === want,
+      s"stream ${emitted.last} != batch $want")
+
+    // replay face: re-delivering the last batch id must REPLACE its
+    // state — counts fold once, registers max-merge idempotently
+    val emitted2 = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val fold = new Streams.ProfileFold(df => emitted2 += df.collect().toSeq)
+    fold.step(feed1.toDF(), 0L)
+    fold.step(feed2.toDF(), 1L)
+    fold.step(feed2.toDF(), 1L) // the recovery replay
+    assert(emitted2.last === want,
+      s"replayed fold ${emitted2.last} != batch $want")
+    // and a third DISTINCT batch still folds the replayed one exactly once
+    val feed3 = Seq(ev(20, 300, 7, "signup", 3.5))
+    fold.step(feed3.toDF(), 2L)
+    val want3 = graft.ops.Profile.finalizeProfile(graft.ops.Profile
+      .mergeProfileStates(graft.ops.Profile.incrementalStates(
+        (feed1 ++ feed2 ++ feed3).toDF()
+          .withColumn("half", col("event_id") % 2)))).collect().toSeq
+    assert(emitted2.last === want3,
+      s"post-replay fold ${emitted2.last} != batch $want3")
+  }
+
   test("windowed constraint monitor equals batch on an out-of-order multi-trigger feed") {
     // hour 0 carries one value-floor violation and one unknown event
     // type; hour 1 is clean — late hour-0 rows arrive in trigger 2
