@@ -242,6 +242,241 @@ object Tokenize {
        |    GROUP BY tok ORDER BY freq DESC, word LIMIT $TrainVocabCap);
        |${(1 to NMerges).map(bpeRoundSql).mkString("\n")}""".stripMargin
 
+  // ---- Unigram-LM (SentencePiece-style) tokenizer --------------------------
+  //
+  // The OTHER tokenizer family production pipelines train (Kudo 2018,
+  // "Subword Regularization"; the T5/ALBERT default): a unigram language
+  // model over a piece vocabulary, trained by EM on the word-frequency
+  // frame and applied by Viterbi segmentation. This implementation is the
+  // deterministic hard-EM (Viterbi-EM) variant with Laplace-smoothed
+  // piece probabilities, engineered for cross-engine exactness:
+  //
+  //  * Piece scores are integer MICRO-NATS snapped once per M-step on the
+  //    vocab-sized model frame (the LM.scala convention — libm ln is
+  //    snapped only on bounded model state, never per corpus row), so
+  //    every Viterbi comparison is an exact int64 sum.
+  //  * Viterbi is expressed POSITIONALLY: best[i] = max over piece start
+  //    st ∈ [i−MaxPiece+1, i] of best[st−1] + score(word[st..i]), ties
+  //    broken toward the SMALLEST st (longest final piece) — the same
+  //    rule in the driver trainer, the distributed Catalyst fold, and
+  //    the oracle's unrolled DP, so all three land on identical
+  //    segmentations.
+  //  * Same decomposition as BPE above: ONE corpus shuffle (word → freq),
+  //    EM on the bounded top-[[UgSeedCap]] dictionary at driver speed,
+  //    distributed application as a Catalyst fold over the DISTINCT-WORD
+  //    frame (the trained score table enters the plan as a vocab-sized
+  //    map literal — the k-means broadcast-centroid-literal class), and
+  //    the corpus only ever joins word → pieces.
+  //
+  // The oracle re-derives the ENTIRE trajectory in DuckDB (seed counts →
+  // scores → per-position DP tables → E-step counts → re-scored round 2 →
+  // final segmentation), so oracle-green proves training, not just
+  // application — the bpe_v*/bpe_m* mechanism with the DP unrolled over
+  // word positions instead of merge rounds.
+
+  /** Longest piece the seed vocabulary admits. */
+  final val UgMaxPiece = 4
+  /** Oracle DP unroll bound; [[unigramTrain]] fails loudly past it. */
+  final val UgMaxWordLen = 16
+  /** E-step rounds; the emitted segmentation is round [[UgEmRounds]]'s. */
+  final val UgEmRounds = 2
+  /** Seed-vocabulary cap (bounded model state; require-guarded). */
+  final val UgSeedCap = 1 << 14
+  /** Score of a piece outside the vocabulary (micro-nats). Any path using
+    * one loses to every all-vocab path (word length × worst vocab score
+    * ≈ −2·10⁸ ≫ −10¹²), and single characters are always in vocabulary,
+    * so a finite path always exists.
+    */
+  final val UgPenalty = -1000000000000L
+
+  /** Micro-nat snap: HALF_UP (= away from zero, matching DuckDB round()
+    * and Spark round()) after the shared double chain
+    * 1e6 · ln((c+1)/(T+V)).
+    */
+  private def ugScore(c: Long, t: Long, v: Long): Long =
+    new java.math.BigDecimal(
+      1000000.0 * math.log((c + 1).toDouble / (t + v).toDouble))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  private def ugLaplace(counts: collection.Map[String, Long],
+      vocab: Seq[String]): Map[String, Long] = {
+    val t = vocab.iterator.map(counts.getOrElse(_, 0L)).sum
+    vocab.iterator.map(p =>
+      p -> ugScore(counts.getOrElse(p, 0L), t, vocab.length)).toMap
+  }
+
+  /** Driver-side Viterbi segmentation (the trainer's inner loop): exact
+    * integer DP, ties to the smallest piece start.
+    */
+  private[graft] def unigramViterbiSeq(w: String,
+      sc: Map[String, Long]): Vector[String] = {
+    val best = Array.fill(w.length + 1)((Long.MinValue / 4, Vector.empty[String]))
+    best(0) = (0L, Vector.empty)
+    var i = 1
+    while (i <= w.length) {
+      var st = math.max(1, i - UgMaxPiece + 1)
+      while (st <= i) {
+        val piece = w.substring(st - 1, i)
+        val cand  = best(st - 1)._1 + sc.getOrElse(piece, UgPenalty)
+        if (cand > best(i)._1) best(i) = (cand, best(st - 1)._2 :+ piece)
+        st += 1
+      }
+      i += 1
+    }
+    best(w.length)._2
+  }
+
+  private val ugMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Map[String, Long]]
+
+  /** Train the unigram LM; returns the final micro-nat score table (the
+    * scores the round-[[UgEmRounds]] segmentation runs under). Memoized
+    * per (session, dir) like [[train]]. Fails loudly (the capped-oracle
+    * contract, same as BPE's) if the dictionary saturates [[UgSeedCap]]
+    * or any word outruns the oracle's [[UgMaxWordLen]]-position unroll.
+    */
+  def unigramTrain(s: SparkSession, dir: String): Map[String, Long] =
+    ugMemo.getOrElseUpdate((s, dir), {
+      val wf = wordFreq(s, dir)
+        .orderBy(col("freq").desc, col("word")).limit(UgSeedCap)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(wf.length < UgSeedCap,
+        s"unigram dictionary hit UgSeedCap=$UgSeedCap: the capped-oracle " +
+        "contract no longer holds; raise the cap or drop the oracle")
+      require(wf.forall(_._1.length <= UgMaxWordLen),
+        s"a word exceeds UgMaxWordLen=$UgMaxWordLen: the oracle's DP " +
+        "unroll cannot segment it; raise the bound")
+      val seed = scala.collection.mutable.Map
+        .empty[String, Long].withDefaultValue(0L)
+      wf.foreach { case (w, f) =>
+        var st = 0
+        while (st < w.length) {
+          var l = 1
+          while (l <= UgMaxPiece && st + l <= w.length) {
+            seed(w.substring(st, st + l)) += f; l += 1
+          }
+          st += 1
+        }
+      }
+      require(seed.size < UgSeedCap,
+        s"seed vocabulary hit UgSeedCap=$UgSeedCap")
+      val vocab = seed.keys.toSeq.sorted
+      var sc = ugLaplace(seed, vocab)
+      (1 until UgEmRounds).foreach { _ =>
+        val cnt = scala.collection.mutable.Map
+          .empty[String, Long].withDefaultValue(0L)
+        wf.foreach { case (w, f) =>
+          unigramViterbiSeq(w, sc).foreach(p => cnt(p) += f)
+        }
+        sc = ugLaplace(cnt, vocab)
+      }
+      sc
+    })
+
+  /** Unpersist unigram score tables memoized for `s`. */
+  def clearUnigramCaches(s: SparkSession): Unit =
+    ugMemo.keys.filter(_._1 eq s).foreach(ugMemo.remove)
+
+  /** Viterbi segmentation of a word column under a trained score table —
+    * the distributed application face. One Catalyst fold over positions
+    * (array accumulator: best (score, pieces) per prefix), an inner fold
+    * over the ≤ [[UgMaxPiece]] candidate piece starts; strictly-greater
+    * replacement over ASCENDING starts implements the shared tie rule.
+    * The score table is a vocab-sized map literal (bounded model state in
+    * the plan, the k-means centroid-literal class); no UDF, no shuffle.
+    */
+  def unigramPiecesCol(word: Column, scores: Map[String, Long]): Column = {
+    val sm = typedlit(scores)
+    val dp = aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0L).as("sc"),
+        array().cast("array<string>").as("ps"))),
+      (acc, i) => concat(acc, array(aggregate(
+        sequence(greatest(lit(1), i - lit(UgMaxPiece) + 1), i),
+        struct(lit(Long.MinValue / 2).as("sc"),
+          array().cast("array<string>").as("ps")),
+        (b, st) => {
+          val piece = word.substr(st, i - st + 1)
+          val candSc = element_at(acc, st).getField("sc") +
+            coalesce(element_at(sm, piece), lit(UgPenalty))
+          when(candSc > b.getField("sc"),
+            struct(candSc.as("sc"),
+              concat(element_at(acc, st).getField("ps"), array(piece))
+                .as("ps")))
+            .otherwise(b)
+        }))))
+    element_at(dp, length(word) + 1).getField("ps")
+  }
+
+  // ---- unigram oracle script (the bpe_v* mechanism, DP over positions) ----
+
+  private def ugScSql(name: String, cnts: String): String =
+    s"""CREATE OR REPLACE TEMP TABLE $name AS
+       |  WITH t AS (SELECT CAST(sum(coalesce(c.c, 0)) AS BIGINT) AS tt,
+       |                    CAST(count(*) AS BIGINT) AS v
+       |             FROM ug_vocab vv LEFT JOIN $cnts c USING (piece))
+       |  SELECT vv.piece,
+       |         CAST(round(1000000 * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+       |              / CAST(t.tt + t.v AS DOUBLE))) AS BIGINT) AS sc
+       |  FROM ug_vocab vv LEFT JOIN $cnts c USING (piece), t;""".stripMargin
+
+  private def ugDpRoundSql(r: Int, scoresTable: String): String = {
+    val steps = (1 to UgMaxWordLen).map { i =>
+      val branches = (math.max(0, i - UgMaxPiece) until i).map { j =>
+        s"SELECT d.word AS word, d.sc + coalesce(s.sc, $UgPenalty) AS sc, " +
+        s"list_append(d.ps, substr(d.word, ${j + 1}, ${i - j})) AS ps, $j AS j " +
+        s"FROM ug_dp${r}_$j d LEFT JOIN $scoresTable s " +
+        s"ON s.piece = substr(d.word, ${j + 1}, ${i - j}) " +
+        s"WHERE length(d.word) >= $i"
+      }.mkString("\n      UNION ALL\n      ")
+      s"""CREATE OR REPLACE TEMP TABLE ug_dp${r}_$i AS
+         |  SELECT word, sc, ps FROM (
+         |    SELECT word, sc, ps, row_number() OVER (
+         |      PARTITION BY word ORDER BY sc DESC, j ASC) AS rn
+         |    FROM (
+         |      $branches
+         |    )) WHERE rn = 1;""".stripMargin
+    }
+    val finalUnion = (1 to UgMaxWordLen)
+      .map(i => s"SELECT word, ps FROM ug_dp${r}_$i WHERE length(word) = $i")
+      .mkString("\n    UNION ALL\n    ")
+    s"""CREATE OR REPLACE TEMP TABLE ug_dp${r}_0 AS
+       |  SELECT word, CAST(0 AS BIGINT) AS sc, CAST([] AS VARCHAR[]) AS ps
+       |  FROM ug_w;
+       |${steps.mkString("\n")}
+       |CREATE OR REPLACE TEMP TABLE ug_seg$r AS
+       |  SELECT w.word, w.freq, s.ps FROM ug_w w JOIN (
+       |    $finalUnion
+       |  ) s USING (word);
+       |CREATE OR REPLACE TEMP TABLE ug_cnt$r AS
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+       |    SELECT freq, unnest(ps) AS piece FROM ug_seg$r) GROUP BY piece;""".stripMargin
+  }
+
+  /** Dictionary + seed vocabulary + every EM round, unrolled. */
+  private def ugScriptPrefix: String = {
+    val rounds = (1 to UgEmRounds).map { r =>
+      val sct = if (r == 1) "ug_sc0" else s"ug_sc${r - 1}"
+      val m   = if (r < UgEmRounds) s"\n${ugScSql(s"ug_sc$r", s"ug_cnt$r")}" else ""
+      s"${ugDpRoundSql(r, sct)}$m"
+    }.mkString("\n")
+    s"""CREATE OR REPLACE TEMP TABLE ug_w AS
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok ORDER BY freq DESC, word LIMIT $UgSeedCap;
+       |CREATE OR REPLACE TEMP TABLE ug_vocab AS
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+       |    SELECT freq, substr(word, u.st, u.ln) AS piece FROM (
+       |      SELECT word, freq, unnest(list_filter(
+       |        [{'st': (i // $UgMaxPiece) + 1, 'ln': (i % $UgMaxPiece) + 1}
+       |         for i in range(0, length(word) * $UgMaxPiece)],
+       |        x -> x.st + x.ln - 1 <= length(word))) AS u
+       |      FROM ug_w))
+       |  GROUP BY piece ORDER BY c DESC, piece LIMIT $UgSeedCap;
+       |${ugScSql("ug_sc0", "ug_vocab")}
+       |$rounds""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Iteration-0 weighted pair counts — the exact aggregate every merge
@@ -322,6 +557,53 @@ object Tokenize {
         .join(wordLen, "word")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Unigram-LM subword vocabulary: each piece's freq-weighted usage in
+    // the final Viterbi segmentation. The oracle re-derives the WHOLE
+    // trajectory (seed → scores → per-position DP → E-step → re-score →
+    // final segmentation), so green proves the EM training round for
+    // round; TokenizeSpec separately pins the trained score table and
+    // per-word segmentation against a from-scratch sequential reference.
+    // explode_outer for q_bpe_vocab's measured reason: keep the fold on
+    // the distinct-word frame, never per corpus occurrence.
+    Q("q_unigram_vocab",
+      s"""$ugScriptPrefix
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS n_tokens FROM (
+         |  SELECT freq, unnest(ps) AS piece FROM ug_seg$UgEmRounds)
+         |GROUP BY piece ORDER BY n_tokens DESC, piece""".stripMargin) {
+      (s, dir) =>
+      val sc = unigramTrain(s, dir)
+      wordFreq(s, dir)
+        .select(col("freq"), unigramPiecesCol(col("word"), sc).as("ps"))
+        .select(explode_outer(col("ps")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("n_tokens"))
+        .orderBy(col("n_tokens").desc, col("piece"))
+    },
+
+    // Corpus-wide unigram tokenizer application: per-document Viterbi
+    // token counts — the q_bpe_token_count layout (fold once per DISTINCT
+    // word, corpus joins word → piece count).
+    Q("q_unigram_token_count",
+      s"""$ugScriptPrefix
+         |WITH wl AS (SELECT word, CAST(len(ps) AS INTEGER) AS n_sub
+         |            FROM ug_seg$UgEmRounds)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sub) AS BIGINT) AS n_ug_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents) d
+         |JOIN wl USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sc = unigramTrain(s, dir)
+      val wordLen = wordFreq(s, dir)
+        .select(col("word"),
+          size(unigramPiecesCol(col("word"), sc)).as("n_sub"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(wordLen, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_ug_tokens"))
         .orderBy("doc_id")
     }
   )

@@ -95,4 +95,71 @@ class TokenizeSpec extends SparkSpec {
     val corpusChars = freqs.map { case (w, f) => w.length * f }.sum
     assert(subwordChars === corpusChars)
   }
+
+  // ---- unigram-LM: from-scratch sequential reference ----------------------
+
+  private def refScore(c: Long, t: Long, v: Long): Long =
+    new java.math.BigDecimal(
+      1000000.0 * math.log((c + 1).toDouble / (t + v).toDouble))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  private def refViterbi(w: String, sc: Map[String, Long]): Vector[String] = {
+    // deliberately structured differently from the engine's loop (fold
+    // over prefixes) — same contract: max score, ties to the longest
+    // final piece
+    (1 to w.length).foldLeft(Vector((0L, Vector.empty[String]))) { (best, i) =>
+      val cands = for (st <- math.max(1, i - UgMaxPiece + 1) to i) yield {
+        val p = w.substring(st - 1, i)
+        (best(st - 1)._1 + sc.getOrElse(p, UgPenalty),
+          best(st - 1)._2 :+ p, st)
+      }
+      val b = cands.minBy { case (s, _, st) => (-s, st) }
+      best :+ ((b._1, b._2))
+    }.last._2
+  }
+
+  private def refTrain(freqs: Map[String, Long]): Map[String, Long] = {
+    val seed = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- freqs; st <- 0 until w.length;
+         l <- 1 to math.min(UgMaxPiece, w.length - st))
+      seed(w.substring(st, st + l)) += f
+    val vocab = seed.keys.toVector.sorted
+    def laplace(c: collection.Map[String, Long]): Map[String, Long] = {
+      val t = vocab.map(c.getOrElse(_, 0L)).sum
+      vocab.map(p => p -> refScore(c.getOrElse(p, 0L), t, vocab.length)).toMap
+    }
+    var sc = laplace(seed)
+    (1 until UgEmRounds).foreach { _ =>
+      val cnt = mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, f) <- freqs; p <- refViterbi(w, sc)) cnt(p) += f
+      sc = laplace(cnt)
+    }
+    sc
+  }
+
+  test("unigram trainer reproduces the sequential reference score table") {
+    assert(unigramTrain(spark, sfDir) === refTrain(freqs))
+  }
+
+  test("distributed unigram Viterbi equals the sequential segmentation on every word") {
+    val sc = refTrain(freqs)
+    val got = wordFreq(spark, sfDir)
+      .select(col("word"), unigramPiecesCol(col("word"), sc).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    freqs.keys.foreach { w =>
+      val want = refViterbi(w, sc)
+      assert(got(w) === want, s"segmentation mismatch for '$w'")
+      assert(want.mkString("") === w, s"segmentation must tile '$w'")
+      assert(want.forall(p => p.nonEmpty && p.length <= UgMaxPiece))
+    }
+  }
+
+  test("unigram vocabulary conserves character mass") {
+    val out = SparkEntry.all.find(_.name == "q_unigram_vocab").get
+      .build(spark, sfDir)
+    val pieceChars = out
+      .agg(sum(expr("n_tokens * length(piece)"))).head.getLong(0)
+    val corpusChars = freqs.map { case (w, f) => w.length * f }.sum
+    assert(pieceChars === corpusChars)
+  }
 }
