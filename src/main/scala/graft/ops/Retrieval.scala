@@ -53,6 +53,12 @@ object Retrieval {
   /** RRF constant (Cormack, Clarke & Buettcher 2009's k = 60). */
   final val RrfK = 60
 
+  /** Candidate-set width of the composed retrieval pipeline
+    * (q_retrieval_full): wider than the serving [[TopK]] so the dense
+    * re-rank has headroom to reorder past the lexical cut.
+    */
+  final val CandK = 32
+
   /** RBO truncation depth and persistence (q_rbo_rankings). */
   final val RboDepth = 10
   final val RboP     = 0.9
@@ -88,20 +94,26 @@ object Retrieval {
     * runs before explode, so non-query tokens never leave the scan
     * projection.
     */
-  private def tfFrame(s: SparkSession, dir: String): DataFrame = {
+  private def tfFrameFrom(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), size(toks).as("dl"),
         explode(filter(toks, t => t.isInCollection(QueryTerms))).as("tok"))
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
   }
 
-  /** BM25 top-k SQL — also embedded as a subquery by the fusion oracle. */
-  private def bm25Sql: String =
+  private def tfFrame(s: SparkSession, dir: String): DataFrame =
+    tfFrameFrom(Tables.documents(s, dir))
+
+  /** BM25-scored (doc_id, score) SQL over an arbitrary documents-shaped
+    * table — the core of [[bm25Sql]], and the candidate stage of the
+    * composed retrieval script (q_retrieval_full).
+    */
+  private def bm25ScoredSql(tbl: String): String =
     s"""WITH d AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |         string_split(text, ' ') AS toks
-       |  FROM documents),
+       |  FROM $tbl),
        |stats AS (
        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
        |  FROM d),
@@ -116,21 +128,26 @@ object Retrieval {
        |                 / (tf + $K1 * (1 - $B + $B * dl / avgdl))), 6)
        |         AS score
        |FROM tf JOIN df USING (tok), stats
-       |GROUP BY doc_id
+       |GROUP BY doc_id""".stripMargin
+
+  /** BM25 top-k SQL — also embedded as a subquery by the fusion oracle. */
+  private def bm25Sql: String =
+    s"""${bm25ScoredSql("documents")}
        |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
 
-  /** BM25 top-k frame (doc_id, score) — shared by the declared query and
-    * the RRF fusion.
+  /** BM25 top-k frame (doc_id, score) over an explicit documents frame —
+    * shared by the declared query, the RRF fusion, and the composed
+    * retrieval pipeline's candidate stage.
     */
-  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  private[graft] def bm25TopKFrom(docsIn: DataFrame, k: Int): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
     // single-row corpus stats + |query|-row df: the allowlisted bounded
     // broadcast classes (PlanShapeSpec)
     val stats = docs.agg(count(lit(1)).as("n"),
       sum("dl").cast("double").as("sumdl"))
       .withColumn("avgdl", col("sumdl") / col("n"))
-    val tf = tfFrame(s, dir)
+    val tf = tfFrameFrom(docsIn)
     val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfT), "tok")
       .crossJoin(broadcast(stats))
@@ -142,8 +159,11 @@ object Retrieval {
             + lit(B) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(round(sum("part"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(TopK)
+      .limit(k)
   }
+
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopKFrom(Tables.documents(s, dir), TopK)
 
   /** WAND-style two-phase pruned BM25 over a postings index (Broder et
     * al. 2003's upper-bound idea, reshaped for batch): the per-term score
@@ -301,6 +321,87 @@ object Retrieval {
         .select(col("id"), col("rank_lex"), col("rank_vec"),
           (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0))
             + coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+    },
+
+    // The COMPOSED serving-path pipeline — the retrieval twin of the
+    // corpus build (q_pipeline_full): canonicalize → tokenize → BM25
+    // candidate generation → exact-cosine re-rank of the candidates
+    // against the probe embedding → RRF fusion of the lexical and dense
+    // orderings, declared as ONE query. The oracle is a multi-statement
+    // temp-table script reusing each stage's proven SQL (the normalize
+    // kernel's normalizeSql, the bm25ScoredSql core, q_rrf_fusion's
+    // cosine/rank/fusion algebra), so the COMPOSITION is checked
+    // cell-exact end to end. The probe's own document is excluded from
+    // the candidate corpus (a query must not retrieve itself); docs
+    // without an embedding row keep their lexical rank and contribute 0
+    // dense mass (left join + coalesce — exercised for real at sf0.1,
+    // where 3/5 of documents carry no embedding). Scale shape: the
+    // corpus is touched once by the candidate stage (one tf shuffle +
+    // TakeOrdered CandK); everything downstream is ≤ CandK rows —
+    // localCheckpoint'ed (the pipeline_full lineage-barrier hygiene:
+    // the candidate frame feeds the lex-rank AND re-rank branches).
+    Q("q_retrieval_full",
+      s"""CREATE OR REPLACE TEMP TABLE rf_docs AS
+         |  SELECT doc_id, ${graft.functions.TextNorm.normalizeSql("text")} AS text
+         |  FROM documents WHERE doc_id <> $ProbeId;
+         |CREATE OR REPLACE TEMP TABLE rf_cand AS
+         |  ${bm25ScoredSql("rf_docs").replace("\n", "\n  ")}
+         |  ORDER BY score DESC, doc_id LIMIT $CandK;
+         |CREATE OR REPLACE TEMP TABLE rf_lex AS
+         |  SELECT doc_id AS id, score,
+         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |           AS BIGINT) AS rank_lex
+         |  FROM rf_cand;
+         |CREATE OR REPLACE TEMP TABLE rf_cos AS
+         |  WITH nv AS (
+         |    SELECT vec_id, embedding::DOUBLE[] AS v,
+         |           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |             AS nrm
+         |    FROM embeddings),
+         |  pv AS (SELECT v, nrm FROM nv WHERE vec_id = $ProbeId),
+         |  cs AS (
+         |    SELECT l.id AS id,
+         |           round(list_dot_product(c.v, pv.v) / (c.nrm * pv.nrm), 6)
+         |             AS cos_r
+         |    FROM rf_lex l JOIN nv c ON c.vec_id = l.id, pv)
+         |  SELECT id, cos_r,
+         |         CAST(row_number() OVER (ORDER BY cos_r DESC, id)
+         |           AS BIGINT) AS rank_cos
+         |  FROM cs;
+         |SELECT l.id AS id, l.rank_lex, c.rank_cos, c.cos_r,
+         |       coalesce(1.0::DOUBLE / ($RrfK + l.rank_lex), 0)
+         |         + coalesce(1.0::DOUBLE / ($RrfK + c.rank_cos), 0) AS rrf
+         |FROM rf_lex l LEFT JOIN rf_cos c ON c.id = l.id
+         |ORDER BY rrf DESC, id""".stripMargin) { (s, dir) =>
+      import graft.functions.exprs.dot_ff
+      import graft.functions.TextNormExprs.normalize_text
+      // stages 1–2: canonical text; tokenization happens inside the
+      // candidate stage's split (whitespace terms over canonical text)
+      val docsN = Tables.documents(s, dir)
+        .filter(col("doc_id") =!= ProbeId)
+        .select(col("doc_id"), normalize_text(col("text")).as("text"))
+      // stage 3: lexical candidates (barrier: feeds two branches)
+      val cand = bm25TopKFrom(docsN, CandK).localCheckpoint()
+      val lex = rankOf(cand, col("score"), col("doc_id"), "rank_lex")
+      // stage 4: exact-cosine re-rank against the probe embedding
+      val nv = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(dot_ff(col("embedding"), col("embedding"))))
+      val pv = nv.filter(col("vec_id") === ProbeId)
+        .select(col("embedding").as("pemb"), col("nrm").as("pn"))
+      val cos = lex.join(nv, col("vec_id") === col("id"))
+        .crossJoin(broadcast(pv))
+        .select(col("id"),
+          round(dot_ff(col("embedding"), col("pemb")) / (col("nrm") * col("pn")), 6)
+            .as("cos_r"))
+      val cosRank = rankOf(cos, col("cos_r"), col("id"), "rank_cos")
+        .join(cos, "id")
+      // stage 5: RRF over the fused candidate orderings
+      lex.join(cosRank, Seq("id"), "left")
+        .select(col("id"), col("rank_lex"), col("rank_cos"), col("cos_r"),
+          (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(RrfK) + col("rank_cos")), lit(0.0)))
             .as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
     },

@@ -118,6 +118,11 @@ class PlanShapeSpec extends SparkSpec {
     //     bounded by the query literal, the q_bm25_topk class.
     //   - q_rrf_fusion: embeds q_bm25_topk (same hints) plus a pinned
     //     SINGLE-ROW probe-embedding frame (vec_id = ProbeId).
+    //   - q_retrieval_full: the composed serving pipeline — its hints are
+    //     exactly the embedded q_bm25_topk candidate-stage hints
+    //     (single-row stats + |query-terms|-row df) plus the rrf-class
+    //     single-row probe embedding; everything downstream of the
+    //     candidate stage is ≤ CandK rows by LIMIT construction.
     //   - q_bigram_nll / q_dsir_weights / q_pagerank_neardup /
     //     q_pmi_collocations: the hinted side is a SINGLE-ROW total (token
     //     mass / corpus+vocab sizes / vertex count) — the tfidf/unigram
@@ -147,7 +152,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_tfidf_top_terms", "q_unigram_logprob", "q_vocab_coverage",
       "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk", "q_hard_negatives",
       "q_ann_screen_topk", "q_ann_ivf_topk", "q_sq_topk", "q_bloom_semi_join",
-      "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_pq_topk",
+      "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_retrieval_full",
+      "q_pq_topk",
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
       // the hinted side is the single-row bigram-type total — the
       // tfidf/unigram single-row class
