@@ -157,9 +157,11 @@ object Tokenize {
       merges.toSeq
     })
 
-  /** Unpersist the merge lists memoized for `s`. */
-  def clearCaches(s: SparkSession): Unit =
+  /** Unpersist the merge lists and unigram score tables memoized for `s`. */
+  def clearCaches(s: SparkSession): Unit = {
     memo.keys.filter(_._1 eq s).foreach(memo.remove)
+    ugMemo.keys.filter(_._1 eq s).foreach(ugMemo.remove)
+  }
 
   /** Encode one symbol array through an ordered merge list (column form —
     * used by the vocab query and the spec's encode equivalence test).
@@ -372,10 +374,6 @@ object Tokenize {
       }
       sc
     })
-
-  /** Unpersist unigram score tables memoized for `s`. */
-  def clearUnigramCaches(s: SparkSession): Unit =
-    ugMemo.keys.filter(_._1 eq s).foreach(ugMemo.remove)
 
   /** Viterbi segmentation of a word column under a trained score table —
     * the distributed application face. One Catalyst fold over positions
