@@ -518,9 +518,15 @@ object Dedup {
 
     // Whole-document fingerprint (rolling polynomial hash over all chars
     // of the CANONICALIZED text — exact-dup detection must not split on
-    // accent encoding, case, or whitespace runs).
+    // accent encoding, case, or whitespace runs). The oracle materializes
+    // the normalized text in a subquery FIRST: inlining normTextSql into
+    // hashSql's per-char lambda makes DuckDB re-normalize once per
+    // character (measured 21.8 s vs 0.03 s at sf0.1) — an unfair oracle
+    // pessimization, not a semantic difference.
     Q("q_doc_fingerprint",
-      s"SELECT doc_id, ${hashSql(normTextSql)} AS fp FROM documents ORDER BY doc_id") {
+      s"""SELECT doc_id, ${hashSql("t")} AS fp
+         |FROM (SELECT doc_id, $normTextSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
         Tables.documents(s, dir)
           .select(col("doc_id"), poly_hash(normText).as("fp"))
