@@ -390,15 +390,18 @@ object Retrieval {
         .withColumn("nrm", sqrt(dot_ff(col("embedding"), col("embedding"))))
       val pv = nv.filter(col("vec_id") === ProbeId)
         .select(col("embedding").as("pemb"), col("nrm").as("pn"))
-      val cos = lex.join(nv, col("vec_id") === col("id"))
+      // the candidate list (≤ CandK rows by LIMIT construction, the
+      // allowlisted class) broadcasts INTO the embeddings scan — the
+      // corpus-proportional side never shuffles for the re-rank
+      val cos = nv.join(broadcast(lex), col("vec_id") === col("id"))
         .crossJoin(broadcast(pv))
         .select(col("id"),
           round(dot_ff(col("embedding"), col("pemb")) / (col("nrm") * col("pn")), 6)
             .as("cos_r"))
       val cosRank = rankOf(cos, col("cos_r"), col("id"), "rank_cos")
-        .join(cos, "id")
+        .join(broadcast(cos), "id")
       // stage 5: RRF over the fused candidate orderings
-      lex.join(cosRank, Seq("id"), "left")
+      lex.join(broadcast(cosRank), Seq("id"), "left")
         .select(col("id"), col("rank_lex"), col("rank_cos"), col("cos_r"),
           (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0))
             + coalesce(lit(1.0) / (lit(RrfK) + col("rank_cos")), lit(0.0)))

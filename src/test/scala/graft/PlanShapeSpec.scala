@@ -297,6 +297,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("composed retrieval tail stays candidate-bounded after the barrier") {
+    // q_retrieval_full: the corpus is touched ONCE (the candidate stage,
+    // behind the localCheckpoint barrier); everything in the visible tail
+    // operates on <= CandK rows — a lineage regression would re-plan the
+    // BM25 stage per branch and fan the corpus scan back out
+    val p = plan("q_retrieval_full")
+    val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n <= 6, s"q_retrieval_full tail plans $n exchanges:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("char entropy computes narrowly — only the presentation sort exchanges") {
     // the histogram + ln-fold must live inside the scan projection; a
     // hashpartitioning exchange would mean the per-row expression regressed

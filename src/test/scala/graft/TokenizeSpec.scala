@@ -154,6 +154,32 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  test("generative property: Catalyst Viterbi equals the reference on random words") {
+    import spark.implicits._
+    // random words OVER AND BEYOND the fixture: unknown characters (the
+    // UgPenalty path), lengths past the fixture max (up to 24 — the
+    // distributed fold has no UgMaxWordLen bound, only the oracle's
+    // unroll does), and repeated-run tie pressure. Deterministic LCG.
+    val sc = refTrain(freqs)
+    var seed = 987654321L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val alphabet = "abcdehjklnorstwxyz#"  // mix of vocab and alien chars
+    val words = (1 to 120).map { _ =>
+      (1 to (1 + nextInt(24))).map(_ => alphabet(nextInt(alphabet.length))).mkString
+    }.distinct
+    val got = words.toDF("word")
+      .select(col("word"), unigramPiecesCol(col("word"), sc).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    words.foreach { w =>
+      val want = refViterbi(w, sc)
+      assert(got(w) === want, s"mismatch on random word '$w'")
+      assert(want.mkString("") === w && want.forall(_.length <= UgMaxPiece))
+    }
+  }
+
   test("unigram vocabulary conserves character mass") {
     val out = SparkEntry.all.find(_.name == "q_unigram_vocab").get
       .build(spark, sfDir)
