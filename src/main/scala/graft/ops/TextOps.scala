@@ -170,14 +170,22 @@ object TextOps {
     },
 
     // Exact dedup: hash-groupBy on full text, keep lowest doc_id.
+    // Exact-dup groups key on CANONICAL text (the round-11
+    // canonicalize-before-dedup default — same contract as
+    // q_doc_fingerprint): n_chars reports the canonical length, the
+    // deterministic per-group value.
     Q("q_dedup_docs_exact",
-      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
-        |       CAST(length(text) AS INTEGER) AS n_chars
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+         |       CAST(length(t) AS INTEGER) AS n_chars
+         |FROM (SELECT doc_id, ${graft.functions.TextNorm.normalizeSql("text")} AS t
+         |      FROM documents)
+         |GROUP BY t ORDER BY keep_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
-        .groupBy("text")
+        .select(col("doc_id"),
+          graft.functions.TextNormExprs.normalize_text(col("text")).as("t"))
+        .groupBy("t")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"), length(col("text")).as("n_chars"))
+        .select(col("keep_id"), col("n_copies"), length(col("t")).as("n_chars"))
         .orderBy("keep_id")
     },
 

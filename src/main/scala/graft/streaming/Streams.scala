@@ -465,7 +465,10 @@ object Streams {
     * `text`, `ingest_ts`) columns.
     */
   def dedupDocsByFingerprint(docs: DataFrame): DataFrame = {
-    val fp = docs.withColumn("fp", xxhash64(col("text")))
+    // canonical text (the round-11 dedup default): a re-upload that
+    // differs only in encoding/case/whitespace is the same document
+    val fp = docs.withColumn("fp",
+      xxhash64(graft.functions.TextNormExprs.normalize_text(col("text"))))
     if (fp.isStreaming)
       fp.withWatermark("ingest_ts", WatermarkDelay)
         .dropDuplicatesWithinWatermark("fp")
