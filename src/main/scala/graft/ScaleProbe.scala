@@ -523,6 +523,32 @@ object ScaleProbe {
       timed("profile_grown") {
         graft.ops.Profile.profileTable(ev, "events_grown").count()
       }
+      // round-11 probes
+      // unigram application is vocabulary-shaped: the Viterbi fold runs
+      // once per DISTINCT word (grownDocs vocabulary grows ∝ m; the
+      // trained score map is fixture model state — unknown pieces take
+      // the penalty path, same DP cost). Wall should track the distinct
+      // word count, not the corpus token count.
+      timed("unigram_apply_grown") {
+        val sc = graft.ops.Tokenize.unigramTrain(spark, sfDir)
+        grownDocs.select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(size(graft.ops.Tokenize.unigramPiecesCol(col("word"), sc))
+            .as("n"))
+          .agg(sum("n")).count()
+      }
+      // the composed retrieval pipeline's ONLY corpus-proportional stage
+      // is candidate generation (one tf aggregate + TakeOrdered CandK);
+      // replicated real documents keep the query terms present. Wall
+      // should grow ∝ corpus while the output stays CandK rows.
+      timed("retrieval_candidates_grown") {
+        val docs = Tables.documents(spark, sfDir)
+        val docsN = (0 until m).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L)))
+          .reduce(_.union(_))
+        graft.ops.Retrieval.bm25TopKFrom(docsN, graft.ops.Retrieval.CandK)
+          .count()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of
