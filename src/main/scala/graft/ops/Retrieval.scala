@@ -393,11 +393,14 @@ object Retrieval {
       // the candidate list (≤ CandK rows by LIMIT construction, the
       // allowlisted class) broadcasts INTO the embeddings scan — the
       // corpus-proportional side never shuffles for the re-rank
+      // localCheckpoint: cos (≤ CandK rows) feeds the rank AND the value
+      // branch — without the barrier each branch re-scans embeddings
       val cos = nv.join(broadcast(lex), col("vec_id") === col("id"))
         .crossJoin(broadcast(pv))
         .select(col("id"),
           round(dot_ff(col("embedding"), col("pemb")) / (col("nrm") * col("pn")), 6)
             .as("cos_r"))
+        .localCheckpoint()
       val cosRank = rankOf(cos, col("cos_r"), col("id"), "rank_cos")
         .join(broadcast(cos), "id")
       // stage 5: RRF over the fused candidate orderings
