@@ -32,6 +32,8 @@ object Register {
       "scala_udf")
     reg.createOrReplaceTempFunction("byte_histogram16",
       arity("byte_histogram16", 1)(es => ByteHistogram16(es.head)), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_text",
+      arity("normalize_text", 1)(es => NormalizeText(es.head)), "scala_udf")
     reg.createOrReplaceTempFunction("st_as_wkt",
       arity("st_as_wkt", 1)(es => StAsWkt(es.head)), "scala_udf")
     reg.createOrReplaceTempFunction("shingles",

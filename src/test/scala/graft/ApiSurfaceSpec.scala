@@ -34,5 +34,10 @@ class ApiSurfaceSpec extends SparkSpec {
       .head()
     assert(r.getLong(0) === 299566379L)
     assert(r.getInt(1) === 1)
+    // the canonicalization kernel from SQL text (decomposed e + U+0301
+    // composes, case folds, whitespace collapses)
+    val n = spark.sql("SELECT normalize_text('  CAFE\u0301  du\tJour ') AS t")
+      .head().getString(0)
+    assert(n === "café du jour", n.codePoints().toArray.toSeq.toString)
   }
 }
