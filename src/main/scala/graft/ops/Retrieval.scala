@@ -63,6 +63,16 @@ object Retrieval {
   final val RboDepth = 10
   final val RboP     = 0.9
 
+  /** Probe-batch width of the batch serving path (q_retrieval_batch) and
+    * the per-probe query width mined from each probe document. The probe
+    * batch is GlobalLimit-capped in the plan (the Similarity.probeBatch
+    * contract), so every frame derived from it — per-probe terms, the
+    * distinct term set, probe embeddings — is bounded BY CONSTRUCTION at
+    * any corpus size.
+    */
+  final val RbProbes = 8
+  final val RbTerms  = 3
+
   /** Per-depth RBO weight (1−p)·p^(d−1)/d, PRE-SCALED to micro units —
     * computed once, embedded as the identical round-trip double literal
     * in both engines, so each term is one multiply+round on an exact
@@ -410,6 +420,181 @@ object Retrieval {
             + coalesce(lit(1.0) / (lit(RrfK) + col("rank_cos")), lit(0.0)))
             .as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
+    },
+
+    // BATCH-PROBE retrieval serving — q_retrieval_full generalized from
+    // the pinned ProbeId to a probe BATCH (serving is never single-query):
+    // [[RbProbes]] probe documents (doc_id % 100 = 0, GlobalLimit-capped —
+    // the Similarity.probeBatch contract), each contributing its own
+    // [[RbTerms]]-term query (its top tokens by tf, ties to the smaller
+    // token — the deterministic query-mining rule both engines share),
+    // then per probe: BM25 candidates (top [[CandK]]), exact-cosine
+    // re-rank against the probe's embedding, RRF fusion — one
+    // groupBy(probe) wider than the single-probe pipeline at every stage.
+    // df/avgdl stay CORPUS statistics (standard IR; the per-probe knob is
+    // only which terms score), and each probe's own document is excluded
+    // from its candidates. Probes or candidates without an embedding row
+    // keep their lexical rank and contribute zero dense mass (left join +
+    // coalesce — exercised for real at sf0.1).
+    //
+    // Scale shape — the plan is probe-count-INDEPENDENT in exchanges:
+    // the corpus is touched once by the shared tf build (explode → one
+    // broadcast semi-join against the ≤ RbProbes·RbTerms term set → one
+    // (doc, tok) shuffle); per-probe scoring fans each matched tf row to
+    // the probes requesting that term (Θ(docs × probes sharing a term)
+    // ROWS, but the same exchange count at any batch width); the
+    // per-probe top-CandK runs as the partial TopKAgg aggregation (map-
+    // side k-buffers — never a corpus-per-probe window sort); everything
+    // past the checkpoint barrier is ≤ RbProbes·CandK rows.
+    Q("q_retrieval_batch",
+      s"""CREATE OR REPLACE TEMP TABLE rb_docs AS
+         |  SELECT doc_id, ${graft.functions.TextNorm.normalizeSql("text")} AS text
+         |  FROM documents;
+         |CREATE OR REPLACE TEMP TABLE rb_probes AS
+         |  SELECT doc_id AS p_id, text FROM rb_docs
+         |  WHERE doc_id % 100 = 0 ORDER BY doc_id LIMIT $RbProbes;
+         |CREATE OR REPLACE TEMP TABLE rb_pterms AS
+         |  SELECT p_id, tok FROM (
+         |    SELECT p_id, tok,
+         |           row_number() OVER (PARTITION BY p_id ORDER BY c DESC, tok) AS rn
+         |    FROM (SELECT p_id, tok, CAST(count(*) AS BIGINT) AS c
+         |          FROM (SELECT p_id, unnest(string_split(text, ' ')) AS tok
+         |                FROM rb_probes)
+         |          GROUP BY 1, 2))
+         |  WHERE rn <= $RbTerms;
+         |CREATE OR REPLACE TEMP TABLE rb_d AS
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |         string_split(text, ' ') AS toks
+         |  FROM rb_docs;
+         |CREATE OR REPLACE TEMP TABLE rb_stats AS
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM rb_d;
+         |CREATE OR REPLACE TEMP TABLE rb_tf AS
+         |  SELECT doc_id, dl, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM rb_d)
+         |  WHERE tok IN (SELECT DISTINCT tok FROM rb_pterms)
+         |  GROUP BY 1, 2, 3;
+         |CREATE OR REPLACE TEMP TABLE rb_df AS
+         |  SELECT tok, count(*) AS df FROM rb_tf GROUP BY 1;
+         |CREATE OR REPLACE TEMP TABLE rb_cand AS
+         |  SELECT p_id, doc_id, score, rank_lex FROM (
+         |    SELECT p_id, doc_id, score,
+         |           CAST(row_number() OVER (PARTITION BY p_id
+         |             ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+         |    FROM (
+         |      SELECT pt.p_id, tf.doc_id,
+         |             round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         |                       * tf.tf * ($K1 + 1)
+         |                       / (tf.tf + $K1 * (1 - $B + $B * tf.dl / s.avgdl))), 6)
+         |               AS score
+         |      FROM rb_tf tf JOIN rb_pterms pt ON pt.tok = tf.tok
+         |           JOIN rb_df df ON df.tok = tf.tok, rb_stats s
+         |      WHERE tf.doc_id <> pt.p_id
+         |      GROUP BY 1, 2))
+         |  WHERE rank_lex <= $CandK;
+         |CREATE OR REPLACE TEMP TABLE rb_cos AS
+         |  WITH nv AS (
+         |    SELECT vec_id, embedding::DOUBLE[] AS v,
+         |           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |             AS nrm
+         |    FROM embeddings),
+         |  pv AS (SELECT p.p_id, n.v, n.nrm
+         |         FROM rb_probes p JOIN nv n ON n.vec_id = p.p_id),
+         |  cs AS (
+         |    SELECT c.p_id, c.doc_id AS id,
+         |           round(list_dot_product(n.v, pv.v) / (n.nrm * pv.nrm), 6)
+         |             AS cos_r
+         |    FROM rb_cand c JOIN nv n ON n.vec_id = c.doc_id
+         |         JOIN pv ON pv.p_id = c.p_id)
+         |  SELECT p_id, id, cos_r,
+         |         CAST(row_number() OVER (PARTITION BY p_id
+         |           ORDER BY cos_r DESC, id) AS BIGINT) AS rank_cos
+         |  FROM cs;
+         |SELECT l.p_id AS p_id, l.doc_id AS id, l.rank_lex, c.rank_cos, c.cos_r,
+         |       coalesce(1.0::DOUBLE / ($RrfK + l.rank_lex), 0)
+         |         + coalesce(1.0::DOUBLE / ($RrfK + c.rank_cos), 0) AS rrf
+         |FROM rb_cand l LEFT JOIN rb_cos c
+         |  ON c.p_id = l.p_id AND c.id = l.doc_id
+         |ORDER BY p_id, rrf DESC, id""".stripMargin) { (s, dir) =>
+      import graft.functions.exprs.dot_ff
+      import graft.functions.TextNormExprs.normalize_text
+      val docsN = Tables.documents(s, dir)
+        .select(col("doc_id"), normalize_text(col("text")).as("text"))
+      // probe batch: GlobalLimit-capped by construction
+      val probes = docsN.filter(col("doc_id") % 100 === 0)
+        .orderBy("doc_id").limit(RbProbes)
+        .select(col("doc_id").as("p_id"), col("text"))
+      // per-probe query terms (≤ RbProbes·RbTerms rows); the window is
+      // p_id-partitioned over the capped probe frame, never the corpus.
+      // Checkpointed: feeds the term-set filter AND the score fan-out.
+      val pterms = probes
+        .select(col("p_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("p_id", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("c").desc, col("tok"))))
+        .filter(col("rn") <= RbTerms)
+        .select("p_id", "tok")
+        .localCheckpoint()
+      val termSet = pterms.select("tok").distinct()
+      // shared tf build: the ONE corpus-proportional stage — the explode
+      // dies against the broadcast term set inside the scan stage
+      val toksC = split(col("text"), " ")
+      val tf = docsN
+        .select(col("doc_id"), size(toksC).as("dl"), explode(toksC).as("tok"))
+        .join(broadcast(termSet), "tok")
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val stats = docsN.select(size(split(col("text"), " ")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum("dl").cast("double").as("sumdl"))
+        .withColumn("avgdl", col("sumdl") / col("n"))
+      val parts = tf.join(broadcast(dfT), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("part",
+          col("idf") * col("tf") * (lit(K1) + 1)
+            / (col("tf") + lit(K1) * (lit(1) - lit(B)
+              + lit(B) * col("dl") / col("avgdl"))))
+      // per-probe top-CandK via the partial TopKAgg (map-side k-buffers),
+      // NOT a per-probe window sort over the corpus
+      val topk = udaf(new graft.functions.TopKAgg(CandK))
+      val cand = parts.join(broadcast(pterms), "tok")
+        .filter(col("doc_id") =!= col("p_id"))
+        .groupBy("p_id", "doc_id").agg(round(sum("part"), 6).as("score"))
+        .groupBy("p_id").agg(topk(col("score"), col("doc_id")).as("tk"))
+        .select(col("p_id"),
+          posexplode(arrays_zip(col("tk.cs"), col("tk.ids"))).as(Seq("pos", "z")))
+        .select(col("p_id"), col("z.ids").as("id"), col("z.cs").as("score"),
+          (col("pos") + 1).cast("long").as("rank_lex"))
+        .localCheckpoint() // barrier: ≤ RbProbes·CandK rows feed two branches
+      // per-probe exact-cosine re-rank: the candidate list broadcasts INTO
+      // the embeddings scan; probe vectors are a ≤ RbProbes-row broadcast
+      val nv = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(dot_ff(col("embedding"), col("embedding"))))
+      val pv = nv.join(broadcast(probes.select("p_id")),
+          col("vec_id") === col("p_id"))
+        .select(col("p_id").as("pp"), col("embedding").as("pemb"),
+          col("nrm").as("pn"))
+      val cos = nv.join(broadcast(cand.select("p_id", "id")),
+          col("vec_id") === col("id"))
+        .join(broadcast(pv), col("p_id") === col("pp"))
+        .select(col("p_id"), col("id"),
+          round(dot_ff(col("embedding"), col("pemb")) / (col("nrm") * col("pn")), 6)
+            .as("cos_r"))
+        .localCheckpoint() // ≤ RbProbes·CandK rows feed rank + value branches
+      val cosRank = cos.withColumn("rank_cos", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("cos_r").desc, col("id")))
+          .cast("long"))
+        .select(col("p_id").as("cp"), col("id").as("ci"),
+          col("rank_cos"), col("cos_r"))
+      cand.join(broadcast(cosRank),
+          col("p_id") === col("cp") && col("id") === col("ci"), "left")
+        .select(col("p_id"), col("id"), col("rank_lex"), col("rank_cos"),
+          col("cos_r"),
+          (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(RrfK) + col("rank_cos")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("p_id"), col("rrf").desc, col("id"))
     },
 
     // RANK-BIASED OVERLAP (Webber et al. 2010) between the exact float

@@ -153,6 +153,13 @@ class PlanShapeSpec extends SparkSpec {
       "q_cosine_topk", "q_cosine_topk_ann", "q_ann_lsh_topk", "q_hard_negatives",
       "q_ann_screen_topk", "q_ann_ivf_topk", "q_sq_topk", "q_bloom_semi_join",
       "q_domain_mix_temp", "q_bm25_topk", "q_rrf_fusion", "q_retrieval_full",
+      // the batch serving path: hinted sides are the ≤ RbProbes·RbTerms
+      // probe-term frame and its distinct-token projection (both derive
+      // from the GlobalLimit-capped probe batch), the single-row corpus
+      // stats, the |matched terms|-row df frame (≤ the term set), the
+      // ≤ RbProbes-row probe-embedding frame, and the ≤ RbProbes·CandK
+      // candidate/cos frames (TopKAgg-capped by construction)
+      "q_retrieval_batch",
       "q_pq_topk",
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
       // the hinted side is the single-row bigram-type total — the
@@ -305,6 +312,18 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_retrieval_full")
     val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
     assert(n <= 6, s"q_retrieval_full tail plans $n exchanges:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("batch retrieval tail is probe-count-independent after the barrier") {
+    // q_retrieval_batch: the corpus is touched once by the shared tf
+    // build behind the candidate checkpoint; the visible tail operates on
+    // <= RbProbes·CandK rows and its EXCHANGE COUNT must not depend on
+    // the probe-batch width (per-probe work rides the p_id key inside
+    // shared exchanges — a per-probe re-plan would multiply this count)
+    val p = plan("q_retrieval_batch")
+    val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n <= 6, s"q_retrieval_batch tail plans $n exchanges:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }
 
