@@ -161,6 +161,7 @@ object Tokenize {
   def clearCaches(s: SparkSession): Unit = {
     memo.keys.filter(_._1 eq s).foreach(memo.remove)
     ugMemo.keys.filter(_._1 eq s).foreach(ugMemo.remove)
+    ugPrunedMemo.keys.filter(_._1 eq s).foreach(ugPrunedMemo.remove)
   }
 
   /** Encode one symbol array through an ordered merge list (column form —
@@ -291,6 +292,12 @@ object Tokenize {
     */
   final val UgPenalty = -1000000000000L
 
+  /** Percent of MULTI-character pieces the pruning round removes
+    * (SentencePiece's shrinking_factor analog; single characters are
+    * never pruned — they guarantee every word stays segmentable).
+    */
+  final val UgPrunePct = 20
+
   /** Micro-nat snap: HALF_UP (= away from zero, matching DuckDB round()
     * and Spark round()) after the shared double chain
     * 1e6 · ln((c+1)/(T+V)).
@@ -331,23 +338,39 @@ object Tokenize {
   private val ugMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Map[String, Long]]
 
-  /** Train the unigram LM; returns the final micro-nat score table (the
-    * scores the round-[[UgEmRounds]] segmentation runs under). Memoized
-    * per (session, dir) like [[train]]. Fails loudly (the capped-oracle
+  /** The bounded training dictionary (top-[[UgSeedCap]] (word, freq) by
+    * (freq DESC, word)) — one TakeOrdered Spark job, shared by the EM
+    * trainer and the pruning round. Fails loudly (the capped-oracle
     * contract, same as BPE's) if the dictionary saturates [[UgSeedCap]]
     * or any word outruns the oracle's [[UgMaxWordLen]]-position unroll.
     */
+  private def ugDict(s: SparkSession, dir: String): Array[(String, Long)] = {
+    val wf = wordFreq(s, dir)
+      .orderBy(col("freq").desc, col("word")).limit(UgSeedCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(wf.length < UgSeedCap,
+      s"unigram dictionary hit UgSeedCap=$UgSeedCap: the capped-oracle " +
+      "contract no longer holds; raise the cap or drop the oracle")
+    require(wf.forall(_._1.length <= UgMaxWordLen),
+      s"a word exceeds UgMaxWordLen=$UgMaxWordLen: the oracle's DP " +
+      "unroll cannot segment it; raise the bound")
+    // empty tokens (doubled spaces upstream) would run the Catalyst
+    // fold over Spark's DESCENDING sequence(1, 0) while the oracle's
+    // inner join silently drops length-0 words — fail loudly instead
+    // of diverging cross-engine (the capped-oracle contract)
+    require(wf.forall(_._1.nonEmpty),
+      "the word-frequency frame contains an empty word: the unigram " +
+      "DP and its oracle disagree on length-0 input; fix tokenization")
+    wf
+  }
+
+  /** Train the unigram LM; returns the final micro-nat score table (the
+    * scores the round-[[UgEmRounds]] segmentation runs under). Memoized
+    * per (session, dir) like [[train]].
+    */
   def unigramTrain(s: SparkSession, dir: String): Map[String, Long] =
     ugMemo.getOrElseUpdate((s, dir), {
-      val wf = wordFreq(s, dir)
-        .orderBy(col("freq").desc, col("word")).limit(UgSeedCap)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      require(wf.length < UgSeedCap,
-        s"unigram dictionary hit UgSeedCap=$UgSeedCap: the capped-oracle " +
-        "contract no longer holds; raise the cap or drop the oracle")
-      require(wf.forall(_._1.length <= UgMaxWordLen),
-        s"a word exceeds UgMaxWordLen=$UgMaxWordLen: the oracle's DP " +
-        "unroll cannot segment it; raise the bound")
+      val wf = ugDict(s, dir)
       val seed = scala.collection.mutable.Map
         .empty[String, Long].withDefaultValue(0L)
       wf.foreach { case (w, f) =>
@@ -373,6 +396,82 @@ object Tokenize {
         sc = ugLaplace(cnt, vocab)
       }
       sc
+    })
+
+  // ---- vocabulary pruning (SentencePiece's remove-lowest-likelihood) ----
+
+  /** Best segmentation score of `w` into AT LEAST TWO pieces under `sc` —
+    * the alternative cost the pruning criterion charges a piece: the same
+    * exact-integer DP as [[unigramViterbiSeq]] with the single full-span
+    * candidate (st = 1 at i = |w|, i.e. the piece itself) excluded. Every
+    * strict substring of a vocab piece is itself in the seed vocabulary
+    * (seeds are all substrings ≤ [[UgMaxPiece]] of dictionary words), so
+    * the result is always finite.
+    */
+  private[graft] def unigramAltBest(w: String, sc: Map[String, Long]): Long = {
+    val best = Array.fill(w.length + 1)(Long.MinValue / 4)
+    best(0) = 0L
+    var i = 1
+    while (i <= w.length) {
+      var st = math.max(1, i - UgMaxPiece + 1)
+      while (st <= i) {
+        if (!(st == 1 && i == w.length)) {
+          val cand = best(st - 1) +
+            sc.getOrElse(w.substring(st - 1, i), UgPenalty)
+          if (cand > best(i)) best(i) = cand
+        }
+        st += 1
+      }
+      i += 1
+    }
+    best(w.length)
+  }
+
+  private val ugPrunedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Map[String, Long]]
+
+  /** The PRUNED unigram score table — SentencePiece's
+    * remove-lowest-likelihood round (Kudo 2018 §3.2) made deterministic:
+    *
+    *  1. re-score the round-[[UgEmRounds]] E-step counts (sc2);
+    *  2. charge each multi-character piece its likelihood LOSS if removed,
+    *     loss(p) = c(p) · (sc2(p) − alt(p)) with alt(p) =
+    *     [[unigramAltBest]] — the exact cost of re-segmenting p's
+    *     occurrences without it (the paper's approximation: other pieces'
+    *     scores held fixed). All integer micro-nats × integer counts;
+    *  3. drop the bottom [[UgPrunePct]]% of multi-char pieces by
+    *     (loss ASC, piece DESC) — i.e. keep the top by (loss DESC,
+    *     piece ASC), the cross-engine tie rule; single characters are
+    *     never pruned (coverage guarantee);
+    *  4. re-fit Laplace scores over the PRUNED vocabulary from the same
+    *     counts — the next EM round's score table; segmentation under it
+    *     is the pruned tokenizer ([[q_unigram_pruned]]'s round
+    *     [[UgEmRounds]]+1).
+    *
+    * Every step is driver-side bounded model state (the vocab-sized
+    * frames [[unigramTrain]] already holds); the oracle re-derives the
+    * whole pruning round in SQL — alt-cost DP over the vocab frame, loss
+    * ranking, keep cut, re-scored round-3 segmentation — so oracle-green
+    * proves the pruning trajectory, not just the surviving vocab.
+    */
+  def unigramTrainPruned(s: SparkSession, dir: String): Map[String, Long] =
+    ugPrunedMemo.getOrElseUpdate((s, dir), {
+      val wf = ugDict(s, dir)
+      val sc1 = unigramTrain(s, dir)
+      val vocab = sc1.keys.toSeq.sorted
+      val cnt2 = scala.collection.mutable.Map
+        .empty[String, Long].withDefaultValue(0L)
+      wf.foreach { case (w, f) =>
+        unigramViterbiSeq(w, sc1).foreach(p => cnt2(p) += f)
+      }
+      val sc2 = ugLaplace(cnt2, vocab)
+      val multi = vocab.filter(_.length >= 2)
+      val loss = multi.map(p =>
+        p -> cnt2(p) * (sc2(p) - unigramAltBest(p, sc2))).toMap
+      val keepN = multi.length - multi.length * UgPrunePct / 100
+      val kept = multi.sortBy(p => (-loss(p), p)).take(keepN)
+      val keep = (vocab.filter(_.length == 1) ++ kept).sorted
+      ugLaplace(cnt2, keep)
     })
 
   /** Viterbi segmentation of a word column under a trained score table —
@@ -408,15 +507,16 @@ object Tokenize {
 
   // ---- unigram oracle script (the bpe_v* mechanism, DP over positions) ----
 
-  private def ugScSql(name: String, cnts: String): String =
+  private def ugScSql(name: String, cnts: String,
+      vocab: String = "ug_vocab"): String =
     s"""CREATE OR REPLACE TEMP TABLE $name AS
        |  WITH t AS (SELECT CAST(sum(coalesce(c.c, 0)) AS BIGINT) AS tt,
        |                    CAST(count(*) AS BIGINT) AS v
-       |             FROM ug_vocab vv LEFT JOIN $cnts c USING (piece))
+       |             FROM $vocab vv LEFT JOIN $cnts c USING (piece))
        |  SELECT vv.piece,
        |         CAST(round(1000000 * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
        |              / CAST(t.tt + t.v AS DOUBLE))) AS BIGINT) AS sc
-       |  FROM ug_vocab vv LEFT JOIN $cnts c USING (piece), t;""".stripMargin
+       |  FROM $vocab vv LEFT JOIN $cnts c USING (piece), t;""".stripMargin
 
   private def ugDpRoundSql(r: Int, scoresTable: String): String = {
     val steps = (1 to UgMaxWordLen).map { i =>
@@ -473,6 +573,57 @@ object Tokenize {
        |  GROUP BY piece ORDER BY c DESC, piece LIMIT $UgSeedCap;
        |${ugScSql("ug_sc0", "ug_vocab")}
        |$rounds""".stripMargin
+  }
+
+  /** The pruning round, unrolled: re-score → alt-cost DP over the vocab
+    * frame (positions 1..[[UgMaxPiece]], full-span branch excluded) →
+    * integer loss ranking → keep cut → re-scored round-(UgEmRounds+1)
+    * segmentation. Appends to [[ugScriptPrefix]].
+    */
+  private def ugPruneScript: String = {
+    val r = UgEmRounds
+    val steps = (1 to UgMaxPiece).map { i =>
+      val branches = (math.max(0, i - UgMaxPiece) until i).map { j =>
+        s"SELECT d.word AS word, d.sc + coalesce(s.sc, $UgPenalty) AS sc " +
+        s"FROM ug_alt_$j d LEFT JOIN ug_sc2 s " +
+        s"ON s.piece = substr(d.word, ${j + 1}, ${i - j}) " +
+        s"WHERE length(d.word) >= $i AND NOT ($j = 0 AND length(d.word) = $i)"
+      }.mkString("\n      UNION ALL\n      ")
+      s"""CREATE OR REPLACE TEMP TABLE ug_alt_$i AS
+         |  SELECT word, max(sc) AS sc FROM (
+         |      $branches
+         |  ) GROUP BY word;""".stripMargin
+    }
+    val altFinal = (2 to UgMaxPiece)
+      .map(i => s"SELECT word, sc FROM ug_alt_$i WHERE length(word) = $i")
+      .mkString("\n    UNION ALL\n    ")
+    s"""${ugScSql("ug_sc2", s"ug_cnt$r")}
+       |CREATE OR REPLACE TEMP TABLE ug_alt_0 AS
+       |  SELECT piece AS word, CAST(0 AS BIGINT) AS sc
+       |  FROM ug_vocab WHERE length(piece) >= 2;
+       |${steps.mkString("\n")}
+       |CREATE OR REPLACE TEMP TABLE ug_alt AS
+       |  SELECT word, sc FROM (
+       |    $altFinal
+       |  );
+       |CREATE OR REPLACE TEMP TABLE ug_loss AS
+       |  SELECT v.piece,
+       |         CAST(coalesce(c.c, 0) * (s.sc - a.sc) AS BIGINT) AS loss
+       |  FROM ug_vocab v
+       |  JOIN ug_sc2 s ON s.piece = v.piece
+       |  JOIN ug_alt a ON a.word = v.piece
+       |  LEFT JOIN ug_cnt$r c ON c.piece = v.piece
+       |  WHERE length(v.piece) >= 2;
+       |CREATE OR REPLACE TEMP TABLE ug_keep AS
+       |  SELECT piece FROM ug_vocab WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece FROM (
+       |    SELECT piece, row_number() OVER (ORDER BY loss DESC, piece) AS rn,
+       |           count(*) OVER () AS nm
+       |    FROM ug_loss)
+       |  WHERE rn <= nm - (nm * $UgPrunePct) // 100;
+       |${ugScSql("ug_sc2p", s"ug_cnt$r", "ug_keep")}
+       |${ugDpRoundSql(r + 1, "ug_sc2p")}""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
@@ -603,6 +754,47 @@ object Tokenize {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_ug_tokens"))
         .orderBy("doc_id")
+    },
+
+    // PRUNED unigram vocabulary — the remove-lowest-likelihood round that
+    // actually PICKS the vocab (SentencePiece's shrinking loop, one round
+    // here; [[unigramTrainPruned]] documents the deterministic criterion).
+    // Output: the SURVIVING piece inventory — one row per kept piece with
+    // its re-fit micro-nat score and its freq-weighted usage in the
+    // round-(UgEmRounds+1) segmentation under those scores (0 for kept-
+    // but-unused pieces). The row COUNT is the shrunken vocabulary:
+    // |keep| = |1-char| + 80% of multi-char pieces < |ug_vocab|
+    // (TokenizeSpec asserts the shrink and score-table equality with a
+    // from-scratch sequential pruning reference). The oracle unrolls the
+    // pruning round itself (alt-cost DP, loss ranking, keep cut,
+    // re-score, round-3 DP) on top of the EM trajectory script, so green
+    // proves the pruning DECISION PATH — which pieces died and what the
+    // survivors' re-fit scores are — not just a surviving piece set.
+    // Scale shape: the score table is bounded model state (vocab-sized,
+    // the centroid-literal class); the usage branch is the one
+    // distributed stage (the q_unigram_vocab fold over distinct words).
+    Q("q_unigram_pruned",
+      s"""$ugScriptPrefix
+         |$ugPruneScript
+         |SELECT k.piece AS piece, s.sc AS sc_micro,
+         |       CAST(coalesce(u.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM ug_keep k JOIN ug_sc2p s USING (piece)
+         |LEFT JOIN (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_tokens FROM (
+         |    SELECT freq, unnest(ps) AS piece FROM ug_seg${UgEmRounds + 1})
+         |  GROUP BY piece) u USING (piece)
+         |ORDER BY piece""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sc = unigramTrainPruned(s, dir)
+      val used = wordFreq(s, dir)
+        .select(col("freq"), unigramPiecesCol(col("word"), sc).as("ps"))
+        .select(explode_outer(col("ps")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("n_tokens"))
+      sc.toSeq.sortBy(_._1).toDF("piece", "sc_micro")
+        .join(used, Seq("piece"), "left")
+        .select(col("piece"), col("sc_micro"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .orderBy("piece")
     }
   )
 }

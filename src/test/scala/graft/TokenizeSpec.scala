@@ -180,6 +180,62 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  // ---- unigram pruning: from-scratch sequential reference -----------------
+
+  /** Reference pruning round, derived differently from the engine: the
+    * alternative cost of a piece is refViterbi over the piece with the
+    * piece DELETED from the score map (banning it at every position —
+    * only the full span can match, so this equals the engine's
+    * exclude-the-full-span DP), then the same loss ranking / keep cut /
+    * Laplace re-fit.
+    */
+  private def refTrainPruned(freqs: Map[String, Long]): Map[String, Long] = {
+    val sc1 = refTrain(freqs)
+    val vocab = sc1.keys.toVector.sorted
+    val cnt2 = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- freqs; p <- refViterbi(w, sc1)) cnt2(p) += f
+    def laplaceOver(c: collection.Map[String, Long], vs: Seq[String]) = {
+      val t = vs.map(c.getOrElse(_, 0L)).sum
+      vs.map(p => p -> refScore(c.getOrElse(p, 0L), t, vs.length)).toMap
+    }
+    val sc2 = laplaceOver(cnt2, vocab)
+    def alt(p: String): Long = {
+      val banned = sc2 - p
+      refViterbi(p, banned).map(q => banned.getOrElse(q, UgPenalty)).sum
+    }
+    val multi = vocab.filter(_.length >= 2)
+    val loss = multi.map(p => p -> cnt2(p) * (sc2(p) - alt(p))).toMap
+    val keepN = multi.length - multi.length * UgPrunePct / 100
+    val kept = multi.sortBy(p => (-loss(p), p)).take(keepN)
+    laplaceOver(cnt2, (vocab.filter(_.length == 1) ++ kept).sorted)
+  }
+
+  test("pruned unigram trainer matches the sequential pruning reference and SHRINKS") {
+    val pruned = unigramTrainPruned(spark, sfDir)
+    assert(pruned === refTrainPruned(freqs))
+    val full = unigramTrain(spark, sfDir)
+    assert(pruned.size < full.size,
+      s"pruning must shrink the vocabulary (${pruned.size} vs ${full.size})")
+    // coverage guarantee: every single-character piece survives
+    assert(full.keys.filter(_.length == 1).forall(pruned.contains))
+    // the cut is exactly UgPrunePct% of the multi-char pieces
+    val multiFull   = full.keys.count(_.length >= 2)
+    val multiPruned = pruned.keys.count(_.length >= 2)
+    assert(multiPruned === multiFull - multiFull * UgPrunePct / 100)
+  }
+
+  test("pruned segmentation still tiles every word (coverage under pruning)") {
+    val sc = unigramTrainPruned(spark, sfDir)
+    val got = wordFreq(spark, sfDir)
+      .select(col("word"), unigramPiecesCol(col("word"), sc).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    freqs.keys.foreach { w =>
+      assert(got(w).mkString("") === w, s"pruned segmentation must tile '$w'")
+      assert(got(w).forall(sc.contains),
+        s"pruned segmentation of '$w' uses a pruned piece")
+    }
+  }
+
   test("unigram vocabulary conserves character mass") {
     val out = SparkEntry.all.find(_.name == "q_unigram_vocab").get
       .build(spark, sfDir)
