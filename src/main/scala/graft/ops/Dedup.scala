@@ -266,6 +266,47 @@ object Dedup {
         col("inter"), col("uni"), col("jac"))
   }
 
+  /** LWW retired-doc set from a (doc_id, ts, op) index-maintenance
+    * changelog — the Lakehouse CDC snapshot rule applied to index
+    * MEMBERSHIP: a doc is retired iff its LATEST maintenance op is a
+    * delete tombstone ('D'); a later re-ingest ('U') resurrects it. Ties
+    * on ts resolve to the delete (op 'D' < 'U' — a same-timestamp race
+    * retires conservatively; a production log would carry a sequence
+    * number like the events changelog's event_id). One keyed exchange +
+    * per-key top-1, the Lakehouse.snapshot shape.
+    */
+  private[graft] def retiredIds(changes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("ts").desc, col("op").asc)
+    changes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "D")
+      .select("doc_id")
+  }
+
+  /** Fold a retirement batch into a persisted cluster index WITHOUT a
+    * rebuild — the GDPR-style deletion face of [[incrementalNearDup]]'s
+    * append-only ingest: drop retired docs from member lists, drop
+    * clusters left with no member, re-derive cid (min surviving member).
+    * NO re-tokenization, re-hashing, or signature work happens — cluster
+    * identity is the token-set key `th`, which member removal cannot
+    * change — so the maintenance cost is one NARROW (cid, doc) member
+    * shuffle plus one join carrying the wide th/sig arrays back, keyed
+    * on the old cid. At 100 TB: member rows are two longs each; the
+    * wide arrays move once per RETAINED cluster, never per member, and
+    * the anti-join against the tombstone set is an ordinary keyed join
+    * (no driver state). QueriesSpec proves
+    * retireFrom(clusterFrameOf(D), X) ≡ clusterFrameOf(D ∖ X) at
+    * arbitrary cutoffs, including retire-nothing and retire-everything.
+    */
+  private[graft] def retireFrom(index: DataFrame, retired: DataFrame): DataFrame = {
+    val live = index.select(col("cid").as("ocid"), explode(col("ms")).as("d"))
+      .join(retired.select(col("doc_id").as("d")), Seq("d"), "left_anti")
+      .groupBy("ocid").agg(collect_list(col("d")).as("ms"))
+    index.select(col("cid").as("ocid"), col("th"), col("sig"))
+      .join(live, "ocid")
+      .select(col("th"), col("ms"), col("sig"), array_min(col("ms")).as("cid"))
+  }
+
   /** Per-DOC (ungrouped) qualifying matches against an index — the
     * streaming-safe variant of [[incrementalNearDup]]: no groupBy on the
     * incoming side (a streaming aggregation before a join would need its
@@ -821,6 +862,39 @@ object Dedup {
       val index = clusterFrameOf(docs.filter(col("doc_id") % 10 =!= 0))
       val batch = docs.filter(col("doc_id") % 10 === 0)
       incrementalNearDup(index, batch).orderBy("new_doc", "dup_of")
+    },
+
+    // RETIRE-then-ingest: the deletion face of the incremental index —
+    // a LWW maintenance changelog (delete tombstones at ts=1 for
+    // doc_id % 7 = 3; re-ingests at ts=2 resurrect doc_id % 14 = 3, so
+    // the LWW fold is exercised for real) folds into the persisted
+    // cluster index via [[retireFrom]] (member-list surgery only — no
+    // re-tokenize/re-hash/re-sign), and the usual ingest batch then
+    // scores against the retired index. The oracle runs the full
+    // doc-level pipeline over corpus ∖ retired and restricts to
+    // (new, existing) pairs: every stage is pairwise, so
+    // retire(X) ∘ ingest must equal the full rebuild on corpus ∖ X
+    // restricted to those pairs — which is exactly what hash-green
+    // proves, on top of QueriesSpec's direct index-equality theorem.
+    Q("q_dedup_retire",
+      s"""${minhashPairsCtesWhere(
+             " WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3 AND doc_id % 14 <> 3)")}
+         |SELECT CASE WHEN d1 % 10 = 0 THEN d1 ELSE d2 END AS new_doc,
+         |       CASE WHEN d1 % 10 = 0 THEN d2 ELSE d1 END AS dup_of,
+         |       sig_agree, inter, uni, jac
+         |FROM pairs_t
+         |WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)
+         |ORDER BY new_doc, dup_of""".stripMargin) { (s, dir) =>
+      val docs  = Tables.documents(s, dir)
+      val base  = docs.filter(col("doc_id") % 10 =!= 0)
+      val index = clusterFrameOf(base)
+      val log = base.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), lit(1L).as("ts"), lit("D").as("op"))
+        .unionByName(base.filter(col("doc_id") % 14 === 3)
+          .select(col("doc_id"), lit(2L).as("ts"), lit("U").as("op")))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      incrementalNearDup(retireFrom(index, retiredIds(log)), batch)
+        .orderBy("new_doc", "dup_of")
     },
 
     // Exact n-gram (word 1-gram set) Jaccard over consecutive-id pairs —

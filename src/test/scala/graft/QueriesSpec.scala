@@ -458,6 +458,42 @@ class QueriesSpec extends SparkSpec {
       kept.count() + perDoc.count() === batch.count())
   }
 
+  test("retire ∘ index equals a full rebuild on the surviving corpus at arbitrary cutoffs") {
+    // the index-maintenance theorem behind q_dedup_retire: folding a
+    // tombstone set into the persisted cluster index (member-list
+    // surgery only) must yield EXACTLY the index a full rebuild over
+    // corpus ∖ X produces — for any X, including the empty and total
+    // retirements. Compared canonically: member lists sorted (collect
+    // order is nondeterministic), rows as a set.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    def canon(cf: org.apache.spark.sql.DataFrame) = cf
+      .select(col("cid"), sort_array(col("ms")).as("ms"),
+        col("th"), col("sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getSeq[Long](3)))
+      .toSet
+    val cuts = Seq(
+      col("doc_id") % 3 === 1,   // scattered third
+      col("doc_id") < 100,       // prefix block (whole clusters can die)
+      col("doc_id") < 0,         // retire nothing
+      col("doc_id") >= 0)        // retire everything → empty index
+    cuts.foreach { pred =>
+      val retired = docs.filter(pred).select("doc_id")
+      val got  = canon(ops.Dedup.retireFrom(ops.Dedup.clusterFrameOf(docs), retired))
+      val want = canon(ops.Dedup.clusterFrameOf(
+        docs.join(retired, Seq("doc_id"), "left_anti")))
+      assert(got === want, s"retire != rebuild under cutoff $pred")
+    }
+    // the LWW fold: a re-ingest after a delete resurrects; a delete
+    // after an upsert retires; a same-ts race retires conservatively
+    val log = Seq((1L, 1L, "D"), (1L, 2L, "U"), (2L, 1L, "U"), (2L, 2L, "D"),
+      (3L, 5L, "D"), (3L, 5L, "U")).toDF("doc_id", "ts", "op")
+    val retired = ops.Dedup.retiredIds(log).as[Long].collect().toSet
+    assert(retired === Set(2L, 3L))
+  }
+
   test("IVF cell index works as a partitioned-parquet layout with partition pruning") {
     // the claim under test: the IVF cell id is "a plain int column —
     // partition by it for locality". Write the index partitioned by cell,
