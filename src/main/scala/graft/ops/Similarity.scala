@@ -972,8 +972,11 @@ object Similarity {
     * reduction that makes a flat 100 TB ADC scan feasible — the scan
     * streams codes, never the embeddings.
     */
-  private[graft] def pqEncode(emb: DataFrame,
-      cbs: Array[Array[Array[Double]]]): DataFrame = {
+  /** The per-vector PQ code array as ONE Column over `embedding` —
+    * shared by the flat index ([[pqEncode]]) and the IVFPQ composite
+    * index ([[ivfPqIndex]]).
+    */
+  private def pqCodesCol(cbs: Array[Array[Array[Double]]]): Column = {
     val sub = Dim / PqM
     val kEff = cbs(0).length
     // one 3-d codebook literal + nested transform lambdas, NOT PqM × kEff
@@ -985,15 +988,18 @@ object Similarity {
     val nrmLit = typedlit(cbs.map(_.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum); if (n == 0) 1.0 else n
     }.toSeq).toSeq)
-    val codes = transform(sequence(lit(0), lit(PqM - 1)), m => {
+    transform(sequence(lit(0), lit(PqM - 1)), m => {
       val v = slice(col("embedding"), m * sub + 1, lit(sub))
       val scores = transform(sequence(lit(0), lit(kEff - 1)), j =>
         dot_ff(v, element_at(element_at(cbLit, m + 1), j + 1))
           / element_at(element_at(nrmLit, m + 1), j + 1))
       (array_position(scores, array_max(scores)) - 1).cast("int")
     })
-    withNorm(emb).select(col("vec_id"), col("nrm"), codes.as("codes"))
   }
+
+  private[graft] def pqEncode(emb: DataFrame,
+      cbs: Array[Array[Array[Double]]]): DataFrame =
+    withNorm(emb).select(col("vec_id"), col("nrm"), pqCodesCol(cbs).as("codes"))
 
   /** PQ-ADC ANN top-k: approximate cosine from codes alone
     * (Σ_m dot(probe_m, codebook_m[code_m]) / (|p|·|c|) — the asymmetric
@@ -1007,21 +1013,18 @@ object Similarity {
   def pqTopK(s: SparkSession, dir: String): DataFrame =
     pqTopKFrom(Tables.embeddings(s, dir))
 
-  /** [[pqTopK]] over an explicit (vec_id, embedding) frame. */
-  private[graft] def pqTopKFrom(emb: DataFrame): DataFrame = {
+  /** ADC approximate cosine of a coded candidate against a full-precision
+    * probe — the asymmetric distance computation over ("pv", "pn",
+    * "codes") columns: codebooks enter the plan as literals; element_at
+    * picks the centroid of each candidate's code, dot_ff scores it
+    * against the probe's subvector. The candidate's cosine denominator
+    * uses the RECONSTRUCTED norm sqrt(Σ_m |c_m|²) (a second literal
+    * lookup table), so approx = cos(probe, reconstruction) — codes alone
+    * rank the scan with no per-candidate float beyond what the index
+    * stores. Shared by the flat PQ scan and the IVFPQ composite.
+    */
+  private def adcApprox(cbs: Array[Array[Array[Double]]]): Column = {
     val sub = Dim / PqM
-    val cbs = pqCodebooks(emb)
-    val codes = pqEncode(emb, cbs)
-    val e = withNorm(emb)
-    val probes = probeBatch(e)
-      .select(col("vec_id").as("p_id"), col("embedding").as("pv"),
-        col("nrm").as("pn"))
-    // ADC: codebooks enter the plan as literals; element_at picks the
-    // centroid of each candidate's code, dot_ff scores it against the
-    // probe's subvector. The candidate's cosine denominator uses the
-    // RECONSTRUCTED norm sqrt(Σ_m |c_m|²) (a second literal lookup table),
-    // so approx = cos(probe, reconstruction) — codes alone rank the scan
-    // with no per-candidate float beyond what the index stores
     val numer = (0 until PqM).map { m =>
       val cbLit = typedlit(cbs(m).map(_.map(_.toFloat).toSeq).toSeq)
       dot_ff(slice(col("pv"), m * sub + 1, sub),
@@ -1031,10 +1034,20 @@ object Similarity {
       val sqLit = typedlit(cbs(m).map(c => c.map(x => x * x).sum).toSeq)
       element_at(sqLit, element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
-    val approx = numer / (col("pn") * sqrt(rnormSq))
+    numer / (col("pn") * sqrt(rnormSq))
+  }
+
+  /** [[pqTopK]] over an explicit (vec_id, embedding) frame. */
+  private[graft] def pqTopKFrom(emb: DataFrame): DataFrame = {
+    val cbs = pqCodebooks(emb)
+    val codes = pqEncode(emb, cbs)
+    val e = withNorm(emb)
+    val probes = probeBatch(e)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"),
+        col("nrm").as("pn"))
     val shortAgg = udaf(new graft.functions.TopKAgg(PqShortlist))
     val shortlist = codes.join(broadcast(probes), col("p_id") =!= col("vec_id"))
-      .select(col("p_id"), approx.as("a"), col("vec_id").as("c_id"))
+      .select(col("p_id"), adcApprox(cbs).as("a"), col("vec_id").as("c_id"))
       .groupBy("p_id").agg(shortAgg(col("a"), col("c_id")).as("tk"))
       .select(col("p_id"), explode(col("tk.ids")).as("c_id"))
     val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
@@ -1044,6 +1057,73 @@ object Similarity {
         round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
           .as("cos_r"),
         col("c_id")))
+  }
+
+  // ---- IVFPQ: coarse quantizer + in-cell ADC scan (FAISS IVFPQ shape) --
+
+  /** IVFPQ shortlist — half the flat-PQ one: the coarse quantizer has
+    * already concentrated the scan on the probe's nearest cells, so the
+    * rerank needs less headroom.
+    */
+  final val IvfPqShortlist = 64
+
+  /** The composite index a real deployment stores: one row per vector
+    * with its IVF cell, PQ codes and norm — ONE pass over the corpus
+    * (assignment and encoding are both narrow maps over literal model
+    * state).
+    */
+  private[graft] def ivfPqIndex(emb: DataFrame, cents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]]): DataFrame =
+    withNorm(emb).select(col("vec_id"), col("nrm"),
+      pqCodesCol(cbs).as("codes"),
+      cellOf(col("embedding"), cents).as("cell"))
+
+  /** IVFPQ ANN top-k (Jégou, Douze & Schmid, TPAMI 2011 §V's IVFADC):
+    * the IVF coarse quantizer routes each probe to its [[IvfProbes]]
+    * nearest cells, the PQ ADC scan scores ONLY those cells' codes, and
+    * an exact rerank recovers true cosines for the [[IvfPqShortlist]]
+    * survivors. The composition scans BOTH axes down: candidate ROWS
+    * drop to the probed-cell fraction (vs flat PQ's full scan) and bytes
+    * per row drop to the ~12-byte codes (vs IVF's full vectors); the
+    * exact stage touches ≤ probes × shortlist vectors (vs IVF exact-
+    * scoring every probed row). QueriesSpec gates recall@10 ≥ 0.7 on the
+    * clustered fixture AND that both candidate counts sit below their
+    * single-index parents.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopKFrom(Tables.embeddings(s, dir))
+
+  /** [[ivfPqTopK]] over an explicit (vec_id, embedding) frame. */
+  private[graft] def ivfPqTopKFrom(emb: DataFrame): DataFrame =
+    rankTopK(ivfPqExactScored(emb))
+
+  /** The shortlist-then-exact-rerank stage, exposed so the QueriesSpec
+    * gate can count candidates at each phase.
+    */
+  private[graft] def ivfPqExactScored(emb: DataFrame): DataFrame = {
+    val cents = kmeansCentroidsFrom(emb)
+    val cbs   = pqCodebooks(emb)
+    val index = ivfPqIndex(emb, cents, cbs)
+    val e = withNorm(emb)
+    val probes = probeBatch(e)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"),
+        col("nrm").as("pn"),
+        explode(probeCells(col("embedding"), cents, IvfProbes)).as("cell"))
+    val shortAgg = udaf(new graft.functions.TopKAgg(IvfPqShortlist))
+    val shortlist = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("p_id") =!= col("vec_id"))
+      .select(col("p_id"), adcApprox(cbs).as("a"), col("vec_id").as("c_id"))
+      .groupBy("p_id").agg(shortAgg(col("a"), col("c_id")).as("tk"))
+      .select(col("p_id"), explode(col("tk.ids")).as("c_id"))
+    val pv = probeBatch(e).select(col("vec_id").as("p_id"),
+      col("embedding").as("pv"), col("nrm").as("pn"))
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
+    shortlist.join(cands, "c_id").join(broadcast(pv), "p_id")
+      .select(col("p_id"),
+        round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+          .as("cos_r"),
+        col("c_id"))
   }
 
   // ---- SemDeDup: semantic dedup in embedding space ----------------------
@@ -1527,6 +1607,8 @@ object Similarity {
     Q.noOracle("q_ann_ivf_topk")(annIvfTopK),
 
     Q.noOracle("q_pq_topk")(pqTopK),
+
+    Q.noOracle("q_ivfpq_topk")(ivfPqTopK),
 
     Q.noOracle("q_ann_calibration")(annCalibration)
   )

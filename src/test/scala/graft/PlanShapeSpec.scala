@@ -161,6 +161,10 @@ class PlanShapeSpec extends SparkSpec {
       // candidate/cos frames (TopKAgg-capped by construction)
       "q_retrieval_batch",
       "q_pq_topk",
+      // IVFPQ composite: both hinted sides are the structurally-capped
+      // probe batch (cell-exploded and plain — GlobalLimit under each,
+      // asserted below), the q_pq_topk/q_ann_ivf_topk classes combined
+      "q_ivfpq_topk",
       "q_bigram_nll", "q_dsir_weights", "q_pagerank_neardup",
       // the hinted side is the single-row bigram-type total — the
       // tfidf/unigram single-row class
@@ -242,6 +246,7 @@ class PlanShapeSpec extends SparkSpec {
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
       "q_ann_lsh_topk", "q_ann_screen_topk", "q_ann_ivf_topk", "q_pq_topk",
+      "q_ivfpq_topk",
       "q_knn_classify", "q_sq_topk",
       // the label-mismatch negative miner: same structurally-capped probe
       // batch broadcast (GlobalLimit under the hint)

@@ -336,6 +336,35 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall@10 on clustered vectors: $recall")
   }
 
+  test("IVFPQ: recall@10 >= 0.7 with BOTH candidate counts below the single-index parents") {
+    // the composition claim: IVF routing cuts the ADC scan to the
+    // probed-cell fraction (flat PQ scans everything), and the ADC
+    // shortlist cuts the exact-cosine stage far below IVF's (which
+    // exact-scores every probed row) — while the clustered-regime recall
+    // stays at the gate both parents individually clear
+    val emb = clusteredEmb
+    val bf  = ops.Similarity.cosineTopKFrom(emb)
+    val recall = recallOf(ops.Similarity.ivfPqTopKFrom(emb), bf)
+    assert(recall >= 0.7, s"IVFPQ recall@10 on clustered vectors: $recall")
+    // approx-scored candidates (ADC evaluations) vs flat PQ's full scan
+    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
+    val cells = emb.select(col("vec_id"),
+      ops.Similarity.cellOf(col("embedding"), cents).as("cell"))
+    val probed = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("p_id"),
+        explode(ops.Similarity.probeCells(col("embedding"), cents)).as("cell"))
+    val adcScored = probed.join(cells, "cell")
+      .filter(col("p_id") =!= col("vec_id")).count()
+    val pqParent = 10L * 999L // flat PQ ADC-scores every (probe, candidate)
+    assert(adcScored < pqParent,
+      s"IVFPQ ADC scan ($adcScored) not below flat PQ's full scan ($pqParent)")
+    // exact-scored candidates (the rerank) vs IVF's probed-row exact scan
+    val exactScored = ops.Similarity.ivfPqExactScored(emb).count()
+    assert(exactScored < adcScored,
+      s"IVFPQ exact stage ($exactScored) not below IVF's probed rows ($adcScored)")
+    assert(exactScored <= 10L * ops.Similarity.IvfPqShortlist)
+  }
+
   test("incremental IVF: appended 2x corpus stays near full-retrain recall; health flags real drift") {
     // the living-index scenario: train once on 1k clustered vectors, then
     // the corpus doubles with SAME-distribution arrivals appended to their
