@@ -264,6 +264,51 @@ object Profile {
       .orderBy("column_name")
   }
 
+  /** Drift rows between two MERGED profile states (the
+    * [[mergeProfileStates]] shape) — the streaming drift feed's kernel:
+    * unpivot each side to (cname, stat, value) over the mergeable
+    * statistics (row count, null count, HLL distinct estimate, numeric
+    * min/max), join on (cname, stat), and gate with the q_profile_drift
+    * integer cross-multiplication (|after−before|·5 > max(|before|,1) —
+    * relative change > 20%, never a float compare). The distinct stat is
+    * the HLL estimate (exact distincts do not merge): the est_scaled
+    * integer downshifted 37 bits so the ·5 gate cannot overflow int64
+    * (raw est_scaled reaches M·2^57 ≈ 2^63; the shift keeps 2^20 scale
+    * resolution and cancels in the ratio). min/max rows drop for
+    * string-only columns (both sides null — the q_profile_drift
+    * event_type rule made generic). Every input frame is bounded model
+    * state, so this is driver-cheap at any stream length.
+    */
+  private[graft] def driftStates(before: (DataFrame, DataFrame),
+      current: (DataFrame, DataFrame)): DataFrame = {
+    def tall(st: (DataFrame, DataFrame)): DataFrame = {
+      val hll = st._2.groupBy("cname").agg(
+          count(lit(1)).as("present"),
+          sum(expr("shiftleft(1L, 57 - register)")).as("esp"))
+        .select(col("cname"),
+          shiftright(col("esp") + (lit(Sketches.M.toLong) - col("present"))
+            * (1L << 57), 37).as("est"))
+      st._1.join(hll, "cname")
+        .select(col("cname"), explode(array(
+          struct(lit("n").as("stat"), col("n_rows").as("v")),
+          struct(lit("n_null").as("stat"), col("n_null").as("v")),
+          struct(lit("distinct_hll").as("stat"), col("est").as("v")),
+          struct(lit("min_num").as("stat"), col("mn_num").as("v")),
+          struct(lit("max_num").as("stat"), col("mx_num").as("v")))).as("r"))
+        .select(col("cname"), col("r.stat"), col("r.v"))
+    }
+    tall(before).withColumnRenamed("v", "stat_before")
+      .join(tall(current).withColumnRenamed("v", "stat_after"),
+        Seq("cname", "stat"))
+      .filter(!(col("stat").isin("min_num", "max_num")
+        && col("stat_before").isNull && col("stat_after").isNull))
+      .select(col("cname").as("column_name"), col("stat"),
+        col("stat_before"), col("stat_after"),
+        (abs(col("stat_after") - col("stat_before")) * 5 >
+          greatest(abs(col("stat_before")), lit(1L))).as("drifted"))
+      .orderBy("column_name", "stat")
+  }
+
   /** Two-snapshot drift frame over an events-shaped input (needs
     * event_id + the profiled columns) — q_profile_drift's engine, exposed
     * for the spec and ScaleProbe. See the query scaladoc for the

@@ -353,19 +353,23 @@ object Streams {
   /** Replay-safe running-state fold for [[profileIngest]] — the
     * foreachBatch face of the mergeable profiler whose algebra
     * q_profile_incremental proves batch-side (counts ADD, min/max FOLD,
-    * HLL registers MAX). Exactly-once under trigger REPLAY: Structured
-    * Streaming can re-run the most recent micro-batch after a recovery,
-    * and the count components are NOT idempotent under a double fold —
-    * so the fold keeps (committed base, last batch id, last batch
-    * state) and a re-delivered batch id REPLACES the last state instead
-    * of adding to it (the Sinks exactly-once-manifest rule applied to
-    * aggregation state). A batch with a NEW id first commits the
-    * previous state into the base (compacted: the base never exceeds
-    * O(columns · M) rows), then becomes the new last. State lives as two
-    * localCheckpoint'ed bounded frames; the raw batches are never
-    * retained.
+    * HLL registers MAX). Exactly-once under SAME-PROCESS micro-batch
+    * re-delivery: Structured Streaming can re-run the most recent
+    * micro-batch within a running query, and the count components are
+    * NOT idempotent under a double fold — so the fold keeps (committed
+    * base, last batch id, last batch state) and a re-delivered batch id
+    * REPLACES the last state instead of adding to it (the Sinks
+    * exactly-once-manifest rule applied to aggregation state). A batch
+    * with a NEW id first commits the previous state into the base
+    * (compacted: the base never exceeds O(columns · M) rows), then
+    * becomes the new last. State lives as two localCheckpoint'ed bounded
+    * frames in DRIVER memory (localCheckpoint is non-reliable storage) —
+    * a query restart after a process failure starts the fold empty;
+    * durable recovery would persist the compacted base through the
+    * [[graft.ops.Sinks]] manifest mechanism per trigger. The raw batches
+    * are never retained.
     */
-  private[graft] final class ProfileFold(write: DataFrame => Unit) {
+  private[graft] class ProfileFold(write: DataFrame => Unit) {
     import graft.ops.Profile
     private var base: Option[(DataFrame, DataFrame)] = None
     private var last: Option[(Long, (DataFrame, DataFrame))] = None
@@ -398,8 +402,57 @@ object Streams {
           (bc.unionByName(st._1), br.unionByName(st._2))
         case None => st
       }
-      write(Profile.finalizeProfile(Profile.mergeProfileStates((cAll, rAll))))
+      emit(batchId, (cAll, rAll))
     }
+
+    /** What a trigger emits given the running (un-merged) state union —
+      * the whole-stream profile by default; [[DriftFold]] overrides.
+      */
+    protected def emit(batchId: Long, states: (DataFrame, DataFrame)): Unit =
+      write(Profile.finalizeProfile(Profile.mergeProfileStates(states)))
+  }
+
+  /** The STREAMING DRIFT FEED's fold — [[ProfileFold]] with a two-era
+    * twist (q_profile_drift run live): batches up to `eraCut` (the
+    * trigger-boundary snapshot) accumulate the BASE era; each later
+    * trigger emits the drift rows of the live running state against
+    * that frozen base ([[graft.ops.Profile.driftStates]] — same
+    * integer-cross-multiplied gate as the batch query, HLL distinct
+    * because exact distincts do not merge). Both the snapshot and the
+    * live state are the fold's bounded compacted frames, so the feed
+    * costs O(columns · M) per trigger whatever the stream length; the
+    * base era emits nothing (no second era to diff yet). Replay safety
+    * is inherited: a re-delivered batch id replaces, never double-folds
+    * — on either side of the cut (StreamingSpec replays a post-cut
+    * trigger and asserts the drift rows are unchanged).
+    */
+  private[graft] final class DriftFold(eraCut: Long, write: DataFrame => Unit)
+      extends ProfileFold(write) {
+    import graft.ops.Profile
+    private var snap: Option[(DataFrame, DataFrame)] = None
+    override protected def emit(batchId: Long,
+        states: (DataFrame, DataFrame)): Unit = {
+      val merged = Profile.mergeProfileStates(states)
+      if (batchId <= eraCut)
+        snap = Some((merged._1.localCheckpoint(), merged._2.localCheckpoint()))
+      else snap.foreach(base => write(Profile.driftStates(base, merged)))
+    }
+  }
+
+  /** Streaming twin of the PROFILE DRIFT report (q_profile_drift): the
+    * base era (batches ≤ eraCut) freezes into a snapshot at the trigger
+    * boundary; every later trigger emits (column, stat, before, after,
+    * drifted) rows of the live mergeable profile against it — the
+    * yesterday-vs-now monitor as a feed. foreachBatch for the family's
+    * shared reason; state is the two bounded fold frames.
+    */
+  def driftIngest(events: DataFrame, eraCut: Long)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold = new DriftFold(eraCut, write)
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fold.step(batch.toDF(), id)
+      }.start()
   }
 
   /** Streaming twin of the MERGEABLE PROFILER (q_profile_incremental):

@@ -528,6 +528,56 @@ class StreamingSpec extends SparkSpec {
       s"post-replay fold ${emitted2.last} != batch $want3")
   }
 
+  test("streaming drift feed equals the batch two-era diff; a replayed trigger changes nothing") {
+    import org.apache.spark.sql.Row
+    def ev(id: Long, min: Long, u: Long, typ: String, v: Double) =
+      Event(id, ts(min), u, typ, v, "{}")
+    // base era (trigger 0), then a drifting tail: new users, a new
+    // event type, values an order of magnitude out — several stats must
+    // flip drifted=true, the rest hold
+    val era0  = Seq(ev(1, 5, 1, "click", 2.0), ev(2, 10, 1, "view", 2.5),
+      ev(3, 15, 2, "click", 2.25))
+    val feed2 = Seq(ev(10, 120, 7, "purchase", 40.0), ev(11, 125, 8, "error", 55.5))
+    val feed3 = Seq(ev(12, 130, 9, "signup", 60.0), ev(13, 135, 10, "view", 58.0))
+    def statesOf(rows: Seq[Event]) = graft.ops.Profile.mergeProfileStates(
+      graft.ops.Profile.incrementalStates(
+        rows.toDF().withColumn("half", col("event_id") % 2)))
+    def wantVs(full: Seq[Event]): Seq[Row] = graft.ops.Profile
+      .driftStates(statesOf(era0), statesOf(full)).collect().toSeq
+
+    // streaming face: trigger 0 freezes the snapshot (emits nothing),
+    // each later trigger diffs the live fold against it
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.driftIngest(ms.toDF(), eraCut = 0L)(df => emitted += df.collect().toSeq)
+    ms.addData(era0)
+    q.processAllAvailable()
+    assert(emitted.isEmpty, "the base era must not emit drift rows")
+    ms.addData(feed2)
+    q.processAllAvailable()
+    ms.addData(feed3)
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.size === 2)
+    assert(emitted.head === wantVs(era0 ++ feed2))
+    assert(emitted.last === wantVs(era0 ++ feed2 ++ feed3))
+    // the fixture drifts for real: at least one true and one false row
+    val flags = emitted.last.map(_.getAs[Boolean]("drifted"))
+    assert(flags.contains(true) && flags.contains(false))
+
+    // replay face: re-delivering a post-cut trigger must not move the
+    // drift rows (the fold replaces, never double-counts)
+    val emitted2 = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val fold = new Streams.DriftFold(0L, df => emitted2 += df.collect().toSeq)
+    fold.step(era0.toDF(), 0L)
+    fold.step(feed2.toDF(), 1L)
+    fold.step(feed2.toDF(), 1L) // recovery replay
+    assert(emitted2.last === wantVs(era0 ++ feed2),
+      s"replayed drift ${emitted2.last} != batch")
+    fold.step(feed3.toDF(), 2L)
+    assert(emitted2.last === wantVs(era0 ++ feed2 ++ feed3))
+  }
+
   test("windowed constraint monitor equals batch on an out-of-order multi-trigger feed") {
     // hour 0 carries one value-floor violation and one unknown event
     // type; hour 1 is clean — late hour-0 rows arrive in trigger 2
