@@ -217,21 +217,33 @@ object Corpus {
     },
 
     // Character-3-gram (shingle) Jaccard over consecutive-id pairs — the
-    // n-gram flavor of near-dup scoring (word-token flavor: q_jaccard_pairs).
+    // n-gram flavor of near-dup scoring (word-token flavor:
+    // q_jaccard_pairs). Canonicalize-before-dedup like every other
+    // fingerprint-identity plane (round-11 contract): shingles are taken
+    // over NORMALIZED text, so a composed-vs-decomposed duplicate pair
+    // scores 1.0 here exactly as it does in q_jaccard_pairs. The oracle
+    // materializes the normalized text in its own CTE FIRST — inlining
+    // normalizeSql into the per-shingle lambda would re-evaluate it per
+    // character position (the round-11 hashSql lesson).
     Q("q_ngram_jaccard",
-      """WITH sh AS (
+      s"""WITH nd AS (
+        |  SELECT doc_id, ${graft.functions.TextNorm.normalizeSql("text")} AS text
+        |  FROM documents),
+        |sh AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(
         |           range(1, greatest(length(text) - 2, 1) + 1),
         |           i -> substr(text, CAST(i AS INTEGER), 3))) AS s
-        |  FROM documents)
+        |  FROM nd)
         |SELECT a.doc_id AS d1, b.doc_id AS d2,
         |       CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS inter,
         |       CAST(len(list_distinct(list_concat(a.s, b.s))) AS INTEGER) AS uni,
         |       (len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s)))) AS jac
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY d1""".stripMargin) { (s, dir) =>
-      val sh = Tables.documents(s, dir).select(col("doc_id"), shingles(col("text")).as("s"))
+      import graft.functions.TextNormExprs.normalize_text
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), shingles(normalize_text(col("text"))).as("s"))
       val a  = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
       val b  = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
       val inter = size(array_intersect(col("s1"), col("s2")))

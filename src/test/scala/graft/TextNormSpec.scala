@@ -134,6 +134,21 @@ class TextNormSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt))
     assert(simPairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
       s"simhash plane missed the canonical pair: ${simPairs.toSeq}")
+
+    // char-3-gram plane (q_ngram_jaccard's kernel, canonicalized in
+    // round 12): the canonical shingle sets are identical (jac = 1.0)
+    // where the raw sets disagree on every cased/accented trigram
+    val sh = docs.withColumn("nt", normalize_text(col("text")))
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> substr(text, i, 3)))").as("rs"),
+        expr("array_distinct(transform(sequence(1, greatest(length(nt) - 2, 1)), " +
+          "i -> substr(nt, i, 3)))").as("ns"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toSet, r.getSeq[String](2).toSet)).toMap
+    assert(sh(1L)._2 === sh(2L)._2, "canonical shingle sets must match")
+    assert(sh(1L)._1 !== sh(2L)._1, "raw shingle sets should differ")
   }
 
   test("(even, odd) raw variants normalize equal; distinct pairs differ") {
