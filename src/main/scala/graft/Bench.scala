@@ -126,7 +126,11 @@ object Bench {
     val TotalGuardCap = 12
     val results = {
       var rs = results1
-      def totalOf(r: Seq[(String, Double, Long)]) = r.map(_._2).filter(_ >= 0).sum
+      // compare the band max against the sum over queries the band KNOWS
+      // — a freshly added query has no median and must not read as
+      // "contention" against a smaller-inventory band total
+      def totalOf(r: Seq[(String, Double, Long)]) =
+        r.filter(x => bandMedians.contains(x._1)).map(_._2).filter(_ >= 0).sum
       if (bandTotalMax > 0 && totalOf(rs) > bandTotalMax) {
         val offenders = rs
           .filter { case (n, s, _) => s > 0.5 && !rerunLog.contains(n) &&

@@ -549,6 +549,43 @@ object ScaleProbe {
         graft.ops.Retrieval.bm25TopKFrom(docsN, graft.ops.Retrieval.CandK)
           .count()
       }
+      // round-12 probes
+      // the BATCH serving pipeline end to end at m× corpus: the probe
+      // batch stays RbProbes (doc_id % 100 under the GlobalLimit cap),
+      // so wall should track the shared tf build (∝ corpus) while the
+      // probe-count-independent tail stays fixed — the plan-lock claim
+      // measured. Replicated real documents keep probe text realistic.
+      timed("retrieval_batch_grown") {
+        val docs = Tables.documents(spark, sfDir)
+        val docsN = (0 until m).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L)))
+          .reduce(_.union(_))
+        graft.ops.Retrieval.retrievalBatchFrom(docsN,
+          Tables.embeddings(spark, sfDir)).count()
+      }
+      // index maintenance vs rebuild at m× corpus: retireFrom is
+      // member-list surgery on the PERSISTED index (narrow (cid, doc)
+      // shuffle; no re-tokenize/re-hash/re-sign), so its wall should sit
+      // well under clusterFrameOf on the surviving corpus — the
+      // q_dedup_retire 100 TB claim, measured. The index build itself is
+      // paid once outside both timers (cache + count).
+      locally {
+        val docs = Tables.documents(spark, sfDir)
+        val docsN = (0 until m).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L)))
+          .reduce(_.union(_))
+        val index = graft.ops.Dedup.clusterFrameOf(docsN).cache()
+        index.count() // materialize outside the timers
+        val retired = docsN.filter(col("doc_id") % 7 === 3).select("doc_id")
+        timed("dedup_retire_grown") {
+          graft.ops.Dedup.retireFrom(index, retired).count()
+        }
+        timed("dedup_rebuild_grown") {
+          graft.ops.Dedup.clusterFrameOf(
+            docsN.filter(col("doc_id") % 7 =!= 3)).count()
+        }
+        index.unpersist()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

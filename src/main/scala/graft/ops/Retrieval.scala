@@ -261,6 +261,93 @@ object Retrieval {
       .select(posexplode(col("l")).as(Seq("p", "e")))
       .select(col("e.id").as("id"), (col("p") + 1).cast("long").as(rankName))
 
+  /** The batch serving pipeline over explicit documents/embeddings frames
+    * (q_retrieval_batch's engine; the ScaleProbe growth-probe entry
+    * point). See the declared query's comment for the stage walk.
+    */
+  private[graft] def retrievalBatchFrom(docsIn: DataFrame,
+      emb: DataFrame): DataFrame = {
+    import graft.functions.exprs.dot_ff
+    import graft.functions.TextNormExprs.normalize_text
+    val docsN = docsIn
+      .select(col("doc_id"), normalize_text(col("text")).as("text"))
+    // probe batch: GlobalLimit-capped by construction
+    val probes = docsN.filter(col("doc_id") % 100 === 0)
+      .orderBy("doc_id").limit(RbProbes)
+      .select(col("doc_id").as("p_id"), col("text"))
+    // per-probe query terms (≤ RbProbes·RbTerms rows); the window is
+    // p_id-partitioned over the capped probe frame, never the corpus.
+    // Checkpointed: feeds the term-set filter AND the score fan-out.
+    val pterms = probes
+      .select(col("p_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("p_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_id").orderBy(col("c").desc, col("tok"))))
+      .filter(col("rn") <= RbTerms)
+      .select("p_id", "tok")
+      .localCheckpoint()
+    val termSet = pterms.select("tok").distinct()
+    // shared tf build: the ONE corpus-proportional stage — the explode
+    // dies against the broadcast term set inside the scan stage
+    val toksC = split(col("text"), " ")
+    val tf = docsN
+      .select(col("doc_id"), size(toksC).as("dl"), explode(toksC).as("tok"))
+      .join(broadcast(termSet), "tok")
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docsN.select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").cast("double").as("sumdl"))
+      .withColumn("avgdl", col("sumdl") / col("n"))
+    val parts = tf.join(broadcast(dfT), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * (lit(K1) + 1)
+          / (col("tf") + lit(K1) * (lit(1) - lit(B)
+            + lit(B) * col("dl") / col("avgdl"))))
+    // per-probe top-CandK via the partial TopKAgg (map-side k-buffers),
+    // NOT a per-probe window sort over the corpus
+    val topk = udaf(new graft.functions.TopKAgg(CandK))
+    val cand = parts.join(broadcast(pterms), "tok")
+      .filter(col("doc_id") =!= col("p_id"))
+      .groupBy("p_id", "doc_id").agg(round(sum("part"), 6).as("score"))
+      .groupBy("p_id").agg(topk(col("score"), col("doc_id")).as("tk"))
+      .select(col("p_id"),
+        posexplode(arrays_zip(col("tk.cs"), col("tk.ids"))).as(Seq("pos", "z")))
+      .select(col("p_id"), col("z.ids").as("id"), col("z.cs").as("score"),
+        (col("pos") + 1).cast("long").as("rank_lex"))
+      .localCheckpoint() // barrier: ≤ RbProbes·CandK rows feed two branches
+    // per-probe exact-cosine re-rank: the candidate list broadcasts INTO
+    // the embeddings scan; probe vectors are a ≤ RbProbes-row broadcast
+    val nv = emb
+      .withColumn("nrm", sqrt(dot_ff(col("embedding"), col("embedding"))))
+    val pv = nv.join(broadcast(probes.select("p_id")),
+        col("vec_id") === col("p_id"))
+      .select(col("p_id").as("pp"), col("embedding").as("pemb"),
+        col("nrm").as("pn"))
+    val cos = nv.join(broadcast(cand.select("p_id", "id")),
+        col("vec_id") === col("id"))
+      .join(broadcast(pv), col("p_id") === col("pp"))
+      .select(col("p_id"), col("id"),
+        round(dot_ff(col("embedding"), col("pemb")) / (col("nrm") * col("pn")), 6)
+          .as("cos_r"))
+      .localCheckpoint() // ≤ RbProbes·CandK rows feed rank + value branches
+    val cosRank = cos.withColumn("rank_cos", row_number().over(
+        Window.partitionBy("p_id").orderBy(col("cos_r").desc, col("id")))
+        .cast("long"))
+      .select(col("p_id").as("cp"), col("id").as("ci"),
+        col("rank_cos"), col("cos_r"))
+    cand.join(broadcast(cosRank),
+        col("p_id") === col("cp") && col("id") === col("ci"), "left")
+      .select(col("p_id"), col("id"), col("rank_lex"), col("rank_cos"),
+        col("cos_r"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("rank_cos")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("p_id"), col("rrf").desc, col("id"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Okapi BM25 top-k: score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
@@ -516,86 +603,9 @@ object Retrieval {
          |FROM rb_cand l LEFT JOIN rb_cos c
          |  ON c.p_id = l.p_id AND c.id = l.doc_id
          |ORDER BY p_id, rrf DESC, id""".stripMargin) { (s, dir) =>
-      import graft.functions.exprs.dot_ff
-      import graft.functions.TextNormExprs.normalize_text
-      val docsN = Tables.documents(s, dir)
-        .select(col("doc_id"), normalize_text(col("text")).as("text"))
-      // probe batch: GlobalLimit-capped by construction
-      val probes = docsN.filter(col("doc_id") % 100 === 0)
-        .orderBy("doc_id").limit(RbProbes)
-        .select(col("doc_id").as("p_id"), col("text"))
-      // per-probe query terms (≤ RbProbes·RbTerms rows); the window is
-      // p_id-partitioned over the capped probe frame, never the corpus.
-      // Checkpointed: feeds the term-set filter AND the score fan-out.
-      val pterms = probes
-        .select(col("p_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("p_id", "tok").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("p_id").orderBy(col("c").desc, col("tok"))))
-        .filter(col("rn") <= RbTerms)
-        .select("p_id", "tok")
-        .localCheckpoint()
-      val termSet = pterms.select("tok").distinct()
-      // shared tf build: the ONE corpus-proportional stage — the explode
-      // dies against the broadcast term set inside the scan stage
-      val toksC = split(col("text"), " ")
-      val tf = docsN
-        .select(col("doc_id"), size(toksC).as("dl"), explode(toksC).as("tok"))
-        .join(broadcast(termSet), "tok")
-        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val stats = docsN.select(size(split(col("text"), " ")).as("dl"))
-        .agg(count(lit(1)).as("n"), sum("dl").cast("double").as("sumdl"))
-        .withColumn("avgdl", col("sumdl") / col("n"))
-      val parts = tf.join(broadcast(dfT), "tok")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
-        .withColumn("part",
-          col("idf") * col("tf") * (lit(K1) + 1)
-            / (col("tf") + lit(K1) * (lit(1) - lit(B)
-              + lit(B) * col("dl") / col("avgdl"))))
-      // per-probe top-CandK via the partial TopKAgg (map-side k-buffers),
-      // NOT a per-probe window sort over the corpus
-      val topk = udaf(new graft.functions.TopKAgg(CandK))
-      val cand = parts.join(broadcast(pterms), "tok")
-        .filter(col("doc_id") =!= col("p_id"))
-        .groupBy("p_id", "doc_id").agg(round(sum("part"), 6).as("score"))
-        .groupBy("p_id").agg(topk(col("score"), col("doc_id")).as("tk"))
-        .select(col("p_id"),
-          posexplode(arrays_zip(col("tk.cs"), col("tk.ids"))).as(Seq("pos", "z")))
-        .select(col("p_id"), col("z.ids").as("id"), col("z.cs").as("score"),
-          (col("pos") + 1).cast("long").as("rank_lex"))
-        .localCheckpoint() // barrier: ≤ RbProbes·CandK rows feed two branches
-      // per-probe exact-cosine re-rank: the candidate list broadcasts INTO
-      // the embeddings scan; probe vectors are a ≤ RbProbes-row broadcast
-      val nv = Tables.embeddings(s, dir)
-        .withColumn("nrm", sqrt(dot_ff(col("embedding"), col("embedding"))))
-      val pv = nv.join(broadcast(probes.select("p_id")),
-          col("vec_id") === col("p_id"))
-        .select(col("p_id").as("pp"), col("embedding").as("pemb"),
-          col("nrm").as("pn"))
-      val cos = nv.join(broadcast(cand.select("p_id", "id")),
-          col("vec_id") === col("id"))
-        .join(broadcast(pv), col("p_id") === col("pp"))
-        .select(col("p_id"), col("id"),
-          round(dot_ff(col("embedding"), col("pemb")) / (col("nrm") * col("pn")), 6)
-            .as("cos_r"))
-        .localCheckpoint() // ≤ RbProbes·CandK rows feed rank + value branches
-      val cosRank = cos.withColumn("rank_cos", row_number().over(
-          Window.partitionBy("p_id").orderBy(col("cos_r").desc, col("id")))
-          .cast("long"))
-        .select(col("p_id").as("cp"), col("id").as("ci"),
-          col("rank_cos"), col("cos_r"))
-      cand.join(broadcast(cosRank),
-          col("p_id") === col("cp") && col("id") === col("ci"), "left")
-        .select(col("p_id"), col("id"), col("rank_lex"), col("rank_cos"),
-          col("cos_r"),
-          (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0))
-            + coalesce(lit(1.0) / (lit(RrfK) + col("rank_cos")), lit(0.0)))
-            .as("rrf"))
-        .orderBy(col("p_id"), col("rrf").desc, col("id"))
+      retrievalBatchFrom(Tables.documents(s, dir), Tables.embeddings(s, dir))
     },
+
 
     // RANK-BIASED OVERLAP (Webber et al. 2010) between the exact float
     // cosine ranking and the int8 scalar-quantized ranking for the pinned
