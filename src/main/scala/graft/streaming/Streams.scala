@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -363,16 +363,30 @@ object Streams {
     * with a NEW id first commits the previous state into the base
     * (compacted: the base never exceeds O(columns · M) rows), then
     * becomes the new last. State lives as two localCheckpoint'ed bounded
-    * frames in DRIVER memory (localCheckpoint is non-reliable storage) —
-    * a query restart after a process failure starts the fold empty;
-    * durable recovery would persist the compacted base through the
-    * [[graft.ops.Sinks]] manifest mechanism per trigger. The raw batches
-    * are never retained.
+    * frames in DRIVER memory.
+    *
+    * DURABLE RECOVERY (opt-in via `stateDir`): each trigger additionally
+    * persists the (base, last) pair through the [[graft.ops.Sinks]]
+    * manifest protocol reduced to fold state — stage the two bounded
+    * frames as parquet under `.staging-<id>`, rename to `state-<id>`,
+    * then atomically commit the `_manifests/batch-<id>` marker; older
+    * committed states are garbage-collected AFTER the new commit, so a
+    * crash at any point leaves either the previous committed state or
+    * the new one, never neither. A NEW fold over the same `stateDir`
+    * restores the latest committed (base, last, id) before its first
+    * batch, so the restarted query's re-delivery of batch `id` REPLACES
+    * the restored last exactly like a same-process replay — exactly-once
+    * now holds across process restarts, not just within one
+    * (StreamingSpec kills and recreates the fold mid-stream). Without a
+    * `stateDir` the fold is memory-only as before. The raw batches are
+    * never retained either way.
     */
-  private[graft] class ProfileFold(write: DataFrame => Unit) {
+  private[graft] class ProfileFold(write: DataFrame => Unit,
+      stateDir: Option[String] = None) {
     import graft.ops.Profile
     private var base: Option[(DataFrame, DataFrame)] = None
     private var last: Option[(Long, (DataFrame, DataFrame))] = None
+    private var restored = stateDir.isEmpty
 
     private def compact(c: DataFrame, r: DataFrame): (DataFrame, DataFrame) =
       (c.groupBy("cname").agg(
@@ -384,6 +398,7 @@ object Streams {
         .localCheckpoint())
 
     def step(batch: DataFrame, batchId: Long): Unit = {
+      if (!restored) { restore(batch.sparkSession); restored = true }
       val st0 = Profile.incrementalStates(batch.withColumn("half", lit(0L)))
       val st  = (st0._1.drop("half").localCheckpoint(),
                  st0._2.drop("half").localCheckpoint())
@@ -397,12 +412,87 @@ object Streams {
         case _ => () // same id re-delivered: replace, never double-count
       }
       last = Some((batchId, st))
+      stateDir.foreach(persist(_, batchId, st))
       val (cAll, rAll) = base match {
         case Some((bc, br)) =>
           (bc.unionByName(st._1), br.unionByName(st._2))
         case None => st
       }
       emit(batchId, (cAll, rAll))
+    }
+
+    // ---- durable (base, last) persistence: the Sinks manifest protocol
+    //      reduced to fold state --------------------------------------
+
+    private def fsOf(s: SparkSession, dir: String) = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      (root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
+    }
+
+    /** Stage → rename → marker. A replayed id whose marker exists skips
+      * (same id ⇒ same data under the Structured Streaming contract);
+      * an UNCOMMITTED leftover of this id from a crashed attempt is
+      * cleared first. Older committed states GC AFTER the new commit.
+      */
+    private def persist(dir: String, id: Long,
+        st: (DataFrame, DataFrame)): Unit = {
+      import org.apache.hadoop.fs.Path
+      val spark = st._1.sparkSession
+      val (fs, root) = fsOf(spark, dir)
+      val manifests = new Path(root, "_manifests")
+      val manifest  = new Path(manifests, f"batch-$id%020d")
+      if (fs.exists(manifest)) return
+      def tag(f: DataFrame, c: String) = f.withColumn("component", lit(c))
+      val empty = (st._1.limit(0), st._2.limit(0))
+      val (bc, br) = base.getOrElse(empty)
+      val counts = tag(bc, "base").unionByName(tag(st._1, "last"))
+      val regs   = tag(br, "base").unionByName(tag(st._2, "last"))
+      val staging = new Path(root, s".staging-$id")
+      val dest    = new Path(root, f"state-$id%020d")
+      fs.delete(staging, true); fs.delete(dest, true) // crashed attempt
+      counts.coalesce(1).write.parquet(new Path(staging, "counts").toString)
+      regs.coalesce(1).write.parquet(new Path(staging, "regs").toString)
+      def must(ok: Boolean, what: => String): Unit =
+        if (!ok) throw new java.io.IOException(s"ProfileFold.persist($id): $what")
+      must(fs.rename(staging, dest), s"rename $staging -> $dest")
+      must(fs.mkdirs(manifests) || fs.getFileStatus(manifests).isDirectory,
+        s"mkdirs $manifests")
+      val tmp = new Path(manifests, s".tmp-$id")
+      fs.create(tmp, true).close()
+      must(fs.rename(tmp, manifest), s"manifest rename $tmp -> $manifest")
+      // GC strictly-older committed states (crash mid-GC is harmless:
+      // restore takes the MAX committed id)
+      fs.listStatus(manifests)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch-") =>
+          n.stripPrefix("batch-").toLong }
+        .filter(_ < id)
+        .foreach { old =>
+          fs.delete(new Path(root, f"state-$old%020d"), true)
+          fs.delete(new Path(manifests, f"batch-$old%020d"), false)
+        }
+    }
+
+    /** Load the latest committed (base, last, id) — called lazily before
+      * the first batch of a fold constructed over an existing stateDir.
+      */
+    private def restore(spark: SparkSession): Unit = stateDir.foreach { dir =>
+      import org.apache.hadoop.fs.Path
+      val (fs, root) = fsOf(spark, dir)
+      val manifests = new Path(root, "_manifests")
+      if (!fs.exists(manifests)) return
+      val committed = fs.listStatus(manifests).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch-") =>
+          n.stripPrefix("batch-").toLong }
+      if (committed.isEmpty) return
+      val id = committed.max
+      val st = new Path(root, f"state-$id%020d")
+      val counts = spark.read.parquet(new Path(st, "counts").toString)
+      val regs   = spark.read.parquet(new Path(st, "regs").toString)
+      def part(f: DataFrame, c: String) =
+        f.filter(col("component") === c).drop("component").localCheckpoint()
+      base = Some((part(counts, "base"), part(regs, "base")))
+      last = Some((id, (part(counts, "last"), part(regs, "last"))))
     }
 
     /** What a trigger emits given the running (un-merged) state union —
@@ -466,9 +556,9 @@ object Streams {
     * the family's shared reason: the per-trigger work is ordinary batch
     * aggregation folded into external bounded state.
     */
-  def profileIngest(events: DataFrame)
+  def profileIngest(events: DataFrame, stateDir: Option[String] = None)
       (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val fold = new ProfileFold(write)
+    val fold = new ProfileFold(write, stateDir)
     events.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         fold.step(batch.toDF(), id)

@@ -528,6 +528,48 @@ class StreamingSpec extends SparkSpec {
       s"post-replay fold ${emitted2.last} != batch $want3")
   }
 
+  test("durable profile fold survives a PROCESS restart: replay-after-restore folds once") {
+    import org.apache.spark.sql.Row
+    def ev(id: Long, min: Long, u: Long, typ: String, v: Double) =
+      Event(id, ts(min), u, typ, v, "{}")
+    val feed1 = Seq(ev(10, 120, 3, "click", 7.25), ev(11, 150, 4, "view", 2.5))
+    val feed2 = Seq(ev(1, 5, 9, "purchase", 0.011111), ev(2, 10, 1, "error", 480.5))
+    val feed3 = Seq(ev(20, 300, 7, "signup", 3.5))
+    def wantOf(rows: Seq[Event]): Seq[Row] = graft.ops.Profile
+      .finalizeProfile(graft.ops.Profile.mergeProfileStates(
+        graft.ops.Profile.incrementalStates(
+          rows.toDF().withColumn("half", col("event_id") % 2)))).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("fold-state").toString
+
+    // process 1: two triggers, then the process "dies"
+    val em1 = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val f1 = new Streams.ProfileFold(df => em1 += df.collect().toSeq, Some(dir))
+    f1.step(feed1.toDF(), 0L)
+    f1.step(feed2.toDF(), 1L)
+    assert(em1.last === wantOf(feed1 ++ feed2))
+
+    // process 2: a FRESH fold over the same state dir; the restarted
+    // query re-delivers the last batch (the recovery contract) — it
+    // must REPLACE the restored last, never double-fold
+    val em2 = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val f2 = new Streams.ProfileFold(df => em2 += df.collect().toSeq, Some(dir))
+    f2.step(feed2.toDF(), 1L) // checkpoint replay after restart
+    assert(em2.last === wantOf(feed1 ++ feed2),
+      s"post-restart replay diverged: ${em2.last}")
+    f2.step(feed3.toDF(), 2L)
+    assert(em2.last === wantOf(feed1 ++ feed2 ++ feed3))
+
+    // process 3: restart again WITHOUT a replay — restored state alone
+    // must carry the whole history, and GC left exactly one state dir
+    val em3 = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val f3 = new Streams.ProfileFold(df => em3 += df.collect().toSeq, Some(dir))
+    f3.step(Seq(ev(30, 400, 2, "view", 1.0)).toDF(), 3L)
+    assert(em3.last === wantOf(feed1 ++ feed2 ++ feed3 ++ Seq(ev(30, 400, 2, "view", 1.0))))
+    val states = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("state-")).map(_.getName).toSeq
+    assert(states.size === 1, s"GC should keep exactly one state: $states")
+  }
+
   test("streaming drift feed equals the batch two-era diff; a replayed trigger changes nothing") {
     import org.apache.spark.sql.Row
     def ev(id: Long, min: Long, u: Long, typ: String, v: Double) =
