@@ -283,6 +283,45 @@ object Streams {
         write(graft.ops.Dedup.dropNearDups(index, batch.toDF()))
       }.start()
 
+  /** The LIVE-INDEX retirement fold behind [[retireIngest]] — unlike the
+    * frozen-index curation family above, here the index EVOLVES: each
+    * arriving tombstone batch folds in via ops.Dedup.retireFrom
+    * (member-list surgery only; the cluster arrays never recompute), and
+    * the new index replaces the old behind a localCheckpoint barrier
+    * (blocks live on executors — the state is corpus-proportional like
+    * the frozen indexes, never driver-resident). Exactly-once under
+    * trigger replay needs NO batch-id guard: retiring an already-absent
+    * member is a set-difference no-op, so retireFrom is IDEMPOTENT on
+    * re-delivered batches — StreamingSpec replays a trigger and asserts
+    * the index is unchanged, and asserts after every trigger that the
+    * live index canonically equals a full rebuild on the surviving
+    * corpus (the QueriesSpec retire≡rebuild theorem, run live).
+    */
+  private[graft] final class RetireFold(index0: DataFrame,
+      write: DataFrame => Unit) {
+    private var index = index0.localCheckpoint()
+    def current: DataFrame = index
+    def step(tombstones: DataFrame): Unit = {
+      index = graft.ops.Dedup.retireFrom(index, tombstones).localCheckpoint()
+      write(index)
+    }
+  }
+
+  /** Streaming twin of q_dedup_retire's maintenance face: a tombstone
+    * id stream (doc_id rows) folds into a live MinHash cluster index,
+    * each trigger emitting the post-retirement index. foreachBatch for
+    * the family's shared reason; replay-safe by idempotence (see
+    * [[RetireFold]]).
+    */
+  def retireIngest(index: DataFrame, tombstones: DataFrame)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold = new RetireFold(index, write)
+    tombstones.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        fold.step(batch.toDF())
+      }.start()
+  }
+
   /** Ingest-time SEMANTIC dedup (streaming SemDeDup) against a frozen
     * cell index — the embedding-space twin of [[nearDupCuration]]: per
     * micro-batch, assign each incoming vector to its nearest frozen cell

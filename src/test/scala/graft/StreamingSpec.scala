@@ -390,6 +390,50 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept === Set(9002L, 9004L), s"expected fresh docs only: $batchKept")
   }
 
+  test("streaming index retirement: live index equals a rebuild after every trigger; replay is a no-op") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val index0 = graft.ops.Dedup.clusterFrameOf(docs)
+    def canon(cf: org.apache.spark.sql.DataFrame) = cf
+      .select(col("cid"), sort_array(col("ms")).as("ms"), col("th"), col("sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getSeq[Long](3))).toSet
+    def rebuildMinus(ids: Seq[Long]) = canon(graft.ops.Dedup.clusterFrameOf(
+      docs.join(ids.toDF("doc_id"), Seq("doc_id"), "left_anti")))
+    val t1 = docs.filter(col("doc_id") % 7 === 3).select("doc_id").as[Long].collect().toSeq
+    val t2 = docs.filter(col("doc_id") % 5 === 2).select("doc_id").as[Long].collect().toSeq
+
+    // streaming face: two tombstone triggers, live-index emission each
+    val ms = MemoryStream[Long](spark)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(Long, Seq[Long], Seq[Long], Seq[Long])]]
+    val q = Streams.retireIngest(index0,
+      ms.toDF().withColumnRenamed("value", "doc_id")) { idx =>
+      emitted.synchronized { emitted += canon(idx) }
+    }
+    ms.addData(t1)
+    q.processAllAvailable()
+    ms.addData(t2)
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.size === 2)
+    assert(emitted(0) === rebuildMinus(t1),
+      "live index after trigger 1 != rebuild on surviving corpus")
+    assert(emitted(1) === rebuildMinus(t1 ++ t2),
+      "live index after trigger 2 != rebuild on surviving corpus")
+
+    // replay face: re-delivering a tombstone batch is a set-difference
+    // no-op — idempotence IS the exactly-once guarantee here
+    val fold = new Streams.RetireFold(index0, _ => ())
+    fold.step(t1.toDF("doc_id"))
+    fold.step(t2.toDF("doc_id"))
+    val afterOnce = canon(fold.current)
+    fold.step(t2.toDF("doc_id")) // recovery replay
+    assert(canon(fold.current) === afterOnce, "replayed retirement moved the index")
+    assert(afterOnce === rebuildMinus(t1 ++ t2))
+  }
+
   test("streaming chunk novelty against a frozen chunk index equals the batch scorer") {
     // index = the corpus's CDC chunk hashes; the feed carries a verbatim
     // re-upload (novelty 0), a fresh doc (novelty 1000), and the case
