@@ -292,11 +292,17 @@ object Tokenize {
     */
   final val UgPenalty = -1000000000000L
 
-  /** Percent of MULTI-character pieces the pruning round removes
+  /** Percent of MULTI-character pieces each pruning round removes
     * (SentencePiece's shrinking_factor analog; single characters are
     * never pruned — they guarantee every word stays segmentable).
     */
   final val UgPrunePct = 20
+
+  /** Pruning rounds — the shrinking LOOP (SentencePiece iterates
+    * prune→EM until the target vocab size; two rounds exercise the loop
+    * while keeping the oracle's unrolled DP scripts tractable).
+    */
+  final val UgPruneRounds = 2
 
   /** Micro-nat snap: HALF_UP (= away from zero, matching DuckDB round()
     * and Spark round()) after the shared double chain
@@ -431,47 +437,55 @@ object Tokenize {
     .empty[(SparkSession, String), Map[String, Long]]
 
   /** The PRUNED unigram score table — SentencePiece's
-    * remove-lowest-likelihood round (Kudo 2018 §3.2) made deterministic:
+    * remove-lowest-likelihood SHRINKING LOOP (Kudo 2018 §3.2) made
+    * deterministic, [[UgPruneRounds]] rounds of:
     *
-    *  1. re-score the round-[[UgEmRounds]] E-step counts (sc2);
-    *  2. charge each multi-character piece its likelihood LOSS if removed,
-    *     loss(p) = c(p) · (sc2(p) − alt(p)) with alt(p) =
-    *     [[unigramAltBest]] — the exact cost of re-segmenting p's
-    *     occurrences without it (the paper's approximation: other pieces'
-    *     scores held fixed). All integer micro-nats × integer counts;
-    *  3. drop the bottom [[UgPrunePct]]% of multi-char pieces by
-    *     (loss ASC, piece DESC) — i.e. keep the top by (loss DESC,
-    *     piece ASC), the cross-engine tie rule; single characters are
-    *     never pruned (coverage guarantee);
-    *  4. re-fit Laplace scores over the PRUNED vocabulary from the same
-    *     counts — the next EM round's score table; segmentation under it
-    *     is the pruned tokenizer ([[q_unigram_pruned]]'s round
-    *     [[UgEmRounds]]+1).
+    *  1. segment the dictionary under the scores in force and take the
+    *     freq-weighted piece counts (the E-step of this round);
+    *  2. re-fit Laplace scores over the CURRENT vocabulary from those
+    *     counts;
+    *  3. charge each surviving multi-character piece its likelihood
+    *     LOSS if removed, loss(p) = c(p) · (sc(p) − alt(p)) with
+    *     alt(p) = [[unigramAltBest]] — the exact cost of re-segmenting
+    *     p's occurrences into ≥ 2 still-alive pieces (the paper's
+    *     approximation: other pieces' scores held fixed). All integer
+    *     micro-nats × integer counts;
+    *  4. drop the bottom [[UgPrunePct]]% of multi-char pieces — keep
+    *     the top by (loss DESC, piece ASC), the cross-engine tie rule;
+    *     single characters are never pruned (coverage guarantee);
+    *  5. re-fit Laplace scores over the pruned vocabulary from the same
+    *     counts — the scores the NEXT round (or the final segmentation)
+    *     runs under.
     *
-    * Every step is driver-side bounded model state (the vocab-sized
-    * frames [[unigramTrain]] already holds); the oracle re-derives the
-    * whole pruning round in SQL — alt-cost DP over the vocab frame, loss
-    * ranking, keep cut, re-scored round-3 segmentation — so oracle-green
-    * proves the pruning trajectory, not just the surviving vocab.
+    * The vocabulary shrinks geometrically across rounds (multi-char
+    * count → ⌈0.8·n⌉ each round). Every step is driver-side bounded
+    * model state (the vocab-sized frames [[unigramTrain]] already
+    * holds); the oracle re-derives the WHOLE loop in SQL — per-round
+    * alt-cost DP over the live vocab, loss ranking, keep cut, re-score,
+    * full re-segmentation DP — so oracle-green proves the multi-round
+    * pruning trajectory, not just the final surviving vocab.
     */
   def unigramTrainPruned(s: SparkSession, dir: String): Map[String, Long] =
     ugPrunedMemo.getOrElseUpdate((s, dir), {
       val wf = ugDict(s, dir)
-      val sc1 = unigramTrain(s, dir)
-      val vocab = sc1.keys.toSeq.sorted
-      val cnt2 = scala.collection.mutable.Map
-        .empty[String, Long].withDefaultValue(0L)
-      wf.foreach { case (w, f) =>
-        unigramViterbiSeq(w, sc1).foreach(p => cnt2(p) += f)
+      var sc = unigramTrain(s, dir) // scores in force for the next E-step
+      var vocab = sc.keys.toSeq.sorted // the LIVE vocabulary
+      for (_ <- 1 to UgPruneRounds) {
+        val cnt = scala.collection.mutable.Map
+          .empty[String, Long].withDefaultValue(0L)
+        wf.foreach { case (w, f) =>
+          unigramViterbiSeq(w, sc).foreach(p => cnt(p) += f)
+        }
+        val scFull = ugLaplace(cnt, vocab)
+        val multi = vocab.filter(_.length >= 2)
+        val loss = multi.map(p =>
+          p -> cnt(p) * (scFull(p) - unigramAltBest(p, scFull))).toMap
+        val keepN = multi.length - multi.length * UgPrunePct / 100
+        val kept = multi.sortBy(p => (-loss(p), p)).take(keepN)
+        vocab = (vocab.filter(_.length == 1) ++ kept).sorted
+        sc = ugLaplace(cnt, vocab)
       }
-      val sc2 = ugLaplace(cnt2, vocab)
-      val multi = vocab.filter(_.length >= 2)
-      val loss = multi.map(p =>
-        p -> cnt2(p) * (sc2(p) - unigramAltBest(p, sc2))).toMap
-      val keepN = multi.length - multi.length * UgPrunePct / 100
-      val kept = multi.sortBy(p => (-loss(p), p)).take(keepN)
-      val keep = (vocab.filter(_.length == 1) ++ kept).sorted
-      ugLaplace(cnt2, keep)
+      sc
     })
 
   /** Viterbi segmentation of a word column under a trained score table —
@@ -575,56 +589,61 @@ object Tokenize {
        |$rounds""".stripMargin
   }
 
-  /** The pruning round, unrolled: re-score → alt-cost DP over the vocab
-    * frame (positions 1..[[UgMaxPiece]], full-span branch excluded) →
-    * integer loss ranking → keep cut → re-scored round-(UgEmRounds+1)
-    * segmentation. Appends to [[ugScriptPrefix]].
+  /** The shrinking loop, unrolled — [[UgPruneRounds]] rounds, each:
+    * re-score over the LIVE vocab → alt-cost DP (positions
+    * 1..[[UgMaxPiece]], full-span branch excluded, only live pieces
+    * score) → integer loss ranking → keep cut → re-fit over survivors →
+    * full re-segmentation DP (which also yields the next round's
+    * counts). Appends to [[ugScriptPrefix]].
     */
-  private def ugPruneScript: String = {
-    val r = UgEmRounds
-    val steps = (1 to UgMaxPiece).map { i =>
-      val branches = (math.max(0, i - UgMaxPiece) until i).map { j =>
-        s"SELECT d.word AS word, d.sc + coalesce(s.sc, $UgPenalty) AS sc " +
-        s"FROM ug_alt_$j d LEFT JOIN ug_sc2 s " +
-        s"ON s.piece = substr(d.word, ${j + 1}, ${i - j}) " +
-        s"WHERE length(d.word) >= $i AND NOT ($j = 0 AND length(d.word) = $i)"
-      }.mkString("\n      UNION ALL\n      ")
-      s"""CREATE OR REPLACE TEMP TABLE ug_alt_$i AS
-         |  SELECT word, max(sc) AS sc FROM (
-         |      $branches
-         |  ) GROUP BY word;""".stripMargin
-    }
-    val altFinal = (2 to UgMaxPiece)
-      .map(i => s"SELECT word, sc FROM ug_alt_$i WHERE length(word) = $i")
-      .mkString("\n    UNION ALL\n    ")
-    s"""${ugScSql("ug_sc2", s"ug_cnt$r")}
-       |CREATE OR REPLACE TEMP TABLE ug_alt_0 AS
-       |  SELECT piece AS word, CAST(0 AS BIGINT) AS sc
-       |  FROM ug_vocab WHERE length(piece) >= 2;
-       |${steps.mkString("\n")}
-       |CREATE OR REPLACE TEMP TABLE ug_alt AS
-       |  SELECT word, sc FROM (
-       |    $altFinal
-       |  );
-       |CREATE OR REPLACE TEMP TABLE ug_loss AS
-       |  SELECT v.piece,
-       |         CAST(coalesce(c.c, 0) * (s.sc - a.sc) AS BIGINT) AS loss
-       |  FROM ug_vocab v
-       |  JOIN ug_sc2 s ON s.piece = v.piece
-       |  JOIN ug_alt a ON a.word = v.piece
-       |  LEFT JOIN ug_cnt$r c ON c.piece = v.piece
-       |  WHERE length(v.piece) >= 2;
-       |CREATE OR REPLACE TEMP TABLE ug_keep AS
-       |  SELECT piece FROM ug_vocab WHERE length(piece) = 1
-       |  UNION ALL
-       |  SELECT piece FROM (
-       |    SELECT piece, row_number() OVER (ORDER BY loss DESC, piece) AS rn,
-       |           count(*) OVER () AS nm
-       |    FROM ug_loss)
-       |  WHERE rn <= nm - (nm * $UgPrunePct) // 100;
-       |${ugScSql("ug_sc2p", s"ug_cnt$r", "ug_keep")}
-       |${ugDpRoundSql(r + 1, "ug_sc2p")}""".stripMargin
-  }
+  private def ugPruneScript: String =
+    (1 to UgPruneRounds).map { r =>
+      val cntR   = UgEmRounds + (r - 1) // this round's E-step counts
+      val vocabT = if (r == 1) "ug_vocab" else s"ug_keep${r - 1}"
+      val rs     = s"ug_rs$r"
+      val steps = (1 to UgMaxPiece).map { i =>
+        val branches = (math.max(0, i - UgMaxPiece) until i).map { j =>
+          s"SELECT d.word AS word, d.sc + coalesce(s.sc, $UgPenalty) AS sc " +
+          s"FROM ug_alt${r}_$j d LEFT JOIN $rs s " +
+          s"ON s.piece = substr(d.word, ${j + 1}, ${i - j}) " +
+          s"WHERE length(d.word) >= $i AND NOT ($j = 0 AND length(d.word) = $i)"
+        }.mkString("\n      UNION ALL\n      ")
+        s"""CREATE OR REPLACE TEMP TABLE ug_alt${r}_$i AS
+           |  SELECT word, max(sc) AS sc FROM (
+           |      $branches
+           |  ) GROUP BY word;""".stripMargin
+      }
+      val altFinal = (2 to UgMaxPiece)
+        .map(i => s"SELECT word, sc FROM ug_alt${r}_$i WHERE length(word) = $i")
+        .mkString("\n    UNION ALL\n    ")
+      s"""${ugScSql(rs, s"ug_cnt$cntR", vocabT)}
+         |CREATE OR REPLACE TEMP TABLE ug_alt${r}_0 AS
+         |  SELECT piece AS word, CAST(0 AS BIGINT) AS sc
+         |  FROM $vocabT WHERE length(piece) >= 2;
+         |${steps.mkString("\n")}
+         |CREATE OR REPLACE TEMP TABLE ug_alt$r AS
+         |  SELECT word, sc FROM (
+         |    $altFinal
+         |  );
+         |CREATE OR REPLACE TEMP TABLE ug_loss$r AS
+         |  SELECT v.piece,
+         |         CAST(coalesce(c.c, 0) * (s.sc - a.sc) AS BIGINT) AS loss
+         |  FROM $vocabT v
+         |  JOIN $rs s ON s.piece = v.piece
+         |  JOIN ug_alt$r a ON a.word = v.piece
+         |  LEFT JOIN ug_cnt$cntR c ON c.piece = v.piece
+         |  WHERE length(v.piece) >= 2;
+         |CREATE OR REPLACE TEMP TABLE ug_keep$r AS
+         |  SELECT piece FROM $vocabT WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece FROM (
+         |    SELECT piece, row_number() OVER (ORDER BY loss DESC, piece) AS rn,
+         |           count(*) OVER () AS nm
+         |    FROM ug_loss$r)
+         |  WHERE rn <= nm - (nm * $UgPrunePct) // 100;
+         |${ugScSql(s"ug_scp$r", s"ug_cnt$cntR", s"ug_keep$r")}
+         |${ugDpRoundSql(cntR + 1, s"ug_scp$r")}""".stripMargin
+    }.mkString("\n")
 
   val queries: Seq[Q] = Seq(
 
@@ -756,32 +775,35 @@ object Tokenize {
         .orderBy("doc_id")
     },
 
-    // PRUNED unigram vocabulary — the remove-lowest-likelihood round that
-    // actually PICKS the vocab (SentencePiece's shrinking loop, one round
-    // here; [[unigramTrainPruned]] documents the deterministic criterion).
-    // Output: the SURVIVING piece inventory — one row per kept piece with
-    // its re-fit micro-nat score and its freq-weighted usage in the
-    // round-(UgEmRounds+1) segmentation under those scores (0 for kept-
-    // but-unused pieces). The row COUNT is the shrunken vocabulary:
-    // |keep| = |1-char| + 80% of multi-char pieces < |ug_vocab|
-    // (TokenizeSpec asserts the shrink and score-table equality with a
-    // from-scratch sequential pruning reference). The oracle unrolls the
-    // pruning round itself (alt-cost DP, loss ranking, keep cut,
-    // re-score, round-3 DP) on top of the EM trajectory script, so green
-    // proves the pruning DECISION PATH — which pieces died and what the
-    // survivors' re-fit scores are — not just a surviving piece set.
-    // Scale shape: the score table is bounded model state (vocab-sized,
-    // the centroid-literal class); the usage branch is the one
-    // distributed stage (the q_unigram_vocab fold over distinct words).
+    // PRUNED unigram vocabulary — the remove-lowest-likelihood rounds
+    // that actually PICK the vocab (SentencePiece's shrinking loop,
+    // [[UgPruneRounds]] rounds; [[unigramTrainPruned]] documents the
+    // deterministic criterion). Output: the SURVIVING piece inventory —
+    // one row per kept piece with its re-fit micro-nat score and its
+    // freq-weighted usage in the final segmentation under those scores
+    // (0 for kept-but-unused pieces). The row COUNT is the shrunken
+    // vocabulary — multi-char pieces contract to 80% per ROUND
+    // (TokenizeSpec asserts the per-round geometry and score-table
+    // equality with a from-scratch sequential pruning reference). The
+    // oracle unrolls the whole loop (per-round alt-cost DP, loss
+    // ranking, keep cut, re-score, full re-segmentation DP), so green
+    // proves the multi-round pruning DECISION PATH — which pieces died
+    // in which round and what the survivors' re-fit scores are — not
+    // just a surviving piece set. Scale shape: the score table is
+    // bounded model state (vocab-sized, the centroid-literal class);
+    // the usage branch is the one distributed stage (the
+    // q_unigram_vocab fold over distinct words).
     Q("q_unigram_pruned",
       s"""$ugScriptPrefix
          |$ugPruneScript
          |SELECT k.piece AS piece, s.sc AS sc_micro,
          |       CAST(coalesce(u.n_tokens, 0) AS BIGINT) AS n_tokens
-         |FROM ug_keep k JOIN ug_sc2p s USING (piece)
+         |FROM ug_keep$UgPruneRounds k
+         |JOIN ug_scp$UgPruneRounds s USING (piece)
          |LEFT JOIN (
          |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_tokens FROM (
-         |    SELECT freq, unnest(ps) AS piece FROM ug_seg${UgEmRounds + 1})
+         |    SELECT freq, unnest(ps) AS piece
+         |    FROM ug_seg${UgEmRounds + UgPruneRounds})
          |  GROUP BY piece) u USING (piece)
          |ORDER BY piece""".stripMargin) { (s, dir) =>
       import s.implicits._

@@ -182,46 +182,54 @@ class TokenizeSpec extends SparkSpec {
 
   // ---- unigram pruning: from-scratch sequential reference -----------------
 
-  /** Reference pruning round, derived differently from the engine: the
+  /** Reference pruning loop, derived differently from the engine: the
     * alternative cost of a piece is refViterbi over the piece with the
     * piece DELETED from the score map (banning it at every position —
     * only the full span can match, so this equals the engine's
     * exclude-the-full-span DP), then the same loss ranking / keep cut /
-    * Laplace re-fit.
+    * Laplace re-fit, iterated [[UgPruneRounds]] times with the next
+    * round's counts taken from segmentation under the pruned scores.
     */
   private def refTrainPruned(freqs: Map[String, Long]): Map[String, Long] = {
-    val sc1 = refTrain(freqs)
-    val vocab = sc1.keys.toVector.sorted
-    val cnt2 = mutable.Map.empty[String, Long].withDefaultValue(0L)
-    for ((w, f) <- freqs; p <- refViterbi(w, sc1)) cnt2(p) += f
     def laplaceOver(c: collection.Map[String, Long], vs: Seq[String]) = {
       val t = vs.map(c.getOrElse(_, 0L)).sum
       vs.map(p => p -> refScore(c.getOrElse(p, 0L), t, vs.length)).toMap
     }
-    val sc2 = laplaceOver(cnt2, vocab)
-    def alt(p: String): Long = {
-      val banned = sc2 - p
-      refViterbi(p, banned).map(q => banned.getOrElse(q, UgPenalty)).sum
+    var sc = refTrain(freqs)
+    var vocab = sc.keys.toVector.sorted
+    for (_ <- 1 to UgPruneRounds) {
+      val cnt = mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, f) <- freqs; p <- refViterbi(w, sc)) cnt(p) += f
+      val scFull = laplaceOver(cnt, vocab)
+      def alt(p: String): Long = {
+        val banned = scFull - p
+        refViterbi(p, banned).map(q => banned.getOrElse(q, UgPenalty)).sum
+      }
+      val multi = vocab.filter(_.length >= 2)
+      val loss = multi.map(p => p -> cnt(p) * (scFull(p) - alt(p))).toMap
+      val keepN = multi.length - multi.length * UgPrunePct / 100
+      val kept = multi.sortBy(p => (-loss(p), p)).take(keepN)
+      vocab = (vocab.filter(_.length == 1) ++ kept).sorted.toVector
+      sc = laplaceOver(cnt, vocab)
     }
-    val multi = vocab.filter(_.length >= 2)
-    val loss = multi.map(p => p -> cnt2(p) * (sc2(p) - alt(p))).toMap
-    val keepN = multi.length - multi.length * UgPrunePct / 100
-    val kept = multi.sortBy(p => (-loss(p), p)).take(keepN)
-    laplaceOver(cnt2, (vocab.filter(_.length == 1) ++ kept).sorted)
+    sc
   }
 
-  test("pruned unigram trainer matches the sequential pruning reference and SHRINKS") {
+  test("pruned unigram trainer matches the sequential pruning reference and SHRINKS per round") {
     val pruned = unigramTrainPruned(spark, sfDir)
     assert(pruned === refTrainPruned(freqs))
     val full = unigramTrain(spark, sfDir)
     assert(pruned.size < full.size,
       s"pruning must shrink the vocabulary (${pruned.size} vs ${full.size})")
-    // coverage guarantee: every single-character piece survives
+    // coverage guarantee: every single-character piece survives all rounds
     assert(full.keys.filter(_.length == 1).forall(pruned.contains))
-    // the cut is exactly UgPrunePct% of the multi-char pieces
-    val multiFull   = full.keys.count(_.length >= 2)
-    val multiPruned = pruned.keys.count(_.length >= 2)
-    assert(multiPruned === multiFull - multiFull * UgPrunePct / 100)
+    // the cut is exactly UgPrunePct% of the multi-char pieces PER ROUND
+    // (the shrinking-loop geometry: n -> n - n/5, iterated)
+    var expectMulti = full.keys.count(_.length >= 2)
+    (1 to UgPruneRounds).foreach { _ =>
+      expectMulti = expectMulti - expectMulti * UgPrunePct / 100
+    }
+    assert(pruned.keys.count(_.length >= 2) === expectMulti)
   }
 
   test("pruned segmentation still tiles every word (coverage under pruning)") {
