@@ -296,13 +296,52 @@ object Streams {
     * the index is unchanged, and asserts after every trigger that the
     * live index canonically equals a full rebuild on the surviving
     * corpus (the QueriesSpec retire≡rebuild theorem, run live).
+    *
+    * DURABLE RECOVERY (opt-in `stateDir`): the index is executor-
+    * resident and corpus-proportional, so its durable face is a
+    * manifest-committed parquet SWAP of the whole post-retirement index
+    * per trigger ([[FoldState]]) — the same bytes the in-memory
+    * localCheckpoint swap already rewrites into executor blocks, now
+    * landing once on storage instead. Restore reads the single latest
+    * committed snapshot (one bounded listing + one parquet read of the
+    * index, never the corpus text); a restarted query's re-delivery of
+    * the last batch re-applies retireFrom (idempotent no-op) and skips
+    * the already-committed persist. A durable fold requires real batch
+    * ids (loud-fail otherwise).
     */
   private[graft] final class RetireFold(index0: DataFrame,
-      write: DataFrame => Unit) {
-    private var index = index0.localCheckpoint()
-    def current: DataFrame = index
-    def step(tombstones: DataFrame): Unit = {
+      write: DataFrame => Unit, stateDir: Option[String] = None) {
+    private var restored = stateDir.isEmpty
+    private var index = index0
+    private var checkpointed = false
+
+    private def ensureReady(spark: SparkSession): Unit = {
+      if (!restored) {
+        stateDir.foreach { dir =>
+          FoldState.latest(spark, dir).foreach { case (_, st) =>
+            index = spark.read.parquet(
+              new org.apache.hadoop.fs.Path(st, "index").toString)
+            checkpointed = true // parquet-backed; no executor copy needed
+          }
+        }
+        restored = true
+      }
+      if (!checkpointed) { index = index.localCheckpoint(); checkpointed = true }
+    }
+
+    def current: DataFrame = { ensureReady(index0.sparkSession); index }
+
+    def step(tombstones: DataFrame, batchId: Long = -1L): Unit = {
+      require(batchId >= 0 || stateDir.isEmpty,
+        "a durable RetireFold needs real batch ids")
+      ensureReady(tombstones.sparkSession)
       index = graft.ops.Dedup.retireFrom(index, tombstones).localCheckpoint()
+      stateDir.foreach { dir =>
+        FoldState.commit(index.sparkSession, dir, batchId) { staging =>
+          index.write.parquet(
+            new org.apache.hadoop.fs.Path(staging, "index").toString)
+        }
+      }
       write(index)
     }
   }
@@ -310,15 +349,17 @@ object Streams {
   /** Streaming twin of q_dedup_retire's maintenance face: a tombstone
     * id stream (doc_id rows) folds into a live MinHash cluster index,
     * each trigger emitting the post-retirement index. foreachBatch for
-    * the family's shared reason; replay-safe by idempotence (see
-    * [[RetireFold]]).
+    * the family's shared reason; replay-safe by idempotence, durable
+    * under `stateDir` via a per-trigger manifest-committed index swap
+    * (see [[RetireFold]]).
     */
-  def retireIngest(index: DataFrame, tombstones: DataFrame)
+  def retireIngest(index: DataFrame, tombstones: DataFrame,
+      stateDir: Option[String] = None)
       (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val fold = new RetireFold(index, write)
+    val fold = new RetireFold(index, write, stateDir)
     tombstones.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        fold.step(batch.toDF())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fold.step(batch.toDF(), id)
       }.start()
   }
 
@@ -389,6 +430,77 @@ object Streams {
       .select(unix_micros(col("window.start")).as("window_us"),
         col("n_rows"), col("v_value_low"), col("v_unknown_type"))
 
+  /** The Sinks exactly-once manifest protocol reduced to FOLD STATE —
+    * shared by every durable streaming fold ([[ProfileFold]],
+    * [[DriftFold]], [[RetireFold]]): stage the state's parquet
+    * components under `.staging-<id>`, rename to `state-<id>`, then
+    * atomically commit the `_manifests/batch-<id>` marker;
+    * strictly-older committed states are garbage-collected AFTER the
+    * new commit, and restore takes the MAX committed id — so a crash at
+    * any point leaves either the previous committed state or the new
+    * one, never neither and never a half-written directory (an
+    * uncommitted leftover of the same id from a crashed attempt is
+    * cleared before re-staging).
+    */
+  private[graft] object FoldState {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+
+    private def fsOf(s: SparkSession, dir: String): (FileSystem, Path) = {
+      val root = new Path(dir)
+      (root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
+    }
+
+    /** Commit state `id`: `stage(stagingPath)` writes the component
+      * parquet dirs under the staging root. Returns false (and writes
+      * nothing) iff `id` is already committed — same id ⇒ same data
+      * under the Structured Streaming re-delivery contract, so the
+      * skip is what makes persist itself replay-idempotent.
+      */
+    def commit(spark: SparkSession, dir: String, id: Long)
+        (stage: Path => Unit): Boolean = {
+      val (fs, root) = fsOf(spark, dir)
+      val manifests = new Path(root, "_manifests")
+      val manifest  = new Path(manifests, f"batch-$id%020d")
+      if (fs.exists(manifest)) return false
+      val staging = new Path(root, s".staging-$id")
+      val dest    = new Path(root, f"state-$id%020d")
+      fs.delete(staging, true); fs.delete(dest, true) // crashed attempt
+      stage(staging)
+      def must(ok: Boolean, what: => String): Unit =
+        if (!ok) throw new java.io.IOException(s"FoldState.commit($dir, $id): $what")
+      must(fs.rename(staging, dest), s"rename $staging -> $dest")
+      must(fs.mkdirs(manifests) || fs.getFileStatus(manifests).isDirectory,
+        s"mkdirs $manifests")
+      val tmp = new Path(manifests, s".tmp-$id")
+      fs.create(tmp, true).close()
+      must(fs.rename(tmp, manifest), s"manifest rename $tmp -> $manifest")
+      // GC strictly-older committed states (crash mid-GC is harmless:
+      // restore takes the MAX committed id)
+      fs.listStatus(manifests)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch-") =>
+          n.stripPrefix("batch-").toLong }
+        .filter(_ < id)
+        .foreach { old =>
+          fs.delete(new Path(root, f"state-$old%020d"), true)
+          fs.delete(new Path(manifests, f"batch-$old%020d"), false)
+        }
+      true
+    }
+
+    /** The latest committed (id, state path), if any. */
+    def latest(spark: SparkSession, dir: String): Option[(Long, Path)] = {
+      val (fs, root) = fsOf(spark, dir)
+      val manifests = new Path(root, "_manifests")
+      if (!fs.exists(manifests)) return None
+      val ids = fs.listStatus(manifests).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch-") =>
+          n.stripPrefix("batch-").toLong }
+      if (ids.isEmpty) None
+      else Some((ids.max, new Path(root, f"state-${ids.max}%020d")))
+    }
+  }
+
   /** Replay-safe running-state fold for [[profileIngest]] — the
     * foreachBatch face of the mergeable profiler whose algebra
     * q_profile_incremental proves batch-side (counts ADD, min/max FOLD,
@@ -451,65 +563,53 @@ object Streams {
         case _ => () // same id re-delivered: replace, never double-count
       }
       last = Some((batchId, st))
-      stateDir.foreach(persist(_, batchId, st))
       val (cAll, rAll) = base match {
         case Some((bc, br)) =>
           (bc.unionByName(st._1), br.unionByName(st._2))
         case None => st
       }
       emit(batchId, (cAll, rAll))
+      // persist AFTER emit so subclass state the emit updates (the
+      // drift fold's era snapshot) rides the same committed state; a
+      // trigger that fails mid-emit commits nothing and re-delivers.
+      stateDir.foreach(persist(_, batchId, st))
     }
 
-    // ---- durable (base, last) persistence: the Sinks manifest protocol
-    //      reduced to fold state --------------------------------------
+    /** Durable components beyond the (base, last) pair — subclasses add
+      * their own bounded frames ([[DriftFold]] persists the era
+      * snapshot). Each is written as a parquet subdir of the staged
+      * state; a component absent at persist time is simply absent on
+      * restore.
+      */
+    protected def extraComponents: Seq[(String, DataFrame)] = Seq.empty
 
-    private def fsOf(s: SparkSession, dir: String) = {
-      val root = new org.apache.hadoop.fs.Path(dir)
-      (root.getFileSystem(s.sparkContext.hadoopConfiguration), root)
-    }
+    /** Restore hook for [[extraComponents]] — `read(name)` yields the
+      * component's frame iff it was persisted with the restored state.
+      */
+    protected def restoreExtra(read: String => Option[DataFrame]): Unit = ()
 
-    /** Stage → rename → marker. A replayed id whose marker exists skips
-      * (same id ⇒ same data under the Structured Streaming contract);
-      * an UNCOMMITTED leftover of this id from a crashed attempt is
-      * cleared first. Older committed states GC AFTER the new commit.
+    // ---- durable (base, last) persistence: [[FoldState]] with the
+    //      pair tagged into two component files ------------------------
+
+    /** Stage the tagged (base, last) pair (plus any subclass
+      * [[extraComponents]]) through [[FoldState.commit]]; a replayed id
+      * whose marker exists is a no-op.
       */
     private def persist(dir: String, id: Long,
         st: (DataFrame, DataFrame)): Unit = {
       import org.apache.hadoop.fs.Path
       val spark = st._1.sparkSession
-      val (fs, root) = fsOf(spark, dir)
-      val manifests = new Path(root, "_manifests")
-      val manifest  = new Path(manifests, f"batch-$id%020d")
-      if (fs.exists(manifest)) return
       def tag(f: DataFrame, c: String) = f.withColumn("component", lit(c))
       val empty = (st._1.limit(0), st._2.limit(0))
       val (bc, br) = base.getOrElse(empty)
-      val counts = tag(bc, "base").unionByName(tag(st._1, "last"))
-      val regs   = tag(br, "base").unionByName(tag(st._2, "last"))
-      val staging = new Path(root, s".staging-$id")
-      val dest    = new Path(root, f"state-$id%020d")
-      fs.delete(staging, true); fs.delete(dest, true) // crashed attempt
-      counts.coalesce(1).write.parquet(new Path(staging, "counts").toString)
-      regs.coalesce(1).write.parquet(new Path(staging, "regs").toString)
-      def must(ok: Boolean, what: => String): Unit =
-        if (!ok) throw new java.io.IOException(s"ProfileFold.persist($id): $what")
-      must(fs.rename(staging, dest), s"rename $staging -> $dest")
-      must(fs.mkdirs(manifests) || fs.getFileStatus(manifests).isDirectory,
-        s"mkdirs $manifests")
-      val tmp = new Path(manifests, s".tmp-$id")
-      fs.create(tmp, true).close()
-      must(fs.rename(tmp, manifest), s"manifest rename $tmp -> $manifest")
-      // GC strictly-older committed states (crash mid-GC is harmless:
-      // restore takes the MAX committed id)
-      fs.listStatus(manifests)
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch-") =>
-          n.stripPrefix("batch-").toLong }
-        .filter(_ < id)
-        .foreach { old =>
-          fs.delete(new Path(root, f"state-$old%020d"), true)
-          fs.delete(new Path(manifests, f"batch-$old%020d"), false)
-        }
+      FoldState.commit(spark, dir, id) { staging =>
+        tag(bc, "base").unionByName(tag(st._1, "last"))
+          .coalesce(1).write.parquet(new Path(staging, "counts").toString)
+        tag(br, "base").unionByName(tag(st._2, "last"))
+          .coalesce(1).write.parquet(new Path(staging, "regs").toString)
+        extraComponents.foreach { case (nm, f) =>
+          f.coalesce(1).write.parquet(new Path(staging, nm).toString) }
+      }
     }
 
     /** Load the latest committed (base, last, id) — called lazily before
@@ -517,21 +617,19 @@ object Streams {
       */
     private def restore(spark: SparkSession): Unit = stateDir.foreach { dir =>
       import org.apache.hadoop.fs.Path
-      val (fs, root) = fsOf(spark, dir)
-      val manifests = new Path(root, "_manifests")
-      if (!fs.exists(manifests)) return
-      val committed = fs.listStatus(manifests).map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch-") =>
-          n.stripPrefix("batch-").toLong }
-      if (committed.isEmpty) return
-      val id = committed.max
-      val st = new Path(root, f"state-$id%020d")
-      val counts = spark.read.parquet(new Path(st, "counts").toString)
-      val regs   = spark.read.parquet(new Path(st, "regs").toString)
-      def part(f: DataFrame, c: String) =
-        f.filter(col("component") === c).drop("component").localCheckpoint()
-      base = Some((part(counts, "base"), part(regs, "base")))
-      last = Some((id, (part(counts, "last"), part(regs, "last"))))
+      FoldState.latest(spark, dir).foreach { case (id, st) =>
+        val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val counts = spark.read.parquet(new Path(st, "counts").toString)
+        val regs   = spark.read.parquet(new Path(st, "regs").toString)
+        def part(f: DataFrame, c: String) =
+          f.filter(col("component") === c).drop("component").localCheckpoint()
+        base = Some((part(counts, "base"), part(regs, "base")))
+        last = Some((id, (part(counts, "last"), part(regs, "last"))))
+        restoreExtra { nm =>
+          val p = new Path(st, nm)
+          if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+        }
+      }
     }
 
     /** What a trigger emits given the running (un-merged) state union —
@@ -554,11 +652,28 @@ object Streams {
     * is inherited: a re-delivered batch id replaces, never double-folds
     * — on either side of the cut (StreamingSpec replays a post-cut
     * trigger and asserts the drift rows are unchanged).
+    *
+    * DURABLE RECOVERY (opt-in `stateDir`, inherited from
+    * [[ProfileFold]]): the frozen era snapshot persists as an extra
+    * component of the same committed state as (base, last) — persist
+    * runs AFTER emit, so any committed state from a trigger ≥ the cut
+    * already carries the snapshot, and a restart needs NO re-delivery
+    * of the cut batch to resume diffing (StreamingSpec restarts the
+    * fold post-cut with and without a replayed trigger). A restart
+    * restored BEFORE the cut has no snapshot yet and rebuilds it from
+    * the restored running state when the cut trigger (re-)arrives.
     */
-  private[graft] final class DriftFold(eraCut: Long, write: DataFrame => Unit)
-      extends ProfileFold(write) {
+  private[graft] final class DriftFold(eraCut: Long, write: DataFrame => Unit,
+      stateDir: Option[String] = None) extends ProfileFold(write, stateDir) {
     import graft.ops.Profile
     private var snap: Option[(DataFrame, DataFrame)] = None
+    override protected def extraComponents: Seq[(String, DataFrame)] =
+      snap.toSeq.flatMap { case (c, r) =>
+        Seq("snap_counts" -> c, "snap_regs" -> r) }
+    override protected def restoreExtra(
+        read: String => Option[DataFrame]): Unit =
+      for (c <- read("snap_counts"); r <- read("snap_regs"))
+        snap = Some((c.localCheckpoint(), r.localCheckpoint()))
     override protected def emit(batchId: Long,
         states: (DataFrame, DataFrame)): Unit = {
       val merged = Profile.mergeProfileStates(states)
@@ -573,11 +688,13 @@ object Streams {
     * boundary; every later trigger emits (column, stat, before, after,
     * drifted) rows of the live mergeable profile against it — the
     * yesterday-vs-now monitor as a feed. foreachBatch for the family's
-    * shared reason; state is the two bounded fold frames.
+    * shared reason; state is the two bounded fold frames (durable under
+    * `stateDir` — snapshot included; see [[DriftFold]]).
     */
-  def driftIngest(events: DataFrame, eraCut: Long)
+  def driftIngest(events: DataFrame, eraCut: Long,
+      stateDir: Option[String] = None)
       (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val fold = new DriftFold(eraCut, write)
+    val fold = new DriftFold(eraCut, write, stateDir)
     events.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         fold.step(batch.toDF(), id)

@@ -434,6 +434,50 @@ class StreamingSpec extends SparkSpec {
     assert(afterOnce === rebuildMinus(t1 ++ t2))
   }
 
+  test("durable retire fold survives a PROCESS restart: index restored, replay still a no-op") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val index0 = graft.ops.Dedup.clusterFrameOf(docs)
+    def canon(cf: DataFrame) = cf
+      .select(col("cid"), sort_array(col("ms")).as("ms"), col("th"), col("sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getSeq[Long](3))).toSet
+    def rebuildMinus(ids: Seq[Long]) = canon(graft.ops.Dedup.clusterFrameOf(
+      docs.join(ids.toDF("doc_id"), Seq("doc_id"), "left_anti")))
+    val t1 = docs.filter(col("doc_id") % 7 === 3).select("doc_id").as[Long].collect().toSeq
+    val t2 = docs.filter(col("doc_id") % 5 === 2).select("doc_id").as[Long].collect().toSeq
+    val t3 = docs.filter(col("doc_id") % 11 === 4).select("doc_id").as[Long].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("retire-state").toString
+
+    // process 1: two tombstone triggers, then "death"
+    val f1 = new Streams.RetireFold(index0, _ => (), Some(dir))
+    f1.step(t1.toDF("doc_id"), 0L)
+    f1.step(t2.toDF("doc_id"), 1L)
+
+    // process 2: restart + checkpoint replay of the last batch — the
+    // restored index re-applies the retirement (idempotent no-op, the
+    // committed persist skips), then a NEW trigger continues from it
+    val f2 = new Streams.RetireFold(index0, _ => (), Some(dir))
+    f2.step(t2.toDF("doc_id"), 1L) // checkpoint replay after restart
+    assert(canon(f2.current) === rebuildMinus(t1 ++ t2),
+      "restored+replayed index != rebuild on surviving corpus")
+    f2.step(t3.toDF("doc_id"), 2L)
+    assert(canon(f2.current) === rebuildMinus(t1 ++ t2 ++ t3))
+
+    // process 3: restore ALONE (no replay) carries the whole history;
+    // GC left exactly one committed state
+    val f3 = new Streams.RetireFold(index0, _ => (), Some(dir))
+    assert(canon(f3.current) === rebuildMinus(t1 ++ t2 ++ t3))
+    val states = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("state-")).map(_.getName).toSeq
+    assert(states.size === 1, s"GC should keep exactly one state: $states")
+    // a durable fold demands real batch ids
+    intercept[IllegalArgumentException] {
+      new Streams.RetireFold(index0, _ => (), Some(dir)).step(t1.toDF("doc_id"))
+    }
+  }
+
   test("streaming chunk novelty against a frozen chunk index equals the batch scorer") {
     // index = the corpus's CDC chunk hashes; the feed carries a verbatim
     // re-upload (novelty 0), a fresh doc (novelty 1000), and the case
@@ -662,6 +706,50 @@ class StreamingSpec extends SparkSpec {
       s"replayed drift ${emitted2.last} != batch")
     fold.step(feed3.toDF(), 2L)
     assert(emitted2.last === wantVs(era0 ++ feed2 ++ feed3))
+  }
+
+  test("durable drift fold survives a PROCESS restart: snapshot restored with and without replay") {
+    import org.apache.spark.sql.Row
+    def ev(id: Long, min: Long, u: Long, typ: String, v: Double) =
+      Event(id, ts(min), u, typ, v, "{}")
+    val era0  = Seq(ev(1, 5, 1, "click", 2.0), ev(2, 10, 1, "view", 2.5),
+      ev(3, 15, 2, "click", 2.25))
+    val feed2 = Seq(ev(10, 120, 7, "purchase", 40.0), ev(11, 125, 8, "error", 55.5))
+    val feed3 = Seq(ev(12, 130, 9, "signup", 60.0), ev(13, 135, 10, "view", 58.0))
+    val feed4 = Seq(ev(14, 140, 11, "click", 61.0))
+    def statesOf(rows: Seq[Event]) = graft.ops.Profile.mergeProfileStates(
+      graft.ops.Profile.incrementalStates(
+        rows.toDF().withColumn("half", col("event_id") % 2)))
+    def wantVs(full: Seq[Event]): Seq[Row] = graft.ops.Profile
+      .driftStates(statesOf(era0), statesOf(full)).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("drift-state").toString
+
+    // process 1: the cut trigger plus one post-cut trigger, then "death"
+    val em1 = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val f1 = new Streams.DriftFold(0L, df => em1 += df.collect().toSeq, Some(dir))
+    f1.step(era0.toDF(), 0L)
+    f1.step(feed2.toDF(), 1L)
+    assert(em1.last === wantVs(era0 ++ feed2))
+
+    // process 2: restart + checkpoint replay of the last batch — the
+    // RESTORED snapshot must carry the diff without re-seeing the cut
+    val em2 = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val f2 = new Streams.DriftFold(0L, df => em2 += df.collect().toSeq, Some(dir))
+    f2.step(feed2.toDF(), 1L) // checkpoint replay after restart
+    assert(em2.last === wantVs(era0 ++ feed2),
+      s"post-restart replay diverged: ${em2.last}")
+    f2.step(feed3.toDF(), 2L)
+    assert(em2.last === wantVs(era0 ++ feed2 ++ feed3))
+
+    // process 3: restart WITHOUT a replay — the snapshot and running
+    // state alone must carry the whole history; GC left exactly one
+    val em3 = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    val f3 = new Streams.DriftFold(0L, df => em3 += df.collect().toSeq, Some(dir))
+    f3.step(feed4.toDF(), 3L)
+    assert(em3.last === wantVs(era0 ++ feed2 ++ feed3 ++ feed4))
+    val states = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("state-")).map(_.getName).toSeq
+    assert(states.size === 1, s"GC should keep exactly one state: $states")
   }
 
   test("windowed constraint monitor equals batch on an out-of-order multi-trigger feed") {
