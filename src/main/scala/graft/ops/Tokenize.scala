@@ -157,11 +157,12 @@ object Tokenize {
       merges.toSeq
     })
 
-  /** Unpersist the merge lists and unigram score tables memoized for `s`. */
+  /** Unpersist the merge lists and score tables memoized for `s`. */
   def clearCaches(s: SparkSession): Unit = {
     memo.keys.filter(_._1 eq s).foreach(memo.remove)
     ugMemo.keys.filter(_._1 eq s).foreach(ugMemo.remove)
     ugPrunedMemo.keys.filter(_._1 eq s).foreach(ugPrunedMemo.remove)
+    wpMemo.keys.filter(_._1 eq s).foreach(wpMemo.remove)
   }
 
   /** Encode one symbol array through an ordered merge list (column form —
@@ -645,6 +646,283 @@ object Tokenize {
          |${ugDpRoundSql(cntR + 1, s"ug_scp$r")}""".stripMargin
     }.mkString("\n")
 
+  // ---- WordPiece (BERT-style) tokenizer ------------------------------------
+  //
+  // The THIRD tokenizer family production pipelines ship (Schuster &
+  // Nakajima 2012 "Japanese and Korean voice search"; the BERT vocab of
+  // Devlin et al. 2019). Training is BPE-shaped — iterative pair merges
+  // over the same capped word-frequency dictionary — but each round
+  // merges the pair maximizing the LIKELIHOOD score
+  // count(pair) / (count(l) · count(r)) instead of the raw pair count,
+  // with every non-initial symbol carrying the "##" continuation prefix.
+  // Application is NOT the learned merge order (BPE's contract) but
+  // greedy LONGEST-MATCH-FIRST against the final piece inventory, a
+  // whole word falling to [[WpUnk]] when no piece fits at some position.
+  // Scale shape is the family's: one corpus shuffle (wordFreq), training
+  // on bounded driver model state, application one Catalyst fold per
+  // DISTINCT word with the piece inventory a plan literal.
+
+  /** WordPiece merge rounds for the declared queries. */
+  final val WpMerges = 12
+
+  /** The unknown-word sentinel greedy matching falls back to. */
+  final val WpUnk = "[UNK]"
+
+  /** Initial WordPiece segmentation: first character bare, the rest
+    * "##"-prefixed (so a piece's prefix records word-start vs
+    * continuation, the property greedy matching keys on).
+    */
+  private def wpInitSyms(w: String): Array[String] =
+    w.substring(0, 1) +: w.substring(1).map("##" + _).toArray
+
+  /** Strip the continuation prefix when fusing a merged symbol. */
+  private def wpStrip(sym: String): String =
+    if (sym.startsWith("##")) sym.substring(2) else sym
+
+  private val wpMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(String, String)], Seq[String])]
+
+  /** Train [[WpMerges]] WordPiece merges over the capped dictionary
+    * ([[ugDict]] — same cap, length and empty-word guards, and therefore
+    * the same capped-oracle contract as the unigram trainer). Returns
+    * (merge trajectory, sorted final piece inventory = initial alphabet
+    * ∪ merge products — WordPiece vocabularies only GROW; nothing is
+    * removed).
+    *
+    * Cross-engine determinism: the score is the ONE fixed IEEE sequence
+    * c.toDouble / (cl·cr).toDouble on exact int64 counts — the same two
+    * correctly-rounded ops as the oracle's
+    * CAST(c AS DOUBLE) / CAST(cl·cr AS DOUBLE) — so both engines rank
+    * identical doubles (the Pearson rule: a fixed sequence of
+    * correctly-rounded ops on identical integers needs no snapping);
+    * remaining ties break (l, r)-lexicographic.
+    */
+  def wpTrain(s: SparkSession, dir: String): (Seq[(String, String)], Seq[String]) =
+    wpMemo.getOrElseUpdate((s, dir), {
+      val wf = ugDict(s, dir)
+      var vocab = wf.map { case (w, f) => (wpInitSyms(w), f) }
+      val alphabet = vocab.iterator.flatMap(_._1).toSet
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var stop = false
+      while (merges.length < WpMerges && !stop) {
+        val sc = scala.collection.mutable.Map
+          .empty[String, Long].withDefaultValue(0L)
+        val pc = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          var i = 0
+          while (i < syms.length) {
+            sc(syms(i)) += f
+            if (i + 1 < syms.length) pc((syms(i), syms(i + 1))) += f
+            i += 1
+          }
+        }
+        if (pc.isEmpty) stop = true
+        else {
+          val (l, r) = pc.toSeq.minBy { case ((l, r), c) =>
+            (-(c.toDouble / (sc(l) * sc(r)).toDouble), l, r) }._1
+          merges += ((l, r))
+          vocab = vocab.map { case (syms, f) =>
+            (applySeq(syms, l, r, merged = l + wpStrip(r)), f)
+          }
+        }
+      }
+      val pieces = (alphabet ++ merges.map { case (l, r) => l + wpStrip(r) })
+        .toSeq.sorted
+      (merges.toSeq, pieces)
+    })
+
+  /** [[applySeq]] with an explicit fused symbol (WordPiece strips the
+    * continuation prefix when fusing; BPE concatenates verbatim).
+    */
+  private def applySeq(syms: Array[String], l: String, r: String,
+      merged: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Sequential greedy longest-match-first WordPiece segmentation — the
+    * application reference the Column fold and the spec pin against.
+    */
+  private[graft] def wpGreedySeq(w: String, pieces: Set[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = 0
+    while (p < w.length) {
+      var ln = w.length - p
+      var hit: String = null
+      while (ln >= 1 && hit == null) {
+        val cand = (if (p > 0) "##" else "") + w.substring(p, p + ln)
+        if (pieces(cand)) hit = cand else ln -= 1
+      }
+      if (hit == null) return Seq(WpUnk)
+      out += hit; p += ln
+    }
+    out.toSeq
+  }
+
+  /** Greedy longest-match-first segmentation of a word column — the
+    * distributed application face: ONE Catalyst fold over positions
+    * (greedy needs exactly length(word) steps since every live step
+    * advances ≥ 1 position), an inner fold over candidate lengths that
+    * keeps the LARGEST member of the piece inventory (later k overwrite
+    * smaller hits). The inventory is a map literal (bounded model state
+    * in the plan, the centroid-literal class); no UDF, no shuffle. A
+    * position with no matching piece marks the word dead → [[WpUnk]].
+    */
+  def wordpiecePiecesCol(word: Column, pieces: Seq[String]): Column = {
+    val pm = typedlit(pieces.map(_ -> true).toMap)
+    val maxLen = pieces.map(p => p.length - (if (p.startsWith("##")) 2 else 0))
+      .foldLeft(1)(math.max)
+    val fold = aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(1).as("pos"),
+        array().cast("array<string>").as("ps"), lit(false).as("dead")),
+      (acc, _) => {
+        val pos  = acc.getField("pos")
+        val live = !acc.getField("dead") && pos <= length(word)
+        val bestLen = aggregate(
+          sequence(lit(1), least(lit(maxLen), length(word) - pos + 1)),
+          lit(0),
+          (b, k) => {
+            val cand = concat(when(pos > 1, lit("##")).otherwise(lit("")),
+              word.substr(pos, k))
+            when(element_at(pm, cand).isNotNull, k).otherwise(b)
+          })
+        val piece = concat(when(pos > 1, lit("##")).otherwise(lit("")),
+          word.substr(pos, bestLen))
+        when(!live, acc)
+          .when(bestLen === 0,
+            struct(pos.as("pos"), acc.getField("ps").as("ps"),
+              lit(true).as("dead")))
+          .otherwise(struct((pos + bestLen).as("pos"),
+            concat(acc.getField("ps"), array(piece)).as("ps"),
+            lit(false).as("dead")))
+      })
+    when(fold.getField("dead"), typedlit(Seq(WpUnk)))
+      .otherwise(fold.getField("ps"))
+  }
+
+  // ---- WordPiece oracle script (the bpe_v* mechanism + a greedy orbit) ----
+
+  /** One unrolled training round: symbol counts → argmax pair by the
+    * IEEE double ratio (DESC, then l, r) → positional non-overlapping
+    * re-segmentation (the bpe gaps-and-islands parity rule — identical
+    * merge application semantics, only the fused spelling strips "##").
+    */
+  private def wpRoundSql(r: Int): String =
+    s"""CREATE OR REPLACE TEMP TABLE wp_s$r AS
+       |  SELECT s, CAST(sum(freq) AS BIGINT) AS c
+       |  FROM (SELECT freq, unnest(syms) AS s FROM wp_v${r - 1}) GROUP BY s;
+       |CREATE OR REPLACE TEMP TABLE wp_m$r AS
+       |  SELECT p.l AS l, p.r AS r,
+       |         p.l || CASE WHEN p.r LIKE '##%' THEN p.r[3:] ELSE p.r END AS merged
+       |  FROM (
+       |    SELECT unnest([{'l': syms[i], 'r': syms[i+1]}
+       |                   for i in range(1, len(syms))]) AS p,
+       |           freq
+       |    FROM wp_v${r - 1} WHERE len(syms) >= 2) x
+       |  JOIN wp_s$r sl ON sl.s = x.p.l
+       |  JOIN wp_s$r sr ON sr.s = x.p.r
+       |  GROUP BY p.l, p.r, sl.c, sr.c
+       |  ORDER BY CAST(CAST(sum(freq) AS BIGINT) AS DOUBLE)
+       |           / CAST(sl.c * sr.c AS DOUBLE) DESC, p.l, p.r
+       |  LIMIT 1;
+       |CREATE OR REPLACE TEMP TABLE wp_v$r AS
+       |  WITH x AS (
+       |    SELECT word, freq, unnest(syms) AS s,
+       |           unnest(range(1, len(syms) + 1)) AS i
+       |    FROM wp_v${r - 1}),
+       |  y AS (
+       |    SELECT word, freq, s, i,
+       |           coalesce(s = (SELECT l FROM wp_m$r)
+       |                    AND lead(s) OVER (PARTITION BY word ORDER BY i)
+       |                        = (SELECT r FROM wp_m$r), FALSE) AS mt
+       |    FROM x),
+       |  z AS (
+       |    SELECT word, freq, s, i, mt,
+       |           CASE WHEN mt THEN i - row_number()
+       |                OVER (PARTITION BY word, mt ORDER BY i) END AS grp
+       |    FROM y),
+       |  sel AS (
+       |    SELECT word, freq, s, i,
+       |           mt AND ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0) AS sel
+       |    FROM z),
+       |  keep AS (
+       |    SELECT word, freq, i,
+       |           CASE WHEN sel THEN (SELECT merged FROM wp_m$r) ELSE s END AS s,
+       |           coalesce(lag(sel) OVER (PARTITION BY word ORDER BY i), FALSE) AS skip
+       |    FROM sel)
+       |  SELECT word, freq, list(s ORDER BY i) AS syms
+       |  FROM keep WHERE NOT skip GROUP BY word, freq;""".stripMargin
+
+  /** Dictionary seed (the [[ugDict]] cap and ordering), all [[WpMerges]]
+    * unrolled rounds, the grown piece inventory, the per-(word, pos)
+    * longest-match table, and the greedy orbit unrolled
+    * [[UgMaxWordLen]] steps (every live step advances ≥ 1 position) —
+    * so oracle-green proves the TRAINING TRAJECTORY and the greedy
+    * application, not just a piece set.
+    */
+  private def wpScriptPrefix: String = {
+    val orbit = (1 to UgMaxWordLen).map { j =>
+      s"""CREATE OR REPLACE TEMP TABLE wp_seg$j AS
+         |  SELECT s.word,
+         |         CASE WHEN s.dead OR s.pos > len(s.word) OR l.l IS NULL
+         |              THEN s.pos ELSE s.pos + l.l END AS pos,
+         |         CASE WHEN s.dead OR s.pos > len(s.word) OR l.l IS NULL
+         |              THEN s.ps
+         |              ELSE list_append(s.ps,
+         |                CASE WHEN s.pos > 1 THEN '##' ELSE '' END ||
+         |                s.word[s.pos : s.pos + l.l - 1]) END AS ps,
+         |         CASE WHEN s.dead THEN TRUE
+         |              WHEN s.pos > len(s.word) THEN FALSE
+         |              WHEN l.l IS NULL THEN TRUE ELSE FALSE END AS dead
+         |  FROM wp_seg${j - 1} s
+         |  LEFT JOIN wp_len l ON l.word = s.word AND l.pos = s.pos;""".stripMargin
+    }.mkString("\n")
+    s"""CREATE OR REPLACE TEMP TABLE wp_v0 AS
+       |  SELECT word, freq,
+       |         [CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END
+       |          for i in range(1, len(word) + 1)] AS syms
+       |  FROM (
+       |    SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |    GROUP BY tok ORDER BY freq DESC, word LIMIT $UgSeedCap);
+       |${(1 to WpMerges).map(wpRoundSql).mkString("\n")}
+       |CREATE OR REPLACE TEMP TABLE wp_vocab AS
+       |  SELECT DISTINCT s AS piece FROM (SELECT unnest(syms) AS s FROM wp_v0)
+       |  UNION
+       |  SELECT merged FROM (
+       |    ${(1 to WpMerges).map(r => s"SELECT merged FROM wp_m$r")
+             .mkString("\n    UNION ALL\n    ")});
+       |CREATE OR REPLACE TEMP TABLE wp_len AS
+       |  SELECT w.word, p.pos,
+       |         max(len(v.piece)
+       |             - CASE WHEN p.pos > 1 THEN 2 ELSE 0 END) AS l
+       |  FROM (SELECT DISTINCT word FROM wp_v0) w,
+       |       LATERAL (SELECT unnest(range(1, len(w.word) + 1)) AS pos) p
+       |  JOIN wp_vocab v
+       |    ON v.piece = CASE WHEN p.pos > 1 THEN '##' ELSE '' END ||
+       |       w.word[p.pos : p.pos
+       |            + (len(v.piece) - CASE WHEN p.pos > 1 THEN 2 ELSE 0 END) - 1]
+       |   AND len(v.piece) - CASE WHEN p.pos > 1 THEN 2 ELSE 0 END >= 1
+       |   AND p.pos + (len(v.piece) - CASE WHEN p.pos > 1 THEN 2 ELSE 0 END) - 1
+       |       <= len(w.word)
+       |  GROUP BY w.word, p.pos;
+       |CREATE OR REPLACE TEMP TABLE wp_seg0 AS
+       |  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS ps, FALSE AS dead
+       |  FROM (SELECT DISTINCT word FROM wp_v0);
+       |$orbit
+       |CREATE OR REPLACE TEMP TABLE wp_seg AS
+       |  SELECT word, CASE WHEN dead THEN ['$WpUnk'] ELSE ps END AS ps
+       |  FROM wp_seg$UgMaxWordLen;""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Iteration-0 weighted pair counts — the exact aggregate every merge
@@ -817,6 +1095,74 @@ object Tokenize {
         .select(col("piece"), col("sc_micro"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
         .orderBy("piece")
+    },
+
+    // WordPiece piece inventory — the third tokenizer family's vocab
+    // query: one row per trained piece (initial alphabet ∪ the WpMerges
+    // likelihood-scored merge products) with its word-start flag and its
+    // freq-weighted usage under GREEDY LONGEST-MATCH application to the
+    // dictionary (0 for trained-but-unused pieces; see [[wpTrain]] /
+    // [[wordpiecePiecesCol]]). The oracle re-derives the WHOLE training
+    // trajectory (per-round symbol counts, the IEEE-double likelihood
+    // argmax, positional re-segmentation) plus the greedy orbit, so
+    // green proves which pairs merged in which order AND how the final
+    // inventory segments every word — not just a piece set. Scale
+    // shape: training is bounded driver model state over the capped
+    // dictionary; the usage branch is the one distributed stage (the
+    // family's fold over distinct words, inventory a map literal).
+    Q("q_wordpiece_vocab",
+      s"""$wpScriptPrefix
+         |SELECT v.piece AS piece, v.piece NOT LIKE '##%' AS is_word_start,
+         |       CAST(coalesce(u.n, 0) AS BIGINT) AS n_tokens
+         |FROM wp_vocab v LEFT JOIN (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT f.freq, unnest(s.ps) AS piece
+         |    FROM wp_seg s JOIN (SELECT word, freq FROM wp_v0) f USING (word))
+         |  GROUP BY piece) u ON u.piece = v.piece
+         |ORDER BY piece""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (_, pieces) = wpTrain(s, dir)
+      val used = wordFreq(s, dir).filter(length(col("word")) >= 1)
+        .select(col("freq"),
+          explode(wordpiecePiecesCol(col("word"), pieces)).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("n"))
+      pieces.toDF("piece")
+        .join(used, Seq("piece"), "left")
+        .select(col("piece"),
+          (!col("piece").startsWith("##")).as("is_word_start"),
+          coalesce(col("n"), lit(0L)).as("n_tokens"))
+        .orderBy("piece")
+    },
+
+    // Per-document WordPiece token count (+ UNK-word count) under the
+    // trained inventory — the family's corpus-application query: the
+    // greedy fold runs once per DISTINCT word; documents join word →
+    // piece count, so the corpus-sized stage is one explode + one
+    // equi-join however large the corpus. A document's [UNK] words
+    // count 1 token each and are surfaced separately (the quality
+    // signal a tokenizer-coverage monitor watches).
+    Q("q_wordpiece_token_count",
+      s"""$wpScriptPrefix
+         |SELECT d.doc_id AS doc_id,
+         |       CAST(sum(len(s.ps)) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN s.ps = ['$WpUnk'] THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_unk
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents) d
+         |JOIN wp_seg s USING (word)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val (_, pieces) = wpTrain(s, dir)
+      val seg = wordFreq(s, dir).filter(length(col("word")) >= 1)
+        .select(col("word"),
+          wordpiecePiecesCol(col("word"), pieces).as("ps"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(seg, Seq("word"))
+        .groupBy("doc_id").agg(
+          sum(size(col("ps"))).as("n_tokens"),
+          sum(when(col("ps") === typedlit(Seq(WpUnk)), 1L).otherwise(0L))
+            .as("n_unk"))
+        .orderBy("doc_id")
     }
   )
 }

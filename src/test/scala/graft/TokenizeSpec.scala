@@ -252,4 +252,77 @@ class TokenizeSpec extends SparkSpec {
     val corpusChars = freqs.map { case (w, f) => w.length * f }.sum
     assert(pieceChars === corpusChars)
   }
+
+  // ---- WordPiece: from-scratch sequential reference ------------------------
+
+  /** Reference WordPiece trainer, derived differently from the engine:
+    * instead of mutating a running segmentation, each round RE-SEGMENTS
+    * the whole dictionary by replaying the merge list so far from the
+    * initial ##-seeded symbols, then recounts. Scores use the same fixed
+    * IEEE sequence c.toDouble / (cl·cr).toDouble.
+    */
+  private def refWpTrain(freqs: Map[String, Long])
+      : (Seq[(String, String)], Set[String]) = {
+    def init(w: String): Vector[String] =
+      w.substring(0, 1) +: w.substring(1).map("##" + _).toVector
+    def strip(s: String) = if (s.startsWith("##")) s.substring(2) else s
+    def replay(w: String, ms: Seq[(String, String)]): Vector[String] =
+      ms.foldLeft(init(w)) { case (syms, (l, r)) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + strip(r)); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < WpMerges && !done) {
+      val sc = mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val pc = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, f) <- freqs) {
+        val syms = replay(w, merges.toSeq)
+        syms.foreach(s => sc(s) += f)
+        syms.zip(syms.tail).foreach(p => pc(p) += f)
+      }
+      if (pc.isEmpty) done = true
+      else merges += pc.toSeq.minBy { case ((l, r), c) =>
+        (-(c.toDouble / (sc(l) * sc(r)).toDouble), l, r) }._1
+    }
+    val alphabet = freqs.keys.flatMap(init).toSet
+    (merges.toSeq, alphabet ++ merges.map { case (l, r) => l + strip(r) })
+  }
+
+  test("wordpiece trainer matches the replay-derived sequential reference") {
+    val (merges, pieces) = wpTrain(spark, sfDir)
+    val (refM, refV) = refWpTrain(freqs)
+    assert(merges === refM)
+    assert(pieces === refV.toSeq.sorted)
+    // the vocabulary GROWS: alphabet plus one product per merge (set
+    // semantics — duplicate spellings would only shrink it)
+    assert(pieces.size <= freqs.keys.flatMap(w =>
+      w.substring(0, 1) +: w.substring(1).map("##" + _).toVector).toSet.size
+      + WpMerges)
+  }
+
+  test("wordpiece greedy column fold equals the sequential matcher; unseen chars fall to [UNK]") {
+    val (_, pieces) = wpTrain(spark, sfDir)
+    val pset = pieces.toSet
+    val unseen = "zürich" // 'ü' is outside the fixture alphabet
+    val words = freqs.keys.toSeq.sorted :+ unseen
+    import spark.implicits._
+    val got = words.toDF("word")
+      .select(col("word"), wordpiecePiecesCol(col("word"), pieces).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    words.foreach { w =>
+      assert(got(w) === wpGreedySeq(w, pset), s"fold != sequential on '$w'")
+    }
+    assert(got(unseen) === Seq(WpUnk))
+    // spell conservation: non-UNK pieces re-spell the word
+    freqs.keys.foreach { w =>
+      assert(got(w).map(p =>
+        if (p.startsWith("##")) p.substring(2) else p).mkString === w)
+    }
+  }
 }
