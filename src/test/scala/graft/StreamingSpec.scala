@@ -434,6 +434,39 @@ class StreamingSpec extends SparkSpec {
     assert(afterOnce === rebuildMinus(t1 ++ t2))
   }
 
+  test("fold-state commit is atomic: a crash mid-stage leaves the previous state restorable") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("foldstate").toString
+    def frame(v: Long) = Seq(v).toDF("v")
+    assert(Streams.FoldState.commit(spark, dir, 0L) { st =>
+      frame(1L).write.parquet(new Path(st, "x").toString) })
+    // a crashed attempt at id 1: the stage callback dies after partial work
+    intercept[RuntimeException] {
+      Streams.FoldState.commit(spark, dir, 1L) { st =>
+        frame(2L).write.parquet(new Path(st, "x").toString)
+        throw new RuntimeException("simulated crash mid-stage")
+      }
+    }
+    // the previous committed state is untouched and restorable
+    val (id, st) = Streams.FoldState.latest(spark, dir).get
+    assert(id === 0L)
+    assert(spark.read.parquet(new Path(st, "x").toString).as[Long].head === 1L)
+    // a retried commit of the crashed id clears the leftover and lands
+    assert(Streams.FoldState.commit(spark, dir, 1L) { s2 =>
+      frame(3L).write.parquet(new Path(s2, "x").toString) })
+    val (id2, st2) = Streams.FoldState.latest(spark, dir).get
+    assert(id2 === 1L)
+    assert(spark.read.parquet(new Path(st2, "x").toString).as[Long].head === 3L)
+    // GC kept exactly the new state; the crashed staging dir is gone
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.filter(_.startsWith("state-")) === Set(f"state-${1L}%020d"))
+    assert(!names.exists(_.startsWith(".staging-")))
+    // re-committing an already-committed id is a skip, not a rewrite
+    assert(!Streams.FoldState.commit(spark, dir, 1L) { _ =>
+      fail("an already-committed id must not re-stage") })
+  }
+
   test("durable retire fold survives a PROCESS restart: index restored, replay still a no-op") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
