@@ -50,6 +50,16 @@ object Curation {
     */
   final val ChunkLen = 8
 
+  /** Boilerplate document-frequency threshold: a chunk appearing in at
+    * least this many DISTINCT documents is template text (navigation,
+    * footers, license blurbs) and is stripped from EVERY document —
+    * including the first occurrence, which is what separates boilerplate
+    * REMOVAL from first-occurrence chunk DEDUP (q_chunk_dedup keeps one
+    * copy; a template deserves zero). 3 is the smallest df that cannot be
+    * a single near-dup pair.
+    */
+  final val BoilMinDf = 3
+
   /** Mixing temperature: weight_s ∝ p_s^Alpha. 0.5 = sqrt — chosen over a
     * general pow() because IEEE-754 requires sqrt to be correctly rounded,
     * so both engines compute bit-identical weights (pow is not so
@@ -135,6 +145,37 @@ object Curation {
         array_join(transform(
           sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
           e => e("chunk")), " ").as("text_kept"))
+  }
+
+  /** q_boilerplate_strip kernel over an explicit (doc_id, source, text)
+    * frame: chunk every document (the q_chunk_dedup alignment), count each
+    * distinct chunk's corpus-wide document frequency, and strip chunks
+    * with df ≥ [[BoilMinDf]] from every document, reassembling the
+    * survivors in position order. Every document keeps a row (a fully-
+    * template document emits text_clean = '') so the caller sees the strip
+    * mass, not a silent vanish.
+    */
+  private[graft] def boilerplateStripFrom(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val chunks = docs
+      .select(col("doc_id"), col("source"), toks.as("toks"),
+        ceil(size(toks) / lit(ChunkLen.toDouble)).cast("int").as("nc"))
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          f => concat_ws(" ", slice(col("toks"), f * ChunkLen + 1, lit(ChunkLen)))))
+          .as(Seq("chunk_idx", "chunk")))
+    val dfreq = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    chunks.join(dfreq, "chunk")
+      .withColumn("boiler", col("ndocs") >= BoilMinDf)
+      .groupBy("doc_id")
+      .agg(min("source").as("source"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(filter(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk"),
+            col("boiler")))),
+          e => !e("boiler")), e => e("chunk")), " ").as("text_clean"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -309,6 +350,42 @@ object Curation {
           expr(s"$EpochBudget * w div sw").as("alloc_toks"),
           expr(s"($EpochBudget * w div sw + c - 1) div c").as("epochs"))
         .orderBy("source")
+    },
+
+    // BOILERPLATE STRIP — the REMOVER for the detector the dedup plane
+    // already ships (q_dedup_savings_curve's high-n_occ tail and
+    // q_dup_ratio_by_source both point AT template mass; this operator
+    // takes it OUT). A chunk whose corpus-wide document frequency reaches
+    // BoilMinDf is template text and is removed from every document —
+    // first occurrence included, the semantic line between boilerplate
+    // removal (CCNet strips repeated paragraphs wholesale) and
+    // q_chunk_dedup's keep-first dedup. Deliberately RAW text (positional
+    // plane, like winnowing/dup-spans: offsets stay meaningful for
+    // provenance); the canonicalized identity planes catch the
+    // formatting-variant twins. Scale shape: one content-keyed groupBy
+    // for df, one content-keyed join back, one doc-keyed aggregate —
+    // the exact q_chunk_dedup shuffle budget, no all-pairs anywhere.
+    Q("q_boilerplate_strip",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, f AS chunk_idx,
+         |         array_to_string(list_slice(toks,
+         |           f * $ChunkLen + 1, f * $ChunkLen + $ChunkLen), ' ') AS chunk
+         |  FROM t, range(0, 256) r(f)
+         |  WHERE f < CAST(ceil(len(toks) / $ChunkLen.0) AS BIGINT)),
+         |df AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs
+         |       FROM c GROUP BY 1),
+         |m AS (SELECT c.*, (ndocs >= $BoilMinDf) AS boiler
+         |      FROM c JOIN df USING (chunk))
+         |SELECT doc_id, min(source) AS source,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(count(*) FILTER (boiler) AS BIGINT) AS n_boiler,
+         |       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+         |                  FILTER (WHERE NOT boiler), '') AS text_clean
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      boilerplateStripFrom(Tables.documents(s, dir)).orderBy("doc_id")
     }
   )
 }

@@ -36,6 +36,14 @@ object Sketches {
   final val SubBits  = 24
   final val RankCap  = SubBits + 1
 
+  /** Histogram-quantile geometry (q_hist_quantiles): equi-width bucket
+    * count and the reported percentiles. 256 buckets over the cents range
+    * bound the quantile bracket at width/256 ≈ 0.4% of the value range.
+    * (Defined before `queries`, which captures HqPcts at object init.)
+    */
+  final val HqBuckets = 256
+  final val HqPcts    = Seq(1, 5, 25, 50, 75, 95, 99)
+
   /** Estimator constant α_m·m²·2⁵⁷ for the q_hll_intersect estimates:
     * computed ONCE here and embedded in the oracle SQL via its round-trip
     * decimal form (shortest-repr doubles re-parse to the identical bits
@@ -113,6 +121,18 @@ object Sketches {
     val raw     = alpha * M * M / sum
     if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) else raw
   }
+
+  /** Equi-width bucket counts over a (cents: long) frame — the
+    * q_hist_quantiles sketch state. Additive: histograms of disjoint
+    * shards built against the SAME (lo, width) merge by summing counts
+    * (SketchesSpec proves half + half ≡ whole), which is what makes this
+    * the re-aggregable quantile sketch.
+    */
+  private[graft] def centsHist(cents: DataFrame, lo: Long, width: Long): DataFrame =
+    cents
+      .groupBy(expr(s"(cents - ${lo}L) * $HqBuckets div ${width}L")
+        .as("bucket_idx"))
+      .agg(count(lit(1)).as("cnt"))
 
   val queries: Seq[Q] = Seq(
 
@@ -535,6 +555,77 @@ object Sketches {
           expr("s[CAST(ceil(0.9 * k) AS INT) - 1]").as("est_p90"),
           expr("s[CAST(ceil(0.99 * k) AS INT) - 1]").as("est_p99"))
         .orderBy("event_type")
+    },
+
+    // EQUI-WIDTH HISTOGRAM QUANTILES — the OTHER quantile sketch, with
+    // ADDITIVE state: q_bottomk_quantiles keeps a hash-min SAMPLE per
+    // group (probabilistic rank error; merging shards means re-selecting
+    // the bottom k of the union), while the histogram keeps HqBuckets
+    // bucket COUNTS whose merge is a vector add — the shard/day/stream
+    // re-aggregation face (SketchesSpec proves half+half ≡ whole), and
+    // whose error is a deterministic VALUE bracket: cum_count ≥
+    // target_rank picks the first bucket covering the rank, so the exact
+    // q-quantile provably lies in [est_lo_cents, est_hi_cents]
+    // (SketchesSpec gates containment against the true sorted quantile).
+    // No global sort anywhere: one bounded agg for (lo, hi, n) — three
+    // scalars of model state — one narrow bucketing pass with map-side
+    // partial counts, then every remaining step runs on the ≤256-row
+    // histogram frame. All arithmetic is exact int64 on cents (the
+    // integer-cents rule): bucket = (c-lo)·B div width, rank ceil as
+    // (pct·n + 99) div 100 — no float decides anything.
+    Q("q_hist_quantiles",
+      s"""WITH c AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |mm AS (SELECT min(cents) AS lo, max(cents) AS hi,
+         |              CAST(count(*) AS BIGINT) AS n FROM c),
+         |b AS (SELECT ((cents - lo) * $HqBuckets) // (hi - lo + 1) AS bucket_idx
+         |      FROM c, mm),
+         |h AS (SELECT bucket_idx, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY 1),
+         |cum AS (SELECT bucket_idx, cnt,
+         |               CAST(sum(cnt) OVER (ORDER BY bucket_idx) AS BIGINT)
+         |                 AS cum_count
+         |        FROM h),
+         |qs AS (SELECT CAST(unnest([${HqPcts.mkString(", ")}]) AS INTEGER)
+         |                AS pct),
+         |tgt AS (SELECT pct, (pct * n + 99) // 100 AS target_rank
+         |        FROM qs, mm),
+         |hit AS (SELECT pct, target_rank, min(bucket_idx) AS bucket_idx
+         |        FROM tgt JOIN cum ON cum.cum_count >= tgt.target_rank
+         |        GROUP BY 1, 2)
+         |SELECT pct, target_rank, hit.bucket_idx, cum.cum_count,
+         |       lo + (hit.bucket_idx * (hi - lo + 1)) // $HqBuckets
+         |         AS est_lo_cents,
+         |       lo + ((hit.bucket_idx + 1) * (hi - lo + 1)) // $HqBuckets - 1
+         |         AS est_hi_cents
+         |FROM hit JOIN cum ON cum.bucket_idx = hit.bucket_idx, mm
+         |ORDER BY pct""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cents = Tables.lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      // (lo, hi, n): three scalars — bounded model state, one agg pass
+      val r = cents.agg(min("cents"), max("cents"), count(lit(1))).head()
+      val (lo, hi, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val width = hi - lo + 1
+      val cum = centsHist(cents, lo, width)
+        // cumulative over the ≤HqBuckets-row histogram frame only
+        .withColumn("cum_count", sum("cnt").over(
+          Window.orderBy("bucket_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tgt = HqPcts.toDF("pct")
+        .select(col("pct"), expr(s"(pct * ${n}L + 99) div 100").as("target_rank"))
+      val hit = tgt.join(cum, col("cum_count") >= col("target_rank"))
+        .groupBy("pct", "target_rank").agg(min("bucket_idx").as("bucket_idx"))
+      hit.join(cum.select("bucket_idx", "cum_count"), "bucket_idx")
+        .select(col("pct"), col("target_rank"), col("bucket_idx"),
+          col("cum_count"),
+          expr(s"${lo}L + bucket_idx * ${width}L div $HqBuckets")
+            .as("est_lo_cents"),
+          expr(s"${lo}L + (bucket_idx + 1) * ${width}L div $HqBuckets - 1")
+            .as("est_hi_cents"))
+        .orderBy("pct")
     }
   )
 

@@ -125,4 +125,43 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(entOf("abababab") - math.log(2) * 1e6) <= 1.0)
     assert(math.abs(entOf("abcdabcd") - math.log(4) * 1e6) <= 1.0)
   }
+
+  test("boilerplate strip equals a sequential df-threshold reference") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val L = ops.Curation.ChunkLen
+    def chunksOf(text: String): Seq[String] =
+      text.split(" ").toSeq.grouped(L).map(_.mkString(" ")).toSeq
+    val df = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, _, t) =>
+      chunksOf(t).foreach(c => df(c) = df.getOrElse(c, Set.empty[Long]) + id) }
+    val boiler = df.filter(_._2.size >= ops.Curation.BoilMinDf).keySet
+    val want = docs.map { case (id, src, t) =>
+      val cs = chunksOf(t)
+      (id, src, cs.length.toLong, cs.count(boiler).toLong,
+        cs.filterNot(boiler).mkString(" "))
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.all.find(_.name == "q_boilerplate_strip").get
+      .build(spark, sfDir)
+      .as[(Long, String, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    assert(got.exists(_._4 > 0), "fixture must exercise the strip path")
+  }
+
+  test("a fully-template document survives as an empty-text row (strip, not dedup)") {
+    import spark.implicits._
+    val tmpl = (0 until ops.Curation.ChunkLen).map(i => s"tmpl$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s", tmpl), (2L, "s", tmpl), (3L, "s", tmpl),
+      (4L, "s", tmpl + " unique tail words here now ok yes")
+    ).toDF("doc_id", "source", "text")
+    val out = ops.Curation.boilerplateStripFrom(docs).orderBy("doc_id")
+      .as[(Long, String, Long, Long, String)].collect()
+    assert(out.length === 4, "no document may vanish — that is dedup's move")
+    assert(out.take(3).forall(r => r._4 === 1L && r._5 === ""))
+    assert(out(3)._4 === 1L)
+    assert(out(3)._5 === "unique tail words here now ok yes")
+  }
 }

@@ -230,4 +230,38 @@ class SketchesSpec extends SparkSpec {
         s"intersection estimate $est vs exact $exact drifted past the envelope")
     }
   }
+
+  test("histogram quantile brackets contain the exact sorted quantiles") {
+    for (dir <- Seq(TestSpark.sf0001, "/root/testdata/sf0.01")) {
+      val sorted = Tables.lineitem(spark, dir)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+        .orderBy("c").as[Long].collect()
+      val rows = SparkEntry.queries("q_hist_quantiles")(spark, dir).collect()
+      assert(rows.length === ops.Sketches.HqPcts.length)
+      rows.foreach { r =>
+        val rank = r.getLong(1)
+        val exact = sorted((rank - 1).toInt)
+        val (lo, hi) = (r.getLong(4), r.getLong(5))
+        assert(lo <= exact && exact <= hi,
+          s"$dir pct ${r.getInt(0)}: exact $exact outside bracket [$lo, $hi]")
+      }
+    }
+  }
+
+  test("histogram state is additive: shard histograms sum to the global histogram") {
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_orderkey"))
+    val mm = cents.agg(min("cents"), max("cents")).head()
+    val (lo, width) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
+    def histOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      ops.Sketches.centsHist(df.select("cents"), lo, width)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val whole = histOf(cents)
+    val even  = histOf(cents.filter(col("l_orderkey") % 2 === 0))
+    val odd   = histOf(cents.filter(col("l_orderkey") % 2 =!= 0))
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    assert(merged === whole)
+  }
 }
