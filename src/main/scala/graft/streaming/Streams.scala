@@ -1036,6 +1036,34 @@ object Streams {
           .as("register"))
   }
 
+  /** Streaming face of the histogram-quantile sketch (q_hist_quantiles):
+    * fold one trigger's event batch into the maintained equi-width cents
+    * histogram — additive merge over a FROZEN (lo, width) geometry (a
+    * deployment pins it from a calibration pass; the batch query derives
+    * it from the data, which a stream cannot). Out-of-range values are
+    * NOT clamped: they land in honest underflow/overflow bucket ids
+    * (< 0 / ≥ HqBuckets) that still merge additively and surface as
+    * diagnostics instead of silently fattening the edge brackets.
+    * Additive like [[foldDayTypeCounts]]: late and out-of-order arrivals
+    * converge to the batch grid, but a REPLAYED trigger double-counts —
+    * exactly-once delivery or the ProfileFold batch-id-replacement
+    * wrapper is required (the foldHllRegisters max-merge immunity does
+    * not transfer to counts). Quantile brackets are a VIEW over the
+    * ≤HqBuckets-row grid (the foldDailyCents pattern: maintain the
+    * sketch incrementally, derive the estimator per read).
+    */
+  def foldCentsHist(grid: DataFrame, batch: DataFrame,
+      lo: Long, width: Long): DataFrame = {
+    val bc = graft.ops.Sketches.centsHist(
+      batch.select(round(col("value") * 100).cast("long").as("cents")),
+      lo, width)
+    grid.withColumnRenamed("cnt", "c_old")
+      .join(bc.withColumnRenamed("cnt", "c_new"), Seq("bucket_idx"), "full_outer")
+      .select(col("bucket_idx"),
+        (coalesce(col("c_old"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("cnt"))
+  }
+
   /** Streaming face of Lakehouse.snapshot (q_cdc_snapshot): maintain the
     * LWW CDC snapshot incrementally, ONE state row per key (the ~40-byte
     * current winner). Emits an update row only for keys whose winner

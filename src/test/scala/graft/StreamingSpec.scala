@@ -1224,6 +1224,34 @@ class StreamingSpec extends SparkSpec {
       "incrementally maintained EWMA diverged from the batch trajectory")
   }
 
+  test("streaming cents histogram equals the batch sketch on an out-of-order feed") {
+    // frozen geometry (the deployment calibration pass), hash-dealt
+    // 3-trigger feed: the additive fold must converge to the batch
+    // histogram regardless of arrival order
+    val all = Tables.events(spark, sfDir)
+      .select(round(col("value") * 100).cast("long").as("cents"))
+    val mm = all.agg(min("cents"), max("cents")).head()
+    val (lo, width) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
+    val events = loadEvents
+    val dealt  = events.sortBy(e => e.event_id * 2654435761L % 997)
+    val thirds = dealt.grouped((dealt.size + 2) / 3).toSeq
+    val ms = MemoryStream[Event](spark)
+    var grid = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "bucket_idx BIGINT, cnt BIGINT"))
+    val q = ms.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        grid = Streams.foldCentsHist(grid, batch, lo, width).localCheckpoint()
+      }.start()
+    thirds.foreach { t => ms.addData(t); q.processAllAvailable() }
+    q.stop()
+    val batch = ops.Sketches.centsHist(all, lo, width)
+    assert(grid.except(batch).count() === 0 &&
+      batch.except(grid).count() === 0,
+      "incrementally maintained cents histogram diverged from the batch sketch")
+  }
+
   test("streaming HLL registers equal the batch sketch, even under replay") {
     // same dealing as the drift test — hash order, 3 triggers — PLUS the
     // middle trigger fed TWICE: max-merge is idempotent, so a replayed
