@@ -586,6 +586,46 @@ object ScaleProbe {
         }
         index.unpersist()
       }
+      // round-12 late probes
+      // boilerplate strip at m× corpus: replication multiplies every
+      // chunk's df by m (bigger corpora have MORE cross-doc template
+      // mass — realistic), so the strip set grows; wall should track the
+      // corpus through the three content/doc-keyed shuffles, like
+      // chunk dedup.
+      timed("boilerplate_strip_grown") {
+        val docs = Tables.documents(spark, sfDir)
+        val docsN = (0 until m).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L)))
+          .reduce(_.union(_))
+        graft.ops.Curation.boilerplateStripFrom(docsN).count()
+      }
+      // histogram-quantile sketch at m× events: the two corpus passes
+      // (min/max agg + bucketing agg) are both narrow scans with
+      // map-side partials — wall ∝ corpus, output fixed at ≤HqBuckets
+      // rows; the quantile tail runs on the bounded frame and is not
+      // probed (sub-millisecond at any scale).
+      timed("hist_quantiles_grown") {
+        val cents = ev.select(round(col("value") * 100).cast("long")
+          .as("cents"))
+        val r = cents.agg(min("cents"), max("cents")).head()
+        graft.ops.Sketches.centsHist(cents,
+          r.getLong(0), r.getLong(1) - r.getLong(0) + 1).count()
+      }
+      // PCA model state at m× embeddings: the mean pass and the Dim²
+      // covariance fan-out are the only corpus-proportional stages (the
+      // power rounds are driver arithmetic on the collected 64×64
+      // matrix) — wall ∝ vectors, collect fixed at 4096 cells.
+      timed("pca_model_grown") {
+        val emb = Tables.embeddings(spark, sfDir)
+        val embN = (0 until m).map(i => emb
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+          .reduce(_.union(_))
+        val vm = embN.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG))")
+            .as("vm"))
+        val (mu, cov) = graft.ops.Clustering.pcaModel(vm)
+        mu.length.toLong * cov.length
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

@@ -37,6 +37,16 @@ object Clustering {
   final val KmIters = 3
   final val Dim     = 64
 
+  /** PCA power-iteration geometry: rounds, the normalized-vector scale
+    * (iterates live in integer ten-thousandths of max-norm 1), and the
+    * covariance down-scale that keeps every matvec term far from 2⁶³
+    * (|Ĉ| ≤ Σd² ≈ N·4·10¹², so Ĉ/10⁶ · 10⁴ · 64 ≈ N·2.5·10¹² — safe to
+    * N ~ 10⁶ vectors at micro snapping; rescale the snap beyond that).
+    */
+  final val PcIters  = 12
+  final val PcVScale = 10000L
+  final val PcCScale = 1000000L
+
   /** vec_id + micro-snapped integer vector. */
   private def vmFrame(s: SparkSession, dir: String): DataFrame =
     vmOf(Tables(s, dir, "embeddings"))
@@ -215,6 +225,61 @@ object Clustering {
         .select(col("vec_id"), col("cell"), col("dist"), col("proto_rank"),
           (col("proto_rank") * 4 > col("n_cell") * 3).as("pruned"))
         .orderBy("vec_id")
+    },
+
+    // PCA BY POWER ITERATION — the missing linear-algebra face of the
+    // embedding plane (decorrelation, compression, drift axes), and the
+    // third fully ORACLE-CHECKED iterative trajectory after PageRank and
+    // Lloyd. Determinism is the km_ mechanism end-to-end: micro-snapped
+    // vectors, exact integer mean (trunc-div ≡ both engines), exact
+    // integer covariance sums down-scaled by PcCScale, then PcIters
+    // max-norm power rounds whose ONE float op per round —
+    // w·PcVScale/max|w| — is a correctly-rounded IEEE multiply+divide on
+    // identical operands, snapped half-away-from-zero in both engines.
+    // Scale shape: exactly TWO corpus aggregates (a 65-column mean pass;
+    // the covariance pass fans each row to Dim² products but map-side
+    // partials mean the wire carries O(partitions · Dim²), never O(N)),
+    // after which every round is pure driver arithmetic on the collected
+    // Dim×Dim matrix — bounded model state, ZERO Spark jobs per round
+    // (the distinction from the rejected batch-perceptron design, whose
+    // 60 epochs each paid a distributed aggregate; see the design note
+    // below). The oracle re-derives snap, mean, covariance, and all
+    // PcIters rounds as an unrolled pc_ temp-table script.
+    Q("q_pca_power",
+      s"""$pcScriptPrefix
+         |SELECT round, dim, v FROM (
+         |$pcTrajSql)
+         |ORDER BY round, dim""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (_, cov) = pcaModel(vmFrame(s, dir))
+      pcaTrajectory(cov).zipWithIndex.flatMap { case (v, r) =>
+        v.zipWithIndex.map { case (x, j) => (r, j + 1, x) }
+      }.toDF("round", "dim", "v").orderBy("round", "dim")
+    },
+
+    // First-principal-component scores under the SAME oracle-checked
+    // trajectory: pc1 = Σ (vm − μ)·v_final per vector — the projection a
+    // pipeline stores for embedding compression, outlier gates, or drift
+    // monitoring along the dominant axis. One NARROW scan: μ and v_final
+    // are two Dim-long literal arrays (bounded model state, the kmeans
+    // centroid-literal shape), so scoring never shuffles the corpus; all
+    // arithmetic exact int64 (|d| ≤ 2·10⁶ · |v| ≤ 10⁴ · 64 ≈ 1.3·10¹²).
+    Q("q_pca_project",
+      s"""$pcScriptPrefix
+         |SELECT d.vec_id, e.label, CAST(sum(d.d * w.v) AS BIGINT) AS pc1
+         |FROM pc_d d JOIN pc_w$PcIters w ON d.i = w.j
+         |     JOIN embeddings e USING (vec_id)
+         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val (mu, cov) = pcaModel(vmOf(emb))
+      val vf = pcaTrajectory(cov).last
+      emb.select(col("vec_id"), col("label"),
+        expr("aggregate(zip_with(zip_with(" +
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG)), " +
+          s"array(${mu.mkString(",")}L), (x, m) -> x - m), " +
+          s"array(${vf.mkString(",")}L), (d, w) -> d * w), " +
+          "0L, (a, b) -> a + b)").as("pc1"))
+        .orderBy("vec_id")
     }
   )
 
@@ -239,6 +304,121 @@ object Clustering {
        |                            ORDER BY dist, cell) AS rn
        |  FROM (SELECT v.vec_id, c.cell, $distSql AS dist
        |        FROM km_v v CROSS JOIN km_c$KmIters c)""".stripMargin
+
+  // ---- PCA (power iteration) ----------------------------------------------
+
+  /** Half-away-from-zero rounding — the Spark round()/DuckDB round()
+    * convention. math.round is floor(x + 0.5), which differs on negative
+    * .5 ties (math.round(-2.5) = -2; both engines give -3).
+    */
+  private def roundHalfAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** Distributed PCA model state over an explicit (vec_id, vm) frame:
+    * the exact integer per-dimension mean (trunc-div, ≡ both engines)
+    * and the PcCScale-down-scaled integer covariance matrix. Exactly two
+    * corpus aggregates; only the Dim-row mean and Dim×Dim covariance
+    * reach the driver (bounded model state). The covariance pass fans
+    * each row to Dim² (j, k, dj·dk) rows through two chained
+    * posexplodes — map-side partial aggregation collapses them to
+    * O(partitions · Dim²) on the wire; the per-row Dim² multiply CPU is
+    * inherent to covariance (every implementation pays it), and a typed
+    * Array[Long](Dim²)-buffer Aggregator is the documented escape hatch
+    * if the fan-out's row overhead ever dominates.
+    */
+  private[graft] def pcaModel(vmIn: DataFrame): (Array[Long], Array[Array[Long]]) = {
+    val vm = vmIn.localCheckpoint() // snap once; both aggregates reuse it
+    val sums = (0 until Dim).map(i => sum(col("vm")(i)).as(s"s$i"))
+    val srow = vm.agg(count(lit(1)).as("n"), sums: _*).head()
+    val n = srow.getLong(0)
+    // JVM Long `/` truncates toward zero — identical to Spark `div` and
+    // DuckDB `//` on either sign (the kmeans update rule)
+    val mu = Array.tabulate(Dim)(i => srow.getLong(1 + i) / n)
+    val centered = vm.select(
+      expr(s"zip_with(vm, array(${mu.mkString(",")}L), (x, m) -> x - m)")
+        .as("dv"))
+    val cov = centered
+      .select(posexplode(col("dv")).as(Seq("j", "dj")), col("dv"))
+      .select(col("j"), col("dj"), posexplode(col("dv")).as(Seq("k", "dk")))
+      .groupBy("j", "k")
+      .agg(sum(col("dj") * col("dk")).as("sdd"))
+      .select(col("j"), col("k"), expr(s"sdd div $PcCScale").as("c"))
+      .collect()
+    val m = Array.ofDim[Long](Dim, Dim)
+    cov.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    (mu, m)
+  }
+
+  /** The PcIters-round max-norm power-iteration trajectory (round 0 =
+    * the all-PcVScale seed). Pure driver arithmetic over the Dim×Dim
+    * bounded model state — no Spark job per round. The one float op per
+    * round, (w · PcVScale) / max|w|, is a correctly-rounded IEEE
+    * multiply+divide on identical operands in JVM, Spark, and DuckDB;
+    * the result snaps half-away-from-zero back to integers, so every
+    * round starts from identical state in both engines. Covariance is
+    * PSD, so the dominant-eigenvector iterate never flips sign.
+    */
+  private[graft] def pcaTrajectory(cov: Array[Array[Long]]): Seq[Array[Long]] = {
+    var v = Array.fill(Dim)(PcVScale)
+    val traj = Seq.newBuilder[Array[Long]]
+    traj += v.clone()
+    for (_ <- 1 to PcIters) {
+      val w = Array.tabulate(Dim) { j =>
+        var acc = 0L
+        for (k <- 0 until Dim) acc += cov(j)(k) * v(k)
+        acc
+      }
+      val ma = w.map(math.abs).max
+      v = w.map(x => roundHalfAway(x.toDouble * PcVScale.toDouble / ma.toDouble))
+      traj += v.clone()
+    }
+    traj.result()
+  }
+
+  /** One unrolled oracle power round: matvec into pc_m{r}, max-norm
+    * snap into pc_w{r}.
+    */
+  private def pcRoundSql(r: Int): String =
+    s"""CREATE OR REPLACE TEMP TABLE pc_m$r AS
+       |  SELECT c.j, CAST(sum(c.c * w.v) AS BIGINT) AS w
+       |  FROM pc_c c JOIN pc_w${r - 1} w ON c.k = w.j GROUP BY c.j;
+       |CREATE OR REPLACE TEMP TABLE pc_w$r AS
+       |  SELECT j, CAST(round(w * $PcVScale.0 /
+       |    (SELECT max(abs(w)) FROM pc_m$r)) AS BIGINT) AS v
+       |  FROM pc_m$r;""".stripMargin
+
+  /** The shared pc_ oracle-script prefix: micro-snap, exact mean,
+    * centered frame, down-scaled covariance, seed, all power rounds.
+    */
+  private def pcScriptPrefix: String =
+    s"""CREATE OR REPLACE TEMP TABLE pc_v AS
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+       |  FROM embeddings;
+       |CREATE OR REPLACE TEMP TABLE pc_mu AS
+       |  SELECT i, CAST(sum(vm[i]) AS BIGINT) //
+       |         (SELECT CAST(count(*) AS BIGINT) FROM pc_v) AS mu
+       |  FROM pc_v, range(1, ${Dim + 1}) t(i) GROUP BY i;
+       |CREATE OR REPLACE TEMP TABLE pc_d AS
+       |  SELECT vec_id, i, vm[i] - mu AS d
+       |  FROM pc_v, range(1, ${Dim + 1}) t(i) JOIN pc_mu USING (i);
+       |CREATE OR REPLACE TEMP TABLE pc_c AS
+       |  SELECT a.i AS j, b.i AS k,
+       |         CAST(sum(a.d * b.d) AS BIGINT) // $PcCScale AS c
+       |  FROM pc_d a JOIN pc_d b USING (vec_id) GROUP BY 1, 2;
+       |CREATE OR REPLACE TEMP TABLE pc_w0 AS
+       |  SELECT i AS j, CAST($PcVScale AS BIGINT) AS v
+       |  FROM range(1, ${Dim + 1}) t(i);
+       |${(1 to PcIters).map(pcRoundSql).mkString("\n")}""".stripMargin
+
+  /** The trajectory as one relation: (round, dim, v) for rounds
+    * 0..PcIters.
+    */
+  private def pcTrajSql: String =
+    (0 to PcIters).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS round, CAST(j AS INTEGER) AS dim, v FROM pc_w$r")
+      .mkString("\nUNION ALL ")
 }
 
 // DESIGN NOTE (probed, rejected): a distributed batch perceptron over the

@@ -602,18 +602,20 @@ object Sketches {
          |FROM hit JOIN cum ON cum.bucket_idx = hit.bucket_idx, mm
          |ORDER BY pct""".stripMargin) { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val cents = Tables.lineitem(s, dir)
         .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
       // (lo, hi, n): three scalars — bounded model state, one agg pass
       val r = cents.agg(min("cents"), max("cents"), count(lit(1))).head()
       val (lo, hi, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
       val width = hi - lo + 1
-      val cum = centsHist(cents, lo, width)
-        // cumulative over the ≤HqBuckets-row histogram frame only
-        .withColumn("cum_count", sum("cnt").over(
-          Window.orderBy("bucket_idx")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val hist = centsHist(cents, lo, width)
+      // cumulative over the ≤HqBuckets-row histogram frame as a
+      // broadcast ≤-join + groupBy — the q_cum_distinct_users idiom
+      // (O(HqBuckets²) GRID rows, no global window)
+      val hb = hist.select(col("bucket_idx").as("xb"), col("cnt").as("xc"))
+      val cum = hist.join(broadcast(hb), col("xb") <= col("bucket_idx"))
+        .groupBy("bucket_idx")
+        .agg(max("cnt").as("cnt"), sum("xc").as("cum_count"))
       val tgt = HqPcts.toDF("pct")
         .select(col("pct"), expr(s"(pct * ${n}L + 99) div 100").as("target_rank"))
       val hit = tgt.join(cum, col("cum_count") >= col("target_rank"))

@@ -64,4 +64,83 @@ class ClusteringSpec extends SparkSpec {
     assert(got.size === vecs.length)
     assert(got.forall { case (_, c, d) => c >= 0 && c < K && d >= 0 })
   }
+
+  // sequential micro-snapped vectors, shared by the PCA tests
+  private def snappedVecs: Array[Array[Long]] =
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG))"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1).toArray)
+
+  // from-scratch sequential PCA in the shipped integer arithmetic
+  private def seqPca(vecs: Array[Array[Long]]):
+      (Array[Long], Array[Array[Long]], Seq[Array[Long]]) = {
+    val dim = ops.Clustering.Dim
+    val n = vecs.length.toLong
+    val mu = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val d = vecs.map(v => Array.tabulate(dim)(i => v(i) - mu(i)))
+    val cov = Array.tabulate(dim, dim)((j, k) =>
+      d.map(r => r(j) * r(k)).sum / ops.Clustering.PcCScale)
+    def half(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    var v = Array.fill(dim)(ops.Clustering.PcVScale)
+    val traj = Seq.newBuilder[Array[Long]]; traj += v.clone()
+    for (_ <- 1 to ops.Clustering.PcIters) {
+      val w = Array.tabulate(dim)(j =>
+        (0 until dim).map(k => cov(j)(k) * v(k)).sum)
+      val ma = w.map(math.abs).max
+      v = w.map(x => half(x.toDouble * ops.Clustering.PcVScale.toDouble
+        / ma.toDouble))
+      traj += v.clone()
+    }
+    (mu, cov, traj.result())
+  }
+
+  test("PCA power trajectory equals the sequential integer reference") {
+    val (_, _, traj) = seqPca(snappedVecs)
+    val want = traj.zipWithIndex.flatMap { case (v, r) =>
+      v.zipWithIndex.map { case (x, j) => (r, j + 1, x) } }.toSet
+    val got = SparkEntry.queries("q_pca_power")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want, "distributed PCA diverged from the sequential reference")
+  }
+
+  test("PCA final direction dominates every coordinate axis (Rayleigh) and has converged") {
+    val (_, cov, traj) = seqPca(snappedVecs)
+    val dim = ops.Clustering.Dim
+    // Rayleigh quotient in BigInt — v·Ĉv can exceed int64
+    def rayleigh(v: Array[Long]): BigDecimal = {
+      val num = (0 until dim).map(j => (0 until dim).map(k =>
+        BigInt(v(j)) * BigInt(cov(j)(k)) * BigInt(v(k))).sum).sum
+      val den = v.map(x => BigInt(x) * BigInt(x)).sum
+      BigDecimal(num) / BigDecimal(den)
+    }
+    val rFinal = rayleigh(traj.last)
+    for (j <- 0 until dim) {
+      val axis = Array.tabulate(dim)(i => if (i == j) 1L else 0L)
+      assert(rFinal >= rayleigh(axis),
+        s"final direction loses to axis $j — not the dominant eigendirection")
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val num = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      BigDecimal(num).toDouble / na / nb
+    }
+    val c = cos(traj(ops.Clustering.PcIters - 1), traj.last)
+    assert(c >= 0.995, s"power iteration not converged: cos(v_last-1, v_last) = $c")
+  }
+
+  test("PCA projection is the centered dot with the final direction, exactly") {
+    val vecs = snappedVecs
+    val (mu, _, traj) = seqPca(vecs)
+    val vf = traj.last
+    val ids = Tables(spark, sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val want = ids.zip(vecs.map(v =>
+      (0 until ops.Clustering.Dim).map(i => (v(i) - mu(i)) * vf(i)).sum)).toSet
+    val got = SparkEntry.queries("q_pca_project")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === want, "projection diverged from the sequential reference")
+  }
 }

@@ -241,7 +241,11 @@ class PlanShapeSpec extends SparkSpec {
       "q_ktruss",
       // same engine, text plane: the 128-bit SimHash pair search rides
       // mihPairs and carries the identical SHUFFLE_HASH pin
-      "q_simhash_pairs128")
+      "q_simhash_pairs128",
+      // the hinted side is the ≤HqBuckets(256)-row histogram frame in the
+      // cumulative ≤-join — bounded by the bucket-count constant, the
+      // q_cum_distinct_users day-series class
+      "q_hist_quantiles")
     // hints whose boundedness argument is the probe-batch cap: the hinted
     // subtree must actually contain the GlobalLimit
     val probeHinted = Set("q_cosine_topk", "q_cosine_topk_ann",
