@@ -147,27 +147,43 @@ object Curation {
           e => e("chunk")), " ").as("text_kept"))
   }
 
-  /** q_boilerplate_strip kernel over an explicit (doc_id, source, text)
-    * frame: chunk every document (the q_chunk_dedup alignment), count each
-    * distinct chunk's corpus-wide document frequency, and strip chunks
-    * with df ≥ [[BoilMinDf]] from every document, reassembling the
-    * survivors in position order. Every document keeps a row (a fully-
-    * template document emits text_clean = '') so the caller sees the strip
-    * mass, not a silent vanish.
+  /** (doc_id, source, chunk_idx, chunk) rows — the q_chunk_dedup chunk
+    * alignment over an explicit (doc_id, source, text) frame, shared by
+    * the boilerplate faces.
     */
-  private[graft] def boilerplateStripFrom(docs: DataFrame): DataFrame = {
+  private[graft] def chunkRows(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val chunks = docs
+    docs
       .select(col("doc_id"), col("source"), toks.as("toks"),
         ceil(size(toks) / lit(ChunkLen.toDouble)).cast("int").as("nc"))
       .select(col("doc_id"), col("source"),
         posexplode(transform(sequence(lit(0), col("nc") - 1),
           f => concat_ws(" ", slice(col("toks"), f * ChunkLen + 1, lit(ChunkLen)))))
           .as(Seq("chunk_idx", "chunk")))
-    val dfreq = chunks.groupBy("chunk")
+  }
+
+  /** The boilerplate index: distinct chunks whose corpus-wide document
+    * frequency reaches [[BoilMinDf]] — the FROZEN side of the streaming
+    * ingest face ([[graft.streaming.Streams]].boilerStripIngest), small by
+    * construction (template mass, not corpus mass).
+    */
+  private[graft] def boilerChunksOf(docs: DataFrame): DataFrame =
+    chunkRows(docs).groupBy("chunk")
       .agg(countDistinct("doc_id").as("ndocs"))
-    chunks.join(dfreq, "chunk")
-      .withColumn("boiler", col("ndocs") >= BoilMinDf)
+      .filter(col("ndocs") >= BoilMinDf)
+      .select("chunk")
+
+  /** Strip every chunk present in `index` from every document in `docs`,
+    * reassembling survivors in position order. Every document keeps a row
+    * (a fully-template document emits text_clean = '') so the caller sees
+    * the strip mass, not a silent vanish. The join is a LEFT probe
+    * against the index only — the small template side, never the full
+    * df frame (AQE broadcasts it at runtime).
+    */
+  private[graft] def stripAgainst(index: DataFrame, docs: DataFrame): DataFrame =
+    chunkRows(docs)
+      .join(index.withColumn("boiler", lit(true)), Seq("chunk"), "left")
+      .withColumn("boiler", coalesce(col("boiler"), lit(false)))
       .groupBy("doc_id")
       .agg(min("source").as("source"),
         count(lit(1)).as("n_chunks"),
@@ -176,7 +192,12 @@ object Curation {
           sort_array(collect_list(struct(col("chunk_idx"), col("chunk"),
             col("boiler")))),
           e => !e("boiler")), e => e("chunk")), " ").as("text_clean"))
-  }
+
+  /** q_boilerplate_strip kernel: index-build + strip composed over one
+    * corpus — df ≥ [[BoilMinDf]] chunks removed from every document.
+    */
+  private[graft] def boilerplateStripFrom(docs: DataFrame): DataFrame =
+    stripAgainst(boilerChunksOf(docs), docs)
 
   val queries: Seq[Q] = Seq(
 

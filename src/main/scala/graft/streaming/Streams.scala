@@ -402,6 +402,24 @@ object Streams {
         write(graft.ops.Dedup.chunkNovelty(index, batch.toDF()))
       }.start()
 
+  /** Ingest-time boilerplate stripping against a FROZEN template index
+    * (the q_boilerplate_strip streaming face, nearDupCuration's frozen-
+    * index shape): each trigger's documents are chunked and stripped
+    * against the persisted df ≥ BoilMinDf chunk set only — stateless per
+    * trigger, so out-of-order or re-dealt feeds trivially reproduce the
+    * batch strip (StreamingSpec asserts stream ≡ batch doc-for-doc).
+    * Semantics note: a FROZEN index by construction cannot see template
+    * chunks that first cross the df threshold ACROSS later batches —
+    * that is the same freeze-vs-rebuild trade the MinHash ingest dedup
+    * documents, and the periodic re-index is the same answer.
+    */
+  def boilerStripIngest(index: DataFrame, docs: DataFrame)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        write(graft.ops.Curation.stripAgainst(index, batch.toDF()))
+      }.start()
+
   /** Event types the constraint monitor accepts — the fixture taxonomy;
     * production swaps in its own catalog literal.
     */

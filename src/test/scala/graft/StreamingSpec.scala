@@ -1224,6 +1224,50 @@ class StreamingSpec extends SparkSpec {
       "incrementally maintained EWMA diverged from the batch trajectory")
   }
 
+  test("streaming boilerplate strip against the frozen index equals the batch strip") {
+    // index = the corpus's df >= BoilMinDf template chunks, frozen; the
+    // feed re-ingests two documents the batch plane PROVABLY strips plus
+    // one it does not, dealt across two triggers out of id order
+    val docsTable = Tables.documents(spark, sfDir)
+    val index = ops.Curation.boilerChunksOf(docsTable).cache()
+    try {
+      val byStrip = ops.Curation.boilerplateStripFrom(docsTable)
+        .select("doc_id", "n_boiler").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val stripped   = byStrip.filter(_._2 > 0).keys.toSeq.sorted.take(2)
+      val unstripped = byStrip.filter(_._2 === 0).keys.toSeq.sorted.take(1)
+      assert(stripped.size === 2, "fixture must have >= 2 stripped docs")
+      val texts = docsTable.filter(col("doc_id").isin(stripped ++ unstripped: _*))
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val feed = texts.zipWithIndex.map { case ((id, src, txt), i) =>
+        StreamingSpec.BDoc(id, src, txt, ts(i + 1)) }
+      val ms = MemoryStream[StreamingSpec.BDoc](spark)
+      val got = scala.collection.mutable.Map.empty[Long, (Long, Long, String)]
+      val q = Streams.boilerStripIngest(index, ms.toDF()) { out =>
+        got.synchronized {
+          out.select("doc_id", "n_chunks", "n_boiler", "text_clean").collect()
+            .foreach(r => got(r.getLong(0)) =
+              (r.getLong(1), r.getLong(2), r.getString(3)))
+        }
+      }
+      ms.addData(feed(2), feed(0)) // out of id order
+      q.processAllAvailable()
+      ms.addData(feed(1))
+      q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      val batch = ops.Curation.stripAgainst(index, feed.toSeq.toDF())
+        .select("doc_id", "n_chunks", "n_boiler", "text_clean").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      assert(got.toMap === batch, "streamed strip diverged from batch strip")
+      // the frozen index reproduces the full-corpus decisions for these docs
+      stripped.foreach(id => assert(batch(id)._2 > 0L, s"doc $id must strip"))
+      unstripped.foreach(id => assert(batch(id)._2 === 0L))
+    } finally index.unpersist()
+  }
+
   test("streaming cents histogram equals the batch sketch on an out-of-order feed") {
     // frozen geometry (the deployment calibration pass), hash-dealt
     // 3-trigger feed: the additive fold must converge to the batch
@@ -1281,6 +1325,8 @@ class StreamingSpec extends SparkSpec {
 
 object StreamingSpec {
   case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
+  case class BDoc(doc_id: Long, source: String, text: String,
+      ingest_ts: java.sql.Timestamp)
   case class Vec(vec_id: Long, embedding: Seq[Float])
   case class Edge(ts: java.sql.Timestamp, v: Long, w: Long)
   case class Media(media_id: Long, kind: String, payload: Array[Byte])
