@@ -248,7 +248,7 @@ object Clustering {
     Q("q_pca_power",
       s"""$pcScriptPrefix
          |SELECT round, dim, v FROM (
-         |$pcTrajSql)
+         |${pcTrajSql("pc")})
          |ORDER BY round, dim""".stripMargin) { (s, dir) =>
       import s.implicits._
       val (_, cov) = pcaModel(vmFrame(s, dir))
@@ -257,28 +257,59 @@ object Clustering {
       }.toDF("round", "dim", "v").orderBy("round", "dim")
     },
 
-    // First-principal-component scores under the SAME oracle-checked
-    // trajectory: pc1 = Σ (vm − μ)·v_final per vector — the projection a
-    // pipeline stores for embedding compression, outlier gates, or drift
-    // monitoring along the dominant axis. One NARROW scan: μ and v_final
-    // are two Dim-long literal arrays (bounded model state, the kmeans
+    // SECOND COMPONENT BY DEFLATION — Ĉ₂ = Ĉ − λ̂·v₁v₁ᵀ with the rank-1
+    // term as ONE exact integer expression (v₁ᵀĈv₁)·v₁ⱼ·v₁ₖ div (v₁ᵀv₁)²
+    // (BigInt on the driver, HUGEINT in the oracle — `//` and BigInt `/`
+    // both truncate toward zero, probed), then the same 12 max-norm power
+    // rounds on Ĉ₂. On this fixture the top eigenpair is near-degenerate,
+    // so v₂ is the deterministic orthogonal companion spanning the top-2
+    // subspace (|cos(v₁,v₂)| ≈ 0.04, gated in ClusteringSpec) — exactly
+    // what a 2-D compression/visualization consumer wants from a
+    // degenerate pair. Still zero Spark jobs past the shared two-pass
+    // model state: deflation and the second sweep are driver arithmetic.
+    Q("q_pca_deflate",
+      s"""$pcScriptPrefix
+         |$pc2ScriptSql
+         |SELECT round, dim, v FROM (
+         |${pcTrajSql("pc2")})
+         |ORDER BY round, dim""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (_, cov) = pcaModel(vmFrame(s, dir))
+      val v1 = pcaTrajectory(cov).last
+      pcaTrajectory(pcaDeflate(cov, v1)).zipWithIndex.flatMap { case (v, r) =>
+        v.zipWithIndex.map { case (x, j) => (r, j + 1, x) }
+      }.toDF("round", "dim", "v").orderBy("round", "dim")
+    },
+
+    // Top-2 principal-component scores under the SAME oracle-checked
+    // trajectories: pc_r = Σ (vm − μ)·v_r per vector — the 2-D projection
+    // a pipeline stores for embedding compression, outlier gates, drift
+    // monitoring, or visualization. One NARROW scan: μ, v₁, v₂ are three
+    // Dim-long literal arrays (bounded model state, the kmeans
     // centroid-literal shape), so scoring never shuffles the corpus; all
     // arithmetic exact int64 (|d| ≤ 2·10⁶ · |v| ≤ 10⁴ · 64 ≈ 1.3·10¹²).
     Q("q_pca_project",
       s"""$pcScriptPrefix
-         |SELECT d.vec_id, e.label, CAST(sum(d.d * w.v) AS BIGINT) AS pc1
-         |FROM pc_d d JOIN pc_w$PcIters w ON d.i = w.j
+         |$pc2ScriptSql
+         |SELECT d.vec_id, e.label,
+         |       CAST(sum(d.d * w1.v) AS BIGINT) AS pc1,
+         |       CAST(sum(d.d * w2.v) AS BIGINT) AS pc2
+         |FROM pc_d d JOIN pc_w$PcIters w1 ON d.i = w1.j
+         |     JOIN pc2_w$PcIters w2 ON d.i = w2.j
          |     JOIN embeddings e USING (vec_id)
          |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val (mu, cov) = pcaModel(vmOf(emb))
-      val vf = pcaTrajectory(cov).last
-      emb.select(col("vec_id"), col("label"),
+      val v1 = pcaTrajectory(cov).last
+      val v2 = pcaTrajectory(pcaDeflate(cov, v1)).last
+      def dot(v: Array[Long]): Column =
         expr("aggregate(zip_with(zip_with(" +
           "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG)), " +
           s"array(${mu.mkString(",")}L), (x, m) -> x - m), " +
-          s"array(${vf.mkString(",")}L), (d, w) -> d * w), " +
-          "0L, (a, b) -> a + b)").as("pc1"))
+          s"array(${v.mkString(",")}L), (d, w) -> d * w), " +
+          "0L, (a, b) -> a + b)")
+      emb.select(col("vec_id"), col("label"),
+        dot(v1).as("pc1"), dot(v2).as("pc2"))
         .orderBy("vec_id")
     }
   )
@@ -375,17 +406,23 @@ object Clustering {
     traj.result()
   }
 
-  /** One unrolled oracle power round: matvec into pc_m{r}, max-norm
-    * snap into pc_w{r}.
+  /** One unrolled oracle power round on covariance table `$p_c`: matvec
+    * into `$p`_m{r}, max-norm snap into `$p`_w{r}.
     */
-  private def pcRoundSql(r: Int): String =
-    s"""CREATE OR REPLACE TEMP TABLE pc_m$r AS
+  private def pcRoundSql(p: String, r: Int): String =
+    s"""CREATE OR REPLACE TEMP TABLE ${p}_m$r AS
        |  SELECT c.j, CAST(sum(c.c * w.v) AS BIGINT) AS w
-       |  FROM pc_c c JOIN pc_w${r - 1} w ON c.k = w.j GROUP BY c.j;
-       |CREATE OR REPLACE TEMP TABLE pc_w$r AS
+       |  FROM ${p}_c c JOIN ${p}_w${r - 1} w ON c.k = w.j GROUP BY c.j;
+       |CREATE OR REPLACE TEMP TABLE ${p}_w$r AS
        |  SELECT j, CAST(round(w * $PcVScale.0 /
-       |    (SELECT max(abs(w)) FROM pc_m$r)) AS BIGINT) AS v
-       |  FROM pc_m$r;""".stripMargin
+       |    (SELECT max(abs(w)) FROM ${p}_m$r)) AS BIGINT) AS v
+       |  FROM ${p}_m$r;""".stripMargin
+
+  /** The all-PcVScale seed table for prefix `$p`. */
+  private def pcSeedSql(p: String): String =
+    s"""CREATE OR REPLACE TEMP TABLE ${p}_w0 AS
+       |  SELECT i AS j, CAST($PcVScale AS BIGINT) AS v
+       |  FROM range(1, ${Dim + 1}) t(i);""".stripMargin
 
   /** The shared pc_ oracle-script prefix: micro-snap, exact mean,
     * centered frame, down-scaled covariance, seed, all power rounds.
@@ -407,18 +444,54 @@ object Clustering {
        |  SELECT a.i AS j, b.i AS k,
        |         CAST(sum(a.d * b.d) AS BIGINT) // $PcCScale AS c
        |  FROM pc_d a JOIN pc_d b USING (vec_id) GROUP BY 1, 2;
-       |CREATE OR REPLACE TEMP TABLE pc_w0 AS
-       |  SELECT i AS j, CAST($PcVScale AS BIGINT) AS v
-       |  FROM range(1, ${Dim + 1}) t(i);
-       |${(1 to PcIters).map(pcRoundSql).mkString("\n")}""".stripMargin
+       |${pcSeedSql("pc")}
+       |${(1 to PcIters).map(pcRoundSql("pc", _)).mkString("\n")}""".stripMargin
 
-  /** The trajectory as one relation: (round, dim, v) for rounds
-    * 0..PcIters.
+  /** Deflation + the component-2 power rounds, appended after
+    * [[pcScriptPrefix]]: Ĉ₂ = Ĉ − (v₁ᵀĈv₁)·v₁v₁ᵀ div (v₁ᵀv₁)², every
+    * product in HUGEINT (the Rayleigh numerator peaks ~10²⁵, far past
+    * int64 but far under HUGEINT; `//` truncates toward zero on HUGEINT
+    * exactly like BigInt division on the driver — probed), the deflated
+    * entries back in int64 range by construction.
     */
-  private def pcTrajSql: String =
+  private def pc2ScriptSql: String =
+    s"""CREATE OR REPLACE TEMP TABLE pc2_rs AS
+       |  SELECT (SELECT CAST(sum(CAST(a.v AS HUGEINT) * c.c * b.v) AS HUGEINT)
+       |          FROM pc_c c JOIN pc_w$PcIters a ON c.j = a.j
+       |                      JOIN pc_w$PcIters b ON c.k = b.j) AS r,
+       |         (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT)
+       |          FROM pc_w$PcIters) AS s;
+       |CREATE OR REPLACE TEMP TABLE pc2_c AS
+       |  SELECT c.j, c.k,
+       |         c.c - CAST((rs.r * a.v * b.v) // (rs.s * rs.s) AS BIGINT) AS c
+       |  FROM pc_c c JOIN pc_w$PcIters a ON c.j = a.j
+       |              JOIN pc_w$PcIters b ON c.k = b.j, pc2_rs rs;
+       |${pcSeedSql("pc2")}
+       |${(1 to PcIters).map(pcRoundSql("pc2", _)).mkString("\n")}""".stripMargin
+
+  /** The trajectory of prefix `$p` as one relation: (round, dim, v) for
+    * rounds 0..PcIters.
+    */
+  private def pcTrajSql(p: String): String =
     (0 to PcIters).map(r =>
-      s"SELECT CAST($r AS INTEGER) AS round, CAST(j AS INTEGER) AS dim, v FROM pc_w$r")
+      s"SELECT CAST($r AS INTEGER) AS round, CAST(j AS INTEGER) AS dim, v FROM ${p}_w$r")
       .mkString("\nUNION ALL ")
+
+  /** Driver-side deflation twin of [[pc2ScriptSql]]: subtract the rank-1
+    * dominant term from the covariance. BigInt throughout — the numerator
+    * R·v₁ⱼ·v₁ₖ peaks ~10²⁵ — with BigInt `/` truncation matching DuckDB
+    * HUGEINT `//` on either sign.
+    */
+  private[graft] def pcaDeflate(cov: Array[Array[Long]],
+      v1: Array[Long]): Array[Array[Long]] = {
+    var rAcc = BigInt(0)
+    for (j <- 0 until Dim; k <- 0 until Dim)
+      rAcc += BigInt(v1(j)) * cov(j)(k) * v1(k)
+    val s  = v1.map(x => BigInt(x) * x).sum
+    val s2 = s * s
+    Array.tabulate(Dim, Dim)((j, k) =>
+      cov(j)(k) - ((rAcc * v1(j) * v1(k)) / s2).toLong)
+  }
 }
 
 // DESIGN NOTE (probed, rejected): a distributed batch perceptron over the

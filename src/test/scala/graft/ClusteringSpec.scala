@@ -131,16 +131,80 @@ class ClusteringSpec extends SparkSpec {
     assert(c >= 0.995, s"power iteration not converged: cos(v_last-1, v_last) = $c")
   }
 
-  test("PCA projection is the centered dot with the final direction, exactly") {
+  // sequential deflation twin (BigInt, trunc division)
+  private def seqDeflate(cov: Array[Array[Long]],
+      v1: Array[Long]): Array[Array[Long]] = {
+    val dim = ops.Clustering.Dim
+    var r = BigInt(0)
+    for (j <- 0 until dim; k <- 0 until dim)
+      r += BigInt(v1(j)) * cov(j)(k) * v1(k)
+    val s2 = { val s = v1.map(x => BigInt(x) * x).sum; s * s }
+    Array.tabulate(dim, dim)((j, k) =>
+      cov(j)(k) - ((r * v1(j) * v1(k)) / s2).toLong)
+  }
+
+  // power rounds over an explicit covariance (the seqPca inner loop)
+  private def seqPower(cov: Array[Array[Long]]): Seq[Array[Long]] = {
+    val dim = ops.Clustering.Dim
+    def half(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    var v = Array.fill(dim)(ops.Clustering.PcVScale)
+    val traj = Seq.newBuilder[Array[Long]]; traj += v.clone()
+    for (_ <- 1 to ops.Clustering.PcIters) {
+      val w = Array.tabulate(dim)(j =>
+        (0 until dim).map(k => cov(j)(k) * v(k)).sum)
+      val ma = w.map(math.abs).max
+      v = w.map(x => half(x.toDouble * ops.Clustering.PcVScale.toDouble
+        / ma.toDouble))
+      traj += v.clone()
+    }
+    traj.result()
+  }
+
+  test("PCA projection emits the centered dots with both final directions, exactly") {
     val vecs = snappedVecs
-    val (mu, _, traj) = seqPca(vecs)
-    val vf = traj.last
+    val (mu, cov, traj) = seqPca(vecs)
+    val v1 = traj.last
+    val v2 = seqPower(seqDeflate(cov, v1)).last
     val ids = Tables(spark, sfDir, "embeddings")
       .select("vec_id").collect().map(_.getLong(0)).sorted
-    val want = ids.zip(vecs.map(v =>
-      (0 until ops.Clustering.Dim).map(i => (v(i) - mu(i)) * vf(i)).sum)).toSet
+    def dots(vf: Array[Long]) = vecs.map(v =>
+      (0 until ops.Clustering.Dim).map(i => (v(i) - mu(i)) * vf(i)).sum)
+    val want = ids.lazyZip(dots(v1)).lazyZip(dots(v2))
+      .map((a, b, c) => (a, b, c)).toSet
     val got = SparkEntry.queries("q_pca_project")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
     assert(got === want, "projection diverged from the sequential reference")
+  }
+
+  test("deflated component: sequential equality, near-orthogonality, bounded Rayleigh") {
+    val (_, cov, traj) = seqPca(snappedVecs)
+    val v1 = traj.last
+    val traj2 = seqPower(seqDeflate(cov, v1))
+    val want = traj2.zipWithIndex.flatMap { case (v, r) =>
+      v.zipWithIndex.map { case (x, j) => (r, j + 1, x) } }.toSet
+    val got = SparkEntry.queries("q_pca_deflate")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want, "deflated trajectory diverged from the sequential reference")
+    val v2 = traj2.last
+    val dim = ops.Clustering.Dim
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val num = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      BigDecimal(num).toDouble /
+        math.sqrt(a.map(x => x.toDouble * x).sum) /
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+    }
+    assert(math.abs(cos(v1, v2)) <= 0.1,
+      s"v2 not orthogonal to v1: cos = ${cos(v1, v2)}")
+    def rayleigh(v: Array[Long]): BigDecimal = {
+      val num = (0 until dim).map(j => (0 until dim).map(k =>
+        BigInt(v(j)) * BigInt(cov(j)(k)) * BigInt(v(k))).sum).sum
+      BigDecimal(num) / BigDecimal(v.map(x => BigInt(x) * BigInt(x)).sum)
+    }
+    // near-degenerate top pair on this fixture: v2's Rayleigh on Ĉ may
+    // slightly exceed v1's, but never materially (a true second component
+    // of a well-separated spectrum would sit strictly below)
+    assert(rayleigh(v2) <= rayleigh(v1) * BigDecimal(1.1),
+      "deflated direction's Rayleigh quotient exceeds the dominant one by >10%")
   }
 }
