@@ -336,6 +336,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("PCA projection computes narrowly — only the presentation sort exchanges") {
+    // both component scores fold against literal μ/v₁/v₂ arrays inside
+    // the scan projection; a hashpartitioning exchange would mean the
+    // dot products regressed to an explode+join (corpus-proportional
+    // shuffle for a per-row score)
+    val p = plan("q_pca_project")
+    assert(!p.contains("hashpartitioning"),
+      s"PCA projection shuffled the corpus:\n${p.take(1500)}")
+  }
+
   test("char entropy computes narrowly — only the presentation sort exchanges") {
     // the histogram + ln-fold must live inside the scan projection; a
     // hashpartitioning exchange would mean the per-row expression regressed
