@@ -1082,6 +1082,80 @@ object Streams {
           .as("cnt"))
   }
 
+  /** Replay-safe streaming fold for the cents histogram (q_hist_quantiles
+    * live): [[foldCentsHist]] is additive and therefore corrupted by
+    * at-least-once re-delivery; this fold applies the ProfileFold
+    * batch-id-replacement protocol to the bucket-count grid — a
+    * re-delivered batch id REPLACES its per-batch histogram, so counts
+    * fold exactly once whatever the delivery order or replay. State is
+    * (base, last): base compacts every sealed batch into one bounded
+    * bucket frame, last holds the open batch's histogram — both
+    * ≤ HqBuckets + under/overflow rows. DURABLE under `stateDir` via the
+    * shared [[FoldState]] manifest protocol (persist AFTER emit, marker
+    * makes a replayed persist a no-op); StreamingSpec replays a trigger,
+    * restarts the fold mid-stream, and replays across the restart.
+    */
+  private[graft] final class HistFold(lo: Long, width: Long,
+      write: DataFrame => Unit, stateDir: Option[String] = None) {
+    private var base: Option[DataFrame] = None
+    private var last: Option[(Long, DataFrame)] = None
+    private var restored = stateDir.isEmpty
+    private def add(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy("bucket_idx").agg(sum("cnt").as("cnt"))
+
+    def step(batch: DataFrame, batchId: Long): Unit = {
+      if (!restored) { restore(batch.sparkSession); restored = true }
+      val st = graft.ops.Sketches.centsHist(
+        batch.select(round(col("value") * 100).cast("long").as("cents")),
+        lo, width).localCheckpoint()
+      last match {
+        case Some((id, prev)) if id != batchId =>
+          base = Some(base.map(b => add(b, prev).localCheckpoint())
+            .getOrElse(prev))
+        case _ => () // same id re-delivered: replace, never double-count
+      }
+      last = Some((batchId, st))
+      write(base.map(b => add(b, st)).getOrElse(st))
+      stateDir.foreach(persist(_, batchId, st))
+    }
+
+    private def persist(dir: String, id: Long, st: DataFrame): Unit = {
+      import org.apache.hadoop.fs.Path
+      val spark = st.sparkSession
+      def tag(f: DataFrame, c: String) = f.withColumn("component", lit(c))
+      FoldState.commit(spark, dir, id) { staging =>
+        tag(base.getOrElse(st.limit(0)), "base").unionByName(tag(st, "last"))
+          .coalesce(1).write.parquet(new Path(staging, "hist").toString)
+      }
+    }
+
+    private def restore(spark: SparkSession): Unit = stateDir.foreach { dir =>
+      import org.apache.hadoop.fs.Path
+      FoldState.latest(spark, dir).foreach { case (id, stPath) =>
+        val h = spark.read.parquet(new Path(stPath, "hist").toString)
+        def part(c: String) = h.filter(col("component") === c)
+          .drop("component").localCheckpoint()
+        val b = part("base")
+        base = if (b.isEmpty) None else Some(b)
+        last = Some((id, part("last")))
+      }
+    }
+  }
+
+  /** The cents histogram maintained as a live feed (exactly-once even
+    * under replay — the [[HistFold]] protocol; the bare [[foldCentsHist]]
+    * stays the right tool under exactly-once delivery).
+    */
+  def histIngest(events: DataFrame, lo: Long, width: Long,
+      stateDir: Option[String] = None)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold = new HistFold(lo, width, write, stateDir)
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fold.step(batch.toDF(), id)
+      }.start()
+  }
+
   /** Streaming face of Lakehouse.snapshot (q_cdc_snapshot): maintain the
     * LWW CDC snapshot incrementally, ONE state row per key (the ~40-byte
     * current winner). Emits an update row only for keys whose winner

@@ -1296,6 +1296,36 @@ class StreamingSpec extends SparkSpec {
       "incrementally maintained cents histogram diverged from the batch sketch")
   }
 
+  test("cents histogram fold: replay-safe, restart-safe, replay across restart") {
+    // the HistFold protocol: a re-delivered batch id replaces its
+    // per-batch histogram (the additive foldCentsHist would double-count),
+    // and the committed (base, last) state survives a process restart
+    val all = Tables.events(spark, sfDir)
+      .select(round(col("value") * 100).cast("long").as("cents"))
+    val mm = all.agg(min("cents"), max("cents")).head()
+    val (lo, width) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
+    val events = loadEvents
+    val dealt  = events.sortBy(e => e.event_id * 2654435761L % 997)
+    val thirds = dealt.grouped((dealt.size + 2) / 3).toSeq
+    import spark.implicits._
+    def bdf(i: Int) = thirds(i).toDS().toDF()
+    val dir = java.nio.file.Files.createTempDirectory("histfold").toString
+    var out: org.apache.spark.sql.DataFrame = null
+    val sink = (f: org.apache.spark.sql.DataFrame) => out = f.localCheckpoint()
+    val fold = new Streams.HistFold(lo, width, sink, Some(dir))
+    fold.step(bdf(0), 0L)
+    fold.step(bdf(1), 1L)
+    fold.step(bdf(1), 1L) // replayed trigger: must not double-count
+    // process restart: a fresh fold over the same stateDir
+    val fold2 = new Streams.HistFold(lo, width, sink, Some(dir))
+    fold2.step(bdf(2), 2L)
+    fold2.step(bdf(2), 2L) // replay across the restart
+    val batch = ops.Sketches.centsHist(all, lo, width)
+    assert(out.except(batch).count() === 0 &&
+      batch.except(out).count() === 0,
+      "HistFold state diverged from the batch sketch under replay + restart")
+  }
+
   test("streaming HLL registers equal the batch sketch, even under replay") {
     // same dealing as the drift test — hash order, 3 triggers — PLUS the
     // middle trigger fed TWICE: max-merge is idempotent, so a replayed
