@@ -587,15 +587,19 @@ object ScaleProbe {
         index.unpersist()
       }
       // round-12 late probes
-      // boilerplate strip at m× corpus: replication multiplies every
-      // chunk's df by m (bigger corpora have MORE cross-doc template
-      // mass — realistic), so the strip set grows; wall should track the
-      // corpus through the three content/doc-keyed shuffles, like
-      // chunk dedup.
+      // boilerplate strip at m× corpus. Chunking is positional (ChunkLen
+      // tokens), so VERBATIM replication would push EVERY chunk's df to m
+      // ≥ BoilMinDf and the probe would measure a fully-saturated strip
+      // (all documents empty — a degenerate reconstruction). Instead each
+      // replica is alignment-shifted by i replica-unique tokens: chunks
+      // no longer match ACROSS replicas, while genuine cross-doc template
+      // chunks WITHIN each replica keep their df and the template set's
+      // total mass still grows ∝ corpus — the realistic direction.
       timed("boilerplate_strip_grown") {
         val docs = Tables.documents(spark, sfDir)
         val docsN = (0 until m).map(i => docs
-          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L)))
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+          .withColumn("text", concat(lit(s"zqz$i " * i), col("text"))))
           .reduce(_.union(_))
         graft.ops.Curation.boilerplateStripFrom(docsN).count()
       }

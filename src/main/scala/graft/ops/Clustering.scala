@@ -400,6 +400,9 @@ object Clustering {
         acc
       }
       val ma = w.map(math.abs).max
+      require(ma > 0,
+        "zero covariance matvec — degenerate input (all vectors equal); " +
+          "the DuckDB oracle would divide by zero here, so fail loudly")
       v = w.map(x => roundHalfAway(x.toDouble * PcVScale.toDouble / ma.toDouble))
       traj += v.clone()
     }

@@ -126,11 +126,20 @@ object Sketches {
     * q_hist_quantiles sketch state. Additive: histograms of disjoint
     * shards built against the SAME (lo, width) merge by summing counts
     * (SketchesSpec proves half + half ≡ whole), which is what makes this
-    * the re-aggregable quantile sketch.
+    * the re-aggregable quantile sketch. The bucket map is FLOOR division
+    * (`div` truncates toward zero, which would fold values up to one
+    * bucket width BELOW lo into bucket 0), so sub-lo values land in
+    * honest negative diagnostic bucket ids — the frozen-geometry
+    * streaming path (foldCentsHist/HistFold) depends on this; the batch
+    * query derives lo = min(cents) and never exercises it.
     */
   private[graft] def centsHist(cents: DataFrame, lo: Long, width: Long): DataFrame =
     cents
-      .groupBy(expr(s"(cents - ${lo}L) * $HqBuckets div ${width}L")
+      .groupBy(expr(
+        s"""CASE WHEN ((cents - ${lo}L) * $HqBuckets) % ${width}L < 0
+           |THEN ((cents - ${lo}L) * $HqBuckets) div ${width}L - 1
+           |ELSE ((cents - ${lo}L) * $HqBuckets) div ${width}L END"""
+          .stripMargin.replace('\n', ' '))
         .as("bucket_idx"))
       .agg(count(lit(1)).as("cnt"))
 

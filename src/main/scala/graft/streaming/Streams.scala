@@ -1104,6 +1104,8 @@ object Streams {
       a.unionByName(b).groupBy("bucket_idx").agg(sum("cnt").as("cnt"))
 
     def step(batch: DataFrame, batchId: Long): Unit = {
+      require(batchId >= 0 || stateDir.isEmpty,
+        "a durable HistFold needs real batch ids")
       if (!restored) { restore(batch.sparkSession); restored = true }
       val st = graft.ops.Sketches.centsHist(
         batch.select(round(col("value") * 100).cast("long").as("cents")),

@@ -207,4 +207,16 @@ class ClusteringSpec extends SparkSpec {
     assert(rayleigh(v2) <= rayleigh(v1) * BigDecimal(1.1),
       "deflated direction's Rayleigh quotient exceeds the dominant one by >10%")
   }
+
+  test("PCA power iteration fails loudly on a zero covariance (degenerate input)") {
+    // All-equal vectors → zero covariance → zero matvec. The DuckDB
+    // oracle's round(w*scale/0) would diverge (inf/NULL) from a silently
+    // NaN→0 JVM path, so both engines must fail instead.
+    val dim = ops.Clustering.Dim
+    val zero = Array.fill(dim)(Array.fill(dim)(0L))
+    val e = intercept[IllegalArgumentException] {
+      ops.Clustering.pcaTrajectory(zero)
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
 }

@@ -264,4 +264,18 @@ class SketchesSpec extends SparkSpec {
       k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
     assert(merged === whole)
   }
+
+  test("out-of-range values land in floor-division diagnostic buckets, not bucket 0") {
+    // frozen geometry lo=1000, width=256 → one bucket per cent. Sub-lo
+    // values must map to NEGATIVE bucket ids (floor semantics): truncating
+    // div would fold cents in (lo - width/HqBuckets, lo) into bucket 0,
+    // silently fattening the edge bracket.
+    import spark.implicits._
+    val vals = Seq(999L, 1000L - 256L, 1000L, 1255L, 1256L, 2000L)
+      .toDF("cents")
+    val got = ops.Sketches.centsHist(vals, 1000L, 256L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(-1L -> 1L, -256L -> 1L, 0L -> 1L, 255L -> 1L,
+      256L -> 1L, 1000L -> 1L))
+  }
 }
