@@ -630,6 +630,33 @@ object ScaleProbe {
         val (mu, cov) = graft.ops.Clustering.pcaModel(vm)
         mu.length.toLong * cov.length
       }
+      // round-13 probe: IVFADC append vs retrain at m× corpus. Append is
+      // one narrow map over the NEW batch only (both quantizers are plan
+      // literals — no Lloyd, no re-encode of indexed rows); retrain
+      // re-runs coarse k-means + PQ codebook training and re-encodes
+      // every vector. Append wall should track the batch, retrain the
+      // corpus — the q_dedup_retire asymmetry on the vector plane.
+      locally {
+        val emb = Tables.embeddings(spark, sfDir)
+        val embN = (0 until m).map(i => emb
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+          .reduce(_.union(_))
+        val newBatch = embN.filter(col("vec_id") % 7 === 3)
+        val old      = embN.filter(col("vec_id") % 7 =!= 3)
+        val cents = graft.ops.Similarity.kmeansCentroidsFrom(old)
+        val cbs   = graft.ops.Similarity.pqCodebooks(old)
+        val index = graft.ops.Similarity.ivfPqIndex(old, cents, cbs).cache()
+        index.count() // the persisted index is paid once, outside both timers
+        timed("ivfpq_append_grown") {
+          graft.ops.Similarity.ivfPqAppend(index, newBatch, cents, cbs).count()
+        }
+        timed("ivfpq_retrain_grown") {
+          val c2 = graft.ops.Similarity.kmeansCentroidsFrom(embN)
+          val b2 = graft.ops.Similarity.pqCodebooks(embN)
+          graft.ops.Similarity.ivfPqIndex(embN, c2, b2).count()
+        }
+        index.unpersist()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

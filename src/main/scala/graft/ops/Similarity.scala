@@ -1103,7 +1103,76 @@ object Similarity {
   private[graft] def ivfPqExactScored(emb: DataFrame): DataFrame = {
     val cents = kmeansCentroidsFrom(emb)
     val cbs   = pqCodebooks(emb)
-    val index = ivfPqIndex(emb, cents, cbs)
+    ivfPqExactScoredIndexed(ivfPqIndex(emb, cents, cbs), emb, cents, cbs)
+  }
+
+  /** Append a new-vector batch into an EXISTING IVFADC index without
+    * retraining either quantizer: each new vector gets its nearest
+    * existing coarse cell and its PQ codes against the frozen codebooks —
+    * one narrow map over the batch (both quantizers enter the plan as
+    * literals), no shuffle, already-indexed rows untouched. The cost
+    * asymmetry vs [[ivfPqIndex]] on the grown corpus is that a retrain
+    * re-reads and re-encodes EVERY vector after re-running Lloyd for both
+    * quantizers; what degrades under append-only growth is quantizer fit,
+    * which [[ivfPqHealth]] watches (IVF staleness/imbalance + codebook
+    * reconstruction drift) so the rare retrain is explicit, not per batch.
+    * QueriesSpec gates the consequence: on a 2×-grown clustered corpus the
+    * appended index's recall@10 stays within 0.1 of a full retrain.
+    */
+  private[graft] def ivfPqAppend(index: DataFrame, newEmb: DataFrame,
+      cents: Array[Array[Double]], cbs: Array[Array[Array[Double]]]): DataFrame =
+    index.unionByName(ivfPqIndex(newEmb, cents, cbs))
+
+  /** Mean reconstruction cosine of a corpus under frozen PQ codebooks —
+    * each vector's [[adcApprox]] against its OWN codes, i.e.
+    * cos(v, reconstruction(v)); 1.0 = lossless. The PQ analog of the IVF
+    * [[quantScore]]: one narrow O(1)-result aggregation, cheap enough to
+    * run per append batch.
+    */
+  private[graft] def pqQuantScore(emb: DataFrame,
+      cbs: Array[Array[Array[Double]]]): Double =
+    withNorm(emb).select(col("embedding").as("pv"), col("nrm").as("pn"),
+      pqCodesCol(cbs).as("codes"))
+      .select(avg(adcApprox(cbs)).as("q")).head.getDouble(0)
+
+  final case class IvfPqHealth(ivf: IvfHealth, codebookDrift: Double) {
+    /** Retrain when EITHER quantizer no longer fits: the coarse cells
+      * (staleness/imbalance — the [[IvfHealth]] rule) or the codebooks
+      * (relative reconstruction-quality drop past [[StalenessThreshold]]).
+      */
+    def needsRebuild: Boolean =
+      ivf.needsRebalance || codebookDrift > StalenessThreshold
+  }
+
+  /** IVFADC index health vs the quality measured at training time.
+    * `emb` is the grown corpus (the quality metrics need raw vectors);
+    * `index` supplies the per-cell occupancy for the imbalance axis.
+    * Three bounded-result aggregations.
+    */
+  private[graft] def ivfPqHealth(emb: DataFrame, index: DataFrame,
+      cents: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
+      trainedIvfScore: Double, trainedPqScore: Double): IvfPqHealth = {
+    val staleness = 1.0 - quantScore(emb, cents) / trainedIvfScore
+    val counts = index.groupBy("cell").count().select("count")
+      .collect().map(_.getLong(0))
+    val ideal = counts.sum.toDouble / cents.length
+    val imbalance = if (ideal == 0) 0.0 else counts.max / ideal
+    val drift = 1.0 - pqQuantScore(emb, cbs) / trainedPqScore
+    IvfPqHealth(IvfHealth(staleness, imbalance), drift)
+  }
+
+  /** The IVFPQ query over an ALREADY-BUILT index — the serving path once
+    * the (vec_id, nrm, codes, cell) frame persists, shared by the
+    * train-once query and the incrementally-appended index. `emb` supplies
+    * probe vectors and the exact-rerank candidates (the index stores codes
+    * only — by design it never carries the embeddings).
+    */
+  private[graft] def ivfPqTopKIndexed(index: DataFrame, emb: DataFrame,
+      cents: Array[Array[Double]], cbs: Array[Array[Array[Double]]]): DataFrame =
+    rankTopK(ivfPqExactScoredIndexed(index, emb, cents, cbs))
+
+  private[graft] def ivfPqExactScoredIndexed(index: DataFrame, emb: DataFrame,
+      cents: Array[Array[Double]], cbs: Array[Array[Array[Double]]]): DataFrame = {
     val e = withNorm(emb)
     val probes = probeBatch(e)
       .select(col("vec_id").as("p_id"), col("embedding").as("pv"),

@@ -397,6 +397,46 @@ class QueriesSpec extends SparkSpec {
       s"distribution shift not flagged: healthy=$healthy stale=$stale")
   }
 
+  test("incremental IVFPQ: appended 2x corpus stays near full-retrain recall; health gates both quantizers") {
+    // the living-index scenario for the COMPOSED index: train both
+    // quantizers once on 1k clustered vectors, then the corpus doubles
+    // with same-distribution arrivals folded in by ivfPqAppend (nearest
+    // existing cell + frozen-codebook encode — no retrain)
+    val base    = clusteredEmbN(1000)
+    val grown   = clusteredEmbN(2000)
+    val newHalf = grown.filter(col("vec_id") >= 1000)
+    val cents = ops.Similarity.kmeansCentroidsFrom(base)
+    val cbs   = ops.Similarity.pqCodebooks(base)
+    val trainedIvf = ops.Similarity.quantScore(base, cents)
+    val trainedPq  = ops.Similarity.pqQuantScore(base, cbs)
+    val appended = ops.Similarity.ivfPqAppend(
+      ops.Similarity.ivfPqIndex(base, cents, cbs), newHalf, cents, cbs)
+    val bf = ops.Similarity.cosineTopKFrom(grown)
+    val recallAppended = recallOf(
+      ops.Similarity.ivfPqTopKIndexed(appended, grown, cents, cbs), bf)
+    val recallRetrain = recallOf(ops.Similarity.ivfPqTopKFrom(grown), bf)
+    assert(recallAppended >= recallRetrain - 0.1,
+      s"appended IVFPQ recall $recallAppended fell >0.1 under retrain $recallRetrain")
+    assert(recallAppended >= 0.6, s"appended IVFPQ recall floor: $recallAppended")
+    // same-distribution growth must NOT trip a rebuild on either axis...
+    val healthy = ops.Similarity.ivfPqHealth(
+      grown, appended, cents, cbs, trainedIvf, trainedPq)
+    assert(!healthy.needsRebuild,
+      s"same-distribution append flagged for rebuild: $healthy")
+    // ...but a genuine distribution shift must degrade the CODEBOOK
+    // reconstruction quality specifically (the axis ivfHealth can't see)
+    // and trip the composite gate
+    val drifted = spark.range(2000).select((col("id") + 2000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => cos(col("vec_id") * lit(3) + i * lit(11)).cast("float")).as("embedding"))
+    val driftedAll = grown.unionByName(drifted)
+    val stale = ops.Similarity.ivfPqHealth(driftedAll,
+      ops.Similarity.ivfPqAppend(appended, drifted, cents, cbs),
+      cents, cbs, trainedIvf, trainedPq)
+    assert(stale.codebookDrift > healthy.codebookDrift && stale.needsRebuild,
+      s"distribution shift not flagged: healthy=$healthy stale=$stale")
+  }
+
   test("SemDeDup: learned cells capture the near-dup pairs; decisions match a sequential reference") {
     val emb = clusteredEmb
     val tau = 0.8 // clustered fixture: same-cluster cosines ~0.9, cross ~0
