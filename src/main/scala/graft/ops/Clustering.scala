@@ -311,8 +311,110 @@ object Clustering {
       emb.select(col("vec_id"), col("label"),
         dot(v1).as("pc1"), dot(v2).as("pc2"))
         .orderBy("vec_id")
+    },
+
+    // EMBEDDING-DRIFT MONITOR — the consumer that makes the PCA family
+    // load-bearing: project two ingest eras onto the FROZEN dominant axis
+    // (the q_pca_project scores), bucket each era through a frozen
+    // equi-width grid (the q_hist_quantiles sketch mechanism at a
+    // drift-monitoring granularity of EdBuckets brackets), and gate the
+    // per-bucket mass shift with q_profile_drift's integer
+    // cross-multiplication — |after·n_b − before·n_a|·5 > max(before·n_a,
+    // 1), relative share change > 20%, never a float compare. The AFTER
+    // era at fixture scale is the before corpus with a documented DRIFT
+    // INJECTION — every vec_id % 4 = 0 row shifted by 4·v₁ along the
+    // dominant axis itself (Δpc1 = 4·Σv₁², ~2.5 grid buckets: the
+    // "biased new source" scenario) — deterministic integer arithmetic,
+    // so the oracle reproduces it exactly; in production the two eras are
+    // two ingest windows and the model/geometry literals come from the
+    // baseline era (the histIngest frozen-geometry deployment story).
+    // Both statuses surface at every shipped scale: mass near the mode
+    // moves between near-equal brackets (undrifted) while slope/tail
+    // brackets and the out-of-range OVERFLOW ids (≥ EdBuckets — honest
+    // diagnostics, not clamped, exactly the centsHist rule) trip the
+    // gate. Scale shape: after the shared two-pass PCA model, ONE narrow
+    // literal-array projection scan per era (zero joins — PlanShapeSpec
+    // locks the q_pca_project precedent), two ≤(EdBuckets+overflow)-row
+    // histogram aggregates, and a bounded full-outer bucket join; the
+    // corpus never shuffles. Count cross-products stay ≪ 2^63 for eras
+    // under ~2^31 rows each (shares in ppm carry the diagnostic surface;
+    // at larger eras pre-divide to ppm before the gate).
+    Q("q_embed_drift",
+      s"""$pcScriptPrefix
+         |CREATE OR REPLACE TEMP TABLE ed_b AS
+         |  SELECT d.vec_id, CAST(sum(d.d * w.v) AS BIGINT) AS pc1
+         |  FROM pc_d d JOIN pc_w$PcIters w ON d.i = w.j GROUP BY 1;
+         |CREATE OR REPLACE TEMP TABLE ed_a AS
+         |  SELECT vec_id, pc1 + CASE WHEN vec_id % 4 = 0
+         |    THEN 4 * (SELECT CAST(sum(v * v) AS BIGINT) FROM pc_w$PcIters)
+         |    ELSE 0 END AS pc1 FROM ed_b;
+         |CREATE OR REPLACE TEMP TABLE ed_g AS
+         |  SELECT min(pc1) AS lo, max(pc1) - min(pc1) + 1 AS width,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM ed_b) AS nb,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM ed_a) AS na
+         |  FROM ed_b;
+         |CREATE OR REPLACE TEMP TABLE ed_hb AS
+         |  SELECT (pc1 - lo) * $EdBuckets // width AS bucket_idx,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ed_b, ed_g GROUP BY 1;
+         |CREATE OR REPLACE TEMP TABLE ed_ha AS
+         |  SELECT (pc1 - lo) * $EdBuckets // width AS bucket_idx,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ed_a, ed_g GROUP BY 1;
+         |SELECT COALESCE(hb.bucket_idx, ha.bucket_idx) AS bucket_idx,
+         |       CAST(COALESCE(hb.cnt, 0) AS BIGINT) AS cnt_before,
+         |       CAST(COALESCE(ha.cnt, 0) AS BIGINT) AS cnt_after,
+         |       CAST(COALESCE(hb.cnt, 0) * 1000000 // g.nb AS BIGINT)
+         |         AS share_before_ppm,
+         |       CAST(COALESCE(ha.cnt, 0) * 1000000 // g.na AS BIGINT)
+         |         AS share_after_ppm,
+         |       (abs(COALESCE(ha.cnt, 0) * g.nb - COALESCE(hb.cnt, 0) * g.na)
+         |          * 5 > greatest(COALESCE(hb.cnt, 0) * g.na, 1)) AS drifted
+         |FROM ed_hb hb FULL OUTER JOIN ed_ha ha USING (bucket_idx), ed_g g
+         |ORDER BY bucket_idx""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val (mu, cov) = pcaModel(vmOf(emb))
+      val v1 = pcaTrajectory(cov).last
+      val sumSq = v1.map(x => x * x).sum // ≤ Dim·PcVScale² ≈ 6.4e9, exact
+      def dot(v: Array[Long]): Column =
+        expr("aggregate(zip_with(zip_with(" +
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG)), " +
+          s"array(${mu.mkString(",")}L), (x, m) -> x - m), " +
+          s"array(${v.mkString(",")}L), (d, w) -> d * w), " +
+          "0L, (a, b) -> a + b)")
+      val before = emb.select(col("vec_id"), dot(v1).as("pc1"))
+      val after = before.select(col("vec_id"),
+        (col("pc1") + when(col("vec_id") % 4 === 0, lit(4L * sumSq))
+          .otherwise(lit(0L))).as("pc1"))
+      // frozen grid + era totals: four scalars of bounded model state
+      // (the q_hist_quantiles min/max collect), from the BEFORE era only
+      val g = before.agg(min("pc1"), max("pc1"), count(lit(1))).head()
+      val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+      val (nb, na) = (g.getLong(2), g.getLong(2)) // injection keeps rows
+      def hist(df: DataFrame): DataFrame = df
+        .groupBy(expr(s"(pc1 - ${lo}L) * $EdBuckets div ${width}L")
+          .as("bucket_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      val hb = hist(before).withColumnRenamed("cnt", "cb")
+      val ha = hist(after).withColumnRenamed("cnt", "ca")
+      hb.join(ha, Seq("bucket_idx"), "full_outer")
+        .select(col("bucket_idx"),
+          coalesce(col("cb"), lit(0L)).as("cnt_before"),
+          coalesce(col("ca"), lit(0L)).as("cnt_after"))
+        .select(col("bucket_idx"), col("cnt_before"), col("cnt_after"),
+          expr(s"cnt_before * 1000000 div ${nb}L").as("share_before_ppm"),
+          expr(s"cnt_after * 1000000 div ${na}L").as("share_after_ppm"),
+          (abs(col("cnt_after") * nb - col("cnt_before") * na) * 5 >
+            greatest(col("cnt_before") * na, lit(1L))).as("drifted"))
+        .orderBy("bucket_idx")
     }
   )
+
+  /** Drift-grid brackets — coarser than the 256-bucket quantile sketch:
+    * a drift gate wants enough mass per bracket that a 20% share move is
+    * signal, not noise.
+    */
+  final val EdBuckets = 16
 
   /** The shared oracle-script prefix: micro-snap, seeds, all Lloyd
     * rounds materialized (km_v … km_c{KmIters}).

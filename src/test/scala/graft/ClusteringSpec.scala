@@ -208,6 +208,23 @@ class ClusteringSpec extends SparkSpec {
       "deflated direction's Rayleigh quotient exceeds the dominant one by >10%")
   }
 
+  test("embed drift monitor: both statuses surface, overflow ids are honest, mass conserved") {
+    val rows = SparkEntry.queries("q_embed_drift")(spark, sfDir).collect()
+    val drifted   = rows.filter(_.getBoolean(5))
+    val undrifted = rows.filterNot(_.getBoolean(5))
+    assert(drifted.nonEmpty, "drift injection produced zero drifted buckets")
+    assert(undrifted.nonEmpty, "every bucket drifted — the gate has no specificity")
+    // the injected shift pushes mass past the frozen before-era grid: it
+    // must land in honest overflow bucket ids (>= EdBuckets), never clamp
+    val overflow = rows.filter(_.getLong(0) >= ops.Clustering.EdBuckets)
+    assert(overflow.nonEmpty && overflow.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) > 0L && r.getBoolean(5)),
+      "overflow brackets missing or carrying before-era mass")
+    // the injection relocates rows, never adds/drops them
+    assert(rows.map(_.getLong(1)).sum === rows.map(_.getLong(2)).sum,
+      "era masses diverged — the monitor must conserve rows")
+  }
+
   test("PCA power iteration fails loudly on a zero covariance (degenerate input)") {
     // All-equal vectors → zero covariance → zero matvec. The DuckDB
     // oracle's round(w*scale/0) would diverge (inf/NULL) from a silently

@@ -346,6 +346,18 @@ class PlanShapeSpec extends SparkSpec {
       s"PCA projection shuffled the corpus:\n${p.take(1500)}")
   }
 
+  test("embed drift: per-era projections never join pre-aggregate; exchanges are bucket-sized") {
+    // the two era scans must be literal-array projections straight into
+    // their histogram aggregates (partial count map-side) — every
+    // exchange after that carries <= (EdBuckets + overflow) bucket rows,
+    // so a bounded exchange count is the whole scale story
+    val p = plan("q_embed_drift")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"embed drift grew an unbounded join:\n${p.take(1500)}")
+    val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n <= 6, s"embed drift exchange count grew to $n:\n${p.take(2000)}")
+  }
+
   test("char entropy computes narrowly — only the presentation sort exchanges") {
     // the histogram + ln-fold must live inside the scan projection; a
     // hashpartitioning exchange would mean the per-row expression regressed
