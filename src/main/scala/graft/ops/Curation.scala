@@ -199,6 +199,49 @@ object Curation {
   private[graft] def boilerplateStripFrom(docs: DataFrame): DataFrame =
     stripAgainst(boilerChunksOf(docs), docs)
 
+  /** Decay state of a frozen boilerplate index: how much template mass
+    * has emerged SINCE the freeze that the index cannot strip — the miss
+    * class [[graft.streaming.Streams]].boilerStripIngest documents
+    * (chunks whose df first crosses [[BoilMinDf]] across later batches).
+    */
+  final case class BoilerHealth(frozenTemplates: Long,
+      missedTemplates: Long, missedDocHits: Long) {
+    /** Rebuild when the missed templates reach 20% of the frozen set —
+      * integer cross-multiplication, the q_profile_drift gate; the IVF
+      * needsRebalance shape on the template plane.
+      */
+    def needsRebuild: Boolean =
+      missedTemplates * 5L > math.max(frozenTemplates, 1L)
+  }
+
+  /** Measure a frozen index against the chunk document-frequencies
+    * accumulated since the freeze (`seen`: (chunk, ndocs) over all
+    * post-freeze ingest). Missed templates = chunks at df ≥ [[BoilMinDf]]
+    * in the post-freeze corpus that the frozen index does not carry;
+    * `missedDocHits` is their total doc-occurrence mass (how many
+    * documents went out with un-stripped template text). One anti-join on
+    * the template-sized frames + an O(1)-result aggregate.
+    */
+  private[graft] def boilerHealth(index: DataFrame,
+      seen: DataFrame): BoilerHealth = {
+    val missed = seen.filter(col("ndocs") >= BoilMinDf)
+      .join(index, Seq("chunk"), "left_anti")
+      .agg(count(lit(1)).as("n"), coalesce(sum("ndocs"), lit(0L)).as("hits"))
+      .head()
+    BoilerHealth(index.count(), missed.getLong(0), missed.getLong(1))
+  }
+
+  /** One ingest batch's chunk document-frequencies — the per-trigger
+    * delta the decay fold accumulates. Distinct doc count WITHIN the
+    * batch; summing across batches equals the corpus df as long as each
+    * document arrives in exactly one batch (the append-ingest contract —
+    * a redelivered batch needs the ProfileFold id-replacement wrapper,
+    * which [[graft.streaming.Streams]].BoilerFold applies).
+    */
+  private[graft] def chunkDfOf(docs: DataFrame): DataFrame =
+    chunkRows(docs).groupBy("chunk")
+      .agg(countDistinct("doc_id").as("ndocs"))
+
   val queries: Seq[Q] = Seq(
 
     // Sequence packing: concatenate the corpus in doc_id order and split

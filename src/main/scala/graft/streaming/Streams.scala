@@ -1158,6 +1158,103 @@ object Streams {
       }.start()
   }
 
+  /** [[boilerStripIngest]] with the frozen index's DECAY measured as it
+    * serves: each trigger strips against the frozen template set (the
+    * stateless face, unchanged semantics), while a replay-safe fold
+    * accumulates the post-freeze chunk document-frequencies — the state
+    * the miss class lives in: a template whose df first crosses
+    * BoilMinDf ACROSS batches is invisible to the frozen index but
+    * visible to this fold. [[health]] anti-joins the accumulated dfs
+    * against the frozen set ([[graft.ops.Curation]].boilerHealth) and
+    * `needsRebuild` trips the explicit re-index (boilerChunksOf on the
+    * full corpus) — the ivfHealth/needsRebalance shape on the template
+    * plane; StreamingSpec drives a cross-batch template through the gap,
+    * fires the trigger, and proves post-rebuild stripping equals the
+    * full-corpus q_boilerplate_strip.
+    *
+    * State is (base, last) chunk-df frames under the HistFold batch-id-
+    * replacement protocol (a re-delivered trigger REPLACES its delta, so
+    * dfs accumulate exactly once), durable under `stateDir` via the
+    * shared [[FoldState]] manifest. Scale: the state is distinct-chunk-
+    * keyed — the q_chunk_dedup shuffle budget; at 100 TB cap it with a
+    * heavy-hitter sketch (Misra–Gries over chunk hashes, q_heavy_hitters)
+    * since only chunks that can reach BoilMinDf matter to the gate.
+    */
+  private[graft] final class BoilerFold(index: DataFrame,
+      write: DataFrame => Unit, stateDir: Option[String] = None) {
+    private var base: Option[DataFrame] = None
+    private var last: Option[(Long, DataFrame)] = None
+    private var restored = stateDir.isEmpty
+    private def add(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy("chunk").agg(sum("ndocs").as("ndocs"))
+
+    def step(batch: DataFrame, batchId: Long): Unit = {
+      require(batchId >= 0 || stateDir.isEmpty,
+        "a durable BoilerFold needs real batch ids")
+      if (!restored) { restore(batch.sparkSession); restored = true }
+      write(graft.ops.Curation.stripAgainst(index, batch))
+      val st = graft.ops.Curation.chunkDfOf(batch).localCheckpoint()
+      last match {
+        case Some((id, prev)) if id != batchId =>
+          base = Some(base.map(b => add(b, prev).localCheckpoint())
+            .getOrElse(prev))
+        case _ => () // same id re-delivered: replace, never double-count
+      }
+      last = Some((batchId, st))
+      stateDir.foreach(persist(_, batchId, st))
+    }
+
+    /** Accumulated post-freeze chunk dfs (base + open batch). */
+    private[graft] def seen: Option[DataFrame] = (base, last) match {
+      case (Some(b), Some((_, l))) => Some(add(b, l))
+      case (b, l)                  => l.map(_._2).orElse(b)
+    }
+
+    def health: graft.ops.Curation.BoilerHealth = {
+      val s = seen.getOrElse(index.sparkSession.createDataFrame(
+        index.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "chunk STRING, ndocs BIGINT")))
+      graft.ops.Curation.boilerHealth(index, s)
+    }
+
+    private def persist(dir: String, id: Long, st: DataFrame): Unit = {
+      import org.apache.hadoop.fs.Path
+      val spark = st.sparkSession
+      def tag(f: DataFrame, c: String) = f.withColumn("component", lit(c))
+      FoldState.commit(spark, dir, id) { staging =>
+        tag(base.getOrElse(st.limit(0)), "base").unionByName(tag(st, "last"))
+          .coalesce(1).write.parquet(new Path(staging, "dfs").toString)
+      }
+    }
+
+    private def restore(spark: SparkSession): Unit = stateDir.foreach { dir =>
+      import org.apache.hadoop.fs.Path
+      FoldState.latest(spark, dir).foreach { case (id, stPath) =>
+        val h = spark.read.parquet(new Path(stPath, "dfs").toString)
+        def part(c: String) = h.filter(col("component") === c)
+          .drop("component").localCheckpoint()
+        val b = part("base")
+        base = if (b.isEmpty) None else Some(b)
+        last = Some((id, part("last")))
+      }
+    }
+  }
+
+  /** [[boilerStripIngest]] + the decay fold as one live feed; the
+    * returned fold exposes [[BoilerFold.health]] for the rebuild gate.
+    */
+  def boilerStripIngestTracked(index: DataFrame, docs: DataFrame,
+      stateDir: Option[String] = None)
+      (write: DataFrame => Unit): (org.apache.spark.sql.streaming.StreamingQuery, BoilerFold) = {
+    val fold = new BoilerFold(index, write, stateDir)
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fold.step(batch.toDF(), id)
+      }.start()
+    (q, fold)
+  }
+
   /** Streaming face of Lakehouse.snapshot (q_cdc_snapshot): maintain the
     * LWW CDC snapshot incrementally, ONE state row per key (the ~40-byte
     * current winner). Emits an update row only for keys whose winner

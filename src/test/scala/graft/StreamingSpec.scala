@@ -1268,6 +1268,71 @@ class StreamingSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("boilerplate index decay: cross-batch template trips the rebuild gate; rebuilt strip equals batch") {
+    import spark.implicits._
+    // controlled corpus (ChunkLen-token chunks): template T1 in 3 pre-
+    // freeze docs (the frozen index), template T2 arriving ONE DOC PER
+    // BATCH post-freeze — each batch alone leaves its df below BoilMinDf,
+    // so the frozen index can never learn it: the documented miss class
+    def doc(id: Long, tmpl: String, uniq: String): StreamingSpec.BDoc =
+      StreamingSpec.BDoc(id, "s",
+        ((1 to ops.Curation.ChunkLen).map(i => s"$tmpl$i") ++
+          (1 to ops.Curation.ChunkLen).map(i => s"$uniq-$i")).mkString(" "),
+        ts(id))
+    val pre = Seq(doc(1, "t1x", "u1"), doc(2, "t1x", "u2"), doc(3, "t1x", "u3"))
+    val index = ops.Curation.boilerChunksOf(pre.toDF()).cache()
+    try {
+      assert(index.count() === 1L, "fixture: frozen index must be exactly T1")
+      val arrivals = Seq(doc(10, "t2y", "u10"), doc(11, "t2y", "u11"),
+        doc(12, "t2y", "u12"))
+      val ms = MemoryStream[StreamingSpec.BDoc](spark)
+      val outBoiler = scala.collection.mutable.Map.empty[Long, Long]
+      val (q, fold) = Streams.boilerStripIngestTracked(index, ms.toDF()) { out =>
+        outBoiler.synchronized {
+          out.select("doc_id", "n_boiler").collect()
+            .foreach(r => outBoiler(r.getLong(0)) = r.getLong(1))
+        }
+      }
+      // two arrivals: T2 df = 2 < BoilMinDf — healthy, no rebuild
+      ms.addData(arrivals(0)); q.processAllAvailable()
+      ms.addData(arrivals(1)); q.processAllAvailable()
+      val h2 = fold.health
+      assert(h2.missedTemplates === 0L && !h2.needsRebuild,
+        s"gate fired below the df threshold: $h2")
+      // third arrival crosses the threshold ACROSS batches: gate fires
+      ms.addData(arrivals(2)); q.processAllAvailable()
+      val h3 = fold.health
+      assert(h3.missedTemplates === 1L && h3.missedDocHits === 3L &&
+        h3.needsRebuild, s"cross-batch template not flagged: $h3")
+      q.stop()
+      // the frozen face shipped the T2 docs unstripped — the measured miss
+      assert(arrivals.forall(a => outBoiler(a.doc_id) === 0L),
+        s"frozen index should miss T2: $outBoiler")
+      // explicit rebuild on the full corpus: stripping now equals the
+      // batch q_boilerplate_strip kernel and T2 is template everywhere
+      val full = (pre ++ arrivals).toDF()
+      val rebuilt = ops.Curation.stripAgainst(
+        ops.Curation.boilerChunksOf(full), full)
+        .select("doc_id", "n_boiler", "text_clean").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      val batch = ops.Curation.boilerplateStripFrom(full)
+        .select("doc_id", "n_boiler", "text_clean").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(rebuilt === batch, "rebuilt strip diverged from the batch kernel")
+      arrivals.foreach(a => assert(rebuilt(a.doc_id)._1 === 1L &&
+        !rebuilt(a.doc_id)._2.contains("t2y"),
+        s"rebuilt index must strip T2 from doc ${a.doc_id}"))
+      // replay safety: re-delivering the open batch must not double-count
+      val fold2 = new Streams.BoilerFold(index, _ => ())
+      fold2.step(Seq(arrivals(0)).toDF(), 0L)
+      fold2.step(Seq(arrivals(1)).toDF(), 1L)
+      fold2.step(Seq(arrivals(1)).toDF(), 1L) // replay
+      fold2.step(Seq(arrivals(2)).toDF(), 2L)
+      assert(fold2.health === h3,
+        "replayed trigger double-counted the chunk dfs")
+    } finally index.unpersist()
+  }
+
   test("streaming cents histogram equals the batch sketch on an out-of-order feed") {
     // frozen geometry (the deployment calibration pass), hash-dealt
     // 3-trigger feed: the additive fold must converge to the batch
