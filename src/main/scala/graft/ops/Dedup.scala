@@ -1221,6 +1221,21 @@ object Dedup {
         expr("(n_ch - known_chars) * 1000 div n_ch"))
   }
 
+  /** Retire documents from the persisted chunk index (the
+    * [[chunkFrame]] relation the novelty scorer probes): a keyed
+    * anti-join on doc_id — survivors are never re-chunked or re-hashed
+    * (the [[retireFrom]] argument on the CDC plane; a doc's chunk rows
+    * are functions of its own text alone). Because the index stores
+    * per-OCCURRENCE rows, retiring one holder of a SHARED chunk leaves
+    * the chunk known through its other holders — refcount semantics for
+    * free — and a chunk goes unknown only when its last holder retires;
+    * retire ≡ rebuild-on-survivors exactly (QueriesSpec row equality
+    * plus the novelty-flip gate).
+    */
+  private[graft] def chunkRetire(index: DataFrame,
+      tombstones: DataFrame): DataFrame =
+    index.join(tombstones.select("doc_id"), Seq("doc_id"), "left_anti")
+
   /** De-thresholded banded candidates at DOC level — every band collision
     * with its signature agreement and exact Jaccard, no size prefilter,
     * no agreement floor, no τ cut — the calibration surface behind

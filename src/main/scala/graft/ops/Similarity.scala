@@ -860,6 +860,21 @@ object Similarity {
       cents: Array[Array[Double]]): DataFrame =
     indexed.unionByName(ivfAssign(newEmb, cents))
 
+  /** Retire vectors from a persisted index — works on BOTH layouts, the
+    * IVF (vec_id, embedding, cell) frame and the IVFADC (vec_id, nrm,
+    * codes, cell) frame: a keyed anti-join on vec_id, NO re-quantization.
+    * The Dedup.retireFrom no-re-hash argument on the vector plane: a
+    * surviving row's cell and codes are per-row functions of (vector,
+    * frozen quantizers) alone — independent of which other rows exist —
+    * so retire ≡ rebuild-under-frozen-quantizers EXACTLY (QueriesSpec
+    * row equality, not just recall parity) and serving output over the
+    * survivors is unchanged. One narrow anti-join against the
+    * tombstone set; embeddings are never re-read.
+    */
+  private[graft] def retireVecs(index: DataFrame,
+      tombstones: DataFrame): DataFrame =
+    index.join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti")
+
   /** Mean best-centroid cosine — the quantization quality of a corpus
     * under the given centroids (1.0 = every vector sits on a centroid
     * direction). One narrow aggregation; O(1) result rows.

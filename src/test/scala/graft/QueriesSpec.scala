@@ -437,6 +437,71 @@ class QueriesSpec extends SparkSpec {
       s"distribution shift not flagged: healthy=$healthy stale=$stale")
   }
 
+  test("vector index retire: anti-join equals rebuild under frozen quantizers; serving unchanged") {
+    // the deletion face of the persisted vector indexes: a keyed
+    // anti-join, no re-quantization — per-row cells/codes depend only on
+    // (vector, frozen quantizers), so retire must equal a rebuild of the
+    // surviving corpus under the same frozen model EXACTLY
+    val emb = clusteredEmbN(1000)
+    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
+    val cbs   = ops.Similarity.pqCodebooks(emb)
+    val tomb      = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    def sameRows(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0,
+        s"$what: retire diverged from rebuild")
+    sameRows(ops.Similarity.retireVecs(ops.Similarity.ivfAssign(emb, cents), tomb),
+      ops.Similarity.ivfAssign(survivors, cents), "IVF frame")
+    val retiredPq = ops.Similarity.retireVecs(
+      ops.Similarity.ivfPqIndex(emb, cents, cbs), tomb)
+    val rebuiltPq = ops.Similarity.ivfPqIndex(survivors, cents, cbs)
+    sameRows(retiredPq, rebuiltPq, "IVFADC frame")
+    // serving over the retired index: identical to the rebuilt index and
+    // recall intact vs brute force on the survivors
+    val served = ops.Similarity.ivfPqTopKIndexed(retiredPq, survivors, cents, cbs)
+    sameRows(served,
+      ops.Similarity.ivfPqTopKIndexed(rebuiltPq, survivors, cents, cbs),
+      "served top-k")
+    val bf = ops.Similarity.cosineTopKFrom(survivors)
+    val recall = recallOf(served, bf)
+    assert(recall >= 0.6, s"post-retire recall floor: $recall")
+  }
+
+  test("chunk index retire: per-occurrence rows give refcount semantics; novelty flips only on last holder") {
+    import spark.implicits._
+    // three docs: A and B share chunk S (plus unique tails), C is unique.
+    // text is CDC-chunked, so sharing a long identical PREFIX makes the
+    // resynchronized chunks collide across A and B.
+    val shared = (1 to 40).map(i => s"sharedtoken$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (1 to 30).map(i => s"atail$i").mkString(" ")),
+      (2L, shared + " " + (1 to 30).map(i => s"btail$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"conly$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val index = ops.Dedup.chunkFrame(docs)
+    // retire B: retire ≡ rebuild on survivors, row-exact
+    val afterB  = ops.Dedup.chunkRetire(index, Seq(2L).toDF("doc_id"))
+    val rebuilt = ops.Dedup.chunkFrame(docs.filter(col("doc_id") =!= 2L))
+    assert(afterB.except(rebuilt).count() === 0 &&
+      rebuilt.except(afterB).count() === 0,
+      "chunk retire diverged from rebuild on survivors")
+    // a re-upload of B still scores its shared prefix as KNOWN (A holds
+    // the chunks) — refcount semantics, not last-writer deletion
+    val reup = docs.filter(col("doc_id") === 2L)
+    def novelty(ix: org.apache.spark.sql.DataFrame): Long =
+      ops.Dedup.chunkNovelty(ix, reup).select("novelty_permille")
+        .head().getLong(0)
+    val nAfterB = novelty(afterB)
+    assert(nAfterB > 0L && nAfterB < 1000L,
+      s"B re-upload should be partially known through A: $nAfterB")
+    // retiring A too removes the last holder: the re-upload goes fully
+    // novel — the flip happens exactly at the last holder
+    val afterAB = ops.Dedup.chunkRetire(afterB, Seq(1L).toDF("doc_id"))
+    assert(novelty(afterAB) === 1000L,
+      "chunk must go unknown when its last holder retires")
+  }
+
   test("SemDeDup: learned cells capture the near-dup pairs; decisions match a sequential reference") {
     val emb = clusteredEmb
     val tau = 0.8 // clustered fixture: same-cluster cosines ~0.9, cross ~0
