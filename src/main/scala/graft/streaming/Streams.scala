@@ -1082,34 +1082,38 @@ object Streams {
           .as("cnt"))
   }
 
-  /** Replay-safe streaming fold for the cents histogram (q_hist_quantiles
-    * live): [[foldCentsHist]] is additive and therefore corrupted by
-    * at-least-once re-delivery; this fold applies the ProfileFold
-    * batch-id-replacement protocol to the bucket-count grid — a
-    * re-delivered batch id REPLACES its per-batch histogram, so counts
-    * fold exactly once whatever the delivery order or replay. State is
-    * (base, last): base compacts every sealed batch into one bounded
-    * bucket frame, last holds the open batch's histogram — both
-    * ≤ HqBuckets + under/overflow rows. DURABLE under `stateDir` via the
-    * shared [[FoldState]] manifest protocol (persist AFTER emit, marker
-    * makes a replayed persist a no-op); StreamingSpec replays a trigger,
-    * restarts the fold mid-stream, and replays across the restart.
+  /** ONE replay-safe durable fold for every keyed-grid sketch — the
+    * (base, last) batch-id-replacement protocol (ProfileFold's rule: a
+    * re-delivered batch id REPLACES its per-batch delta, so values fold
+    * exactly once whatever the delivery order or replay) generalized
+    * over the grid key, the value column, and the merge (additive `sum`
+    * for count/cents grids; idempotent `max` for HLL registers — max
+    * needs no replay protection, but riding the same protocol costs
+    * nothing and keeps ONE durability story). `base` compacts every
+    * sealed batch into one bounded grid, `last` holds the open batch's
+    * delta; both are sketch-sized, never corpus-sized. DURABLE under
+    * `stateDir` via the shared [[FoldState]] manifest (marker makes a
+    * replayed persist a no-op); StreamingSpec replays a trigger,
+    * restarts each concrete fold mid-stream, and replays across the
+    * restart, then checks GC left exactly one committed state.
     */
-  private[graft] final class HistFold(lo: Long, width: Long,
-      write: DataFrame => Unit, stateDir: Option[String] = None) {
+  private[graft] final class GridFold(
+      keyCols: Seq[String], valCol: String, maxMerge: Boolean,
+      delta: DataFrame => DataFrame, write: DataFrame => Unit,
+      stateDir: Option[String] = None) {
     private var base: Option[DataFrame] = None
     private var last: Option[(Long, DataFrame)] = None
     private var restored = stateDir.isEmpty
     private def add(a: DataFrame, b: DataFrame): DataFrame =
-      a.unionByName(b).groupBy("bucket_idx").agg(sum("cnt").as("cnt"))
+      a.unionByName(b).groupBy(keyCols.map(col): _*)
+        .agg((if (maxMerge) max(col(valCol)) else sum(col(valCol)))
+          .as(valCol))
 
     def step(batch: DataFrame, batchId: Long): Unit = {
       require(batchId >= 0 || stateDir.isEmpty,
-        "a durable HistFold needs real batch ids")
+        "a durable GridFold needs real batch ids")
       if (!restored) { restore(batch.sparkSession); restored = true }
-      val st = graft.ops.Sketches.centsHist(
-        batch.select(round(col("value") * 100).cast("long").as("cents")),
-        lo, width).localCheckpoint()
+      val st = delta(batch).localCheckpoint()
       last match {
         case Some((id, prev)) if id != batchId =>
           base = Some(base.map(b => add(b, prev).localCheckpoint())
@@ -1117,8 +1121,14 @@ object Streams {
         case _ => () // same id re-delivered: replace, never double-count
       }
       last = Some((batchId, st))
-      write(base.map(b => add(b, st)).getOrElse(st))
+      current.foreach(write)
       stateDir.foreach(persist(_, batchId, st))
+    }
+
+    /** The folded grid (sealed base + open batch). */
+    private[graft] def current: Option[DataFrame] = (base, last) match {
+      case (Some(b), Some((_, l))) => Some(add(b, l))
+      case (b, l)                  => l.map(_._2).orElse(b)
     }
 
     private def persist(dir: String, id: Long, st: DataFrame): Unit = {
@@ -1127,14 +1137,14 @@ object Streams {
       def tag(f: DataFrame, c: String) = f.withColumn("component", lit(c))
       FoldState.commit(spark, dir, id) { staging =>
         tag(base.getOrElse(st.limit(0)), "base").unionByName(tag(st, "last"))
-          .coalesce(1).write.parquet(new Path(staging, "hist").toString)
+          .coalesce(1).write.parquet(new Path(staging, "grid").toString)
       }
     }
 
     private def restore(spark: SparkSession): Unit = stateDir.foreach { dir =>
       import org.apache.hadoop.fs.Path
       FoldState.latest(spark, dir).foreach { case (id, stPath) =>
-        val h = spark.read.parquet(new Path(stPath, "hist").toString)
+        val h = spark.read.parquet(new Path(stPath, "grid").toString)
         def part(c: String) = h.filter(col("component") === c)
           .drop("component").localCheckpoint()
         val b = part("base")
@@ -1144,19 +1154,79 @@ object Streams {
     }
   }
 
+  /** Replay-safe durable fold for the cents histogram (q_hist_quantiles
+    * live) — [[foldCentsHist]] is additive and therefore corrupted by
+    * at-least-once re-delivery; this is its [[GridFold]] face.
+    */
+  private[graft] def histFold(lo: Long, width: Long,
+      write: DataFrame => Unit, stateDir: Option[String] = None): GridFold =
+    new GridFold(Seq("bucket_idx"), "cnt", maxMerge = false,
+      b => graft.ops.Sketches.centsHist(
+        b.select(round(col("value") * 100).cast("long").as("cents")),
+        lo, width),
+      write, stateDir)
+
+  /** Replay-safe durable fold for the (event_type, day, cents) grid
+    * behind q_ewma_daily — [[foldDailyCents]]' durable face; the EWMA
+    * trajectory stays a VIEW over the folded grid.
+    */
+  private[graft] def dailyCentsFold(write: DataFrame => Unit,
+      stateDir: Option[String] = None): GridFold =
+    new GridFold(Seq("event_type", "d"), "cents", maxMerge = false,
+      b => b.groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+      write, stateDir)
+
+  /** Durable fold for the HLL register matrix (q_hll_registers live) —
+    * [[foldHllRegisters]]' durable face. Max-merge is replay-immune on
+    * its own; what the GridFold adds is the committed restart story.
+    */
+  private[graft] def hllFold(write: DataFrame => Unit,
+      stateDir: Option[String] = None): GridFold =
+    new GridFold(Seq("event_type", "bucket"), "register", maxMerge = true,
+      b => graft.ops.Sketches.hllRegistersFrom(b), write, stateDir)
+
+  /** Durable fold for the windowed COUNT-MIN grid — [[cmsGridPerWindow]]
+    * run per batch and folded additively per (window, j, b) cell. Unlike
+    * the state-store form this face holds ALL windows (no watermark
+    * eviction — the fold cannot know the source's lateness); cap the
+    * window retention upstream when streams run unbounded.
+    */
+  private[graft] def cmsFold(write: DataFrame => Unit,
+      stateDir: Option[String] = None): GridFold =
+    new GridFold(Seq("window_us", "j", "b"), "cnt", maxMerge = false,
+      b => cmsGridPerWindow(b), write, stateDir)
+
   /** The cents histogram maintained as a live feed (exactly-once even
     * under replay — the [[HistFold]] protocol; the bare [[foldCentsHist]]
     * stays the right tool under exactly-once delivery).
     */
   def histIngest(events: DataFrame, lo: Long, width: Long,
       stateDir: Option[String] = None)
-      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val fold = new HistFold(lo, width, write, stateDir)
-    events.writeStream.outputMode("append")
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    foldIngest(events, histFold(lo, width, write, stateDir))
+
+  /** q_ewma_daily's cents grid as a live durable feed. */
+  def dailyCentsIngest(events: DataFrame, stateDir: Option[String] = None)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    foldIngest(events, dailyCentsFold(write, stateDir))
+
+  /** q_hll_registers as a live durable feed. */
+  def hllIngest(events: DataFrame, stateDir: Option[String] = None)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    foldIngest(events, hllFold(write, stateDir))
+
+  /** The windowed CMS grid as a live durable feed. */
+  def cmsIngest(docs: DataFrame, stateDir: Option[String] = None)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    foldIngest(docs, cmsFold(write, stateDir))
+
+  private def foldIngest(src: DataFrame,
+      fold: GridFold): org.apache.spark.sql.streaming.StreamingQuery =
+    src.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         fold.step(batch.toDF(), id)
       }.start()
-  }
 
   /** [[boilerStripIngest]] with the frozen index's DECAY measured as it
     * serves: each trigger strips against the frozen template set (the
@@ -1182,33 +1252,18 @@ object Streams {
     */
   private[graft] final class BoilerFold(index: DataFrame,
       write: DataFrame => Unit, stateDir: Option[String] = None) {
-    private var base: Option[DataFrame] = None
-    private var last: Option[(Long, DataFrame)] = None
-    private var restored = stateDir.isEmpty
-    private def add(a: DataFrame, b: DataFrame): DataFrame =
-      a.unionByName(b).groupBy("chunk").agg(sum("ndocs").as("ndocs"))
+    private val dfs = new GridFold(Seq("chunk"), "ndocs", maxMerge = false,
+      b => graft.ops.Curation.chunkDfOf(b), _ => (), stateDir)
 
     def step(batch: DataFrame, batchId: Long): Unit = {
       require(batchId >= 0 || stateDir.isEmpty,
         "a durable BoilerFold needs real batch ids")
-      if (!restored) { restore(batch.sparkSession); restored = true }
       write(graft.ops.Curation.stripAgainst(index, batch))
-      val st = graft.ops.Curation.chunkDfOf(batch).localCheckpoint()
-      last match {
-        case Some((id, prev)) if id != batchId =>
-          base = Some(base.map(b => add(b, prev).localCheckpoint())
-            .getOrElse(prev))
-        case _ => () // same id re-delivered: replace, never double-count
-      }
-      last = Some((batchId, st))
-      stateDir.foreach(persist(_, batchId, st))
+      dfs.step(batch, batchId)
     }
 
     /** Accumulated post-freeze chunk dfs (base + open batch). */
-    private[graft] def seen: Option[DataFrame] = (base, last) match {
-      case (Some(b), Some((_, l))) => Some(add(b, l))
-      case (b, l)                  => l.map(_._2).orElse(b)
-    }
+    private[graft] def seen: Option[DataFrame] = dfs.current
 
     def health: graft.ops.Curation.BoilerHealth = {
       val s = seen.getOrElse(index.sparkSession.createDataFrame(
@@ -1216,28 +1271,6 @@ object Streams {
         org.apache.spark.sql.types.StructType.fromDDL(
           "chunk STRING, ndocs BIGINT")))
       graft.ops.Curation.boilerHealth(index, s)
-    }
-
-    private def persist(dir: String, id: Long, st: DataFrame): Unit = {
-      import org.apache.hadoop.fs.Path
-      val spark = st.sparkSession
-      def tag(f: DataFrame, c: String) = f.withColumn("component", lit(c))
-      FoldState.commit(spark, dir, id) { staging =>
-        tag(base.getOrElse(st.limit(0)), "base").unionByName(tag(st, "last"))
-          .coalesce(1).write.parquet(new Path(staging, "dfs").toString)
-      }
-    }
-
-    private def restore(spark: SparkSession): Unit = stateDir.foreach { dir =>
-      import org.apache.hadoop.fs.Path
-      FoldState.latest(spark, dir).foreach { case (id, stPath) =>
-        val h = spark.read.parquet(new Path(stPath, "dfs").toString)
-        def part(c: String) = h.filter(col("component") === c)
-          .drop("component").localCheckpoint()
-        val b = part("base")
-        base = if (b.isEmpty) None else Some(b)
-        last = Some((id, part("last")))
-      }
     }
   }
 

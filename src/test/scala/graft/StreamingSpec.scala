@@ -1377,18 +1377,75 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("histfold").toString
     var out: org.apache.spark.sql.DataFrame = null
     val sink = (f: org.apache.spark.sql.DataFrame) => out = f.localCheckpoint()
-    val fold = new Streams.HistFold(lo, width, sink, Some(dir))
+    val fold = Streams.histFold(lo, width, sink, Some(dir))
     fold.step(bdf(0), 0L)
     fold.step(bdf(1), 1L)
     fold.step(bdf(1), 1L) // replayed trigger: must not double-count
     // process restart: a fresh fold over the same stateDir
-    val fold2 = new Streams.HistFold(lo, width, sink, Some(dir))
+    val fold2 = Streams.histFold(lo, width, sink, Some(dir))
     fold2.step(bdf(2), 2L)
     fold2.step(bdf(2), 2L) // replay across the restart
     val batch = ops.Sketches.centsHist(all, lo, width)
     assert(out.except(batch).count() === 0 &&
       batch.except(out).count() === 0,
       "HistFold state diverged from the batch sketch under replay + restart")
+  }
+
+  /** Drive a durable GridFold through the full survival gauntlet: a
+    * replayed trigger, a process restart (fresh fold over the same
+    * stateDir), a replay ACROSS the restart — then the folded grid must
+    * equal the batch reference and GC must leave exactly one committed
+    * state. Shared by every fold on the GridFold protocol.
+    */
+  private def gridFoldSurvives(what: String,
+      mk: (org.apache.spark.sql.DataFrame => Unit,
+        Option[String]) => Streams.GridFold,
+      parts: Seq[org.apache.spark.sql.DataFrame],
+      batchRef: org.apache.spark.sql.DataFrame): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(what).toString
+    var out: org.apache.spark.sql.DataFrame = null
+    val sink = (f: org.apache.spark.sql.DataFrame) => out = f.localCheckpoint()
+    val fold = mk(sink, Some(dir))
+    fold.step(parts(0), 0L)
+    fold.step(parts(1), 1L)
+    fold.step(parts(1), 1L) // replayed trigger
+    val fold2 = mk(sink, Some(dir)) // process restart
+    fold2.step(parts(2), 2L)
+    fold2.step(parts(2), 2L) // replay across the restart
+    assert(out.except(batchRef).count() === 0 &&
+      batchRef.except(out).count() === 0,
+      s"$what diverged from the batch grid under replay + restart")
+    val states = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("state-")).toSeq
+    assert(states === Seq(f"state-${2L}%020d"),
+      s"$what GC left ${states.mkString(",")}")
+  }
+
+  test("durable daily-cents, HLL and CMS folds survive replay + restart; GC leaves one state") {
+    import spark.implicits._
+    val events = loadEvents
+    val dealt  = events.sortBy(e => e.event_id * 2654435761L % 997)
+    val eParts = dealt.grouped((dealt.size + 2) / 3).toSeq
+      .map(_.toDS().toDF())
+    val all = events.toDS().toDF()
+    gridFoldSurvives("dailycentsfold",
+      Streams.dailyCentsFold(_, _), eParts,
+      all.groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents")))
+    gridFoldSurvives("hllfold",
+      Streams.hllFold(_, _), eParts,
+      ops.Sketches.hllRegistersFrom(all))
+    val docs = Seq(
+      StreamingSpec.Doc(1, "spark spark flink", ts(1)),
+      StreamingSpec.Doc(2, "alpha beta spark", ts(40)),
+      StreamingSpec.Doc(3, "beta beta gamma", ts(35)),
+      StreamingSpec.Doc(4, "delta epsilon", ts(65)),
+      StreamingSpec.Doc(5, "gamma gamma", ts(130)),
+      StreamingSpec.Doc(6, "spark", ts(100)))
+    val dParts = docs.grouped(2).toSeq.map(_.toDS().toDF())
+    gridFoldSurvives("cmsfold",
+      Streams.cmsFold(_, _), dParts,
+      Streams.cmsGridPerWindow(docs.toDS().toDF()))
   }
 
   test("streaming HLL registers equal the batch sketch, even under replay") {
