@@ -407,6 +407,46 @@ object Clustering {
           (abs(col("cnt_after") * nb - col("cnt_before") * na) * 5 >
             greatest(col("cnt_before") * na, lit(1L))).as("drifted"))
         .orderBy("bucket_idx")
+    },
+
+    // TOP-K PCA BASIS — repeated deflation to PcK = 4 components, every
+    // direction exactly the converged max-norm power iterate of the
+    // successively deflated covariance (the q_pca_deflate mechanism
+    // chained: deflation r subtracts component r's exact-integer rank-1
+    // Rayleigh term from Ĉ_r, HUGEINT in the oracle / BigInt on the
+    // driver). Still ZERO Spark jobs past the shared two-pass model
+    // state — all PcK × PcIters rounds are driver arithmetic on the
+    // 64×64 matrix; the oracle grows one pc{r}_ temp-table block per
+    // component. ClusteringSpec gates per-component Rayleigh ordering
+    // (non-increasing within the near-degenerate slack) and pairwise
+    // near-orthogonality of the basis.
+    Q("q_pca_topk",
+      s"""$pcScriptPrefix
+         |${pcDeflateScriptSql("pc", "pc2")}
+         |${pcDeflateScriptSql("pc2", "pc3")}
+         |${pcDeflateScriptSql("pc3", "pc4")}
+         |SELECT component, dim, v FROM (
+         |  SELECT CAST(1 AS INTEGER) AS component, CAST(j AS INTEGER) AS dim, v
+         |  FROM pc_w$PcIters
+         |  UNION ALL SELECT CAST(2 AS INTEGER), CAST(j AS INTEGER), v
+         |  FROM pc2_w$PcIters
+         |  UNION ALL SELECT CAST(3 AS INTEGER), CAST(j AS INTEGER), v
+         |  FROM pc3_w$PcIters
+         |  UNION ALL SELECT CAST(4 AS INTEGER), CAST(j AS INTEGER), v
+         |  FROM pc4_w$PcIters)
+         |ORDER BY component, dim""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (_, cov0) = pcaModel(vmFrame(s, dir))
+      val comps = Seq.newBuilder[Array[Long]]
+      var c = cov0
+      for (_ <- 1 to PcK) {
+        val v = pcaTrajectory(c).last
+        comps += v
+        c = pcaDeflate(c, v)
+      }
+      comps.result().zipWithIndex.flatMap { case (v, ci) =>
+        v.zipWithIndex.map { case (x, j) => (ci + 1, j + 1, x) }
+      }.toDF("component", "dim", "v").orderBy("component", "dim")
     }
   )
 
@@ -415,6 +455,9 @@ object Clustering {
     * signal, not noise.
     */
   final val EdBuckets = 16
+
+  /** Components for the top-k PCA basis (q_pca_topk). */
+  final val PcK = 4
 
   /** The shared oracle-script prefix: micro-snap, seeds, all Lloyd
     * rounds materialized (km_v … km_c{KmIters}).
@@ -559,20 +602,27 @@ object Clustering {
     * exactly like BigInt division on the driver — probed), the deflated
     * entries back in int64 range by construction.
     */
-  private def pc2ScriptSql: String =
-    s"""CREATE OR REPLACE TEMP TABLE pc2_rs AS
+  private def pc2ScriptSql: String = pcDeflateScriptSql("pc", "pc2")
+
+  /** The deflation step parametrized over (prev, next) prefixes — Ĉ_next
+    * = Ĉ_prev − λ̂·vvᵀ with v = prev's converged direction, then next's
+    * own power rounds. Chaining it grows one pc{r}_ block per component:
+    * the q_pca_topk oracle.
+    */
+  private def pcDeflateScriptSql(prev: String, next: String): String =
+    s"""CREATE OR REPLACE TEMP TABLE ${next}_rs AS
        |  SELECT (SELECT CAST(sum(CAST(a.v AS HUGEINT) * c.c * b.v) AS HUGEINT)
-       |          FROM pc_c c JOIN pc_w$PcIters a ON c.j = a.j
-       |                      JOIN pc_w$PcIters b ON c.k = b.j) AS r,
+       |          FROM ${prev}_c c JOIN ${prev}_w$PcIters a ON c.j = a.j
+       |                      JOIN ${prev}_w$PcIters b ON c.k = b.j) AS r,
        |         (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT)
-       |          FROM pc_w$PcIters) AS s;
-       |CREATE OR REPLACE TEMP TABLE pc2_c AS
+       |          FROM ${prev}_w$PcIters) AS s;
+       |CREATE OR REPLACE TEMP TABLE ${next}_c AS
        |  SELECT c.j, c.k,
        |         c.c - CAST((rs.r * a.v * b.v) // (rs.s * rs.s) AS BIGINT) AS c
-       |  FROM pc_c c JOIN pc_w$PcIters a ON c.j = a.j
-       |              JOIN pc_w$PcIters b ON c.k = b.j, pc2_rs rs;
-       |${pcSeedSql("pc2")}
-       |${(1 to PcIters).map(pcRoundSql("pc2", _)).mkString("\n")}""".stripMargin
+       |  FROM ${prev}_c c JOIN ${prev}_w$PcIters a ON c.j = a.j
+       |              JOIN ${prev}_w$PcIters b ON c.k = b.j, ${next}_rs rs;
+       |${pcSeedSql(next)}
+       |${(1 to PcIters).map(pcRoundSql(next, _)).mkString("\n")}""".stripMargin
 
   /** The trajectory of prefix `$p` as one relation: (round, dim, v) for
     * rounds 0..PcIters.

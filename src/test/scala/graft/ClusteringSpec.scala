@@ -208,6 +208,34 @@ class ClusteringSpec extends SparkSpec {
       "deflated direction's Rayleigh quotient exceeds the dominant one by >10%")
   }
 
+  test("top-k PCA basis: k=4 components with non-increasing Rayleigh and pairwise near-orthogonality") {
+    val (_, cov, _) = seqPca(snappedVecs)
+    val dim = ops.Clustering.Dim
+    val rows = SparkEntry.queries("q_pca_topk")(spark, sfDir).collect()
+    assert(rows.length === ops.Clustering.PcK * dim)
+    val basis = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getLong(2))
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val num = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      BigDecimal(num).toDouble /
+        math.sqrt(a.map(x => x.toDouble * x).sum) /
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+    }
+    def rayleigh(v: Array[Long]): BigDecimal = {
+      val num = (0 until dim).map(j => (0 until dim).map(k =>
+        BigInt(v(j)) * BigInt(cov(j)(k)) * BigInt(v(k))).sum).sum
+      BigDecimal(num) / BigDecimal(v.map(x => BigInt(x) * BigInt(x)).sum)
+    }
+    for (i <- basis.indices; j <- (i + 1) until basis.length)
+      assert(math.abs(cos(basis(i), basis(j))) <= 0.15,
+        s"components ${i + 1},${j + 1} not orthogonal: ${cos(basis(i), basis(j))}")
+    for (i <- 0 until basis.length - 1)
+      assert(rayleigh(basis(i + 1)) <= rayleigh(basis(i)) * BigDecimal(1.1),
+        s"Rayleigh ordering broken at component ${i + 2}: " +
+          s"${rayleigh(basis(i + 1))} > ${rayleigh(basis(i))}")
+  }
+
   test("embed drift monitor: both statuses surface, overflow ids are honest, mass conserved") {
     val rows = SparkEntry.queries("q_embed_drift")(spark, sfDir).collect()
     val drifted   = rows.filter(_.getBoolean(5))
