@@ -52,7 +52,7 @@ object Clustering {
     vmOf(Tables(s, dir, "embeddings"))
 
   /** Micro-snap an explicit (vec_id, embedding) frame. */
-  private def vmOf(emb: DataFrame): DataFrame =
+  private[graft] def vmOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG))")
         .as("vm"))
@@ -376,37 +376,16 @@ object Clustering {
       val (mu, cov) = pcaModel(vmOf(emb))
       val v1 = pcaTrajectory(cov).last
       val sumSq = v1.map(x => x * x).sum // ≤ Dim·PcVScale² ≈ 6.4e9, exact
-      def dot(v: Array[Long]): Column =
-        expr("aggregate(zip_with(zip_with(" +
-          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG)), " +
-          s"array(${mu.mkString(",")}L), (x, m) -> x - m), " +
-          s"array(${v.mkString(",")}L), (d, w) -> d * w), " +
-          "0L, (a, b) -> a + b)")
-      val before = emb.select(col("vec_id"), dot(v1).as("pc1"))
+      val before = emb.select(col("vec_id"), pcScoreCol(mu, v1).as("pc1"))
       val after = before.select(col("vec_id"),
         (col("pc1") + when(col("vec_id") % 4 === 0, lit(4L * sumSq))
           .otherwise(lit(0L))).as("pc1"))
-      // frozen grid + era totals: four scalars of bounded model state
-      // (the q_hist_quantiles min/max collect), from the BEFORE era only
-      val g = before.agg(min("pc1"), max("pc1"), count(lit(1))).head()
+      // frozen grid: two scalars of bounded model state (the
+      // q_hist_quantiles min/max collect), from the BEFORE era only
+      val g = before.agg(min("pc1"), max("pc1")).head()
       val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
-      val (nb, na) = (g.getLong(2), g.getLong(2)) // injection keeps rows
-      def hist(df: DataFrame): DataFrame = df
-        .groupBy(expr(s"(pc1 - ${lo}L) * $EdBuckets div ${width}L")
-          .as("bucket_idx"))
-        .agg(count(lit(1)).as("cnt"))
-      val hb = hist(before).withColumnRenamed("cnt", "cb")
-      val ha = hist(after).withColumnRenamed("cnt", "ca")
-      hb.join(ha, Seq("bucket_idx"), "full_outer")
-        .select(col("bucket_idx"),
-          coalesce(col("cb"), lit(0L)).as("cnt_before"),
-          coalesce(col("ca"), lit(0L)).as("cnt_after"))
-        .select(col("bucket_idx"), col("cnt_before"), col("cnt_after"),
-          expr(s"cnt_before * 1000000 div ${nb}L").as("share_before_ppm"),
-          expr(s"cnt_after * 1000000 div ${na}L").as("share_after_ppm"),
-          (abs(col("cnt_after") * nb - col("cnt_before") * na) * 5 >
-            greatest(col("cnt_before") * na, lit(1L))).as("drifted"))
-        .orderBy("bucket_idx")
+      embedDriftReport(pcScoreHist(before, lo, width),
+        pcScoreHist(after, lo, width))
     },
 
     // TOP-K PCA BASIS — repeated deflation to PcK = 4 components, every
@@ -455,6 +434,59 @@ object Clustering {
     * signal, not noise.
     */
   final val EdBuckets = 16
+
+  /** A vector's frozen-axis PC score as ONE Column over `embedding`:
+    * Σ (vm − μ)·v with μ, v as Dim-long literal arrays — the narrow
+    * zero-join projection PlanShapeSpec locks; shared by q_embed_drift
+    * and the streaming drift feed.
+    */
+  private[graft] def pcScoreCol(mu: Array[Long], v: Array[Long]): Column =
+    expr("aggregate(zip_with(zip_with(" +
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS LONG)), " +
+      s"array(${mu.mkString(",")}L), (x, m) -> x - m), " +
+      s"array(${v.mkString(",")}L), (d, w) -> d * w), " +
+      "0L, (a, b) -> a + b)")
+
+  /** PC-score histogram under a FROZEN (lo, width) grid — the
+    * q_hist_quantiles bucket map at drift granularity; out-of-range
+    * scores land in honest under/overflow bucket ids (the centsHist
+    * rule; scores here are the before-era-anchored drift inputs, so
+    * only the non-negative overflow side occurs in practice).
+    */
+  private[graft] def pcScoreHist(scored: DataFrame, lo: Long,
+      width: Long): DataFrame =
+    scored.groupBy(expr(s"(pc1 - ${lo}L) * $EdBuckets div ${width}L")
+      .as("bucket_idx"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The drift report over two bucket grids: per-bucket counts, shares
+    * in exact ppm, and the integer cross-multiplied >20% share gate.
+    * Era totals are derived from the grids themselves (two bounded-frame
+    * aggregates broadcast back), so the kernel serves both the batch
+    * query (equal-size eras) and the streaming feed (after-era total
+    * grows per trigger). Count cross-products stay ≪ 2^63 for eras
+    * under ~2^31 rows; pre-divide to ppm beyond that.
+    */
+  private[graft] def embedDriftReport(hb: DataFrame,
+      ha: DataFrame): DataFrame = {
+    val tb = hb.agg(coalesce(sum("cnt"), lit(0L)).as("nb"))
+    val ta = ha.agg(coalesce(sum("cnt"), lit(0L)).as("na"))
+    hb.withColumnRenamed("cnt", "cb")
+      .join(ha.withColumnRenamed("cnt", "ca"), Seq("bucket_idx"), "full_outer")
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(ta))
+      .select(col("bucket_idx"),
+        coalesce(col("cb"), lit(0L)).as("cnt_before"),
+        coalesce(col("ca"), lit(0L)).as("cnt_after"),
+        col("nb"), col("na"))
+      .select(col("bucket_idx"), col("cnt_before"), col("cnt_after"),
+        expr("cnt_before * 1000000 div greatest(nb, 1L)")
+          .as("share_before_ppm"),
+        expr("cnt_after * 1000000 div greatest(na, 1L)")
+          .as("share_after_ppm"),
+        (abs(col("cnt_after") * col("nb") - col("cnt_before") * col("na")) * 5 >
+          greatest(col("cnt_before") * col("na"), lit(1L))).as("drifted"))
+      .orderBy("bucket_idx")
+  }
 
   /** Components for the top-k PCA basis (q_pca_topk). */
   final val PcK = 4

@@ -1228,6 +1228,33 @@ object Streams {
         fold.step(batch.toDF(), id)
       }.start()
 
+  /** q_embed_drift as a LIVE feed: the model (μ, v₁) and grid (lo,
+    * width) are FROZEN literals from the baseline era (the histIngest
+    * deployment story), `before` is that era's bucket grid; each
+    * trigger's vectors score through the narrow frozen-axis projection,
+    * fold into the after-era grid (replay-safe [[GridFold]], durable
+    * under `stateDir`), and the emitted report is the shared
+    * [[graft.ops.Clustering]].embedDriftReport kernel — so batch ≡
+    * stream by construction once the feed drains (StreamingSpec drives
+    * replay + restart and compares against the batch kernel).
+    */
+  private[graft] def embedDriftFold(mu: Array[Long], v1: Array[Long],
+      lo: Long, width: Long, before: DataFrame,
+      write: DataFrame => Unit, stateDir: Option[String] = None): GridFold =
+    new GridFold(Seq("bucket_idx"), "cnt", maxMerge = false,
+      b => graft.ops.Clustering.pcScoreHist(
+        b.select(graft.ops.Clustering.pcScoreCol(mu, v1).as("pc1")),
+        lo, width),
+      grid => write(graft.ops.Clustering.embedDriftReport(before, grid)),
+      stateDir)
+
+  /** [[embedDriftFold]] wired to a vector stream. */
+  def embedDriftIngest(vecs: DataFrame, mu: Array[Long], v1: Array[Long],
+      lo: Long, width: Long, before: DataFrame,
+      stateDir: Option[String] = None)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    foldIngest(vecs, embedDriftFold(mu, v1, lo, width, before, write, stateDir))
+
   /** [[boilerStripIngest]] with the frozen index's DECAY measured as it
     * serves: each trigger strips against the frozen template set (the
     * stateless face, unchanged semantics), while a replay-safe fold

@@ -213,6 +213,11 @@ class PlanShapeSpec extends SparkSpec {
       // the hinted side is the single-row K threshold (Σdeg div 2V) —
       // the pagerank single-row-total class
       "q_kcore_neardup",
+      // both hinted sides are the single-row era-total aggregates over
+      // the ≤(EdBuckets+overflow)-row bucket grids — the tfidf/unigram
+      // single-row class (the grids themselves are bounded by the
+      // EdBuckets constant, never by data)
+      "q_embed_drift",
       // the hinted side is the single-row weight total Σw over the
       // |sources|-bounded frame — the q_domain_mix_temp class
       "q_epoch_schedule",
@@ -350,12 +355,19 @@ class PlanShapeSpec extends SparkSpec {
     // the two era scans must be literal-array projections straight into
     // their histogram aggregates (partial count map-side) — every
     // exchange after that carries <= (EdBuckets + overflow) bucket rows,
-    // so a bounded exchange count is the whole scale story
+    // so a bounded exchange count is the whole scale story. The only
+    // nested-loop joins allowed are the TWO single-row era-total
+    // attaches (the bounded-scalar crossJoin class).
     val p = plan("q_embed_drift")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+    assert(!p.contains("CartesianProduct"),
       s"embed drift grew an unbounded join:\n${p.take(1500)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"embed drift grew $bnlj nested-loop joins:\n${p.take(2000)}")
+    // 7 = two era-histogram aggregates, two single-row era totals, the
+    // bucket-join sides, and the presentation sort — each moving
+    // bucket-grid rows only
     val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
-    assert(n <= 6, s"embed drift exchange count grew to $n:\n${p.take(2000)}")
+    assert(n <= 7, s"embed drift exchange count grew to $n:\n${p.take(2000)}")
   }
 
   test("char entropy computes narrowly — only the presentation sort exchanges") {

@@ -1421,6 +1421,46 @@ class StreamingSpec extends SparkSpec {
       s"$what GC left ${states.mkString(",")}")
   }
 
+  test("embed drift live feed equals the shared batch kernel under replay + restart") {
+    import spark.implicits._
+    // frozen model + grid from the full corpus (the baseline era); the
+    // live after-era is the even-vec_id half arriving over 3 triggers
+    val emb = Tables(spark, sfDir, "embeddings")
+    val (mu, cov) = ops.Clustering.pcaModel(ops.Clustering.vmOf(emb))
+    val v1 = ops.Clustering.pcaTrajectory(cov).last
+    val beforeScores = emb.select(col("vec_id"),
+      ops.Clustering.pcScoreCol(mu, v1).as("pc1"))
+    val g = beforeScores.agg(min("pc1"), max("pc1")).head()
+    val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+    val before = ops.Clustering.pcScoreHist(beforeScores, lo, width)
+      .localCheckpoint()
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => StreamingSpec.Vec(id, e) }
+    val dealt = evens.sortBy(v => v.vec_id * 2654435761L % 997)
+    val parts = dealt.grouped((dealt.size + 2) / 3).toSeq
+      .map(_.toSeq.toDS().toDF())
+    val dir = java.nio.file.Files.createTempDirectory("embeddrift").toString
+    var out: org.apache.spark.sql.DataFrame = null
+    val sink = (f: org.apache.spark.sql.DataFrame) => out = f.localCheckpoint()
+    val fold = Streams.embedDriftFold(mu, v1, lo, width, before, sink, Some(dir))
+    fold.step(parts(0), 0L)
+    fold.step(parts(1), 1L)
+    fold.step(parts(1), 1L) // replayed trigger
+    val fold2 = Streams.embedDriftFold(mu, v1, lo, width, before, sink, Some(dir))
+    fold2.step(parts(2), 2L) // across a process restart
+    val batch = ops.Clustering.embedDriftReport(before,
+      ops.Clustering.pcScoreHist(
+        emb.filter(col("vec_id") % 2 === 0)
+          .select(ops.Clustering.pcScoreCol(mu, v1).as("pc1")), lo, width))
+    assert(out.except(batch).count() === 0 && batch.except(out).count() === 0,
+      "streamed drift report diverged from the batch kernel")
+    // same-distribution half-era: the report must not be all-drifted
+    assert(out.filter(!col("drifted")).count() > 0,
+      "every bucket drifted on a same-distribution era — no specificity")
+  }
+
   test("durable daily-cents, HLL and CMS folds survive replay + restart; GC leaves one state") {
     import spark.implicits._
     val events = loadEvents
