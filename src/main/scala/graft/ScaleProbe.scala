@@ -590,16 +590,26 @@ object ScaleProbe {
       // boilerplate strip at m× corpus. Chunking is positional (ChunkLen
       // tokens), so VERBATIM replication would push EVERY chunk's df to m
       // ≥ BoilMinDf and the probe would measure a fully-saturated strip
-      // (all documents empty — a degenerate reconstruction). Instead each
-      // replica is alignment-shifted by i replica-unique tokens: chunks
-      // no longer match ACROSS replicas, while genuine cross-doc template
-      // chunks WITHIN each replica keep their df and the template set's
+      // (all documents empty — a degenerate reconstruction). A plain
+      // i-token prefix shift wraps modulo ChunkLen (replicas i and i+8
+      // realign, re-saturating the probe at m ≥ 9), so instead a
+      // replica-unique marker is interleaved every ChunkLen−1 ORIGINAL
+      // tokens: after insertion every ChunkLen-token chunk carries
+      // exactly one marker, so no chunk matches ACROSS replicas at ANY
+      // m, while genuine cross-doc template chunks WITHIN each replica
+      // (markers identical there) keep their df and the template set's
       // total mass still grows ∝ corpus — the realistic direction.
       timed("boilerplate_strip_grown") {
+        val cl1 = graft.ops.Curation.ChunkLen - 1
         val docs = Tables.documents(spark, sfDir)
         val docsN = (0 until m).map(i => docs
           .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
-          .withColumn("text", concat(lit(s"zqz$i " * i), col("text"))))
+          .withColumn("text", expr(
+            s"""concat_ws(' ', flatten(transform(
+               |sequence(0, CAST(ceil(size(split(text, ' ')) / $cl1.0)
+               |  AS INT) - 1),
+               |g -> concat(slice(split(text, ' '), g * $cl1 + 1, $cl1),
+               |  array('zqz$i')))))""".stripMargin.replace('\n', ' '))))
           .reduce(_.union(_))
         graft.ops.Curation.boilerplateStripFrom(docsN).count()
       }

@@ -354,11 +354,15 @@ object Clustering {
          |         (SELECT CAST(count(*) AS BIGINT) FROM ed_a) AS na
          |  FROM ed_b;
          |CREATE OR REPLACE TEMP TABLE ed_hb AS
-         |  SELECT (pc1 - lo) * $EdBuckets // width AS bucket_idx,
+         |  SELECT CASE WHEN ((pc1 - lo) * $EdBuckets) % width < 0
+         |         THEN (pc1 - lo) * $EdBuckets // width - 1
+         |         ELSE (pc1 - lo) * $EdBuckets // width END AS bucket_idx,
          |         CAST(count(*) AS BIGINT) AS cnt
          |  FROM ed_b, ed_g GROUP BY 1;
          |CREATE OR REPLACE TEMP TABLE ed_ha AS
-         |  SELECT (pc1 - lo) * $EdBuckets // width AS bucket_idx,
+         |  SELECT CASE WHEN ((pc1 - lo) * $EdBuckets) % width < 0
+         |         THEN (pc1 - lo) * $EdBuckets // width - 1
+         |         ELSE (pc1 - lo) * $EdBuckets // width END AS bucket_idx,
          |         CAST(count(*) AS BIGINT) AS cnt
          |  FROM ed_a, ed_g GROUP BY 1;
          |SELECT COALESCE(hb.bucket_idx, ha.bucket_idx) AS bucket_idx,
@@ -383,6 +387,8 @@ object Clustering {
       // frozen grid: two scalars of bounded model state (the
       // q_hist_quantiles min/max collect), from the BEFORE era only
       val g = before.agg(min("pc1"), max("pc1")).head()
+      require(!g.isNullAt(0),
+        "q_embed_drift: empty before era — no drift baseline to freeze")
       val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
       embedDriftReport(pcScoreHist(before, lo, width),
         pcScoreHist(after, lo, width))
@@ -449,14 +455,19 @@ object Clustering {
 
   /** PC-score histogram under a FROZEN (lo, width) grid — the
     * q_hist_quantiles bucket map at drift granularity; out-of-range
-    * scores land in honest under/overflow bucket ids (the centsHist
-    * rule; scores here are the before-era-anchored drift inputs, so
-    * only the non-negative overflow side occurs in practice).
+    * scores land in honest under/overflow bucket ids via the SAME
+    * floor-division rule as centsHist ([[graft.ops.Sketches]]
+    * .flooredBucketSql). The batch q_embed_drift derives lo = min of the
+    * before era and never sees pc1 < lo, but the streaming drift feed
+    * ([[graft.streaming.Streams]].embedDriftIngest) freezes (lo, width)
+    * from a baseline era — new-era scores drifting BELOW lo must land in
+    * negative diagnostic buckets, not silently merge into bucket 0.
     */
   private[graft] def pcScoreHist(scored: DataFrame, lo: Long,
       width: Long): DataFrame =
-    scored.groupBy(expr(s"(pc1 - ${lo}L) * $EdBuckets div ${width}L")
-      .as("bucket_idx"))
+    scored.groupBy(
+      expr(Sketches.flooredBucketSql("pc1", lo, EdBuckets, width))
+        .as("bucket_idx"))
       .agg(count(lit(1)).as("cnt"))
 
   /** The drift report over two bucket grids: per-bucket counts, shares

@@ -107,6 +107,17 @@ object Sketches {
       .orderBy("event_type", "bucket")
   }
 
+  /** Single-tier HLL register vector over one id column — the
+    * q_hll_registers builder without the event-type tiers; bounded
+    * ≤ [[M]] rows whatever the input cardinality. Feeds the bounded
+    * doc-re-ingest tripwire in [[graft.streaming.Streams]].BoilerFold.
+    */
+  private[graft] def hllRegistersOf(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(poly_hash(col(idCol).cast("string")).as("h"))
+      .select((col("h") % M).cast("int").as("bucket"),
+        rankCol(expr(s"h div $M")).cast("int").as("rank"))
+      .groupBy("bucket").agg(max("rank").as("register"))
+
   /** HLL estimate from a register matrix for one group, computed the
     * paper's way (alpha_m · m² / Σ 2^-M_j with empty buckets at rank 0,
     * small-range linear counting below 2.5m when zero registers exist) —
@@ -135,13 +146,25 @@ object Sketches {
     */
   private[graft] def centsHist(cents: DataFrame, lo: Long, width: Long): DataFrame =
     cents
-      .groupBy(expr(
-        s"""CASE WHEN ((cents - ${lo}L) * $HqBuckets) % ${width}L < 0
-           |THEN ((cents - ${lo}L) * $HqBuckets) div ${width}L - 1
-           |ELSE ((cents - ${lo}L) * $HqBuckets) div ${width}L END"""
-          .stripMargin.replace('\n', ' '))
+      .groupBy(expr(flooredBucketSql("cents", lo, HqBuckets, width))
         .as("bucket_idx"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** FLOOR-division bucket id for an equi-width grid, as Spark SQL text:
+    * `floor((v - lo) * buckets / width)`. Spark's `div` truncates toward
+    * zero, which would fold sub-lo values up to one bucket width below
+    * `lo` into bucket 0 — the CASE corrects the negative-remainder branch
+    * so out-of-range values land in honest negative diagnostic ids.
+    * Shared by [[centsHist]] and the drift grid
+    * ([[graft.ops.Clustering]].pcScoreHist) — every frozen-geometry
+    * streaming path depends on this.
+    */
+  private[graft] def flooredBucketSql(v: String, lo: Long, buckets: Int,
+      width: Long): String =
+    s"""CASE WHEN (($v - ${lo}L) * $buckets) % ${width}L < 0
+       |THEN (($v - ${lo}L) * $buckets) div ${width}L - 1
+       |ELSE (($v - ${lo}L) * $buckets) div ${width}L END"""
+      .stripMargin.replace('\n', ' ')
 
   val queries: Seq[Q] = Seq(
 

@@ -1100,20 +1100,21 @@ object Streams {
   private[graft] final class GridFold(
       keyCols: Seq[String], valCol: String, maxMerge: Boolean,
       delta: DataFrame => DataFrame, write: DataFrame => Unit,
-      stateDir: Option[String] = None) {
+      stateDir: Option[String] = None,
+      compact: DataFrame => DataFrame = identity) {
     private var base: Option[DataFrame] = None
     private var last: Option[(Long, DataFrame)] = None
     private var restored = stateDir.isEmpty
     private def add(a: DataFrame, b: DataFrame): DataFrame =
-      a.unionByName(b).groupBy(keyCols.map(col): _*)
+      compact(a.unionByName(b).groupBy(keyCols.map(col): _*)
         .agg((if (maxMerge) max(col(valCol)) else sum(col(valCol)))
-          .as(valCol))
+          .as(valCol)))
 
     def step(batch: DataFrame, batchId: Long): Unit = {
       require(batchId >= 0 || stateDir.isEmpty,
         "a durable GridFold needs real batch ids")
       if (!restored) { restore(batch.sparkSession); restored = true }
-      val st = delta(batch).localCheckpoint()
+      val st = compact(delta(batch)).localCheckpoint()
       last match {
         case Some((id, prev)) if id != batchId =>
           base = Some(base.map(b => add(b, prev).localCheckpoint())
@@ -1154,6 +1155,48 @@ object Streams {
     }
   }
 
+  /** Misra–Gries compaction of an additive grid to ≤ k rows — the
+    * q_heavy_hitters kernel (functions/HeavyHitters) as a [[GridFold]]
+    * `compact` hook, merge rule from Agarwal et al., "Mergeable
+    * Summaries" (PODS 2012): rank counters by estimate, subtract the
+    * (k+1)-th largest from every counter, drop non-positives. At most k
+    * entries strictly exceed the cut, so the grid is provably back
+    * within k rows; every surviving estimate stays ≤ its true count,
+    * and the total mass subtracted over a stream of n hits is ≤
+    * n/(k+1) — so a ≥-threshold gate downstream (BoilMinDf, heavy-
+    * hitter floors) can trip LATE but never falsely, and any key whose
+    * true count exceeds n/(k+1) is guaranteed present. The single-
+    * partition window is safe here: compaction only ever sees
+    * sketch-plus-one-trigger-sized frames, never the corpus.
+    */
+  private[graft] def mgCompact(keyCols: Seq[String], valCol: String,
+      k: Int)(g: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(valCol).desc +: keyCols.map(col(_).asc): _*)
+    val ranked = g.withColumn("_rn", row_number().over(w))
+    val cut = ranked.agg(coalesce(
+      max(when(col("_rn") > k, col(valCol))), lit(0L)).as("_cut"))
+    ranked.crossJoin(broadcast(cut))
+      .withColumn(valCol, col(valCol) - col("_cut"))
+      .filter(col(valCol) > 0)
+      .drop("_rn", "_cut")
+  }
+
+  /** Window-retention compaction for window-keyed grids: keep the
+    * `maxWindows` NEWEST `window_us` values, drop older windows' cells.
+    * The fold cannot know the source's lateness, so retention is the
+    * caller's lateness budget — a window dropped here that later
+    * receives a straggler is gone for good (the same trade a watermark
+    * makes); size `maxWindows` beyond the expected disorder. One filter
+    * on the window-keyed state.
+    */
+  private[graft] def windowRetention(maxWindows: Int)
+      (g: DataFrame): DataFrame = {
+    val keep = g.select("window_us").distinct()
+      .orderBy(col("window_us").desc).limit(maxWindows)
+    g.join(broadcast(keep), Seq("window_us"))
+  }
+
   /** Replay-safe durable fold for the cents histogram (q_hist_quantiles
     * live) — [[foldCentsHist]] is additive and therefore corrupted by
     * at-least-once re-delivery; this is its [[GridFold]] face.
@@ -1187,15 +1230,19 @@ object Streams {
       b => graft.ops.Sketches.hllRegistersFrom(b), write, stateDir)
 
   /** Durable fold for the windowed COUNT-MIN grid — [[cmsGridPerWindow]]
-    * run per batch and folded additively per (window, j, b) cell. Unlike
-    * the state-store form this face holds ALL windows (no watermark
-    * eviction — the fold cannot know the source's lateness); cap the
-    * window retention upstream when streams run unbounded.
+    * run per batch and folded additively per (window, j, b) cell. By
+    * default this face holds ALL windows (no watermark eviction — the
+    * fold cannot know the source's lateness), which grows without bound
+    * on an unbounded stream; pass `maxWindows` to enforce a retention
+    * cap at fold time ([[windowRetention]]: the newest `maxWindows`
+    * windows survive, bounding state at maxWindows × CmsD × CmsW cells).
     */
   private[graft] def cmsFold(write: DataFrame => Unit,
-      stateDir: Option[String] = None): GridFold =
+      stateDir: Option[String] = None,
+      maxWindows: Option[Int] = None): GridFold =
     new GridFold(Seq("window_us", "j", "b"), "cnt", maxMerge = false,
-      b => cmsGridPerWindow(b), write, stateDir)
+      b => cmsGridPerWindow(b), write, stateDir,
+      maxWindows.fold(identity[DataFrame] _)(windowRetention))
 
   /** The cents histogram maintained as a live feed (exactly-once even
     * under replay — the [[HistFold]] protocol; the bare [[foldCentsHist]]
@@ -1216,10 +1263,13 @@ object Streams {
       (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     foldIngest(events, hllFold(write, stateDir))
 
-  /** The windowed CMS grid as a live durable feed. */
-  def cmsIngest(docs: DataFrame, stateDir: Option[String] = None)
+  /** The windowed CMS grid as a live durable feed; `maxWindows` caps
+    * state on unbounded streams ([[cmsFold]]'s retention rule).
+    */
+  def cmsIngest(docs: DataFrame, stateDir: Option[String] = None,
+      maxWindows: Option[Int] = None)
       (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    foldIngest(docs, cmsFold(write, stateDir))
+    foldIngest(docs, cmsFold(write, stateDir, maxWindows))
 
   private def foldIngest(src: DataFrame,
       fold: GridFold): org.apache.spark.sql.streaming.StreamingQuery =
@@ -1272,25 +1322,67 @@ object Streams {
     * State is (base, last) chunk-df frames under the HistFold batch-id-
     * replacement protocol (a re-delivered trigger REPLACES its delta, so
     * dfs accumulate exactly once), durable under `stateDir` via the
-    * shared [[FoldState]] manifest. Scale: the state is distinct-chunk-
-    * keyed — the q_chunk_dedup shuffle budget; at 100 TB cap it with a
-    * heavy-hitter sketch (Misra–Gries over chunk hashes, q_heavy_hitters)
-    * since only chunks that can reach BoilMinDf matter to the gate.
+    * shared [[FoldState]] manifest. Scale: the EXACT state is
+    * distinct-chunk-keyed — the q_chunk_dedup shuffle budget, unbounded
+    * on an unbounded stream; pass `sketchK` to cap it with the
+    * Misra–Gries heavy-hitter compaction ([[mgCompact]], the
+    * q_heavy_hitters kernel) — only chunks that can reach [[graft.ops
+    * .Curation.BoilMinDf]] matter to the gate, MG guarantees every
+    * chunk with true df > n/(k+1) survives with estimate ≤ true, so the
+    * sketched gate can trip LATE (by the n/(k+1) envelope) but never
+    * falsely; size k ≫ n/BoilMinDf for a tight gate.
+    *
+    * `chunkDfOf` sums per-batch distinct-doc counts, which equals the
+    * corpus df only under the append-ingest contract (each document in
+    * exactly ONE batch). [[docReingestSuspected]] is the O(1)-state
+    * tripwire for gross violations: the exact Σ per-batch distinct-doc
+    * count folds additively alongside an HLL register vector over the
+    * doc ids themselves; re-ingested mass ≳ half the distinct docs
+    * pushes the sum past the HLL estimate's ±13% (m=64) envelope
+    * (factor 1.5 gate). Per-doc accidental duplicates below that stay
+    * invisible — this is a contract tripwire, not an exact audit.
     */
   private[graft] final class BoilerFold(index: DataFrame,
-      write: DataFrame => Unit, stateDir: Option[String] = None) {
+      write: DataFrame => Unit, stateDir: Option[String] = None,
+      sketchK: Option[Int] = None) {
     private val dfs = new GridFold(Seq("chunk"), "ndocs", maxMerge = false,
-      b => graft.ops.Curation.chunkDfOf(b), _ => (), stateDir)
+      b => graft.ops.Curation.chunkDfOf(b), _ => (), stateDir,
+      sketchK.fold(identity[DataFrame] _)(
+        k => mgCompact(Seq("chunk"), "ndocs", k)))
+    private val docSum = new GridFold(Seq("k"), "n", maxMerge = false,
+      b => b.agg(countDistinct("doc_id").as("n"))
+        .select(lit(0).as("k"), col("n")),
+      _ => (), stateDir.map(_ + "-docsum"))
+    private val docHll = new GridFold(Seq("bucket"), "register",
+      maxMerge = true,
+      b => graft.ops.Sketches.hllRegistersOf(b, "doc_id"), _ => (),
+      stateDir.map(_ + "-dochll"))
 
     def step(batch: DataFrame, batchId: Long): Unit = {
       require(batchId >= 0 || stateDir.isEmpty,
         "a durable BoilerFold needs real batch ids")
       write(graft.ops.Curation.stripAgainst(index, batch))
       dfs.step(batch, batchId)
+      docSum.step(batch, batchId)
+      docHll.step(batch, batchId)
     }
 
     /** Accumulated post-freeze chunk dfs (base + open batch). */
     private[graft] def seen: Option[DataFrame] = dfs.current
+
+    /** True when Σ per-batch distinct-doc counts exceeds the HLL
+      * distinct-doc estimate by more than the sketch's error envelope —
+      * the append-ingest contract is being violated and the accumulated
+      * chunk dfs may be double-counted (see class doc for the margin).
+      */
+    def docReingestSuspected: Boolean = (docSum.current, docHll.current) match {
+      case (Some(s), Some(h)) =>
+        val n = s.select("n").head().getLong(0)
+        val est = graft.ops.Sketches.estimate(
+          h.select("register").collect().map(_.getInt(0)).toSeq)
+        n.toDouble > est * 1.5
+      case _ => false
+    }
 
     def health: graft.ops.Curation.BoilerHealth = {
       val s = seen.getOrElse(index.sparkSession.createDataFrame(
@@ -1303,11 +1395,13 @@ object Streams {
 
   /** [[boilerStripIngest]] + the decay fold as one live feed; the
     * returned fold exposes [[BoilerFold.health]] for the rebuild gate.
+    * `sketchK` bounds the accumulated chunk-df state to ≤ k rows via
+    * the Misra–Gries compaction (the [[BoilerFold]] scale story).
     */
   def boilerStripIngestTracked(index: DataFrame, docs: DataFrame,
-      stateDir: Option[String] = None)
+      stateDir: Option[String] = None, sketchK: Option[Int] = None)
       (write: DataFrame => Unit): (org.apache.spark.sql.streaming.StreamingQuery, BoilerFold) = {
-    val fold = new BoilerFold(index, write, stateDir)
+    val fold = new BoilerFold(index, write, stateDir, sketchK)
     val q = docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         fold.step(batch.toDF(), id)

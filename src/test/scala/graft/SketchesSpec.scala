@@ -266,16 +266,37 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("out-of-range values land in floor-division diagnostic buckets, not bucket 0") {
-    // frozen geometry lo=1000, width=256 → one bucket per cent. Sub-lo
-    // values must map to NEGATIVE bucket ids (floor semantics): truncating
-    // div would fold cents in (lo - width/HqBuckets, lo) into bucket 0,
-    // silently fattening the edge bracket.
+    // frozen geometry lo=1000, width=512 → two cents per bucket. The
+    // width must NOT divide every (cents - lo) * HqBuckets numerator:
+    // with width=256 the remainder is always 0 and truncating `div`
+    // coincides with floor, so the regression test would pass without
+    // the CASE fix. Here cents=999 gives numerator -256, remainder
+    // -256 < 0: floor yields bucket -1 where truncation yields 0 —
+    // this geometry actually pins the fix.
     import spark.implicits._
-    val vals = Seq(999L, 1000L - 256L, 1000L, 1255L, 1256L, 2000L)
+    val vals = Seq(999L, 1000L - 512L, 1000L, 1001L, 1002L, 2000L)
       .toDF("cents")
-    val got = ops.Sketches.centsHist(vals, 1000L, 256L)
+    val got = ops.Sketches.centsHist(vals, 1000L, 512L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(-1L -> 1L, -256L -> 1L, 0L -> 1L, 255L -> 1L,
-      256L -> 1L, 1000L -> 1L))
+    // 999 → floor(-256/512) = -1 (truncation would say 0);
+    // 488 → floor(-131072/512) = -256; 1000 → 0; 1001 → floor(256/512)=0;
+    // 1002 → 1; 2000 → floor(256000/512) = 500
+    assert(got === Map(-1L -> 1L, -256L -> 1L, 0L -> 2L, 1L -> 1L,
+      500L -> 1L))
+  }
+
+  test("pcScoreHist floors sub-lo drift scores into negative diagnostic buckets") {
+    // the streaming drift feed freezes (lo, width) from a baseline era;
+    // an after-era score BELOW the frozen lo must not merge into bucket 0
+    // (EdBuckets=16). lo=100, width=24: pc1=99 → numerator -16, floor
+    // bucket -1; pc1=98 → -32/24 floor -2 (truncation says -1); pc1=100 →
+    // 0; pc1=123 → 368/24 floor 15 (top in-range bracket); pc1=124 → 16
+    // (overflow id).
+    import spark.implicits._
+    val scored = Seq(98L, 99L, 100L, 123L, 124L).toDF("pc1")
+    val got = ops.Clustering.pcScoreHist(scored, 100L, 24L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(-2L -> 1L, -1L -> 1L, 0L -> 1L, 15L -> 1L,
+      16L -> 1L))
   }
 }

@@ -1333,6 +1333,155 @@ class StreamingSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("sketched boilerplate decay fold: bounded state, gate trips with the exact fold, never early") {
+    import spark.implicits._
+    // same miss-class fixture as the exact decay test, extended to 5
+    // arrivals so the Misra–Gries compaction (k=4 < 6 distinct chunks)
+    // actually cuts: the heavy template must survive the cuts and trip
+    // the gate at the SAME trigger as the exact fold, while the state
+    // stays ≤ k rows — the 100 TB shape for the unbounded decay feed
+    def doc(id: Long, tmpl: String, uniq: String): StreamingSpec.BDoc =
+      StreamingSpec.BDoc(id, "s",
+        ((1 to ops.Curation.ChunkLen).map(i => s"$tmpl$i") ++
+          (1 to ops.Curation.ChunkLen).map(i => s"$uniq-$i")).mkString(" "),
+        ts(id))
+    val pre = Seq(doc(1, "t1x", "u1"), doc(2, "t1x", "u2"), doc(3, "t1x", "u3"))
+    val index = ops.Curation.boilerChunksOf(pre.toDF()).cache()
+    try {
+      val k = 4
+      val arrivals = (10L to 14L).map(i => doc(i, "t2y", s"u$i"))
+      val exact    = new Streams.BoilerFold(index, _ => ())
+      val sketched = new Streams.BoilerFold(index, _ => (), None, Some(k))
+      arrivals.zipWithIndex.foreach { case (a, i) =>
+        exact.step(Seq(a).toDF(), i.toLong)
+        sketched.step(Seq(a).toDF(), i.toLong)
+        val rows = sketched.seen.map(_.count()).getOrElse(0L)
+        assert(rows <= k, s"sketched state $rows rows > k=$k at trigger $i")
+        val (he, hs) = (exact.health, sketched.health)
+        // MG estimates are ≤ true counts: the sketched gate may trip
+        // late, never before the exact one
+        assert(!hs.needsRebuild || he.needsRebuild,
+          s"sketched gate fired before exact at trigger $i: $hs vs $he")
+        // on this fixture (template mass ≫ n/(k+1)=2) it must ALSO not
+        // trip late: both fire exactly when the template df crosses 3
+        assert(hs.needsRebuild === (i >= 2),
+          s"sketched gate at trigger $i: $hs (expected trip iff i >= 2)")
+      }
+      // the compaction genuinely ran: 6 distinct chunks crossed the fold
+      // but the state holds at most k
+      assert(sketched.seen.get.count() <= k)
+      // replay safety rides the GridFold protocol: re-deliver the open
+      // batch — health must not move
+      val h5 = sketched.health
+      sketched.step(Seq(arrivals.last).toDF(), 4L)
+      assert(sketched.health === h5,
+        "replayed trigger moved the sketched decay state")
+    } finally index.unpersist()
+  }
+
+  test("boiler fold doc re-ingest tripwire: quiet under the contract, trips on gross re-ingest") {
+    import spark.implicits._
+    def doc(id: Long, tmpl: String, uniq: String): StreamingSpec.BDoc =
+      StreamingSpec.BDoc(id, "s",
+        ((1 to ops.Curation.ChunkLen).map(i => s"$tmpl$i") ++
+          (1 to ops.Curation.ChunkLen).map(i => s"$uniq-$i")).mkString(" "),
+        ts(id))
+    val index = ops.Curation.boilerChunksOf(
+      Seq(doc(1, "t1x", "u1"), doc(2, "t1x", "u2"), doc(3, "t1x", "u3"))
+        .toDF()).cache()
+    try {
+      val b0 = Seq(doc(10, "t2y", "u10"), doc(11, "t2y", "u11"))
+      val b1 = Seq(doc(12, "t2y", "u12"), doc(13, "t2y", "u13"))
+      val fold = new Streams.BoilerFold(index, _ => ())
+      fold.step(b0.toDF(), 0L)
+      fold.step(b1.toDF(), 1L)
+      assert(!fold.docReingestSuspected,
+        "tripwire fired on a contract-abiding feed")
+      // a replayed trigger (same id) is absorbed by the protocol — quiet
+      fold.step(b1.toDF(), 1L)
+      assert(!fold.docReingestSuspected,
+        "tripwire fired on a replayed (same-id) trigger")
+      // gross violation: the SAME docs re-ingested under NEW batch ids
+      // double the exact per-batch distinct-doc sum while the HLL over
+      // doc ids stays put — the 1.5× envelope gate must fire
+      fold.step(b0.toDF(), 2L)
+      fold.step(b1.toDF(), 3L)
+      assert(fold.docReingestSuspected,
+        "tripwire silent while every doc was ingested twice")
+    } finally index.unpersist()
+  }
+
+  test("cms fold window retention caps state at the newest windows, cells intact") {
+    import spark.implicits._
+    val docs = Seq(
+      StreamingSpec.Doc(1, "spark spark flink", ts(1)),
+      StreamingSpec.Doc(2, "alpha beta spark", ts(40)),
+      StreamingSpec.Doc(3, "beta beta gamma", ts(35)),
+      StreamingSpec.Doc(4, "delta epsilon", ts(65)),
+      StreamingSpec.Doc(5, "gamma gamma", ts(130)),
+      StreamingSpec.Doc(6, "spark", ts(100)))
+    // three 1-hour windows (0, 1, 2); retention 2 must keep exactly the
+    // two NEWEST and leave their cells equal to the batch grid — the
+    // retention cut bounds state without corrupting surviving windows
+    val parts = docs.grouped(2).toSeq.map(_.toDS().toDF())
+    var out: DataFrame = null
+    val fold = Streams.cmsFold(f => out = f.localCheckpoint(), None, Some(2))
+    parts.zipWithIndex.foreach { case (p, i) => fold.step(p, i.toLong) }
+    val wins = out.select("window_us").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val batch = Streams.cmsGridPerWindow(docs.toDS().toDF())
+    val allWins = batch.select("window_us").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(allWins.length === 3, s"fixture needs 3 windows, got $allWins")
+    assert(wins.toSeq === allWins.takeRight(2).toSeq,
+      s"retention kept $wins, expected the 2 newest of $allWins")
+    val expected = batch.filter(col("window_us") >= allWins.takeRight(2).head)
+    assert(out.except(expected).count() === 0 &&
+      expected.except(out).count() === 0,
+      "retained windows' CMS cells diverged from the batch grid")
+  }
+
+  test("drift feed: after-era scores below the frozen lo land in negative buckets and trip the gate") {
+    import spark.implicits._
+    // baseline era = the TOP 40% of pc1 scores (a biased launch corpus);
+    // the live era drifts LOW — scores below the frozen lo must land in
+    // floored NEGATIVE diagnostic buckets (never merge into bucket 0)
+    // and the streamed report must still equal the batch kernel
+    val emb = Tables(spark, sfDir, "embeddings")
+    val (mu, cov) = ops.Clustering.pcaModel(ops.Clustering.vmOf(emb))
+    val v1 = ops.Clustering.pcaTrajectory(cov).last
+    val scores = emb.select(col("vec_id"),
+      ops.Clustering.pcScoreCol(mu, v1).as("pc1")).localCheckpoint()
+    val sorted = scores.select("pc1").collect().map(_.getLong(0)).sorted
+    val t = sorted(sorted.length * 3 / 5) // 60th percentile
+    val beforeScores = scores.filter(col("pc1") >= t)
+    val g = beforeScores.agg(min("pc1"), max("pc1")).head()
+    val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+    val before = ops.Clustering.pcScoreHist(beforeScores, lo, width)
+      .localCheckpoint()
+    val lows = emb.join(scores.filter(col("pc1") < t).select("vec_id"),
+        Seq("vec_id"))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => StreamingSpec.Vec(id, e) }
+    assert(lows.nonEmpty, "fixture must have sub-threshold vectors")
+    val parts = lows.grouped((lows.length + 1) / 2).toSeq
+      .map(_.toSeq.toDS().toDF())
+    var out: DataFrame = null
+    val fold = Streams.embedDriftFold(mu, v1, lo, width, before,
+      f => out = f.localCheckpoint())
+    parts.zipWithIndex.foreach { case (p, i) => fold.step(p, i.toLong) }
+    val batch = ops.Clustering.embedDriftReport(before,
+      ops.Clustering.pcScoreHist(
+        scores.filter(col("pc1") < t).select("pc1"), lo, width))
+    assert(out.except(batch).count() === 0 && batch.except(out).count() === 0,
+      "streamed low-drift report diverged from the batch kernel")
+    val negs = out.filter(col("bucket_idx") < 0)
+    assert(negs.count() > 0,
+      "sub-lo scores produced no negative diagnostic buckets")
+    assert(negs.filter(col("drifted")).count() === negs.count(),
+      "a bucket with after-era mass and zero before-era mass must drift")
+  }
+
   test("streaming cents histogram equals the batch sketch on an out-of-order feed") {
     // frozen geometry (the deployment calibration pass), hash-dealt
     // 3-trigger feed: the additive fold must converge to the batch
