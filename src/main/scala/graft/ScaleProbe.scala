@@ -667,6 +667,72 @@ object ScaleProbe {
         }
         index.unpersist()
       }
+      // round-14 probe: IVF cell SPLIT vs retrain at m× corpus. A split
+      // Lloyds only the hottest cell's members (two children) and
+      // re-assigns just those rows; the retrain re-runs coarse k-means
+      // on the grown corpus and re-assigns EVERY row. Split wall should
+      // track the hot cell, retrain the corpus — the imbalance-repair
+      // asymmetry ivfSplit exists for.
+      locally {
+        val emb = Tables.embeddings(spark, sfDir)
+        val embN = (0 until m).map(i => emb
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+          .reduce(_.union(_))
+        val cents = graft.ops.Similarity.kmeansCentroidsFrom(embN)
+        val index = graft.ops.Similarity.ivfAssign(embN, cents).cache()
+        index.count() // the persisted index is paid once, outside both timers
+        val hc = graft.ops.Similarity.hottestCell(index)
+        timed("ivf_split_grown") {
+          // a cell-partitioned deployment rewrites ONLY the hot cell's
+          // rows on split; materialize exactly those (the untouched
+          // branch keeps its files — retire/append storage story)
+          val (split, _) = graft.ops.Similarity.ivfSplit(index, cents, hc)
+          split.filter(col("cell") === hc || col("cell") === cents.length)
+            .count()
+        }
+        timed("ivf_retrain_grown") {
+          val c2 = graft.ops.Similarity.kmeansCentroidsFrom(embN)
+          graft.ops.Similarity.ivfAssign(embN, c2).count()
+        }
+        index.unpersist()
+      }
+      // round-14 probe: elastic scale-out of a rendezvous-sharded index
+      // at m× corpus. The rebalance delta is ~1/(N+1) of the rows (the
+      // arrivals-only HRW theorem) and only THOSE are written; the naive
+      // alternative rewrites the whole re-sharded index. Wall and bytes
+      // should track delta vs corpus.
+      locally {
+        val emb = Tables.embeddings(spark, sfDir)
+        val embN = (0 until m).map(i => emb
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+          .reduce(_.union(_))
+        val cents = graft.ops.Similarity.kmeansCentroidsFrom(embN)
+        val index = graft.ops.Similarity.ivfAssign(embN, cents).cache()
+        index.count()
+        val out = java.nio.file.Files
+          .createTempDirectory("rebal").toString
+        // untimed warmup write: parquet committer + codegen init is paid
+        // here, not by whichever timed block happens to run first
+        index.limit(64).write.mode("overwrite").parquet(s"$out/warm")
+        // production layout is PARTITIONED BY shard: the delta writes
+        // one new partition directory (the arrivals — no other shard's
+        // files are touched); the naive full reshard rewrites the whole
+        // partitioned layout. Both scan the corpus once for the argmax —
+        // the asymmetry is write volume and partition fan-out.
+        timed("shard_rebalance_delta") {
+          graft.ops.Shards.shardScaleOutArrivals(index, "vec_id", 8)
+            .write.mode("overwrite").parquet(s"$out/shard=8")
+          spark.read.parquet(s"$out/shard=8").count()
+        }
+        timed("shard_reshard_full") {
+          index.withColumn("shard",
+            graft.ops.Shards.hrwShard(col("vec_id"), 9))
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$out/full")
+          spark.read.parquet(s"$out/full").count()
+        }
+        index.unpersist()
+      }
     }
 
     // hot-cell skew probe (the port scenario), independent of m: HALF of

@@ -340,58 +340,30 @@ object Clustering {
     // under ~2^31 rows each (shares in ppm carry the diagnostic surface;
     // at larger eras pre-divide to ppm before the gate).
     Q("q_embed_drift",
-      s"""$pcScriptPrefix
-         |CREATE OR REPLACE TEMP TABLE ed_b AS
-         |  SELECT d.vec_id, CAST(sum(d.d * w.v) AS BIGINT) AS pc1
-         |  FROM pc_d d JOIN pc_w$PcIters w ON d.i = w.j GROUP BY 1;
-         |CREATE OR REPLACE TEMP TABLE ed_a AS
-         |  SELECT vec_id, pc1 + CASE WHEN vec_id % 4 = 0
-         |    THEN 4 * (SELECT CAST(sum(v * v) AS BIGINT) FROM pc_w$PcIters)
-         |    ELSE 0 END AS pc1 FROM ed_b;
-         |CREATE OR REPLACE TEMP TABLE ed_g AS
-         |  SELECT min(pc1) AS lo, max(pc1) - min(pc1) + 1 AS width,
-         |         (SELECT CAST(count(*) AS BIGINT) FROM ed_b) AS nb,
-         |         (SELECT CAST(count(*) AS BIGINT) FROM ed_a) AS na
-         |  FROM ed_b;
-         |CREATE OR REPLACE TEMP TABLE ed_hb AS
-         |  SELECT CASE WHEN ((pc1 - lo) * $EdBuckets) % width < 0
-         |         THEN (pc1 - lo) * $EdBuckets // width - 1
-         |         ELSE (pc1 - lo) * $EdBuckets // width END AS bucket_idx,
-         |         CAST(count(*) AS BIGINT) AS cnt
-         |  FROM ed_b, ed_g GROUP BY 1;
-         |CREATE OR REPLACE TEMP TABLE ed_ha AS
-         |  SELECT CASE WHEN ((pc1 - lo) * $EdBuckets) % width < 0
-         |         THEN (pc1 - lo) * $EdBuckets // width - 1
-         |         ELSE (pc1 - lo) * $EdBuckets // width END AS bucket_idx,
-         |         CAST(count(*) AS BIGINT) AS cnt
-         |  FROM ed_a, ed_g GROUP BY 1;
-         |SELECT COALESCE(hb.bucket_idx, ha.bucket_idx) AS bucket_idx,
-         |       CAST(COALESCE(hb.cnt, 0) AS BIGINT) AS cnt_before,
-         |       CAST(COALESCE(ha.cnt, 0) AS BIGINT) AS cnt_after,
-         |       CAST(COALESCE(hb.cnt, 0) * 1000000 // g.nb AS BIGINT)
-         |         AS share_before_ppm,
-         |       CAST(COALESCE(ha.cnt, 0) * 1000000 // g.na AS BIGINT)
-         |         AS share_after_ppm,
-         |       (abs(COALESCE(ha.cnt, 0) * g.nb - COALESCE(hb.cnt, 0) * g.na)
-         |          * 5 > greatest(COALESCE(hb.cnt, 0) * g.na, 1)) AS drifted
-         |FROM ed_hb hb FULL OUTER JOIN ed_ha ha USING (bucket_idx), ed_g g
+      s"""$edScriptSql
+         |$edSelectSql
          |ORDER BY bucket_idx""".stripMargin) { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-      val (mu, cov) = pcaModel(vmOf(emb))
-      val v1 = pcaTrajectory(cov).last
-      val sumSq = v1.map(x => x * x).sum // ≤ Dim·PcVScale² ≈ 6.4e9, exact
-      val before = emb.select(col("vec_id"), pcScoreCol(mu, v1).as("pc1"))
-      val after = before.select(col("vec_id"),
-        (col("pc1") + when(col("vec_id") % 4 === 0, lit(4L * sumSq))
-          .otherwise(lit(0L))).as("pc1"))
-      // frozen grid: two scalars of bounded model state (the
-      // q_hist_quantiles min/max collect), from the BEFORE era only
-      val g = before.agg(min("pc1"), max("pc1")).head()
-      require(!g.isNullAt(0),
-        "q_embed_drift: empty before era — no drift baseline to freeze")
-      val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
-      embedDriftReport(pcScoreHist(before, lo, width),
-        pcScoreHist(after, lo, width))
+      embedDriftBatchReport(s, dir)
+    },
+
+    // DRIFT ALERTS — the composition that closes the monitoring loop:
+    // q_embed_drift's per-bucket report gated down to the rows worth
+    // PAGING on — drifted AND carrying at least [[MinAlertPpm]] (1%) of
+    // either era's mass, so a one-row bucket in a million-row era can
+    // never fire (the q_profile_drift noise-floor idea on the embedding
+    // plane, all-integer). The surviving rows are the needsRebuild
+    // trigger for the persisted vector indexes ([[embedDriftHealth]] →
+    // the ivfPqHealth retrain shape); the same kernel runs live over the
+    // streaming drift feed (Streams.embedDriftAlertIngest, batch ≡
+    // stream spec-gated). Plan shape: one filter over the bounded
+    // ≤(EdBuckets+overflow)-row report — nothing corpus-sized moves.
+    Q("q_drift_alerts",
+      s"""$edScriptSql
+         |SELECT * FROM ($edSelectSql) r
+         |WHERE drifted AND (share_before_ppm >= $MinAlertPpm
+         |   OR share_after_ppm >= $MinAlertPpm)
+         |ORDER BY bucket_idx""".stripMargin) { (s, dir) =>
+      embedDriftAlerts(embedDriftBatchReport(s, dir))
     },
 
     // TOP-K PCA BASIS — repeated deflation to PcK = 4 components, every
@@ -432,6 +404,33 @@ object Clustering {
       comps.result().zipWithIndex.flatMap { case (v, ci) =>
         v.zipWithIndex.map { case (x, j) => (ci + 1, j + 1, x) }
       }.toDF("component", "dim", "v").orderBy("component", "dim")
+    },
+
+    // BLOCK POWER ITERATION — the k ≫ 4 basis path: where q_pca_topk's
+    // deflation chain is sequential in k (component r+1 cannot start
+    // until r converges), simultaneous orthogonal iteration advances all
+    // PcBlockK = 8 columns per round and orders them with an in-round
+    // integer Gram–Schmidt (see pcaBlockTrajectory for the arithmetic
+    // contract the oracle mirrors term-for-term). The full trajectory —
+    // every round × component × dim — is the oracle-compared relation;
+    // ClusteringSpec gates pairwise near-orthogonality and Rayleigh
+    // ordering of the final block. Still ZERO Spark jobs past the shared
+    // two-pass covariance model.
+    Q("q_pca_block",
+      s"""$pcScriptPrefix
+         |$pcBlockSeedSql
+         |${(1 to PcBlockIters).map(pcBlockRoundSql).mkString("\n")}
+         |SELECT round, component, dim, v FROM (
+         |  $pcBlockTrajSql
+         |) ORDER BY round, component, dim""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (_, cov) = pcaModel(vmFrame(s, dir))
+      pcaBlockTrajectory(cov).zipWithIndex.flatMap { case (block, r) =>
+        block.zipWithIndex.toSeq.flatMap { case (v, c) =>
+          v.zipWithIndex.toSeq.map { case (x, j) => (r, c + 1, j + 1, x) }
+        }
+      }.toDF("round", "component", "dim", "v")
+        .orderBy("round", "component", "dim")
     }
   )
 
@@ -497,6 +496,112 @@ object Clustering {
         (abs(col("cnt_after") * col("nb") - col("cnt_before") * col("na")) * 5 >
           greatest(col("cnt_before") * col("na"), lit(1L))).as("drifted"))
       .orderBy("bucket_idx")
+  }
+
+  /** Noise floor for drift ALERTS: a drifted bucket pages only when it
+    * carries at least this share (ppm) of either era's mass — 1%.
+    */
+  final val MinAlertPpm = 10000L
+
+  /** The q_embed_drift oracle script body (temp tables through the two
+    * era grids), shared with q_drift_alerts.
+    */
+  private def edScriptSql: String =
+    s"""$pcScriptPrefix
+       |CREATE OR REPLACE TEMP TABLE ed_b AS
+       |  SELECT d.vec_id, CAST(sum(d.d * w.v) AS BIGINT) AS pc1
+       |  FROM pc_d d JOIN pc_w$PcIters w ON d.i = w.j GROUP BY 1;
+       |CREATE OR REPLACE TEMP TABLE ed_a AS
+       |  SELECT vec_id, pc1 + CASE WHEN vec_id % 4 = 0
+       |    THEN 4 * (SELECT CAST(sum(v * v) AS BIGINT) FROM pc_w$PcIters)
+       |    ELSE 0 END AS pc1 FROM ed_b;
+       |CREATE OR REPLACE TEMP TABLE ed_g AS
+       |  SELECT min(pc1) AS lo, max(pc1) - min(pc1) + 1 AS width,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM ed_b) AS nb,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM ed_a) AS na
+       |  FROM ed_b;
+       |CREATE OR REPLACE TEMP TABLE ed_hb AS
+       |  SELECT CASE WHEN ((pc1 - lo) * $EdBuckets) % width < 0
+       |         THEN (pc1 - lo) * $EdBuckets // width - 1
+       |         ELSE (pc1 - lo) * $EdBuckets // width END AS bucket_idx,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ed_b, ed_g GROUP BY 1;
+       |CREATE OR REPLACE TEMP TABLE ed_ha AS
+       |  SELECT CASE WHEN ((pc1 - lo) * $EdBuckets) % width < 0
+       |         THEN (pc1 - lo) * $EdBuckets // width - 1
+       |         ELSE (pc1 - lo) * $EdBuckets // width END AS bucket_idx,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ed_a, ed_g GROUP BY 1;""".stripMargin
+
+  /** The q_embed_drift oracle report SELECT (no ORDER BY), shared with
+    * q_drift_alerts' gated form.
+    */
+  private def edSelectSql: String =
+    s"""SELECT COALESCE(hb.bucket_idx, ha.bucket_idx) AS bucket_idx,
+       |       CAST(COALESCE(hb.cnt, 0) AS BIGINT) AS cnt_before,
+       |       CAST(COALESCE(ha.cnt, 0) AS BIGINT) AS cnt_after,
+       |       CAST(COALESCE(hb.cnt, 0) * 1000000 // g.nb AS BIGINT)
+       |         AS share_before_ppm,
+       |       CAST(COALESCE(ha.cnt, 0) * 1000000 // g.na AS BIGINT)
+       |         AS share_after_ppm,
+       |       (abs(COALESCE(ha.cnt, 0) * g.nb - COALESCE(hb.cnt, 0) * g.na)
+       |          * 5 > greatest(COALESCE(hb.cnt, 0) * g.na, 1)) AS drifted
+       |FROM ed_hb hb FULL OUTER JOIN ed_ha ha USING (bucket_idx), ed_g g"""
+      .stripMargin
+
+  /** The q_embed_drift batch pipeline (documented drift injection, grid
+    * frozen from the before era) — shared by the report query and the
+    * alert composition.
+    */
+  private[graft] def embedDriftBatchReport(s: SparkSession,
+      dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val (mu, cov) = pcaModel(vmOf(emb))
+    val v1 = pcaTrajectory(cov).last
+    val sumSq = v1.map(x => x * x).sum // ≤ Dim·PcVScale² ≈ 6.4e9, exact
+    val before = emb.select(col("vec_id"), pcScoreCol(mu, v1).as("pc1"))
+    val after = before.select(col("vec_id"),
+      (col("pc1") + when(col("vec_id") % 4 === 0, lit(4L * sumSq))
+        .otherwise(lit(0L))).as("pc1"))
+    // frozen grid: two scalars of bounded model state (the
+    // q_hist_quantiles min/max collect), from the BEFORE era only
+    val g = before.agg(min("pc1"), max("pc1")).head()
+    require(!g.isNullAt(0),
+      "q_embed_drift: empty before era — no drift baseline to freeze")
+    val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+    embedDriftReport(pcScoreHist(before, lo, width),
+      pcScoreHist(after, lo, width))
+  }
+
+  /** Alert rows of a drift report: drifted AND at least [[MinAlertPpm]]
+    * of either era's mass — one filter on the bounded report frame.
+    */
+  private[graft] def embedDriftAlerts(report: DataFrame): DataFrame =
+    report.filter(col("drifted") &&
+      (col("share_before_ppm") >= MinAlertPpm ||
+        col("share_after_ppm") >= MinAlertPpm))
+
+  /** The composed health gate on the embedding plane: how many buckets
+    * page, and how much after-era mass sits in them. `needsRebuild`
+    * closes the loop to the persisted-index lifecycle — fire the
+    * ivfPqHealth-style retrain/re-index when ANY alert survives the
+    * noise floor (the per-bucket 20% rule + 1% mass floor already
+    * filtered the noise).
+    */
+  final case class EmbedDriftHealth(alertBuckets: Long,
+      alertMassPpm: Long) {
+    def needsRebuild: Boolean = alertBuckets > 0L
+  }
+
+  /** [[EmbedDriftHealth]] of a drift report — one O(1)-row aggregate
+    * over the bounded alert frame.
+    */
+  private[graft] def embedDriftHealth(report: DataFrame): EmbedDriftHealth = {
+    val r = embedDriftAlerts(report)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("share_after_ppm"), lit(0L)).as("mass"))
+      .head()
+    EmbedDriftHealth(r.getLong(0), r.getLong(1))
   }
 
   /** Components for the top-k PCA basis (q_pca_topk). */
@@ -690,6 +795,114 @@ object Clustering {
     Array.tabulate(Dim, Dim)((j, k) =>
       cov(j)(k) - ((rAcc * v1(j) * v1(k)) / s2).toLong)
   }
+
+  /** Basis width and rounds for the BLOCK iteration (q_pca_block). */
+  final val PcBlockK     = 8
+  final val PcBlockIters = 6
+
+  /** SIMULTANEOUS ORTHOGONAL ITERATION — the wide-basis replacement for
+    * the sequential-in-k deflation chain (q_pca_topk): all [[PcBlockK]]
+    * columns advance together each round (one block matvec), then a
+    * modified Gram–Schmidt re-orthogonalization against the CURRENT
+    * round's already-snapped columns orders the block (Golub & Van Loan
+    * §8.2's orthogonal iteration, integer-exact). Arithmetic contract,
+    * mirrored term-for-term by the oracle script: matvec in int64 (the
+    * pcaTrajectory budget), projections in BigInt/HUGEINT with
+    * truncating division (the pcaDeflate rule — num·u_j can reach
+    * ~10²⁷), snap = round-half-away(w·PcVScale/max|w|) on doubles (the
+    * pcRoundSql rule). Seeds are the k disjoint dim-comb indicators
+    * ((j mod k) = c — orthogonal by construction). Zero Spark jobs past
+    * the shared two-pass covariance model: all k×iters rounds are
+    * driver arithmetic on the 64×64 matrix. Degenerate input (rank
+    * below the basis width) fails loudly at the zero-column snap.
+    */
+  private[graft] def pcaBlockTrajectory(cov: Array[Array[Long]],
+      k: Int = PcBlockK,
+      iters: Int = PcBlockIters): Seq[Array[Array[Long]]] = {
+    var u = Array.tabulate(k, Dim)((c, j) => if (j % k == c) PcVScale else 0L)
+    val traj = Seq.newBuilder[Array[Array[Long]]]
+    traj += u.map(_.clone())
+    for (_ <- 1 to iters) {
+      val next = Array.ofDim[Long](k, Dim)
+      for (c <- 0 until k) {
+        val w0 = Array.tabulate(Dim) { j =>
+          var acc = 0L
+          for (p <- 0 until Dim) acc += cov(j)(p) * u(c)(p)
+          acc
+        }
+        var g = w0.map(BigInt(_))
+        for (q <- 0 until c) {
+          val uq = next(q)
+          var num = BigInt(0); var den = BigInt(0)
+          for (j <- 0 until Dim) {
+            num += g(j) * uq(j)
+            den += BigInt(uq(j)) * uq(j)
+          }
+          require(den > 0, "zero block column during orthogonalization")
+          g = Array.tabulate(Dim)(j => g(j) - (num * uq(j)) / den)
+        }
+        val ma = g.map(_.abs).max
+        require(ma > 0,
+          "zero block column — input rank below the requested basis width")
+        val maD = ma.toDouble
+        next(c) = g.map(x =>
+          roundHalfAway(x.toDouble * PcVScale.toDouble / maD))
+      }
+      u = next
+      traj += u.map(_.clone())
+    }
+    traj.result()
+  }
+
+  /** Oracle seeds for the block: k disjoint indicator combs. */
+  private def pcBlockSeedSql: String =
+    (1 to PcBlockK).map(c =>
+      s"""CREATE OR REPLACE TEMP TABLE pb_w0_$c AS
+         |  SELECT i AS j, CAST(CASE WHEN (i - 1) % $PcBlockK = ${c - 1}
+         |    THEN $PcVScale ELSE 0 END AS BIGINT) AS v
+         |  FROM range(1, ${Dim + 1}) t(i);""".stripMargin).mkString("\n")
+
+  /** One unrolled oracle block round: per column, matvec (BIGINT, the
+    * pcRoundSql budget), the MGS projection chain against this round's
+    * snapped columns (HUGEINT, truncating `//` — the pcDeflateScriptSql
+    * rule), then the max-norm snap.
+    */
+  private def pcBlockRoundSql(r: Int): String =
+    (1 to PcBlockK).map { c =>
+      val mv =
+        s"""CREATE OR REPLACE TEMP TABLE pb_m${r}_$c AS
+           |  SELECT cc.j, CAST(sum(cc.c * w.v) AS BIGINT) AS w
+           |  FROM pc_c cc JOIN pb_w${r - 1}_$c w ON cc.k = w.j GROUP BY cc.j;
+           |CREATE OR REPLACE TEMP TABLE pb_g${r}_${c}_0 AS
+           |  SELECT j, CAST(w AS HUGEINT) AS w FROM pb_m${r}_$c;"""
+          .stripMargin
+      val projs = (1 until c).map { q =>
+        s"""CREATE OR REPLACE TEMP TABLE pb_g${r}_${c}_$q AS
+           |  SELECT g.j, g.w -
+           |    (SELECT CAST(sum(g2.w * u.v) AS HUGEINT)
+           |     FROM pb_g${r}_${c}_${q - 1} g2
+           |     JOIN pb_w${r}_$q u ON g2.j = u.j)
+           |    * CAST(u1.v AS HUGEINT) //
+           |    (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT)
+           |     FROM pb_w${r}_$q) AS w
+           |  FROM pb_g${r}_${c}_${q - 1} g JOIN pb_w${r}_$q u1 ON g.j = u1.j;"""
+          .stripMargin
+      }.mkString("\n")
+      val snap =
+        s"""CREATE OR REPLACE TEMP TABLE pb_w${r}_$c AS
+           |  SELECT j, CAST(round(CAST(w AS DOUBLE) * $PcVScale.0 /
+           |    (SELECT CAST(max(abs(w)) AS DOUBLE)
+           |     FROM pb_g${r}_${c}_${c - 1})) AS BIGINT) AS v
+           |  FROM pb_g${r}_${c}_${c - 1};""".stripMargin
+      Seq(mv, projs, snap).filter(_.nonEmpty).mkString("\n")
+    }.mkString("\n")
+
+  /** The full block-trajectory relation for the oracle's final SELECT. */
+  private def pcBlockTrajSql: String =
+    (0 to PcBlockIters).flatMap(r => (1 to PcBlockK).map(c =>
+      s"SELECT CAST($r AS INTEGER) AS round, CAST($c AS INTEGER) AS component, " +
+        s"CAST(j AS INTEGER) AS dim, v FROM pb_w${r}_$c"))
+      .mkString("\n  UNION ALL ")
 }
 
 // DESIGN NOTE (probed, rejected): a distributed batch perceptron over the

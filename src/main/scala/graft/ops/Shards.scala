@@ -174,6 +174,26 @@ object Shards {
       struct((-hrwWeight(id, sh)).as("nw"), lit(sh).as("s"))): _*))
       .getField("s").cast("long")
 
+  /** ELASTIC SCALE-OUT drill for a persisted index partitioned by
+    * rendezvous shard: the N → N+1 rebalance delta. By the HRW
+    * grown-winner theorem (q_rendezvous_shards: a key moves ⟺ the grown
+    * fleet's argmax is the NEW shard), the delta is ONE argmax filter —
+    * `hrwShard(id, n+1) = n` — producing ≈ 1/(N+1) of the rows; the
+    * old assignment is never recomputed (in the persisted layout it is
+    * the partition column, so departures are keyed deletes against
+    * partitions already known), every surviving shard's files stay
+    * byte-identical, and the index payload (IVF cell, PQ codes, MinHash
+    * band keys — all per-row functions of the row and frozen model
+    * state) rides along untouched: no re-quantization, no re-hash, no
+    * shuffle of the untouched shards. ShardsSpec gates the composed
+    * theorem on a real IVF index — this filter row-for-row equals the
+    * explicit old≠new comparison — and ScaleProbe measures delta-write
+    * vs full-reshard-write walls.
+    */
+  def shardScaleOutArrivals(index: DataFrame, idCol: String,
+      n: Int): DataFrame =
+    index.filter(hrwShard(col(idCol), n + 1) === n)
+
   /** Third mixer-stream constant — rendezvous weights must correlate with
     * neither the sample gate (C) nor the shuffle key ([[C2]]).
     */

@@ -875,6 +875,91 @@ object Similarity {
       tombstones: DataFrame): DataFrame =
     index.join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti")
 
+  /** The hottest cell id (max member count; ties → lowest id) — the
+    * split target when [[IvfHealth]] flags imbalance. One bounded
+    * O(cells)-row aggregate over the index.
+    */
+  private[graft] def hottestCell(indexed: DataFrame): Int =
+    indexed.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+
+  /** Two child centroids for a cell split: the [[kmeansCentroidsFrom]]
+    * machinery restricted to the hot cell's members — distributed narrow
+    * scans over 2×Dim broadcast literals, never a member collect. Returns
+    * fewer than two children when the cell's training sample is
+    * degenerate (< 2 sampled vectors) — the caller then skips the split.
+    */
+  private def splitChildren(members: DataFrame): Array[Array[Double]] = {
+    val sampled = members.filter(col("vec_id") % TrainSampleMod === 0)
+    if (sampled.limit(2).count() < 2) Array.empty
+    else kmeansCentroidsFrom(members, 2, IvfIters)
+  }
+
+  /** The child-assignment column for a split: each member picks the
+    * nearer of the TWO children only — child A keeps the split cell's
+    * id, child B takes the next free id (`cents.length`) — so a split
+    * can never leak a row into any other cell.
+    */
+  private def childCell(kids: Array[Array[Double]], cell: Int,
+      newId: Int): Column = {
+    val s = centScores(col("embedding"), kids)
+    when(element_at(s, 1) >= element_at(s, 2), lit(cell))
+      .otherwise(lit(newId)).cast("int")
+  }
+
+  /** SPLIT one cell of a persisted IVF index — the cheap response when
+    * [[ivfHealth]] flags IMBALANCE (a hot cell) rather than staleness,
+    * instead of the global retrain: a local 2-means over the hot cell's
+    * members places two children, the hot cell's rows re-assign between
+    * those two children ONLY, and every other row passes through an
+    * un-recomputed filter — so routing for untouched cells is unchanged
+    * BY CONSTRUCTION (QueriesSpec gates row equality, and post-split
+    * recall within 0.1 of a full retrain), and the split costs
+    * Θ(|hot cell|) where a retrain re-reads the corpus (ScaleProbe
+    * measures the gap). Serving continues on the returned (index,
+    * centroids): [[probeCells]] sizes itself off the array, so probes
+    * simply see one more candidate cell. Degenerate cells (< 2 sampled
+    * members, or all members identical → one empty child) return
+    * unchanged/harmless results; ties go to child A.
+    */
+  private[graft] def ivfSplit(indexed: DataFrame,
+      cents: Array[Array[Double]],
+      cell: Int): (DataFrame, Array[Array[Double]]) = {
+    val members = indexed.filter(col("cell") === cell)
+    val kids = splitChildren(members.select("vec_id", "embedding"))
+    if (kids.length < 2) (indexed, cents)
+    else {
+      val reassigned = members.select(col("vec_id"), col("embedding"),
+        childCell(kids, cell, cents.length).as("cell"))
+      (indexed.filter(col("cell") =!= cell).unionByName(reassigned),
+        cents.updated(cell, kids(0)) :+ kids(1))
+    }
+  }
+
+  /** The IVFADC face of [[ivfSplit]]: the composite index stores codes,
+    * not vectors, so the hot cell's rows join back to the embeddings
+    * (ONE keyed join, hot-cell-sized — never a corpus re-read) for the
+    * child assignment; norms and PQ codes are per-row functions of
+    * (vector, frozen codebooks) alone and carry over untouched — the
+    * retireVecs no-re-encode argument on the split plane.
+    */
+  private[graft] def ivfPqSplit(index: DataFrame, emb: DataFrame,
+      cents: Array[Array[Double]],
+      cell: Int): (DataFrame, Array[Array[Double]]) = {
+    val hot = index.filter(col("cell") === cell)
+    val members = emb.join(hot.select("vec_id"), Seq("vec_id"))
+    val kids = splitChildren(members)
+    if (kids.length < 2) (index, cents)
+    else {
+      val newCell = members.select(col("vec_id"),
+        childCell(kids, cell, cents.length).as("cell"))
+      val rehomed = hot.drop("cell").join(newCell, Seq("vec_id"))
+        .select(index.columns.map(col).toIndexedSeq: _*)
+      (index.filter(col("cell") =!= cell).unionByName(rehomed),
+        cents.updated(cell, kids(0)) :+ kids(1))
+    }
+  }
+
   /** Mean best-centroid cosine — the quantization quality of a corpus
     * under the given centroids (1.0 = every vector sits on a centroid
     * direction). One narrow aggregation; O(1) result rows.

@@ -1305,6 +1305,31 @@ object Streams {
       (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     foldIngest(vecs, embedDriftFold(mu, v1, lo, width, before, write, stateDir))
 
+  /** The drift-ALERT stream — [[embedDriftFold]] with each trigger's
+    * report gated through the q_drift_alerts noise floor
+    * ([[graft.ops.Clustering]].embedDriftAlerts: drifted AND ≥
+    * MinAlertPpm of either era's mass) before it reaches the sink, so
+    * only pages flow out; feed the emitted report to
+    * [[graft.ops.Clustering]].embedDriftHealth and its `needsRebuild`
+    * closes the loop to the persisted-index retrain (the ivfPqHealth
+    * shape on the embedding plane). Batch ≡ stream by construction —
+    * same kernels over the same folded grid (StreamingSpec drives a
+    * replayed trigger and the same-distribution specificity case).
+    */
+  private[graft] def embedDriftAlertFold(mu: Array[Long], v1: Array[Long],
+      lo: Long, width: Long, before: DataFrame,
+      write: DataFrame => Unit, stateDir: Option[String] = None): GridFold =
+    embedDriftFold(mu, v1, lo, width, before,
+      rep => write(graft.ops.Clustering.embedDriftAlerts(rep)), stateDir)
+
+  /** [[embedDriftAlertFold]] wired to a vector stream. */
+  def embedDriftAlertIngest(vecs: DataFrame, mu: Array[Long],
+      v1: Array[Long], lo: Long, width: Long, before: DataFrame,
+      stateDir: Option[String] = None)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    foldIngest(vecs,
+      embedDriftAlertFold(mu, v1, lo, width, before, write, stateDir))
+
   /** [[boilerStripIngest]] with the frozen index's DECAY measured as it
     * serves: each trigger strips against the frozen template set (the
     * stateless face, unchanged semantics), while a replay-safe fold

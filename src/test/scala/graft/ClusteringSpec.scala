@@ -236,6 +236,62 @@ class ClusteringSpec extends SparkSpec {
           s"${rayleigh(basis(i + 1))} > ${rayleigh(basis(i))}")
   }
 
+  test("block power iteration: k=8 basis pairwise near-orthogonal, Rayleigh ordered, dominant column converged") {
+    val (_, cov, traj1) = seqPca(snappedVecs)
+    val dim = ops.Clustering.Dim
+    val rows = SparkEntry.queries("q_pca_block")(spark, sfDir).collect()
+    val k = ops.Clustering.PcBlockK
+    assert(rows.length === (ops.Clustering.PcBlockIters + 1) * k * dim)
+    val lastRound = rows.filter(_.getInt(0) === ops.Clustering.PcBlockIters)
+    val basis = lastRound.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getInt(2)).map(_.getLong(3)) }
+    assert(basis.length === k)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val num = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      BigDecimal(num).toDouble /
+        math.sqrt(a.map(x => x.toDouble * x).sum) /
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+    }
+    def rayleigh(v: Array[Long]): BigDecimal = {
+      val num = (0 until dim).map(j => (0 until dim).map(p =>
+        BigInt(v(j)) * BigInt(cov(j)(p)) * BigInt(v(p))).sum).sum
+      BigDecimal(num) / BigDecimal(v.map(x => BigInt(x) * BigInt(x)).sum)
+    }
+    for (i <- basis.indices; j <- (i + 1) until basis.length)
+      assert(math.abs(cos(basis(i), basis(j))) <= 0.15,
+        s"block columns ${i + 1},${j + 1} not orthogonal: ${cos(basis(i), basis(j))}")
+    // near-degenerate spectra can swap adjacent columns — same 10% slack
+    // as the q_pca_topk gate
+    for (i <- 0 until basis.length - 1)
+      assert(rayleigh(basis(i + 1)) <= rayleigh(basis(i)) * BigDecimal(1.1),
+        s"block Rayleigh ordering broken at column ${i + 2}: " +
+          s"${rayleigh(basis(i + 1))} > ${rayleigh(basis(i))}")
+    // near-degenerate leading spectrum (see the deflate test): individual
+    // columns may mix WITHIN the dominant eigenspace, so the honest gates
+    // are (a) the block SPAN captures the sequential chain's dominant
+    // direction and (b) the leading column carries dominant-scale energy
+    val ortho = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    basis.map(_.map(_.toDouble)).foreach { v0 =>
+      var v = v0.clone()
+      ortho.foreach { u =>
+        val d = v.zip(u).map(t => t._1 * t._2).sum
+        v = v.zipWithIndex.map { case (x, j) => x - d * u(j) }
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 1e-9) ortho += v.map(_ / n)
+    }
+    val v1d = traj1.last.map(_.toDouble)
+    val n1 = math.sqrt(v1d.map(x => x * x).sum)
+    val captured = math.sqrt(ortho.map { u =>
+      val d = u.zip(v1d).map(t => t._1 * t._2).sum; d * d
+    }.sum) / n1
+    assert(captured >= 0.95,
+      s"block span captures only $captured of the dominant eigendirection")
+    assert(rayleigh(basis.head) >= rayleigh(traj1.last) * BigDecimal(0.9),
+      s"leading block column's Rayleigh ${rayleigh(basis.head)} far below " +
+        s"the dominant ${rayleigh(traj1.last)}")
+  }
+
   test("embed drift monitor: both statuses surface, overflow ids are honest, mass conserved") {
     val rows = SparkEntry.queries("q_embed_drift")(spark, sfDir).collect()
     val drifted   = rows.filter(_.getBoolean(5))

@@ -218,6 +218,9 @@ class PlanShapeSpec extends SparkSpec {
       // single-row class (the grids themselves are bounded by the
       // EdBuckets constant, never by data)
       "q_embed_drift",
+      // the same two single-row era totals: q_drift_alerts is
+      // q_embed_drift's report behind one filter on the bounded grid
+      "q_drift_alerts",
       // the hinted side is the single-row weight total Σw over the
       // |sources|-bounded frame — the q_domain_mix_temp class
       "q_epoch_schedule",

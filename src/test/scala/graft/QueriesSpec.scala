@@ -437,6 +437,102 @@ class QueriesSpec extends SparkSpec {
       s"distribution shift not flagged: healthy=$healthy stale=$stale")
   }
 
+  test("IVF cell split: untouched cells byte-identical, imbalance repaired, recall near retrain") {
+    // the imbalance scenario ivfSplit exists for: train on the balanced
+    // 40-cluster corpus, then a biased source floods ONE cluster — its
+    // cell goes hot (>4x ideal), health trips on the imbalance axis, and
+    // the cheap response is a LOCAL split of that cell, not a retrain
+    val base = clusteredEmbN(1000)
+    val hotBatch = spark.range(1000).select((col("id") + 1000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i => {
+        val base = sin(lit(7) * lit(37) + i * lit(13)) // cluster-7 signature
+        val noise = sin(col("vec_id") * lit(101) + i * lit(7))
+        (base + noise * lit(0.15)).cast("float")
+      }).as("embedding"))
+    val grown = base.unionByName(hotBatch)
+    val cents        = ops.Similarity.kmeansCentroidsFrom(base)
+    val trainedScore = ops.Similarity.quantScore(base, cents)
+    val appended = ops.Similarity.ivfAppend(
+      ops.Similarity.ivfAssign(base, cents), hotBatch, cents)
+      .localCheckpoint()
+    val before = ops.Similarity.ivfHealth(appended, cents, trainedScore)
+    assert(before.imbalance > ops.Similarity.ImbalanceThreshold,
+      s"fixture must go hot: $before")
+    val hc = ops.Similarity.hottestCell(appended)
+    val (splitIdx, splitCents) = ops.Similarity.ivfSplit(appended, cents, hc)
+    // the split touched ONLY the hot cell: every other row carries
+    // through byte-identical, and the hot cell's members land in exactly
+    // {hc, new id} with the same vec_id set
+    assert(splitCents.length === cents.length + 1)
+    cents.indices.filter(_ != hc).foreach(i =>
+      assert(splitCents(i).sameElements(cents(i)),
+        s"split moved untouched centroid $i"))
+    val restBefore = appended.filter(col("cell") =!= hc)
+    val restAfter  = splitIdx.filter(col("cell") =!= hc &&
+      col("cell") =!= cents.length)
+    assert(restAfter.except(restBefore).count() === 0 &&
+      restBefore.except(restAfter).count() === 0,
+      "split re-routed rows outside the hot cell")
+    val hotIdsBefore = appended.filter(col("cell") === hc).select("vec_id")
+    val hotIdsAfter = splitIdx.filter(col("cell") === hc ||
+      col("cell") === cents.length).select("vec_id")
+    assert(hotIdsAfter.except(hotIdsBefore).count() === 0 &&
+      hotIdsBefore.except(hotIdsAfter).count() === 0,
+      "split leaked hot-cell members")
+    // the imbalance axis is repaired (both children below the trip line)
+    val after = ops.Similarity.ivfHealth(splitIdx, splitCents, trainedScore)
+    assert(after.imbalance < before.imbalance,
+      s"split did not reduce imbalance: $before -> $after")
+    // serving: post-split recall within 0.1 of a full retrain on the
+    // grown corpus — the judge gate for split-instead-of-retrain
+    val bf = ops.Similarity.cosineTopKFrom(grown)
+    val recallSplit = recallOf(
+      ops.Similarity.annIvfTopKIndexed(splitIdx, splitCents), bf)
+    val recallRetrain = recallOf(ops.Similarity.annIvfTopKFrom(grown), bf)
+    assert(recallSplit >= recallRetrain - 0.1,
+      s"post-split recall $recallSplit fell >0.1 under retrain $recallRetrain")
+  }
+
+  test("IVFADC cell split: codes carry over, untouched cells identical, recall near retrain") {
+    val base = clusteredEmbN(1000)
+    val hotBatch = spark.range(1000).select((col("id") + 1000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i => {
+        val base = sin(lit(7) * lit(37) + i * lit(13))
+        val noise = sin(col("vec_id") * lit(101) + i * lit(7))
+        (base + noise * lit(0.15)).cast("float")
+      }).as("embedding"))
+    val grown = base.unionByName(hotBatch)
+    val cents = ops.Similarity.kmeansCentroidsFrom(base)
+    val cbs   = ops.Similarity.pqCodebooks(base)
+    val appended = ops.Similarity.ivfPqAppend(
+      ops.Similarity.ivfPqIndex(base, cents, cbs), hotBatch, cents, cbs)
+      .localCheckpoint()
+    val hc = ops.Similarity.hottestCell(appended)
+    val (splitIdx, splitCents) =
+      ops.Similarity.ivfPqSplit(appended, grown, cents, hc)
+    assert(splitCents.length === cents.length + 1)
+    // untouched rows byte-identical; hot rows keep their codes and norm
+    // (frozen-codebook encode is cell-independent) — only `cell` moved
+    val restBefore = appended.filter(col("cell") =!= hc)
+    val restAfter  = splitIdx.filter(col("cell") =!= hc &&
+      col("cell") =!= cents.length)
+    assert(restAfter.except(restBefore).count() === 0 &&
+      restBefore.except(restAfter).count() === 0,
+      "IVFADC split re-routed rows outside the hot cell")
+    val hotBefore = appended.filter(col("cell") === hc).drop("cell")
+    val hotAfter = splitIdx.filter(col("cell") === hc ||
+      col("cell") === cents.length).drop("cell")
+    assert(hotAfter.except(hotBefore).count() === 0 &&
+      hotBefore.except(hotAfter).count() === 0,
+      "IVFADC split changed codes/norms of the hot cell's rows")
+    val bf = ops.Similarity.cosineTopKFrom(grown)
+    val recallSplit = recallOf(ops.Similarity.ivfPqTopKIndexed(
+      splitIdx, grown, splitCents, cbs), bf)
+    val recallRetrain = recallOf(ops.Similarity.ivfPqTopKFrom(grown), bf)
+    assert(recallSplit >= recallRetrain - 0.1,
+      s"post-split IVFADC recall $recallSplit fell >0.1 under retrain $recallRetrain")
+  }
+
   test("vector index retire: anti-join equals rebuild under frozen quantizers; serving unchanged") {
     // the deletion face of the persisted vector indexes: a keyed
     // anti-join, no re-quantization — per-row cells/codes depend only on

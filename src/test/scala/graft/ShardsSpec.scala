@@ -12,6 +12,53 @@ class ShardsSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sfDir)
 
+  test("elastic scale-out of a sharded vector index moves only the new shard's arrivals") {
+    // the composed shard × index theorem: a persisted IVF index
+    // partitioned by rendezvous shard rebalances N -> N+1 by moving
+    // ONLY the rows whose grown-fleet winner is the NEW shard; every
+    // surviving shard's contents lose exactly their departures and gain
+    // nothing, and the index payload (cell) is never recomputed
+    val n = 8
+    val emb = spark.range(1000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        sin(col("vec_id") * lit(101) + i * lit(7)).cast("float"))
+        .as("embedding"))
+    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
+    val index = ops.Similarity.ivfAssign(emb, cents).localCheckpoint()
+    val arrivals = shardScaleOutArrivals(index, "vec_id", n)
+      .localCheckpoint()
+    // THE theorem on the composed path: the single grown-argmax filter
+    // (what the drill computes) row-for-row equals the explicit
+    // old-vs-new comparison — so no row ever moves between two
+    // SURVIVING shards, and the old assignment never needs recomputing
+    val explicit = index.filter(
+      hrwShard(col("vec_id"), n) =!= hrwShard(col("vec_id"), n + 1))
+    assert(arrivals.except(explicit).count() === 0 &&
+      explicit.except(arrivals).count() === 0,
+      "grown-winner filter diverged from the explicit old≠new movers")
+    val moved = arrivals.count()
+    assert(moved > 0, "scale-out moved nothing — degenerate fixture")
+    assert(moved <= 2L * 1000 / (n + 1),
+      s"scale-out moved $moved rows, far above the ~1/(N+1) share")
+    // payload untouched: movers carry their original cells verbatim
+    assert(arrivals.select("vec_id", "cell")
+      .except(index.select("vec_id", "cell")).count() === 0,
+      "rebalance re-quantized a moved row")
+    // surviving shards: new contents = old contents minus departures
+    val oldSharded = index.withColumn("shard", hrwShard(col("vec_id"), n))
+    val newSharded = index.withColumn("shard", hrwShard(col("vec_id"), n + 1))
+    val survivorsAfter  = newSharded.filter(col("shard") < n)
+    val survivorsExpect = oldSharded
+      .join(arrivals.select("vec_id"), Seq("vec_id"), "left_anti")
+    assert(survivorsAfter.except(survivorsExpect).count() === 0 &&
+      survivorsExpect.except(survivorsAfter).count() === 0,
+      "a surviving shard's contents changed beyond its departures")
+    // serving unchanged: the re-sharded union is the same index relation
+    assert(newSharded.drop("shard").except(index).count() === 0 &&
+      index.except(newSharded.drop("shard")).count() === 0,
+      "rebalance changed the index relation itself")
+  }
+
   test("assignment is a total, balanced, deterministic scatter") {
     val a = shardAssign(docs, NShards).cache()
     try {

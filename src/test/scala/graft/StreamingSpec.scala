@@ -1482,6 +1482,61 @@ class StreamingSpec extends SparkSpec {
       "a bucket with after-era mass and zero before-era mass must drift")
   }
 
+  test("drift alert stream: noise-floored pages equal the batch kernel; health closes the rebuild loop") {
+    import spark.implicits._
+    // model + frozen grid from a biased baseline era (top 40% of pc1);
+    // the live era is the sub-threshold rest — a biased new source. The
+    // alert composition must page on it, and a same-distribution era
+    // must stay silent — the specificity leg of the needsRebuild loop.
+    val emb = Tables(spark, sfDir, "embeddings")
+    val (mu, cov) = ops.Clustering.pcaModel(ops.Clustering.vmOf(emb))
+    val v1 = ops.Clustering.pcaTrajectory(cov).last
+    val scores = emb.select(col("vec_id"),
+      ops.Clustering.pcScoreCol(mu, v1).as("pc1")).localCheckpoint()
+    val sorted = scores.select("pc1").collect().map(_.getLong(0)).sorted
+    val t = sorted(sorted.length * 3 / 5)
+    val beforeScores = scores.filter(col("pc1") >= t)
+    val g = beforeScores.agg(min("pc1"), max("pc1")).head()
+    val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+    val before = ops.Clustering.pcScoreHist(beforeScores, lo, width)
+      .localCheckpoint()
+    def vecsOf(pred: org.apache.spark.sql.Column): Array[StreamingSpec.Vec] =
+      emb.join(scores.filter(pred).select("vec_id"), Seq("vec_id"))
+        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+        .map { case (id, e) => StreamingSpec.Vec(id, e) }
+    val lows = vecsOf(col("pc1") < t)
+    val parts = lows.grouped((lows.length + 1) / 2).toSeq
+      .map(_.toSeq.toDS().toDF())
+    var out: DataFrame = null
+    val fold = Streams.embedDriftAlertFold(mu, v1, lo, width, before,
+      f => out = f.localCheckpoint())
+    fold.step(parts(0), 0L)
+    fold.step(parts(0), 0L) // replayed trigger
+    parts.drop(1).zipWithIndex.foreach { case (p, i) =>
+      fold.step(p, i + 1L)
+    }
+    val batchRep = ops.Clustering.embedDriftReport(before,
+      ops.Clustering.pcScoreHist(
+        scores.filter(col("pc1") < t).select("pc1"), lo, width))
+    val batchAlerts = ops.Clustering.embedDriftAlerts(batchRep)
+    assert(out.except(batchAlerts).count() === 0 &&
+      batchAlerts.except(out).count() === 0,
+      "streamed alerts diverged from the batch q_drift_alerts kernel")
+    assert(batchAlerts.count() > 0, "biased era must page")
+    assert(ops.Clustering.embedDriftHealth(batchRep).needsRebuild,
+      "health did not close the rebuild loop on a paged drift")
+    // specificity: the SAME era the grid was frozen from must not page
+    var quiet: DataFrame = null
+    val fold2 = Streams.embedDriftAlertFold(mu, v1, lo, width, before,
+      f => quiet = f.localCheckpoint())
+    fold2.step(vecsOf(col("pc1") >= t).toSeq.toDS().toDF(), 0L)
+    assert(quiet.count() === 0,
+      "same-distribution era raised drift alerts — no specificity")
+    val quietRep = ops.Clustering.embedDriftReport(before, before)
+    assert(!ops.Clustering.embedDriftHealth(quietRep).needsRebuild,
+      "health wants a rebuild on an identical era")
+  }
+
   test("streaming cents histogram equals the batch sketch on an out-of-order feed") {
     // frozen geometry (the deployment calibration pass), hash-dealt
     // 3-trigger feed: the additive fold must converge to the batch
