@@ -867,6 +867,44 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(listener)
     }
 
+    // IVF serving-layout probe (independent of m): the q_bm25_pruned
+    // partition-pruning story on the VECTOR plane. The persisted index
+    // written PARTITIONED BY cell is the serving layout; a probe's
+    // candidate scan filters to its probeCells and must read only those
+    // cells' partitions (~IvfProbes/IvfCells of the rows), not the full
+    // index — at 100 TB this is the difference between scanning the
+    // probed learned partitions and re-reading the corpus per probe.
+    {
+      import graft.ops.Similarity
+      val emb   = Tables.embeddings(spark, sfDir)
+      val cents = Similarity.kmeansCentroidsFrom(emb)
+      val iDir  = "/tmp/graft_probe_ivfcells"
+      Similarity.ivfAssign(emb, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(iDir)
+      val listener = new QueryMetricsListener
+      spark.sparkContext.addSparkListener(listener)
+      def readRows(label: String)(f: => Long): Long = {
+        val hits = Metrics.observe(spark, label)(f)
+        org.apache.spark.GraftSparkBridge.waitListenerBus(spark.sparkContext, 10000)
+        val read = listener.snapshot(label).inputRecords.sum()
+        println(f"[scale] ivf $label%-17s read $read%9d rows for $hits%7d hits")
+        read
+      }
+      val idx  = spark.read.parquet(iDir)
+      val full = readRows("cells_full")(idx.count())
+      // one probe's cells, computed with the same centroid literals
+      val cells = emb.orderBy("vec_id").limit(1)
+        .select(explode(Similarity.probeCells(col("embedding"), cents))
+          .as("cell"))
+        .collect().map(_.getInt(0)).toSeq
+      val pruned = readRows("cells_probed")(
+        idx.filter(col("cell").isin(cells: _*)).count())
+      println(f"[scale] ivf cell pruning: $pruned%d / $full%d index rows read " +
+        f"(${100.0 * pruned / math.max(full, 1)}%.1f%% — ${cells.size} of " +
+        f"${cents.length} cells)")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     // Bloom runtime-filter probe (independent of m): shuffle volume of the
     // selective fact⋈dim semi join with broadcast DISABLED (at 100 TB a
     // fact-fact join shuffles; locally the dim would broadcast and hide

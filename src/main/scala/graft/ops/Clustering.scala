@@ -581,6 +581,24 @@ object Clustering {
       (col("share_before_ppm") >= MinAlertPpm ||
         col("share_after_ppm") >= MinAlertPpm))
 
+  /** Tombstones for the drift-alert → retirement composition: the ids
+    * of an era's rows whose frozen-axis bucket is a PAGED (alert)
+    * bucket — the embedding-plane TTL feeding [[graft.ops.Similarity]]
+    * .retireVecs (retire stale rows of regions whose distribution
+    * shifted, instead of retraining over them). One narrow semi-join of
+    * the scored era against the broadcast ≤(EdBuckets+overflow)-row
+    * alert frame — the corpus never shuffles; ClusteringSpec gates the
+    * composed path end-to-end (retire ≡ frozen-model rebuild of the
+    * survivors).
+    */
+  private[graft] def driftRetireTombstones(scored: DataFrame,
+      alerts: DataFrame, lo: Long, width: Long): DataFrame =
+    scored.withColumn("bucket_idx",
+        expr(Sketches.flooredBucketSql("pc1", lo, EdBuckets, width)))
+      .join(broadcast(alerts.select("bucket_idx")), Seq("bucket_idx"),
+        "left_semi")
+      .select("vec_id")
+
   /** The composed health gate on the embedding plane: how many buckets
     * page, and how much after-era mass sits in them. `needsRebuild`
     * closes the loop to the persisted-index lifecycle — fire the

@@ -1170,13 +1170,33 @@ object Streams {
     * sketch-plus-one-trigger-sized frames, never the corpus.
     */
   private[graft] def mgCompact(keyCols: Seq[String], valCol: String,
-      k: Int)(g: DataFrame): DataFrame = {
+      k: Int)(g: DataFrame): DataFrame =
+    mgCompactBy(Seq.empty, keyCols, valCol, k)(g)
+
+  /** [[mgCompact]] applied independently WITHIN each `partCols` group —
+    * e.g. one k-counter Misra–Gries summary per tumbling window. The
+    * rank window partitions by the group, so no global single-partition
+    * sort occurs when groups exist; the per-group cut is the group's
+    * (k+1)-th largest counter, same merge rule and guarantees.
+    */
+  private[graft] def mgCompactBy(partCols: Seq[String], keyCols: Seq[String],
+      valCol: String, k: Int)(g: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
       .orderBy(col(valCol).desc +: keyCols.map(col(_).asc): _*)
     val ranked = g.withColumn("_rn", row_number().over(w))
-    val cut = ranked.agg(coalesce(
-      max(when(col("_rn") > k, col(valCol))), lit(0L)).as("_cut"))
-    ranked.crossJoin(broadcast(cut))
+    val cut =
+      if (partCols.isEmpty)
+        ranked.agg(coalesce(
+          max(when(col("_rn") > k, col(valCol))), lit(0L)).as("_cut"))
+      else
+        ranked.groupBy(partCols.map(col): _*)
+          .agg(coalesce(
+            max(when(col("_rn") > k, col(valCol))), lit(0L)).as("_cut"))
+    val cutJoined =
+      if (partCols.isEmpty) ranked.crossJoin(broadcast(cut))
+      else ranked.join(broadcast(cut), partCols)
+    cutJoined
       .withColumn(valCol, col(valCol) - col("_cut"))
       .filter(col(valCol) > 0)
       .drop("_rn", "_cut")
@@ -1243,6 +1263,40 @@ object Streams {
     new GridFold(Seq("window_us", "j", "b"), "cnt", maxMerge = false,
       b => cmsGridPerWindow(b), write, stateDir,
       maxWindows.fold(identity[DataFrame] _)(windowRetention))
+
+  /** Durable HOT-TERMS-PER-WINDOW fold — the q_heavy_hitters Misra–Gries
+    * summary maintained per tumbling window on the [[GridFold]] protocol:
+    * additive (window, token) counts, compacted at every merge to ≤ k MG
+    * counters WITHIN each window ([[mgCompactBy]] — the per-group merge
+    * rule, so each window carries its own n_w/(k+1) guarantee), with
+    * optional newest-`maxWindows` retention. Composed state is bounded
+    * at ≤ maxWindows × k rows no matter the vocabulary or stream length
+    * — the fully-bounded form of [[hotTermsPerWindow]]'s state-store
+    * face, durable/replay-safe like every GridFold. StreamingSpec gates
+    * the MG guarantees per window against exact batch counts, the
+    * composed state bound, retention, and replay.
+    */
+  private[graft] def hotTermsFold(k: Int, write: DataFrame => Unit,
+      stateDir: Option[String] = None,
+      maxWindows: Option[Int] = None): GridFold = {
+    val mg = mgCompactBy(Seq("window_us"), Seq("tok"), "cnt", k) _
+    val compact: DataFrame => DataFrame =
+      maxWindows.fold(mg)(n => g => mg(windowRetention(n)(g)))
+    new GridFold(Seq("window_us", "tok"), "cnt", maxMerge = false,
+      b => maybeWatermarkOn(b, "ingest_ts")
+        .select(col("ingest_ts"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(window(col("ingest_ts"), "1 hour"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("tok"), col("cnt")),
+      write, stateDir, compact)
+  }
+
+  /** [[hotTermsFold]] wired to a document stream. */
+  def hotTermsIngest(docs: DataFrame, k: Int,
+      stateDir: Option[String] = None, maxWindows: Option[Int] = None)
+      (write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    foldIngest(docs, hotTermsFold(k, write, stateDir, maxWindows))
 
   /** The cents histogram maintained as a live feed (exactly-once even
     * under replay — the [[HistFold]] protocol; the bare [[foldCentsHist]]

@@ -292,6 +292,38 @@ class ClusteringSpec extends SparkSpec {
         s"the dominant ${rayleigh(traj1.last)}")
   }
 
+  test("drift alerts route into vector retirement: retire equals frozen-model rebuild of the survivors") {
+    // the composed lifecycle path: q_drift_alerts' paged buckets mark
+    // regions whose distribution shifted; the before-era rows sitting in
+    // those buckets retire from the persisted IVF index (the embedding-
+    // plane TTL), and retireVecs' frozen-model theorem must carry
+    // through the composition — retired index ≡ rebuild of the
+    // survivors under the same frozen centroids, row-for-row
+    val emb = Tables(spark, sfDir, "embeddings")
+    val (mu, cov) = ops.Clustering.pcaModel(ops.Clustering.vmOf(emb))
+    val v1 = ops.Clustering.pcaTrajectory(cov).last
+    val beforeScores = emb.select(col("vec_id"),
+      ops.Clustering.pcScoreCol(mu, v1).as("pc1")).localCheckpoint()
+    val rep = ops.Clustering.embedDriftBatchReport(spark, sfDir)
+    val alerts = ops.Clustering.embedDriftAlerts(rep).localCheckpoint()
+    assert(alerts.count() > 0, "fixture must page")
+    val g = beforeScores.agg(min("pc1"), max("pc1")).head()
+    val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+    val tomb = ops.Clustering.driftRetireTombstones(
+      beforeScores, alerts, lo, width).localCheckpoint()
+    val nTomb = tomb.count()
+    assert(nTomb > 0, "no before-era rows sit in paged buckets")
+    assert(nTomb < emb.count(), "TTL retired the whole era — no selectivity")
+    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
+    val index = ops.Similarity.ivfAssign(emb, cents)
+    val retired = ops.Similarity.retireVecs(index, tomb)
+    val rebuilt = ops.Similarity.ivfAssign(
+      emb.join(tomb, Seq("vec_id"), "left_anti"), cents)
+    assert(retired.except(rebuilt).count() === 0 &&
+      rebuilt.except(retired).count() === 0,
+      "alert-routed retire diverged from the frozen-model rebuild")
+  }
+
   test("embed drift monitor: both statuses surface, overflow ids are honest, mass conserved") {
     val rows = SparkEntry.queries("q_embed_drift")(spark, sfDir).collect()
     val drifted   = rows.filter(_.getBoolean(5))

@@ -533,6 +533,53 @@ class QueriesSpec extends SparkSpec {
       s"post-split IVFADC recall $recallSplit fell >0.1 under retrain $recallRetrain")
   }
 
+  test("split chain under a growing hot stream: imbalance stabilizes each wave, recall near final-k retrain") {
+    // the operational auto-repair loop: a biased source keeps flooding
+    // one region across ingest waves; after each append, while health
+    // flags imbalance, split the hottest cell — the index heals wave by
+    // wave WITHOUT ever retraining, and the final split-chain index
+    // serves within 0.1 recall of a one-shot retrain at the same k
+    def hotBatch(wave: Int): org.apache.spark.sql.DataFrame =
+      spark.range(400).select(
+        (col("id") + 1000L + wave.toLong * 400L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => {
+          val base = sin(lit(7) * lit(37) + i * lit(13))
+          val noise = sin(col("vec_id") * lit(101) + i * lit(7))
+          (base + noise * lit(0.15)).cast("float")
+        }).as("embedding"))
+    val base = clusteredEmbN(1000)
+    var cents = ops.Similarity.kmeansCentroidsFrom(base)
+    val trained = ops.Similarity.quantScore(base, cents)
+    var index = ops.Similarity.ivfAssign(base, cents).localCheckpoint()
+    var corpus = base
+    for (wave <- 0 until 3) {
+      val hot = hotBatch(wave)
+      corpus = corpus.unionByName(hot)
+      index = ops.Similarity.ivfAppend(index, hot, cents).localCheckpoint()
+      var h = ops.Similarity.ivfHealth(index, cents, trained)
+      var guard = 0
+      while (h.imbalance > ops.Similarity.ImbalanceThreshold && guard < 4) {
+        val (i2, c2) = ops.Similarity.ivfSplit(index, cents,
+          ops.Similarity.hottestCell(index))
+        index = i2.localCheckpoint(); cents = c2
+        h = ops.Similarity.ivfHealth(index, cents, trained)
+        guard += 1
+      }
+      assert(h.imbalance <= ops.Similarity.ImbalanceThreshold,
+        s"wave $wave: splits did not repair imbalance ($h after $guard splits)")
+    }
+    assert(cents.length > ops.Similarity.IvfCells,
+      "fixture never split — the hot stream was not hot")
+    val bf = ops.Similarity.cosineTopKFrom(corpus)
+    val recallChain = recallOf(
+      ops.Similarity.annIvfTopKIndexed(index, cents), bf)
+    val retrainCents = ops.Similarity.kmeansCentroidsFrom(corpus, cents.length)
+    val recallRetrain = recallOf(ops.Similarity.annIvfTopKIndexed(
+      ops.Similarity.ivfAssign(corpus, retrainCents), retrainCents), bf)
+    assert(recallChain >= recallRetrain - 0.1,
+      s"split-chain recall $recallChain fell >0.1 under retrain $recallRetrain")
+  }
+
   test("vector index retire: anti-join equals rebuild under frozen quantizers; serving unchanged") {
     // the deletion face of the persisted vector indexes: a keyed
     // anti-join, no re-quantization — per-row cells/codes depend only on

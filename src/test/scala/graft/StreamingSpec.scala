@@ -1379,6 +1379,51 @@ class StreamingSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("sketched decay fold state is durable: restart + replay-across-restart equal an uninterrupted fold") {
+    import spark.implicits._
+    // the Misra-Gries compaction is deterministic (rank by estimate with
+    // key tie-breaks, fixed cut), so the durable (base, last) protocol
+    // must reproduce the uninterrupted sketched fold exactly across a
+    // process restart and a replay across that restart — under the same
+    // <= k state bound
+    def doc(id: Long, tmpl: String, uniq: String): StreamingSpec.BDoc =
+      StreamingSpec.BDoc(id, "s",
+        ((1 to ops.Curation.ChunkLen).map(i => s"$tmpl$i") ++
+          (1 to ops.Curation.ChunkLen).map(i => s"$uniq-$i")).mkString(" "),
+        ts(id))
+    val pre = Seq(doc(1, "t1x", "u1"), doc(2, "t1x", "u2"), doc(3, "t1x", "u3"))
+    val index = ops.Curation.boilerChunksOf(pre.toDF()).cache()
+    try {
+      val k = 4
+      val arrivals = (10L to 14L).map(i => doc(i, "t2y", s"u$i"))
+      def b(i: Int) = Seq(arrivals(i)).toDF()
+      val dir = java.nio.file.Files.createTempDirectory("boilsketch").toString
+      val f1 = new Streams.BoilerFold(index, _ => (), Some(dir), Some(k))
+      f1.step(b(0), 0L)
+      f1.step(b(1), 1L)
+      f1.step(b(1), 1L) // replayed trigger
+      // process restart: a fresh fold over the same stateDir
+      val f2 = new Streams.BoilerFold(index, _ => (), Some(dir), Some(k))
+      f2.step(b(2), 2L)
+      f2.step(b(2), 2L) // replay across the restart
+      f2.step(b(3), 3L)
+      f2.step(b(4), 4L)
+      // the uninterrupted reference (same k, no durability)
+      val ref = new Streams.BoilerFold(index, _ => (), None, Some(k))
+      arrivals.indices.foreach(i => ref.step(b(i), i.toLong))
+      assert(f2.health === ref.health,
+        "durable sketched fold diverged from the uninterrupted fold")
+      assert(f2.health.needsRebuild, "gate lost across the restart")
+      assert(f2.seen.get.count() <= k,
+        "restored sketched state exceeded the k bound")
+      val got = f2.seen.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = ref.seen.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want, "restored MG counters diverged row-for-row")
+      assert(!f2.docReingestSuspected,
+        "the durable doc tripwire false-fired across restart + replay")
+    } finally index.unpersist()
+  }
+
   test("boiler fold doc re-ingest tripwire: quiet under the contract, trips on gross re-ingest") {
     import spark.implicits._
     def doc(id: Long, tmpl: String, uniq: String): StreamingSpec.BDoc =
@@ -1409,6 +1454,68 @@ class StreamingSpec extends SparkSpec {
       assert(fold.docReingestSuspected,
         "tripwire silent while every doc was ingested twice")
     } finally index.unpersist()
+  }
+
+  test("hot-terms fold: per-window MG guarantees under bounded composed state, retention + replay safe") {
+    import spark.implicits._
+    val docs = Seq(
+      StreamingSpec.Doc(1, "spark spark spark flink alpha", ts(1)),
+      StreamingSpec.Doc(2, "spark flink beta gamma", ts(30)),
+      StreamingSpec.Doc(3, "spark delta epsilon", ts(50)),
+      StreamingSpec.Doc(4, "iceberg iceberg hudi", ts(70)),
+      StreamingSpec.Doc(5, "iceberg delta hudi zeta", ts(100)),
+      StreamingSpec.Doc(6, "kafka kafka pulsar", ts(130)))
+    val parts = docs.grouped(2).toSeq.map(_.toDS().toDF())
+    val k = 3
+    var out: DataFrame = null
+    val fold = Streams.hotTermsFold(k, f => out = f.localCheckpoint())
+    fold.step(parts(0), 0L)
+    fold.step(parts(1), 1L)
+    val snap1 = out
+    fold.step(parts(1), 1L) // replayed trigger: grid must not move
+    assert(out.except(snap1).count() === 0 &&
+      snap1.except(out).count() === 0,
+      "replayed trigger moved the hot-terms grid")
+    fold.step(parts(2), 2L)
+    // composed state bound: <= k counters per window, every window
+    out.groupBy("window_us").count().collect().foreach(r =>
+      assert(r.getLong(1) <= k,
+        s"window ${r.getLong(0)} holds ${r.getLong(1)} > k=$k counters"))
+    // MG guarantees per window vs the exact batch counts: estimates
+    // never exceed truth; every token with true count > n_w/(k+1) is
+    // present (the no-false-negative heavy-hitter guarantee)
+    val exact = docs.toDS().toDF()
+      .select(col("ingest_ts"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("window_us"),
+        col("tok"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val nW = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.foreach { case (key, est) =>
+      assert(est <= exact(key),
+        s"estimate $est exceeds true count ${exact(key)} for $key")
+    }
+    exact.foreach { case ((w, t), c) =>
+      if (c * (k + 1) > nW(w))
+        assert(got.contains((w, t)),
+          s"heavy token $t (count $c of ${nW(w)}) missing from window $w")
+    }
+    // retention composition: newest-2 windows only, still <= k per window
+    var out2: DataFrame = null
+    val fold2 = Streams.hotTermsFold(k,
+      f => out2 = f.localCheckpoint(), None, Some(2))
+    parts.zipWithIndex.foreach { case (p, i) => fold2.step(p, i.toLong) }
+    val wins = out2.select("window_us").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val allWins = exact.keySet.map(_._1).toSeq.sorted
+    assert(wins.toSeq === allWins.takeRight(2),
+      s"retention kept $wins, expected the 2 newest of $allWins")
+    out2.groupBy("window_us").count().collect().foreach(r =>
+      assert(r.getLong(1) <= k))
   }
 
   test("cms fold window retention caps state at the newest windows, cells intact") {
