@@ -902,6 +902,23 @@ object ScaleProbe {
       println(f"[scale] ivf cell pruning: $pruned%d / $full%d index rows read " +
         f"(${100.0 * pruned / math.max(full, 1)}%.1f%% — ${cells.size} of " +
         f"${cents.length} cells)")
+      // two-level layout: partitionBy(shard, cell) — one fleet member
+      // serving the probe reads its OWN shard's probed cells only, so
+      // pruning multiplies across the axes (≈ 1/N × probes/cells); the
+      // fleet as a whole still reads exactly the cell fraction.
+      val nSh  = 8
+      val tDir = "/tmp/graft_probe_ivfshardcells"
+      graft.ops.Similarity.ivfAssign(emb, cents)
+        .withColumn("shard", graft.ops.Shards.hrwShard(col("vec_id"), nSh))
+        .write.mode("overwrite").partitionBy("shard", "cell").parquet(tDir)
+      val idx2 = spark.read.parquet(tDir)
+      val full2 = readRows("twolevel_full")(idx2.count())
+      val member = readRows("twolevel_member")(
+        idx2.filter(col("shard") === 3 && col("cell").isin(cells: _*))
+          .count())
+      println(f"[scale] ivf shard×cell pruning: $member%d / $full2%d rows read " +
+        f"(${100.0 * member / math.max(full2, 1)}%.1f%% — one member's " +
+        f"${cells.size} of ${cents.length} cells at 1/$nSh of the fleet)")
       spark.sparkContext.removeSparkListener(listener)
     }
 

@@ -317,12 +317,76 @@ class ClusteringSpec extends SparkSpec {
     val cents = ops.Similarity.kmeansCentroidsFrom(emb)
     val index = ops.Similarity.ivfAssign(emb, cents)
     val retired = ops.Similarity.retireVecs(index, tomb)
-    val rebuilt = ops.Similarity.ivfAssign(
-      emb.join(tomb, Seq("vec_id"), "left_anti"), cents)
+    val survivors = emb.join(tomb, Seq("vec_id"), "left_anti")
+    val rebuilt = ops.Similarity.ivfAssign(survivors, cents)
     assert(retired.except(rebuilt).count() === 0 &&
       rebuilt.except(retired).count() === 0,
       "alert-routed retire diverged from the frozen-model rebuild")
+    // the same TTL on the COMPOSED index: codes/norms are per-row
+    // functions of (vector, frozen codebooks), so the alert-routed
+    // retire must equal the frozen-model IVFADC rebuild too
+    val cbs = ops.Similarity.pqCodebooks(emb)
+    val retiredPq = ops.Similarity.retireVecs(
+      ops.Similarity.ivfPqIndex(emb, cents, cbs), tomb)
+    val rebuiltPq = ops.Similarity.ivfPqIndex(survivors, cents, cbs)
+    assert(retiredPq.except(rebuiltPq).count() === 0 &&
+      rebuiltPq.except(retiredPq).count() === 0,
+      "alert-routed IVFADC retire diverged from the frozen-model rebuild")
   }
+
+  test("needsRebuild closes the loop: retrain + swap restores quantizer fit without serving regression") {
+    // the full monitoring → action drill: a biased new source shifts
+    // vectors along the dominant axis; the drift monitor (frozen model +
+    // grid from the before era, report from the ACTUAL after vectors)
+    // pages and EmbedDriftHealth.needsRebuild fires; the triggered
+    // action — retrain the coarse quantizer on the grown corpus and swap
+    // — must restore quantizer fit (quantScore strictly up on the grown
+    // corpus) while serving does not regress (swap recall within 0.05 of
+    // the stale index, typically above it)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val (mu, cov) = ops.Clustering.pcaModel(ops.Clustering.vmOf(emb))
+    val v1 = ops.Clustering.pcaTrajectory(cov).last
+    val beforeScores = emb.select(col("vec_id"),
+      ops.Clustering.pcScoreCol(mu, v1).as("pc1")).localCheckpoint()
+    val g = beforeScores.agg(min("pc1"), max("pc1")).head()
+    val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+    val beforeGrid = ops.Clustering.pcScoreHist(
+      beforeScores, lo, width).localCheckpoint()
+    // the biased source: every vector displaced along v1 (float space)
+    val shift = typedlit(v1.map(x =>
+      (4.0 * x / ops.Clustering.PcVScale).toFloat).toSeq)
+    val after = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      zip_with(col("embedding"), shift, (x, d) => x + d).as("embedding"))
+      .localCheckpoint()
+    val rep = ops.Clustering.embedDriftReport(beforeGrid,
+      ops.Clustering.pcScoreHist(
+        after.select(ops.Clustering.pcScoreCol(mu, v1).as("pc1")),
+        lo, width))
+    assert(ops.Clustering.embedDriftHealth(rep).needsRebuild,
+      "the displaced source did not page — fixture broken")
+    // the stale index vs the retrain the page triggers
+    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
+    val grown = emb.select("vec_id", "embedding").unionByName(after)
+      .localCheckpoint()
+    val staleFit = ops.Similarity.quantScore(grown, cents)
+    val cents2 = ops.Similarity.kmeansCentroidsFrom(grown)
+    val freshFit = ops.Similarity.quantScore(grown, cents2)
+    assert(freshFit > staleFit,
+      s"retrain did not improve quantizer fit: $staleFit -> $freshFit")
+    val bf = ops.Similarity.cosineTopKFrom(grown)
+    val rStale = recallOf(ops.Similarity.annIvfTopKIndexed(
+      ops.Similarity.ivfAssign(grown, cents), cents), bf)
+    val rSwap = recallOf(ops.Similarity.annIvfTopKIndexed(
+      ops.Similarity.ivfAssign(grown, cents2), cents2), bf)
+    assert(rSwap >= rStale - 0.05,
+      s"swap regressed serving: stale $rStale -> swapped $rSwap")
+  }
+
+  private def recallOf(ann: org.apache.spark.sql.DataFrame,
+      bf: org.apache.spark.sql.DataFrame): Double =
+    ann.select("p_id", "c_id").join(bf.select("p_id", "c_id"),
+      Seq("p_id", "c_id"), "left_semi").count().toDouble /
+      bf.count().toDouble
 
   test("embed drift monitor: both statuses surface, overflow ids are honest, mass conserved") {
     val rows = SparkEntry.queries("q_embed_drift")(spark, sfDir).collect()

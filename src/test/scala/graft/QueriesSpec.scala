@@ -580,6 +580,59 @@ class QueriesSpec extends SparkSpec {
       s"split-chain recall $recallChain fell >0.1 under retrain $recallRetrain")
   }
 
+  test("IVFADC split chain: composed index heals hot waves without retraining either quantizer") {
+    // the auto-repair loop on the COMPOSED index: the coarse quantizer
+    // splits cell-locally (codes never re-encode — they depend only on
+    // the frozen codebooks), waves of a biased source keep arriving via
+    // ivfPqAppend, and the chain must end within 0.1 recall of a
+    // one-shot retrain of BOTH quantizers at the same k
+    def hotBatch(wave: Int): org.apache.spark.sql.DataFrame =
+      spark.range(400).select(
+        (col("id") + 1000L + wave.toLong * 400L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => {
+          val base = sin(lit(7) * lit(37) + i * lit(13))
+          val noise = sin(col("vec_id") * lit(101) + i * lit(7))
+          (base + noise * lit(0.15)).cast("float")
+        }).as("embedding"))
+    val base = clusteredEmbN(1000)
+    var cents = ops.Similarity.kmeansCentroidsFrom(base)
+    val cbs = ops.Similarity.pqCodebooks(base)
+    var index = ops.Similarity.ivfPqIndex(base, cents, cbs).localCheckpoint()
+    var corpus = base
+    for (wave <- 0 until 2) {
+      val hot = hotBatch(wave)
+      corpus = corpus.unionByName(hot).localCheckpoint()
+      index = ops.Similarity.ivfPqAppend(index, hot, cents, cbs)
+        .localCheckpoint()
+      var guard = 0
+      def imb(): Double = {
+        val counts = index.groupBy("cell").count().select("count")
+          .collect().map(_.getLong(0))
+        counts.max / (counts.sum.toDouble / cents.length)
+      }
+      while (imb() > ops.Similarity.ImbalanceThreshold && guard < 4) {
+        val (i2, c2) = ops.Similarity.ivfPqSplit(index, corpus, cents,
+          ops.Similarity.hottestCell(index))
+        index = i2.localCheckpoint(); cents = c2
+        guard += 1
+      }
+      assert(imb() <= ops.Similarity.ImbalanceThreshold,
+        s"wave $wave: IVFADC splits did not repair imbalance after $guard")
+    }
+    assert(cents.length > ops.Similarity.IvfCells,
+      "fixture never split — the hot stream was not hot")
+    val bf = ops.Similarity.cosineTopKFrom(corpus)
+    val recallChain = recallOf(ops.Similarity.ivfPqTopKIndexed(
+      index, corpus, cents, cbs), bf)
+    val retrainCents = ops.Similarity.kmeansCentroidsFrom(corpus, cents.length)
+    val retrainCbs = ops.Similarity.pqCodebooks(corpus)
+    val recallRetrain = recallOf(ops.Similarity.ivfPqTopKIndexed(
+      ops.Similarity.ivfPqIndex(corpus, retrainCents, retrainCbs),
+      corpus, retrainCents, retrainCbs), bf)
+    assert(recallChain >= recallRetrain - 0.1,
+      s"IVFADC split-chain recall $recallChain fell >0.1 under retrain $recallRetrain")
+  }
+
   test("vector index retire: anti-join equals rebuild under frozen quantizers; serving unchanged") {
     // the deletion face of the persisted vector indexes: a keyed
     // anti-join, no re-quantization — per-row cells/codes depend only on
