@@ -613,6 +613,37 @@ object ScaleProbe {
           .reduce(_.union(_))
         graft.ops.Curation.boilerplateStripFrom(docsN).count()
       }
+      // round-14 probe: exact vs MG-sketched decay fold at m ingest
+      // batches (each a marker-interleaved replica — distinct chunks
+      // grow ∝ corpus). The exact fold's state is distinct-chunk-sized;
+      // the sketched fold stays ≤ k rows whatever the stream length —
+      // the bounded-state claim, measured.
+      locally {
+        val cl1 = graft.ops.Curation.ChunkLen - 1
+        val base = Tables.documents(spark, sfDir)
+        val index = graft.ops.Curation.boilerChunksOf(base).cache()
+        index.count()
+        def marked(i: Int): DataFrame = base
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+          .withColumn("text", expr(
+            s"""concat_ws(' ', flatten(transform(
+               |sequence(0, CAST(ceil(size(split(text, ' ')) / $cl1.0)
+               |  AS INT) - 1),
+               |g -> concat(slice(split(text, ' '), g * $cl1 + 1, $cl1),
+               |  array('zqz$i')))))""".stripMargin.replace('\n', ' ')))
+        timed("boiler_exact_fold") {
+          val f = new graft.streaming.Streams.BoilerFold(index, _ => ())
+          (0 until m).foreach(i => f.step(marked(i), i.toLong))
+          f.seen.map(_.count()).getOrElse(0L)
+        }
+        timed("boiler_sketch_fold") {
+          val f = new graft.streaming.Streams.BoilerFold(index, _ => (),
+            None, Some(1024))
+          (0 until m).foreach(i => f.step(marked(i), i.toLong))
+          f.seen.map(_.count()).getOrElse(0L)
+        }
+        index.unpersist()
+      }
       // histogram-quantile sketch at m× events: the two corpus passes
       // (min/max agg + bucketing agg) are both narrow scans with
       // map-side partials — wall ∝ corpus, output fixed at ≤HqBuckets

@@ -59,6 +59,64 @@ class ShardsSpec extends SparkSpec {
       "rebalance changed the index relation itself")
   }
 
+  test("two-level layout scale-out: one new shard directory + logical deletes; survivors' files untouched") {
+    // the storage face of the rebalance theorem: the persisted
+    // partitionBy(shard, cell) layout scales out N -> N+1 by (a) writing
+    // the arrivals as the ONE new shard's directory tree and (b) logging
+    // the same bounded arrival set as logical deletes against the old
+    // shards (the lakehouse tombstone story — departures are keyed
+    // deletes, never partition rewrites). Every pre-existing file stays
+    // byte-untouched, and the read path (old ∖ tombstones) ∪ new-shard
+    // reconstructs the re-sharded index EXACTLY.
+    val n = 8
+    val emb = spark.range(1000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        sin(col("vec_id") * lit(101) + i * lit(7)).cast("float"))
+        .as("embedding"))
+    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
+    val indexed = ops.Similarity.ivfAssign(emb, cents).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("twolevel")
+      .toString + "/layout"
+    indexed.withColumn("shard", hrwShard(col("vec_id"), n))
+      .write.partitionBy("shard", "cell").parquet(dir)
+    def snapshot(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    }
+    val before = snapshot()
+    // the scale-out delta: arrivals to the new shard's directory only
+    val arrivals = shardScaleOutArrivals(indexed, "vec_id", n)
+      .localCheckpoint()
+    arrivals.write.partitionBy("cell").parquet(s"$dir/shard=$n")
+    val after = snapshot()
+    before.foreach { case (p, meta) =>
+      assert(after.get(p).contains(meta),
+        s"scale-out touched a surviving file: $p")
+    }
+    assert((after.keySet -- before.keySet).forall(_.contains(s"shard=$n")),
+      "scale-out wrote outside the new shard's directory")
+    // read path: (old shards ∖ arrival tombstones) ∪ new shard — must
+    // equal the fully re-sharded index relation
+    val cols = Seq("vec_id", "embedding", "cell", "shard")
+    val readBack = spark.read.parquet(dir)
+      .withColumn("shard", col("shard").cast("long"))
+      .select(cols.map(col): _*)
+    val reconstructed = readBack.filter(col("shard") < n)
+      .join(arrivals.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(cols.map(col): _*)
+      .unionByName(readBack.filter(col("shard") === n))
+    val want = indexed.withColumn("shard", hrwShard(col("vec_id"), n + 1))
+      .select(cols.map(col): _*)
+    assert(reconstructed.except(want).count() === 0 &&
+      want.except(reconstructed).count() === 0,
+      "tombstone read path diverged from the re-sharded index")
+  }
+
   test("assignment is a total, balanced, deterministic scatter") {
     val a = shardAssign(docs, NShards).cache()
     try {
