@@ -1589,6 +1589,68 @@ class StreamingSpec extends SparkSpec {
       "a bucket with after-era mass and zero before-era mass must drift")
   }
 
+  test("live drift page triggers a mid-stream retrain + swap; the feed and serving stay consistent") {
+    import spark.implicits._
+    // the operational drill END-TO-END on the live plane: a displaced
+    // source streams through the alert feed; the FIRST paged report
+    // fires the needsRebuild action (retrain on base + everything fed
+    // so far, swap the serving quantizer) while the fold keeps running —
+    // afterwards the streamed alerts still equal the batch kernel over
+    // the whole fed era (the swap did not disturb the monitor) and the
+    // swapped index out-fits and out-serves the stale one
+    val emb = Tables(spark, sfDir, "embeddings")
+    val (mu, cov) = ops.Clustering.pcaModel(ops.Clustering.vmOf(emb))
+    val v1 = ops.Clustering.pcaTrajectory(cov).last
+    val beforeScores = emb.select(col("vec_id"),
+      ops.Clustering.pcScoreCol(mu, v1).as("pc1")).localCheckpoint()
+    val g = beforeScores.agg(min("pc1"), max("pc1")).head()
+    val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+    val before = ops.Clustering.pcScoreHist(beforeScores, lo, width)
+      .localCheckpoint()
+    val shift = typedlit(v1.map(x =>
+      (4.0 * x / ops.Clustering.PcVScale).toFloat).toSeq)
+    val displaced = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      zip_with(col("embedding"), shift, (x, d) => x + d).as("embedding"))
+      .localCheckpoint()
+    val vecs = displaced.as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => StreamingSpec.Vec(id, e) }
+    val parts = vecs.grouped((vecs.length + 1) / 2).toSeq
+      .map(_.toSeq.toDS().toDF())
+    val baseEmb = emb.select("vec_id", "embedding").localCheckpoint()
+    val cents = ops.Similarity.kmeansCentroidsFrom(baseEmb)
+    var fedSoFar: org.apache.spark.sql.DataFrame = null
+    var swapped: Option[Array[Array[Double]]] = None
+    var out: DataFrame = null
+    val fold = Streams.embedDriftAlertFold(mu, v1, lo, width, before,
+      { alerts =>
+        out = alerts.localCheckpoint()
+        if (out.count() > 0 && swapped.isEmpty)
+          // the paged action: retrain on base + everything fed so far
+          swapped = Some(ops.Similarity.kmeansCentroidsFrom(
+            baseEmb.unionByName(fedSoFar)))
+      })
+    fedSoFar = parts(0).select("vec_id", "embedding").localCheckpoint()
+    fold.step(parts(0), 0L)
+    assert(swapped.nonEmpty,
+      "the first displaced trigger did not page — no swap fired")
+    fedSoFar = fedSoFar.unionByName(
+      parts(1).select("vec_id", "embedding")).localCheckpoint()
+    fold.step(parts(1), 1L) // the feed keeps folding AFTER the swap
+    val batchAlerts = ops.Clustering.embedDriftAlerts(
+      ops.Clustering.embedDriftReport(before,
+        ops.Clustering.pcScoreHist(
+          displaced.select(ops.Clustering.pcScoreCol(mu, v1).as("pc1")),
+          lo, width)))
+    assert(out.except(batchAlerts).count() === 0 &&
+      batchAlerts.except(out).count() === 0,
+      "post-swap streamed alerts diverged from the batch kernel")
+    // the swapped quantizer fits and serves the grown corpus better
+    val grown = baseEmb.unionByName(displaced).localCheckpoint()
+    assert(ops.Similarity.quantScore(grown, swapped.get) >
+      ops.Similarity.quantScore(grown, cents),
+      "mid-stream retrain did not improve quantizer fit")
+  }
+
   test("drift alert stream: noise-floored pages equal the batch kernel; health closes the rebuild loop") {
     import spark.implicits._
     // model + frozen grid from a biased baseline era (top 40% of pc1);
