@@ -373,6 +373,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(n <= 7, s"embed drift exchange count grew to $n:\n${p.take(2000)}")
   }
 
+  test("drift alerts keep the embed-drift plan shape — the noise floor is one bounded filter") {
+    // q_drift_alerts is q_embed_drift's report behind one filter on the
+    // bounded bucket grid: the alert gate must not change the plan class
+    // (same join-free era scans, same two single-row attaches, no extra
+    // corpus-sized exchange)
+    val p = plan("q_drift_alerts")
+    assert(!p.contains("CartesianProduct"),
+      s"drift alerts grew an unbounded join:\n${p.take(1500)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"drift alerts grew $bnlj nested-loop joins:\n${p.take(2000)}")
+    val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n <= 7, s"drift alerts exchange count grew to $n:\n${p.take(2000)}")
+  }
+
   test("char entropy computes narrowly — only the presentation sort exchanges") {
     // the histogram + ln-fold must live inside the scan projection; a
     // hashpartitioning exchange would mean the per-row expression regressed
