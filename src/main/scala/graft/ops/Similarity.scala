@@ -879,9 +879,13 @@ object Similarity {
     * split target when [[IvfHealth]] flags imbalance. One bounded
     * O(cells)-row aggregate over the index.
     */
-  private[graft] def hottestCell(indexed: DataFrame): Int =
-    indexed.groupBy("cell").count()
-      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+  private[graft] def hottestCell(indexed: DataFrame): Int = {
+    val top = indexed.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).limit(1).collect()
+    require(top.nonEmpty,
+      "hottestCell: empty index — no cells exist, nothing to split")
+    top(0).getInt(0)
+  }
 
   /** Two child centroids for a cell split: the [[kmeansCentroidsFrom]]
     * machinery restricted to the hot cell's members — distributed narrow
@@ -948,6 +952,15 @@ object Similarity {
       cell: Int): (DataFrame, Array[Array[Double]]) = {
     val hot = index.filter(col("cell") === cell)
     val members = emb.join(hot.select("vec_id"), Seq("vec_id"))
+    // coverage guard: an indexed vec_id missing from `emb` would silently
+    // vanish from the returned index (the inner join drops it) — a split
+    // must never shrink the index, so fail loud on a coverage gap instead.
+    // Both counts are hot-cell-sized (bounded, same order as the 2-means
+    // the split runs anyway).
+    val (nHot, nMembers) = (hot.count(), members.count())
+    require(nMembers == nHot,
+      s"ivfPqSplit: embeddings cover only $nMembers of $nHot rows in cell " +
+        s"$cell — refusing a split that would drop indexed vectors")
     val kids = splitChildren(members)
     if (kids.length < 2) (index, cents)
     else {
@@ -965,10 +978,14 @@ object Similarity {
     * direction). One narrow aggregation; O(1) result rows.
     */
   private[graft] def quantScore(emb: DataFrame,
-      cents: Array[Array[Double]]): Double =
-    withNorm(emb).select(avg(
+      cents: Array[Array[Double]]): Double = {
+    val r = withNorm(emb).select(avg(
       array_max(centScores(col("embedding"), cents)) / col("nrm")).as("q"))
-      .head.getDouble(0)
+      .head
+    require(!r.isNullAt(0),
+      "quantScore: empty corpus — no quantization fit to measure")
+    r.getDouble(0)
+  }
 
   final case class IvfHealth(staleness: Double, imbalance: Double) {
     def needsRebalance: Boolean =
@@ -982,6 +999,10 @@ object Similarity {
     */
   private[graft] def ivfHealth(indexed: DataFrame,
       cents: Array[Array[Double]], trainedScore: Double): IvfHealth = {
+    // NaN/zero trainedScore would make staleness NaN, and a NaN compare
+    // is silently false — needsRebalance would never fire. Fail loud.
+    require(trainedScore > 0,
+      s"ivfHealth: trainedScore must be a positive quantScore, got $trainedScore")
     val staleness = 1.0 - quantScore(indexed, cents) / trainedScore
     val counts = indexed.groupBy("cell").count().select("count")
       .collect().map(_.getLong(0))

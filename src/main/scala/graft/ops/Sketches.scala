@@ -72,6 +72,13 @@ object Sketches {
   /** Rank cap for the 25-bit post-mix remainder (v = hm div 64, hm < 2³¹). */
   final val MixRankCap = 26
 
+  /** [[rankCol]] under the post-mix [[MixRankCap]] remainder width —
+    * shared by the q_hll_intersect registers and [[hllRegistersOf]].
+    */
+  private[graft] def mixRankCol(v: Column): Column =
+    when(v === 0L, lit(MixRankCap))
+      .otherwise(lit(MixRankCap) - length(conv(v.cast("string"), 10, 2)))
+
   /** Integer HLL rank of the 24-bit remainder: position of the leftmost
     * set bit counted from the top, 25 for an all-zero remainder. Both
     * engines derive it from the base-2 digit count — Spark
@@ -111,11 +118,19 @@ object Sketches {
     * q_hll_registers builder without the event-type tiers; bounded
     * ≤ [[M]] rows whatever the input cardinality. Feeds the bounded
     * doc-re-ingest tripwire in [[graft.streaming.Streams]].BoilerFold.
+    *
+    * Routed through [[mix31]] (the q_hll_intersect path): the ids here
+    * are SHORT decimal strings (doc_id cast to string), exactly the
+    * arithmetic-progression-like PolyHash orbit whose raw-regime ranks
+    * under-estimate ~2× once distinct ids leave the m=64 linear-counting
+    * regime (~160) — a 2×-low estimate would let the tripwire's 1.5×
+    * gate page on a contract-abiding stream. Post-mix accuracy is ~8%
+    * (SketchesSpec gates it at 1,000 ids against the 1.5× margin).
     */
   private[graft] def hllRegistersOf(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(poly_hash(col(idCol).cast("string")).as("h"))
-      .select((col("h") % M).cast("int").as("bucket"),
-        rankCol(expr(s"h div $M")).cast("int").as("rank"))
+    ids.select(mix31(poly_hash(col(idCol).cast("string"))).as("hm"))
+      .select((col("hm") % M).cast("int").as("bucket"),
+        mixRankCol(expr(s"hm div $M")).cast("int").as("rank"))
       .groupBy("bucket").agg(max("rank").as("register"))
 
   /** HLL estimate from a register matrix for one group, computed the
@@ -334,8 +349,7 @@ object Sketches {
           poly_hash(col("o_custkey").cast("string")).as("h"), col("o_custkey"))
       val hm = mix31(col("h"))
       val v  = expr(s"hm div $M")
-      val rk = when(v === 0L, lit(MixRankCap))
-        .otherwise(lit(MixRankCap) - length(conv(v.cast("string"), 10, 2)))
+      val rk = mixRankCol(v)
       val regs = o.withColumn("hm", hm)
         .select(col("st"), (col("hm") % M).cast("int").as("bucket"),
           rk.cast("int").as("rank"))

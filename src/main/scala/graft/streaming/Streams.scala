@@ -1096,6 +1096,19 @@ object Streams {
     * replayed persist a no-op); StreamingSpec replays a trigger,
     * restarts each concrete fold mid-stream, and replays across the
     * restart, then checks GC left exactly one committed state.
+    *
+    * DURABILITY COST CONTRACT: [[persist]] rewrites the ENTIRE
+    * (base, last) grid — coalesce(1) — every trigger, an O(state)
+    * durable write. That is the design point for sketch-/grid-sized
+    * state (≤ k counters, ≤ maxWindows × cells, 64 HLL registers: a few
+    * KB per trigger), and every shipped fold is capped there. An
+    * UNCAPPED delta (a BoilerFold without `sketchK` accumulates
+    * distinct-chunk-keyed state — measured 191k rows at ×5) would pay
+    * that full rewrite per trigger: durable + uncapped is a NON-SHIPPING
+    * combination — always pass the compaction cap (`sketchK` /
+    * `maxWindows` / mgCompact) alongside `stateDir`. A delta-aware
+    * persist (the batch-id marker already gives the commit point) is
+    * the upgrade path if an uncapped durable fold is ever needed.
     */
   private[graft] final class GridFold(
       keyCols: Seq[String], valCol: String, maxMerge: Boolean,
@@ -1437,9 +1450,34 @@ object Streams {
       b => graft.ops.Sketches.hllRegistersOf(b, "doc_id"), _ => (),
       stateDir.map(_ + "-dochll"))
 
+    /** True when this fold restored a PRE-UPGRADE state: the dfs state
+      * dir is populated but a companion ('-docsum'/'-dochll') dir is
+      * not — the tripwire would then compare a post-upgrade PARTIAL doc
+      * sum against a partial HLL while dfs is fully restored: quiet but
+      * meaningless against the restored dfs history.
+      * [[docReingestSuspected]] backfill-disables itself (returns false,
+      * the honest answer for an unobserved prefix) for the life of this
+      * fold. The companions still accrue from the upgrade point, so a
+      * restart restores a mutually consistent (docsum, dochll) pair and
+      * re-arms the tripwire — covering the post-upgrade suffix only;
+      * re-ingests of pre-upgrade docs stay invisible (the migration
+      * caveat — start a fresh stateDir to get full-history coverage).
+      * Checked once, before the first step persists anything.
+      */
+    @volatile private[graft] var tripwireDisabled = false
+    private var migrationChecked = stateDir.isEmpty
+
     def step(batch: DataFrame, batchId: Long): Unit = {
       require(batchId >= 0 || stateDir.isEmpty,
         "a durable BoilerFold needs real batch ids")
+      if (!migrationChecked) {
+        val s = batch.sparkSession
+        val dir = stateDir.get
+        tripwireDisabled = FoldState.latest(s, dir).isDefined &&
+          (FoldState.latest(s, dir + "-docsum").isEmpty ||
+            FoldState.latest(s, dir + "-dochll").isEmpty)
+        migrationChecked = true
+      }
       write(graft.ops.Curation.stripAgainst(index, batch))
       dfs.step(batch, batchId)
       docSum.step(batch, batchId)
@@ -1454,14 +1492,16 @@ object Streams {
       * the append-ingest contract is being violated and the accumulated
       * chunk dfs may be double-counted (see class doc for the margin).
       */
-    def docReingestSuspected: Boolean = (docSum.current, docHll.current) match {
-      case (Some(s), Some(h)) =>
-        val n = s.select("n").head().getLong(0)
-        val est = graft.ops.Sketches.estimate(
-          h.select("register").collect().map(_.getInt(0)).toSeq)
-        n.toDouble > est * 1.5
-      case _ => false
-    }
+    def docReingestSuspected: Boolean =
+      if (tripwireDisabled) false
+      else (docSum.current, docHll.current) match {
+        case (Some(s), Some(h)) =>
+          val n = s.select("n").head().getLong(0)
+          val est = graft.ops.Sketches.estimate(
+            h.select("register").collect().map(_.getInt(0)).toSeq)
+          n.toDouble > est * 1.5
+        case _ => false
+      }
 
     def health: graft.ops.Curation.BoilerHealth = {
       val s = seen.getOrElse(index.sparkSession.createDataFrame(

@@ -533,6 +533,42 @@ class QueriesSpec extends SparkSpec {
       s"post-split IVFADC recall $recallSplit fell >0.1 under retrain $recallRetrain")
   }
 
+  test("serving-lifecycle degenerate inputs fail loud, never silently corrupt") {
+    // each guard exists because the silent failure mode is WORSE than a
+    // crash: an empty-index hottestCell threw an opaque
+    // NoSuchElementException; a zero/NaN trainedScore made staleness NaN
+    // and NaN-compares silently UN-trip needsRebalance; an embeddings
+    // frame missing indexed ids made ivfPqSplit SHRINK the index
+    val emb = clusteredEmbN(200).localCheckpoint()
+    val cents = ops.Similarity.kmeansCentroidsFrom(emb)
+    val index = ops.Similarity.ivfAssign(emb, cents).localCheckpoint()
+    val empty = index.limit(0)
+    val e1 = intercept[IllegalArgumentException](
+      ops.Similarity.hottestCell(empty))
+    assert(e1.getMessage.contains("empty index"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      ops.Similarity.quantScore(emb.limit(0), cents))
+    assert(e2.getMessage.contains("empty corpus"), e2.getMessage)
+    for (bad <- Seq(0.0, -0.3, Double.NaN)) {
+      val e = intercept[IllegalArgumentException](
+        ops.Similarity.ivfHealth(index, cents, bad))
+      assert(e.getMessage.contains("trainedScore"), e.getMessage)
+    }
+    // IVFADC split with an embeddings frame that lost half the hot cell
+    val cbs = ops.Similarity.pqCodebooks(emb)
+    val pqIndex = ops.Similarity.ivfPqIndex(emb, cents, cbs).localCheckpoint()
+    val hc = ops.Similarity.hottestCell(pqIndex)
+    val holey = emb.filter(col("vec_id") % 2 === 0)
+    val e3 = intercept[IllegalArgumentException](
+      ops.Similarity.ivfPqSplit(pqIndex, holey, cents, hc))
+    assert(e3.getMessage.contains("cover"), e3.getMessage)
+    // and full coverage still splits fine (the guard is not over-eager)
+    val (okIdx, okCents) = ops.Similarity.ivfPqSplit(pqIndex, emb, cents, hc)
+    assert(okCents.length === cents.length + 1 ||
+      okIdx.count() === pqIndex.count(),
+      "coverage guard broke the covered-split path")
+  }
+
   test("split chain under a growing hot stream: imbalance stabilizes each wave, recall near final-k retrain") {
     // the operational auto-repair loop: a biased source keeps flooding
     // one region across ingest waves; after each append, while health

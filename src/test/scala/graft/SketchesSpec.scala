@@ -299,4 +299,29 @@ class SketchesSpec extends SparkSpec {
     assert(got === Map(-2L -> 1L, -1L -> 1L, 0L -> 1L, 15L -> 1L,
       16L -> 1L))
   }
+
+  test("hllRegistersOf stays accurate on short decimal-string ids past the linear-counting regime") {
+    // the BoilerFold tripwire's id population is doc_id CAST TO STRING —
+    // short decimal keys, exactly the arithmetic-progression PolyHash
+    // orbit that under-estimated ~2x UN-mixed once distinct ids left the
+    // m=64 linear-counting regime (~160 ids). hllRegistersOf now routes
+    // through mix31; the 1.5x re-ingest gate needs est within (n/1.5,
+    // 1.5n) on a contract-abiding stream — gate well inside that margin
+    // at several cardinalities spanning the raw regime, including the
+    // dense-sequential and the sparse-stride id shapes.
+    import spark.implicits._
+    for ((ids, tag) <- Seq(
+        ((0L until 1000L), "dense 0..999"),
+        ((0L until 5000L), "dense 0..4999"),
+        ((0L until 1000L).map(_ * 7L + 3L), "stride-7"))) {
+      val regs = ops.Sketches.hllRegistersOf(
+          ids.toDF("doc_id"), "doc_id")
+        .select("register").as[Int].collect().toSeq
+      val est = ops.Sketches.estimate(regs)
+      val n = ids.size.toDouble
+      assert(est > n / 1.4 && est < n * 1.4,
+        s"$tag: mixed HLL estimate $est vs true $n breaches the " +
+          "tripwire's 1.5x gate margin")
+    }
+  }
 }

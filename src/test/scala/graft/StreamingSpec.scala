@@ -1424,6 +1424,55 @@ class StreamingSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("boiler fold restored from a pre-upgrade stateDir backfill-disables the tripwire, re-arms on restart") {
+    import spark.implicits._
+    // pre-upgrade state: the dfs dir is populated but the '-docsum'/
+    // '-dochll' companion dirs don't exist. Restoring must not compare
+    // a post-upgrade partial sum against a partial HLL (quiet but
+    // meaningless) — the tripwire disables itself for that run, then a
+    // restart (companions now committed from the same point) re-arms it
+    def doc(id: Long, tmpl: String, uniq: String): StreamingSpec.BDoc =
+      StreamingSpec.BDoc(id, "s",
+        ((1 to ops.Curation.ChunkLen).map(i => s"$tmpl$i") ++
+          (1 to ops.Curation.ChunkLen).map(i => s"$uniq-$i")).mkString(" "),
+        ts(id))
+    val index = ops.Curation.boilerChunksOf(
+      Seq(doc(1, "t1x", "u1"), doc(2, "t1x", "u2"), doc(3, "t1x", "u3"))
+        .toDF()).cache()
+    try {
+      val k = 4
+      def b(ids: Long*) = ids.map(i => doc(i, "t2y", s"u$i")).toDF()
+      val dir = java.nio.file.Files.createTempDirectory("boilmigr").toString
+      val f1 = new Streams.BoilerFold(index, _ => (), Some(dir), Some(k))
+      f1.step(b(10L, 11L), 0L)
+      assert(!f1.tripwireDisabled,
+        "a fresh (no prior state) durable fold must arm the tripwire")
+      // simulate the pre-upgrade layout: drop the companion dirs only
+      for (suffix <- Seq("-docsum", "-dochll")) {
+        val p = new org.apache.hadoop.fs.Path(dir + suffix)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      val f2 = new Streams.BoilerFold(index, _ => (), Some(dir), Some(k))
+      f2.step(b(12L, 13L), 1L)
+      assert(f2.tripwireDisabled,
+        "restore over a populated dfs dir with missing companions " +
+          "must disable the tripwire")
+      // even a gross re-ingest stays quiet this run — the honest answer
+      // for an unobserved prefix, never a page on partial evidence
+      f2.step(b(12L, 13L), 2L)
+      f2.step(b(12L, 13L), 3L)
+      assert(!f2.docReingestSuspected,
+        "backfill-disabled tripwire paged on partial post-upgrade state")
+      // restart: all three dirs now have committed state from the same
+      // suffix — the tripwire re-arms and catches a fresh violation
+      val f3 = new Streams.BoilerFold(index, _ => (), Some(dir), Some(k))
+      f3.step(b(14L, 15L), 4L)
+      assert(!f3.tripwireDisabled,
+        "tripwire failed to re-arm once companion state exists")
+    } finally index.unpersist()
+  }
+
   test("boiler fold doc re-ingest tripwire: quiet under the contract, trips on gross re-ingest") {
     import spark.implicits._
     def doc(id: Long, tmpl: String, uniq: String): StreamingSpec.BDoc =
@@ -1516,6 +1565,66 @@ class StreamingSpec extends SparkSpec {
       s"retention kept $wins, expected the 2 newest of $allWins")
     out2.groupBy("window_us").count().collect().foreach(r =>
       assert(r.getLong(1) <= k))
+  }
+
+  test("hot-terms fold restart drill: durable state survives a mid-stream cut, MG guarantees hold across it") {
+    import spark.implicits._
+    // the retrain-swap drill class applied to the hot-terms plane: kill
+    // the fold mid-stream at an arbitrary trigger boundary, restore from
+    // the durable stateDir, keep folding — the final grid must equal an
+    // uninterrupted fold row-for-row (MG compaction is deterministic:
+    // rank with key tie-breaks, fixed cut), a replay straddling the cut
+    // must be absorbed, and the per-window MG envelope (est ≤ true,
+    // every heavy token present, ≤ k counters) must hold on the restored
+    // state as if no restart happened
+    val docs = Seq(
+      StreamingSpec.Doc(1, "spark spark spark flink alpha", ts(1)),
+      StreamingSpec.Doc(2, "spark flink beta gamma", ts(30)),
+      StreamingSpec.Doc(3, "spark delta epsilon", ts(50)),
+      StreamingSpec.Doc(4, "iceberg iceberg hudi", ts(70)),
+      StreamingSpec.Doc(5, "iceberg delta hudi zeta", ts(100)),
+      StreamingSpec.Doc(6, "kafka kafka pulsar spark spark", ts(130)))
+    val parts = docs.grouped(2).toSeq.map(_.toDS().toDF())
+    val k = 3
+    val dir = java.nio.file.Files.createTempDirectory("hotterms").toString
+    var out: DataFrame = null
+    val f1 = Streams.hotTermsFold(k, f => out = f.localCheckpoint(), Some(dir))
+    f1.step(parts(0), 0L)
+    f1.step(parts(1), 1L)
+    // mid-stream cut: a fresh fold restores from the committed state
+    val f2 = Streams.hotTermsFold(k, f => out = f.localCheckpoint(), Some(dir))
+    f2.step(parts(1), 1L) // replay ACROSS the restart: must be absorbed
+    f2.step(parts(2), 2L)
+    // uninterrupted reference (same k, no durability)
+    var ref: DataFrame = null
+    val r = Streams.hotTermsFold(k, f => ref = f.localCheckpoint())
+    parts.zipWithIndex.foreach { case (p, i) => r.step(p, i.toLong) }
+    assert(out.except(ref).count() === 0 && ref.except(out).count() === 0,
+      "restarted hot-terms fold diverged from the uninterrupted fold")
+    // the per-window guarantee on the RESTORED state, vs exact counts
+    val exact = docs.toDS().toDF()
+      .select(col("ingest_ts"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("window_us"),
+        col("tok"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val nW = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.foreach { case (key, est) =>
+      assert(est <= exact(key),
+        s"post-restart estimate $est exceeds true ${exact(key)} for $key")
+    }
+    exact.foreach { case ((w, t), c) =>
+      if (c * (k + 1) > nW(w))
+        assert(got.contains((w, t)),
+          s"heavy token $t (count $c of ${nW(w)}) lost across the restart")
+    }
+    out.groupBy("window_us").count().collect().foreach(r =>
+      assert(r.getLong(1) <= k,
+        s"window ${r.getLong(0)} exceeded k=$k counters after restart"))
   }
 
   test("cms fold window retention caps state at the newest windows, cells intact") {
