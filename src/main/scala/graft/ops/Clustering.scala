@@ -366,6 +366,37 @@ object Clustering {
       embedDriftAlerts(embedDriftBatchReport(s, dir))
     },
 
+    // DRIFT-TTL TOMBSTONES — the alert → retirement composition as a
+    // declared relation: the before-era vec_ids whose frozen-axis bucket
+    // is a PAGED (q_drift_alerts) bucket, i.e. exactly the rows
+    // [[driftRetireTombstones]] routes into Similarity.retireVecs on the
+    // persisted IVF/IVFADC indexes (retire stale rows of regions whose
+    // distribution shifted instead of retraining over them —
+    // ClusteringSpec gates retire ≡ frozen-model rebuild of the
+    // survivors end-to-end on both index layouts). Plan shape: the
+    // shared two-pass PCA model, ONE narrow zero-join scoring scan of
+    // the era, then a broadcast left-semi join against the bounded
+    // ≤(EdBuckets+overflow)-row alert frame — the corpus never shuffles.
+    // Oracle: same bucket CASE over the scored before era (ed_b), alert
+    // set derived from the shared report SELECT.
+    Q("q_drift_tombstones",
+      s"""$edScriptSql
+         |SELECT b.vec_id
+         |FROM ed_b b, ed_g g
+         |WHERE (CASE WHEN ((b.pc1 - g.lo) * $EdBuckets) % g.width < 0
+         |       THEN ((b.pc1 - g.lo) * $EdBuckets) // g.width - 1
+         |       ELSE ((b.pc1 - g.lo) * $EdBuckets) // g.width END) IN (
+         |  SELECT bucket_idx FROM ($edSelectSql) r
+         |  WHERE drifted AND (share_before_ppm >= $MinAlertPpm
+         |     OR share_after_ppm >= $MinAlertPpm))
+         |ORDER BY b.vec_id""".stripMargin) { (s, dir) =>
+      val (before, after, lo, width) = embedDriftBatchParts(s, dir)
+      val report = embedDriftReport(pcScoreHist(before, lo, width),
+        pcScoreHist(after, lo, width))
+      driftRetireTombstones(before, embedDriftAlerts(report), lo, width)
+        .orderBy("vec_id")
+    },
+
     // TOP-K PCA BASIS — repeated deflation to PcK = 4 components, every
     // direction exactly the converged max-norm power iterate of the
     // successively deflated covariance (the q_pca_deflate mechanism
@@ -549,12 +580,15 @@ object Clustering {
        |FROM ed_hb hb FULL OUTER JOIN ed_ha ha USING (bucket_idx), ed_g g"""
       .stripMargin
 
-  /** The q_embed_drift batch pipeline (documented drift injection, grid
-    * frozen from the before era) — shared by the report query and the
-    * alert composition.
+  /** The q_embed_drift batch fixture's SCORED ERAS and frozen grid —
+    * (before, after, lo, width): the documented drift injection on the
+    * after era, the grid frozen from the before era only. Shared by the
+    * report query, the alert composition, and the tombstone TTL query
+    * (which needs the scored before era and the grid, not just the
+    * bucket report).
     */
-  private[graft] def embedDriftBatchReport(s: SparkSession,
-      dir: String): DataFrame = {
+  private[graft] def embedDriftBatchParts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, Long, Long) = {
     val emb = Tables(s, dir, "embeddings")
     val (mu, cov) = pcaModel(vmOf(emb))
     val v1 = pcaTrajectory(cov).last
@@ -568,7 +602,16 @@ object Clustering {
     val g = before.agg(min("pc1"), max("pc1")).head()
     require(!g.isNullAt(0),
       "q_embed_drift: empty before era — no drift baseline to freeze")
-    val (lo, width) = (g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+    (before, after, g.getLong(0), g.getLong(1) - g.getLong(0) + 1)
+  }
+
+  /** The q_embed_drift batch pipeline (documented drift injection, grid
+    * frozen from the before era) — shared by the report query and the
+    * alert composition.
+    */
+  private[graft] def embedDriftBatchReport(s: SparkSession,
+      dir: String): DataFrame = {
+    val (before, after, lo, width) = embedDriftBatchParts(s, dir)
     embedDriftReport(pcScoreHist(before, lo, width),
       pcScoreHist(after, lo, width))
   }
@@ -667,15 +710,32 @@ object Clustering {
     * inherent to covariance (every implementation pays it), and a typed
     * Array[Long](Dim²)-buffer Aggregator is the documented escape hatch
     * if the fan-out's row overhead ever dominates.
+    *
+    * WIDE-DIMENSION POSTURE (dim ≫ 64): the kernel is dim-parametric
+    * ([[pcaModelOf]]); ScaleProbe measures it at dim = 512 (the wire
+    * stays O(partitions · dim²) via map-side collapse, the driver matrix
+    * 512² longs = 2 MB — still bounded model state), and SCALING.md
+    * records the row. For 768–4096-dim production embeddings the SHIPPED
+    * route is the q_rand_proj pre-step: random-project to ProjDim first,
+    * then run this machinery on the narrow frame — covariance cost is
+    * quadratic in width, so projecting before the Dim² fan-out is the
+    * scale lever, not a wider fan-out.
     */
-  private[graft] def pcaModel(vmIn: DataFrame): (Array[Long], Array[Array[Long]]) = {
+  private[graft] def pcaModel(vmIn: DataFrame): (Array[Long], Array[Array[Long]]) =
+    pcaModelOf(vmIn, Dim)
+
+  /** [[pcaModel]] over an explicit width — identical arithmetic; the
+    * ScaleProbe wide-dimension entry point.
+    */
+  private[graft] def pcaModelOf(vmIn: DataFrame,
+      dim: Int): (Array[Long], Array[Array[Long]]) = {
     val vm = vmIn.localCheckpoint() // snap once; both aggregates reuse it
-    val sums = (0 until Dim).map(i => sum(col("vm")(i)).as(s"s$i"))
+    val sums = (0 until dim).map(i => sum(col("vm")(i)).as(s"s$i"))
     val srow = vm.agg(count(lit(1)).as("n"), sums: _*).head()
     val n = srow.getLong(0)
     // JVM Long `/` truncates toward zero — identical to Spark `div` and
     // DuckDB `//` on either sign (the kmeans update rule)
-    val mu = Array.tabulate(Dim)(i => srow.getLong(1 + i) / n)
+    val mu = Array.tabulate(dim)(i => srow.getLong(1 + i) / n)
     val centered = vm.select(
       expr(s"zip_with(vm, array(${mu.mkString(",")}L), (x, m) -> x - m)")
         .as("dv"))
@@ -686,7 +746,7 @@ object Clustering {
       .agg(sum(col("dj") * col("dk")).as("sdd"))
       .select(col("j"), col("k"), expr(s"sdd div $PcCScale").as("c"))
       .collect()
-    val m = Array.ofDim[Long](Dim, Dim)
+    val m = Array.ofDim[Long](dim, dim)
     cov.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     (mu, m)
   }

@@ -128,30 +128,16 @@ object Shards {
     // shard id in a (−w, s) struct min. Scale: a narrow per-row argmax
     // over N literal weight expressions — zero shuffle; N is fleet size,
     // not data.
-    Q("q_rendezvous_shards", {
-      def wSql(s: Int) = // shard·A precomputed: s·A overflows INT32 inline
-        s"(((((doc_id % $H) * $B + (doc_id // $H) * $A + ${s.toLong * A}" +
-          s" + $C3) % $M) * $A + $B) % $M)"
-      def argmaxCte(name: String, n: Int) =
-        s"""$name AS (
-           |  SELECT doc_id, s FROM (
-           |    SELECT doc_id, CAST(t.s AS BIGINT) AS s,
-           |           row_number() OVER (PARTITION BY doc_id
-           |             ORDER BY CASE ${(0 until n).map(i =>
-                  s"WHEN t.s = $i THEN ${wSql(i)}").mkString(" ")} END DESC,
-           |             t.s) AS rn
-           |    FROM documents, range(0, $n) t(s))
-           |  WHERE rn = 1)""".stripMargin
-      s"""WITH ${argmaxCte("a8", NShards)},
-         |${argmaxCte("a7", NShards - 1)},
-         |${argmaxCte("a9", NShards + 1)}
+    Q("q_rendezvous_shards",
+      s"""WITH ${hrwArgmaxCte("a8", NShards)},
+         |${hrwArgmaxCte("a7", NShards - 1)},
+         |${hrwArgmaxCte("a9", NShards + 1)}
          |SELECT a8.doc_id, a8.s AS shard_full, a7.s AS shard_drained,
          |       (a8.s <> a7.s) AS moved,
          |       a9.s AS shard_grown, (a8.s <> a9.s) AS moved_up
          |FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id
          |        JOIN a9 ON a9.doc_id = a8.doc_id
-         |ORDER BY a8.doc_id""".stripMargin
-    }) { (s, dir) =>
+         |ORDER BY a8.doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
           hrwShard(col("doc_id"), NShards).as("shard_full"),
           hrwShard(col("doc_id"), NShards - 1).as("shard_drained"))
@@ -159,8 +145,55 @@ object Shards {
         .withColumn("shard_grown", hrwShard(col("doc_id"), NShards + 1))
         .withColumn("moved_up", col("shard_full") =!= col("shard_grown"))
         .orderBy("doc_id")
+    },
+
+    // ELASTIC SCALE-OUT DELTA — [[shardScaleOutArrivals]] as a declared
+    // relation: the exact row set a rendezvous-sharded persisted index
+    // ships to the NEW shard when the fleet grows N → N+1. By the HRW
+    // grown-winner theorem (gated in QueriesSpec over q_rendezvous_shards'
+    // output, and proven against the explicit old≠new comparison on a
+    // real IVF index in ShardsSpec), this is ONE narrow argmax filter —
+    // grown-fleet winner = the new shard id — over the index frame: the
+    // old assignment is never recomputed, every surviving shard's files
+    // stay byte-identical (ShardsSpec size+mtime snapshot), and the
+    // payload (here `lang`; in the vector plane cells/codes/band keys)
+    // rides along untouched. ≈ 1/(N+1) of rows move — ScaleProbe measured
+    // the delta write at 1.3 s vs 2.75 s for a full re-shard at ×50.
+    // Zero shuffle: a per-row argmax over N+1 weight literals + filter.
+    Q("q_shard_scaleout_delta",
+      s"""WITH ${hrwArgmaxCte("a9", NShards + 1)}
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN a9 ON a9.doc_id = d.doc_id
+         |WHERE a9.s = $NShards
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      shardScaleOutArrivals(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", NShards)
+        .orderBy("doc_id")
     }
   )
+
+  /** The [[hrwWeight]] formula in DuckDB SQL — shard·A precomputed
+    * (s·A overflows INT32 inline).
+    */
+  private def hrwWeightSql(s: Int): String =
+    s"(((((doc_id % $H) * $B + (doc_id // $H) * $A + ${s.toLong * A}" +
+      s" + $C3) % $M) * $A + $B) % $M)"
+
+  /** A DuckDB CTE computing the HRW argmax over `n` shards per document
+    * (ties to the lowest shard id) — shared by q_rendezvous_shards and
+    * q_shard_scaleout_delta.
+    */
+  private def hrwArgmaxCte(name: String, n: Int): String =
+    s"""$name AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT doc_id, CAST(t.s AS BIGINT) AS s,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY CASE ${(0 until n).map(i =>
+              s"WHEN t.s = $i THEN ${hrwWeightSql(i)}").mkString(" ")} END DESC,
+       |             t.s) AS rn
+       |    FROM documents, range(0, $n) t(s))
+       |  WHERE rn = 1)""".stripMargin
 
   /** HRW argmax over `n` shards: the shard whose weight wins for `id`
     * (ties to the lowest shard id via the (−w, s) struct min) — a narrow

@@ -814,6 +814,31 @@ object TextOps {
         .orderBy(desc("est"), col("word"))
     },
 
+    // HOT TERMS PER WINDOW — the bounded windowed Misra–Gries fold
+    // (graft.streaming.Streams.hotTermsFold: one ≤k-counter MG summary
+    // per tumbling 1-hour window on the durable GridFold protocol,
+    // composed state ≤ maxWindows × k rows forever) driven here as a
+    // deterministic batch simulation: ingest_ts synthesized from doc_id
+    // (one doc per minute over a 3-hour clock), four arrival-order
+    // batches folded through the REAL streaming kernel, final state
+    // emitted. Rows-only (⊘) like q_heavy_hitters: which below-threshold
+    // stragglers survive depends on where the batch cuts fall; the
+    // formal MG envelope per window — every estimate ≤ its true count,
+    // every token with true count > n_w/(k+1) present, ≤ k counters per
+    // window — is gated against exact per-window counts in StreamingSpec
+    // (including retention, replay, and restart-mid-stream drills).
+    Q.noOracle("q_hot_terms") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds((col("doc_id") % 180) * 60).as("ingest_ts"))
+      var out: DataFrame = null
+      val fold = graft.streaming.Streams.hotTermsFold(
+        8, f => out = f.localCheckpoint())
+      (0 until 4).foreach(i =>
+        fold.step(docs.filter(col("doc_id") % 4 === i), i.toLong))
+      out.orderBy(col("window_us"), desc("cnt"), col("tok"))
+    },
+
     // Count–Min sketch point frequencies (functions/CountMin.scala) —
     // built HERE through the declarative twin (explode rows 0..3 →
     // groupBy (row, bucket) count: a fixed 4×256-cell aggregate with

@@ -334,6 +334,53 @@ class ClusteringSpec extends SparkSpec {
       "alert-routed IVFADC retire diverged from the frozen-model rebuild")
   }
 
+  test("drift alerts route into the TEXT-plane retirements: retire equals rebuild on the cluster and chunk faces") {
+    // the vector-plane TTL (previous test) composed with the OTHER two
+    // persisted-index families: a paged embedding-plane signal marks
+    // stale regions; the before-era rows' ids become doc tombstones
+    // (vec_id ≡ doc_id — the embeddings table is the documents' vector
+    // column), which route into the MinHash near-dup cluster index
+    // (Dedup.retireFrom — member-list surgery, no re-hash) and the CDC
+    // chunk index (Dedup.chunkRetire — per-occurrence anti-join). Each
+    // face's retire ≡ rebuild-on-survivors theorem must carry through
+    // the composed path, exactly as it did for retireVecs.
+    val docs = Tables.documents(spark, sfDir)
+    val (before, after, lo, width) =
+      ops.Clustering.embedDriftBatchParts(spark, sfDir)
+    val rep = ops.Clustering.embedDriftReport(
+      ops.Clustering.pcScoreHist(before, lo, width),
+      ops.Clustering.pcScoreHist(after, lo, width))
+    val alerts = ops.Clustering.embedDriftAlerts(rep).localCheckpoint()
+    assert(alerts.count() > 0, "fixture must page")
+    val tomb = ops.Clustering.driftRetireTombstones(before, alerts, lo, width)
+      .withColumnRenamed("vec_id", "doc_id").localCheckpoint()
+    val nTomb = tomb.count()
+    assert(nTomb > 0, "no before-era rows sit in paged buckets")
+    assert(nTomb < docs.count(), "TTL retired the whole corpus — no selectivity")
+    val survivors = docs.join(tomb, Seq("doc_id"), "left_anti")
+    // MinHash near-dup cluster face: canonical compare (member lists
+    // sorted, rows as a set — collect order is nondeterministic)
+    def canon(cf: org.apache.spark.sql.DataFrame) = cf
+      .select(col("cid"), sort_array(col("ms")).as("ms"),
+        col("th"), col("sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getSeq[Long](3)))
+      .toSet
+    val gotCluster = canon(
+      ops.Dedup.retireFrom(ops.Dedup.clusterFrameOf(docs), tomb))
+    val wantCluster = canon(ops.Dedup.clusterFrameOf(survivors))
+    assert(gotCluster === wantCluster,
+      "alert-routed cluster retire diverged from the rebuild on survivors")
+    // CDC chunk face: row-exact
+    val chunkIdx = ops.Dedup.chunkFrame(docs)
+    val retiredChunks = ops.Dedup.chunkRetire(chunkIdx, tomb)
+    val rebuiltChunks = ops.Dedup.chunkFrame(survivors)
+    assert(retiredChunks.except(rebuiltChunks).count() === 0 &&
+      rebuiltChunks.except(retiredChunks).count() === 0,
+      "alert-routed chunk retire diverged from the rebuild on survivors")
+  }
+
   test("needsRebuild closes the loop: retrain + swap restores quantizer fit without serving regression") {
     // the full monitoring → action drill: a biased new source shifts
     // vectors along the dominant axis; the drift monitor (frozen model +

@@ -221,6 +221,11 @@ class PlanShapeSpec extends SparkSpec {
       // the same two single-row era totals: q_drift_alerts is
       // q_embed_drift's report behind one filter on the bounded grid
       "q_drift_alerts",
+      // the era totals again PLUS the left-semi broadcast of the alert
+      // frame — bounded by the EdBuckets constant (≤ 16 + overflow
+      // rows), never by data: the tombstone scan is one narrow semi-join
+      // of the scored era against that constant-sized frame
+      "q_drift_tombstones",
       // the hinted side is the single-row weight total Σw over the
       // |sources|-bounded frame — the q_domain_mix_temp class
       "q_epoch_schedule",
@@ -385,6 +390,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj <= 2, s"drift alerts grew $bnlj nested-loop joins:\n${p.take(2000)}")
     val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
     assert(n <= 7, s"drift alerts exchange count grew to $n:\n${p.take(2000)}")
+  }
+
+  test("drift tombstones: the TTL scan is one broadcast semi-join — no corpus exchange added") {
+    // q_drift_tombstones = the scored before era semi-joined against the
+    // constant-bounded alert frame. The era side must reach the semi-join
+    // as a narrow literal-array projection with NO exchange of its own
+    // (the alert side broadcasts); everything else is the q_drift_alerts
+    // plan class plus the one presentation sort.
+    val p = plan("q_drift_tombstones")
+    assert(!p.contains("CartesianProduct"),
+      s"drift tombstones grew an unbounded join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"the TTL scan lost its broadcast semi-join shape:\n${p.take(2000)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"drift tombstones grew $bnlj nested-loop joins:\n${p.take(2000)}")
+    // the alert-report subtree's exchanges (bucket-sized, ≤7 as locked
+    // above) + the presentation sort; the semi-join itself adds only a
+    // broadcast exchange, which the regex excludes
+    val n = "(?<!Reused)(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n <= 8, s"drift tombstones exchange count grew to $n:\n${p.take(2000)}")
   }
 
   test("char entropy computes narrowly — only the presentation sort exchanges") {

@@ -117,6 +117,24 @@ class ShardsSpec extends SparkSpec {
       "tombstone read path diverged from the re-sharded index")
   }
 
+  test("q_shard_scaleout_delta equals the rendezvous theorem's moved_up rows") {
+    // the declared delta query must select EXACTLY the documents
+    // q_rendezvous_shards marks moved_up (grown winner = new shard) —
+    // the one-filter delta and the explicit old≠new comparison are the
+    // same set, on the real documents table the oracle sees
+    val delta = SparkEntry.queries("q_shard_scaleout_delta")(spark, sfDir)
+      .select("doc_id")
+    val movedUp = SparkEntry.queries("q_rendezvous_shards")(spark, sfDir)
+      .filter(col("moved_up")).select("doc_id")
+    assert(delta.except(movedUp).count() === 0 &&
+      movedUp.except(delta).count() === 0,
+      "delta query diverged from the rendezvous moved_up set")
+    // and it is the expected ≈ 1/(N+1) fraction — nonempty, not the corpus
+    val (nd, nAll) = (delta.count(), docs.count())
+    assert(nd > 0 && nd < nAll / 4,
+      s"delta selectivity off: $nd of $nAll moved for N=$NShards -> ${NShards + 1}")
+  }
+
   test("assignment is a total, balanced, deterministic scatter") {
     val a = shardAssign(docs, NShards).cache()
     try {
