@@ -994,6 +994,42 @@ object ScaleProbe {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+
+    // Wide-dimension PCA probe (independent of m): real embedding columns
+    // are 768–4096-dim, not the fixture's 64 — does the covariance
+    // kernel's posture survive width? The per-row fan-out is dim²
+    // (0.26M terms/row at 512), so the claims to MEASURE are (a) the
+    // WIRE stays O(partitions · dim²) — map-side partial aggregation
+    // collapses the N·dim² generated rows before the exchange; (b) the
+    // driver matrix stays bounded (dim² longs: 2 MB at 512); (c) wall
+    // scales ~quadratically in width (inherent to covariance — which is
+    // exactly why the SHIPPED route for ≫512-dim inputs is the
+    // q_rand_proj JL pre-step measured above: project to ProjDim FIRST,
+    // then pay dim² only on the narrow frame).
+    {
+      val listener = new QueryMetricsListener
+      spark.sparkContext.addSparkListener(listener)
+      val nVec = 5000L
+      def vmWide(dim: Int): DataFrame =
+        spark.range(nVec).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), " +
+            "i -> CAST((id * 37 + i * 101) % 2000 - 1000 AS LONG))").as("vm"))
+      for (dim <- Seq(64, 512)) {
+        val label = s"pca_cov_dim$dim"
+        val t0 = System.nanoTime()
+        val (mu, cov) = Metrics.observe(spark, label)(
+          graft.ops.Clustering.pcaModelOf(vmWide(dim), dim))
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.GraftSparkBridge.waitListenerBus(spark.sparkContext, 10000)
+        val st = listener.snapshot(label)
+        val driverBytes = cov.length.toLong * cov.length * 8
+        println(f"[scale] pca_wide dim=$dim%-4d wall $wall%6.2f s  " +
+          f"shuffle-write ${st.shuffleWriteBytes.sum() / 1024}%8d KiB " +
+          f"(naive N·dim² = ${nVec * dim * dim / 1000000}%d M terms)  " +
+          f"driver matrix ${driverBytes / 1024}%d KiB  mu(${mu.length})")
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
     spark.stop()
   }
 }
