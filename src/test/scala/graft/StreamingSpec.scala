@@ -1758,6 +1758,24 @@ class StreamingSpec extends SparkSpec {
     assert(ops.Similarity.quantScore(grown, swapped.get) >
       ops.Similarity.quantScore(grown, cents),
       "mid-stream retrain did not improve quantizer fit")
+    // SERVING CONTINUITY across the swap boundary: the quantizer the
+    // LIVE page actually installed (trained mid-stream on base + only
+    // the era fed so far — not the full grown corpus the batch drill
+    // trains on) must serve the final grown corpus within the same
+    // 0.05-recall gate of staying on the stale index. This is the leg
+    // the batch drill can't test: the swap decision point saw PARTIAL
+    // drift, and serving must not regress for having acted early.
+    def recallOf(ann: DataFrame, bf: DataFrame): Double =
+      ann.select("p_id", "c_id").join(bf.select("p_id", "c_id"),
+        Seq("p_id", "c_id"), "left_semi").count().toDouble /
+        bf.count().toDouble
+    val bf = ops.Similarity.cosineTopKFrom(grown)
+    val rStale = recallOf(ops.Similarity.annIvfTopKIndexed(
+      ops.Similarity.ivfAssign(grown, cents), cents), bf)
+    val rSwap = recallOf(ops.Similarity.annIvfTopKIndexed(
+      ops.Similarity.ivfAssign(grown, swapped.get), swapped.get), bf)
+    assert(rSwap >= rStale - 0.05,
+      s"the mid-stream swap regressed serving: stale $rStale -> swapped $rSwap")
   }
 
   test("drift alert stream: noise-floored pages equal the batch kernel; health closes the rebuild loop") {
