@@ -586,6 +586,42 @@ object ScaleProbe {
         }
         index.unpersist()
       }
+      // hot-terms fold under a growing VOCABULARY (round-15, the newly
+      // declared ⊘q_hot_terms kernel): replicas suffix every token with
+      // a replica-unique tag, so the exact per-(window, token) counting
+      // state grows ∝ m while the Misra–Gries-compacted fold state must
+      // stay ≤ windows × k whatever the vocabulary — the BoilerFold
+      // exact-vs-sketched state measurement on the streaming hot-terms
+      // surface. The timed wall is the three-trigger fold only; it must
+      // track the per-trigger scan, not the vocabulary.
+      locally {
+        val docsM = (0 until m).map(i =>
+          Tables.documents(spark, sfDir).select(
+            (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              t => concat(t, lit(s"_r$i"))), " ").as("text")))
+          .reduce(_.unionByName(_))
+          .withColumn("ingest_ts",
+            timestamp_seconds((col("doc_id") % 180) * 60))
+        val k = 64
+        var out: DataFrame = null
+        if (only("hotterms_fold_grown")) {
+          timed("hotterms_fold_grown") {
+            val fold = graft.streaming.Streams.hotTermsFold(
+              k, f => out = f.localCheckpoint())
+            (0 until 3).foreach(i =>
+              fold.step(docsM.filter(col("doc_id") % 3 === i), i.toLong))
+            out.count()
+          }
+          val sketchRows = out.count()
+          val exactRows = docsM
+            .select(col("ingest_ts"), explode(split(col("text"), " ")).as("tok"))
+            .select(window(col("ingest_ts"), "1 hour")("start").as("w"), col("tok"))
+            .distinct().count()
+          println(f"[scale] hotterms state x$m%-3d sketched $sketchRows%6d rows " +
+            f"(<= windows x k=$k) vs exact vocab-keyed $exactRows%8d")
+        }
+      }
       // round-12 late probes
       // boilerplate strip at m× corpus. Chunking is positional (ChunkLen
       // tokens), so VERBATIM replication would push EVERY chunk's df to m
