@@ -605,15 +605,16 @@ object ScaleProbe {
             timestamp_seconds((col("doc_id") % 180) * 60))
         val k = 64
         var out: DataFrame = null
+        var sketchRows = 0L
         if (only("hotterms_fold_grown")) {
           timed("hotterms_fold_grown") {
             val fold = graft.streaming.Streams.hotTermsFold(
               k, f => out = f.localCheckpoint())
             (0 until 3).foreach(i =>
               fold.step(docsM.filter(col("doc_id") % 3 === i), i.toLong))
-            out.count()
+            sketchRows = out.count()
+            sketchRows
           }
-          val sketchRows = out.count()
           val exactRows = docsM
             .select(col("ingest_ts"), explode(split(col("text"), " ")).as("tok"))
             .select(window(col("ingest_ts"), "1 hour")("start").as("w"), col("tok"))

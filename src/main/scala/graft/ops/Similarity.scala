@@ -1251,10 +1251,14 @@ object Similarity {
     * run per append batch.
     */
   private[graft] def pqQuantScore(emb: DataFrame,
-      cbs: Array[Array[Array[Double]]]): Double =
-    withNorm(emb).select(col("embedding").as("pv"), col("nrm").as("pn"),
+      cbs: Array[Array[Array[Double]]]): Double = {
+    val r = withNorm(emb).select(col("embedding").as("pv"), col("nrm").as("pn"),
       pqCodesCol(cbs).as("codes"))
-      .select(avg(adcApprox(cbs)).as("q")).head.getDouble(0)
+      .select(avg(adcApprox(cbs)).as("q")).head
+    require(!r.isNullAt(0),
+      "pqQuantScore: empty corpus — no reconstruction fit to measure")
+    r.getDouble(0)
+  }
 
   final case class IvfPqHealth(ivf: IvfHealth, codebookDrift: Double) {
     /** Retrain when EITHER quantizer no longer fits: the coarse cells
@@ -1273,6 +1277,11 @@ object Similarity {
   private[graft] def ivfPqHealth(emb: DataFrame, index: DataFrame,
       cents: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
       trainedIvfScore: Double, trainedPqScore: Double): IvfPqHealth = {
+    // same guard as ivfHealth: a zero/NaN trained score makes
+    // staleness/drift NaN, and NaN compares silently un-trip needsRebuild
+    require(trainedIvfScore > 0 && trainedPqScore > 0,
+      s"ivfPqHealth: trained scores must be positive quantScores, got " +
+        s"ivf=$trainedIvfScore pq=$trainedPqScore")
     val staleness = 1.0 - quantScore(emb, cents) / trainedIvfScore
     val counts = index.groupBy("cell").count().select("count")
       .collect().map(_.getLong(0))

@@ -1434,6 +1434,20 @@ object Streams {
     * (factor 1.5 gate). Per-doc accidental duplicates below that stay
     * invisible — this is a contract tripwire, not an exact audit.
     */
+  /** Companion state-dir suffixes for [[BoilerFold]]'s tripwire folds.
+    * The HLL suffix is VERSIONED: it names the register SCHEME, not just
+    * the fold — hllRegistersOf moved from raw rankCol (cap 25) to
+    * mix31/mixRankCol (cap 26) registers, and max-merging registers from
+    * two schemes would quietly inflate the estimate (~2×, disarming the
+    * 1.5× re-ingest gate). A scheme change bumps the suffix, so an
+    * old-scheme state restores as ABSENT and the pre-upgrade migration
+    * path (populated dfs + missing companion → tripwire
+    * backfill-disables, re-arms next restart) handles it instead of a
+    * silent cross-scheme merge. The orphaned old dir is inert.
+    */
+  private[graft] val DocSumSuffix = "-docsum"
+  private[graft] val DocHllSuffix = "-dochll-mix31"
+
   private[graft] final class BoilerFold(index: DataFrame,
       write: DataFrame => Unit, stateDir: Option[String] = None,
       sketchK: Option[Int] = None) {
@@ -1444,11 +1458,11 @@ object Streams {
     private val docSum = new GridFold(Seq("k"), "n", maxMerge = false,
       b => b.agg(countDistinct("doc_id").as("n"))
         .select(lit(0).as("k"), col("n")),
-      _ => (), stateDir.map(_ + "-docsum"))
+      _ => (), stateDir.map(_ + DocSumSuffix))
     private val docHll = new GridFold(Seq("bucket"), "register",
       maxMerge = true,
       b => graft.ops.Sketches.hllRegistersOf(b, "doc_id"), _ => (),
-      stateDir.map(_ + "-dochll"))
+      stateDir.map(_ + DocHllSuffix))
 
     /** True when this fold restored a PRE-UPGRADE state: the dfs state
       * dir is populated but a companion ('-docsum'/'-dochll') dir is
@@ -1474,8 +1488,8 @@ object Streams {
         val s = batch.sparkSession
         val dir = stateDir.get
         tripwireDisabled = FoldState.latest(s, dir).isDefined &&
-          (FoldState.latest(s, dir + "-docsum").isEmpty ||
-            FoldState.latest(s, dir + "-dochll").isEmpty)
+          (FoldState.latest(s, dir + DocSumSuffix).isEmpty ||
+            FoldState.latest(s, dir + DocHllSuffix).isEmpty)
         migrationChecked = true
       }
       write(graft.ops.Curation.stripAgainst(index, batch))

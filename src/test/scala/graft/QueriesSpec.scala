@@ -556,6 +556,18 @@ class QueriesSpec extends SparkSpec {
     }
     // IVFADC split with an embeddings frame that lost half the hot cell
     val cbs = ops.Similarity.pqCodebooks(emb)
+    // ...and the IVFADC twins of the guarded pair: pqQuantScore on an
+    // empty corpus, ivfPqHealth with a zero/NaN trained score on EITHER
+    // quantizer — the same silent-NaN un-trip class as ivfHealth
+    val e4 = intercept[IllegalArgumentException](
+      ops.Similarity.pqQuantScore(emb.limit(0), cbs))
+    assert(e4.getMessage.contains("empty corpus"), e4.getMessage)
+    val pqIdx0 = ops.Similarity.ivfPqIndex(emb, cents, cbs)
+    for ((ti, tp) <- Seq((0.0, 0.9), (0.9, Double.NaN), (Double.NaN, 0.9))) {
+      val e = intercept[IllegalArgumentException](
+        ops.Similarity.ivfPqHealth(emb, pqIdx0, cents, cbs, ti, tp))
+      assert(e.getMessage.contains("trained scores"), e.getMessage)
+    }
     val pqIndex = ops.Similarity.ivfPqIndex(emb, cents, cbs).localCheckpoint()
     val hc = ops.Similarity.hottestCell(pqIndex)
     val holey = emb.filter(col("vec_id") % 2 === 0)

@@ -1448,7 +1448,7 @@ class StreamingSpec extends SparkSpec {
       assert(!f1.tripwireDisabled,
         "a fresh (no prior state) durable fold must arm the tripwire")
       // simulate the pre-upgrade layout: drop the companion dirs only
-      for (suffix <- Seq("-docsum", "-dochll")) {
+      for (suffix <- Seq(Streams.DocSumSuffix, Streams.DocHllSuffix)) {
         val p = new org.apache.hadoop.fs.Path(dir + suffix)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
