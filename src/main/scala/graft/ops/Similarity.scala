@@ -455,6 +455,55 @@ object Similarity {
       .distinct() // a pair can match via several probed buckets/tables
   }
 
+  /** [[lshScoredFrom]] at the calibration's MAX probe budget, each distinct
+    * candidate pair tagged with the smallest 0-based flip-mask index `mi`
+    * that reaches it. Because a setting's probed buckets are a PREFIX of
+    * the flip-mask list (the nesting property the sweep rests on),
+    * `lshScoredFrom(emb, T, P, p)`'s distinct pair set is EXACTLY the
+    * `mi < p` subset of this frame — one bucket join carries the whole
+    * LshSweep instead of one join per setting. cos_r is a pure function of
+    * the pair, so `max` over a pair's matches is the (identical) value the
+    * per-setting `.distinct()` kept.
+    */
+  private[graft] def lshTaggedFrom(emb: DataFrame, numTables: Int,
+      numPlanes: Int, maxProbes: Int): DataFrame = {
+    val e = withNorm(emb)
+      .withColumn("bkts", array((0 until numTables).map(t =>
+        bucket(col("embedding"), t, numPlanes)): _*))
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), posexplode(col("bkts")).as(Seq("tbl", "bkt")))
+    val pow2 = typedlit((0 until numPlanes).map(1 << _))
+    def flipMasks(t: Int): Column = {
+      val dots = array((0 until numPlanes).map(j =>
+        dot_ff(col("embedding"), typedlit(planes(t, numPlanes)(j).toSeq))): _*)
+      val byMargin = transform(
+        array_sort(transform(sequence(lit(0), lit(numPlanes - 1)), j =>
+          struct(abs(element_at(dots, j + 1)).as("m"), j.as("j")))),
+        x => x("j"))
+      val b1 = element_at(pow2, element_at(byMargin, 1) + 1)
+      val b2 = element_at(pow2, element_at(byMargin, 2) + 1)
+      val b3 = element_at(pow2, element_at(byMargin, 3) + 1)
+      array(Seq(lit(0), b1, b2, b1.bitwiseOR(b2), b3,
+        b1.bitwiseOR(b3)).take(maxProbes): _*)
+    }
+    val probeBuckets = flatten(array((0 until numTables).map { t =>
+      val b = element_at(col("bkts"), t + 1)
+      transform(flipMasks(t), (m, i) => struct(lit(t).as("tbl"),
+        b.bitwiseXOR(m).as("bkt"), i.as("mi")))
+    }: _*))
+    val probes = probeBatch(e)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("nrm").as("pn"),
+        explode(probeBuckets).as("tb"))
+      .select(col("p_id"), col("pv"), col("pn"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"), col("tb.mi").as("mi"))
+    val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+    cands.join(probes, Seq("tbl", "bkt"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"), col("mi"), cosR.as("cos_r"))
+      .groupBy("p_id", "c_id")
+      .agg(min("mi").as("mi"), max("cos_r").as("cos_r"))
+  }
+
   /** ANN top-k: same contract as [[cosineTopK]], approximate recall.
     * Not oracle-checked (bucket recall is approximate); ScalaTest measures
     * recall vs brute force.
@@ -799,6 +848,163 @@ object Similarity {
     val exactLit = exactRows.toSeq.toDF("p_id", "c_id")
     // Guard like denom below: an empty probe batch (nExact = 0) must not
     // turn the recall column into silent NULLs via div-by-zero.
+    val nExact   = math.max(exactRows.length.toLong, 1L)
+    val nVec     = emb.count()
+    val nProbes  = exactRows.map(_._1).distinct.length.toLong
+    val denom    = math.max(nProbes * (nVec - 1), 1L)
+
+    val cents   = kmeansCentroidsFrom(emb)
+    val indexed = ivfAssign(emb, cents)
+
+    val topk10 = udaf(new graft.functions.TopKAgg(10))
+
+    // SINGLE-PASS SWEEPS: each family's candidate sets NEST across its
+    // settings (the structural property documented on IvfSweep and gated
+    // by QueriesSpec), so ONE candidate join at the largest setting, with
+    // each row tagged by the smallest setting that includes it, carries
+    // the entire sweep — instead of one full join + two aggregations PER
+    // setting (12 independent subtrees re-scanning the embeddings; the
+    // round-15 before-plan held 244 Exchanges / 144 parquet scans).
+    // Per-setting top-10s come from merging per-tag partial top-10s:
+    // TopKAgg ordering is (cos DESC, id ASC) — deterministic and
+    // order-independent — so top-10(∪ tags ≤ p) = top-10 of the merged
+    // per-tag top-10s, exactly the per-setting rankTopK result.
+    // AnnCalibrationSpec proves row equality vs the per-setting reference.
+
+    // perBucket: (p_id, sets: array<setting>, cnt, tk = per-bucket top-10)
+    def familyCurve(family: String, settings: Seq[Int],
+        perBucket: DataFrame): DataFrame = {
+      val bySet = perBucket.select(col("p_id"),
+        explode(col("sets")).as("setting"), col("cnt"), col("tk"))
+      val nCand = bySet.groupBy("setting").agg(sum("cnt").as("n_cand"))
+      val nHit = bySet
+        .select(col("setting"), col("p_id"),
+          explode(arrays_zip(col("tk.cs"), col("tk.ids"))).as("z"))
+        .select(col("setting"), col("p_id"),
+          col("z.cs").as("cos_r"), col("z.ids").as("c_id"))
+        .groupBy("setting", "p_id")
+        .agg(topk10(col("cos_r"), col("c_id")).as("tk"))
+        .select(col("setting"), col("p_id"), explode(col("tk.ids")).as("c_id"))
+        .join(broadcast(exactLit), Seq("p_id", "c_id"))
+        .groupBy("setting").agg(count(lit(1)).as("n_hit"))
+      // literal (family, setting) base: a zero-candidate setting must
+      // still emit its row, as the per-setting agg-without-groupBy did
+      val base = settings.map(p => (family, p)).toDF("family", "setting")
+      base.join(nCand, Seq("setting"), "left")
+        .join(nHit, Seq("setting"), "left")
+        .select(col("family"), col("setting"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .select(col("family"), col("setting"), col("n_cand"),
+          expr(s"n_cand * 1000000 div $denom").as("cand_frac_micro"),
+          expr(s"n_hit * 1000000 div $nExact").as("recall10_micro"))
+    }
+
+    // IVF: probe cells rank-tagged at nprobe = max; setting p's scored
+    // multiset = rows with probe rank < p (probeCells slices ONE
+    // best-first cell order).
+    val ivfPerBucket = {
+      val e = withNorm(indexed)
+      val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("cell"))
+      val probes = probeBatch(e)
+        .select(col("vec_id").as("p_id"), col("embedding").as("pv"),
+          col("nrm").as("pn"),
+          posexplode(probeCells(col("embedding"), cents, IvfSweep.max))
+            .as(Seq("pr", "cell")))
+      val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+      cands.join(probes, Seq("cell"))
+        .filter(col("p_id") =!= col("c_id"))
+        .select(col("p_id"), col("pr"), cosR.as("cos_r"), col("c_id"))
+        .groupBy("p_id", "pr")
+        .agg(topk10(col("cos_r"), col("c_id")).as("tk"), count(lit(1)).as("cnt"))
+        .withColumn("sets",
+          filter(typedlit(IvfSweep), p => p >= col("pr") + 1))
+    }
+
+    // LSH: one bucket join at probesPerTable = max, pairs tagged with the
+    // smallest reaching flip-mask index (lshTaggedFrom).
+    val lshPerBucket = lshTaggedFrom(emb, NumTables, NumPlanes, LshSweep.max)
+      .groupBy("p_id", "mi")
+      .agg(topk10(col("cos_r"), col("c_id")).as("tk"), count(lit(1)).as("cnt"))
+      .withColumn("sets",
+        filter(typedlit(LshSweep), p => p >= col("mi") + 1))
+
+    // Screen: ONE shortlist ranking at the max shortlist (TopKAgg's
+    // deterministic order makes every smaller shortlist its prefix), one
+    // per-setting lower-bound frame off that ranking, then ONE pass over
+    // the pair space computing each row's qualifying settings directly
+    // (upper-bound filter per setting) — vs 3×(bound pass + filter pass).
+    val scrPerBucket = {
+      val e = withNorm(emb)
+        .withColumn("hv", slice(col("embedding"), 1, ScreenDims))
+        .withColumn("tn", sqrt(dot_ff(
+          slice(col("embedding"), ScreenDims + 1, Dim - ScreenDims),
+          slice(col("embedding"), ScreenDims + 1, Dim - ScreenDims))))
+      val probes = probeBatch(e)
+        .select(col("vec_id").as("p_id"), col("embedding").as("pv"),
+          col("nrm").as("pn"), col("hv").as("phv"), col("tn").as("ptn"))
+      val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("hv"), col("tn"))
+      val pairs = cands.join(broadcast(probes), col("p_id") =!= col("c_id"))
+      val headDot = dot_ff(col("phv"), col("hv"))
+      val cosR = round(dot_ff(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+      val shortMax = udaf(new graft.functions.TopKAgg(ScreenSweep.max))
+      val shortScored = pairs
+        .select(col("p_id"), headDot.as("pd"), col("c_id"))
+        .groupBy("p_id").agg(shortMax(col("pd"), col("c_id")).as("tk"))
+        .select(col("p_id"), posexplode(col("tk.ids")).as(Seq("pos0", "c_id")))
+        .join(cands, "c_id").join(broadcast(probes), "p_id")
+        .select(col("p_id"), col("pos0"), cosR.as("cos_r"), col("c_id"))
+      // lb(sl) = 10th-best exact cosine among the top-sl shortlist
+      // (-2.0 when fewer than 10 — keeps everything, as before)
+      val lbMap = shortScored
+        .select(col("p_id"),
+          explode(filter(typedlit(ScreenSweep), sl => sl > col("pos0")))
+            .as("sl"),
+          col("cos_r"), col("c_id"))
+        .groupBy("p_id", "sl")
+        .agg(topk10(col("cos_r"), col("c_id")).as("tk"))
+        .select(col("p_id"), col("sl"),
+          when(size(col("tk.cs")) >= 10,
+            element_at(col("tk.cs"), size(col("tk.cs"))))
+            .otherwise(-2.0).as("lb"))
+        .groupBy("p_id")
+        .agg(map_from_entries(collect_list(struct(col("sl"), col("lb"))))
+          .as("lbm"))
+      val upper = (headDot + col("ptn") * col("tn")) / (col("pn") * col("cn"))
+      pairs.join(broadcast(lbMap), "p_id")
+        .select(col("p_id"),
+          filter(typedlit(ScreenSweep),
+            sl => upper >= element_at(col("lbm"), sl) - 1e-6).as("sets"),
+          cosR.as("cos_r"), col("c_id"))
+        .filter(size(col("sets")) > 0)
+        .select(col("p_id"), explode(col("sets")).as("setting"),
+          col("cos_r"), col("c_id"))
+        .groupBy("p_id", "setting")
+        .agg(topk10(col("cos_r"), col("c_id")).as("tk"), count(lit(1)).as("cnt"))
+        .withColumn("sets", array(col("setting")))
+    }
+
+    familyCurve("ivf", IvfSweep, ivfPerBucket)
+      .unionByName(familyCurve("lsh", LshSweep, lshPerBucket))
+      .unionByName(familyCurve("screen", ScreenSweep, scrPerBucket))
+      .orderBy("family", "setting")
+  }
+
+  /** The per-setting reference formulation of [[annCalibration]] — one
+    * full candidate join + two aggregations per swept setting. Kept (and
+    * NOT declared) solely as the equality oracle for the single-pass
+    * rewrite: AnnCalibrationSpec asserts row-for-row equality between the
+    * two on the shipped fixture.
+    */
+  private[graft] def annCalibrationReference(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val exactRows = cosineTopKFrom(emb).select("p_id", "c_id")
+      .as[(Long, Long)].collect()
+    val exactLit = exactRows.toSeq.toDF("p_id", "c_id")
     val nExact   = math.max(exactRows.length.toLong, 1L)
     val nVec     = emb.count()
     val nProbes  = exactRows.map(_._1).distinct.length.toLong
