@@ -171,6 +171,9 @@ object Bench {
     val spillJ  = jmap(r => (stat(r._1, _.memorySpilled.sum)
                            + stat(r._1, _.diskSpilled.sum)).toString)
     val peakJ   = jmap(r => stat(r._1, _.peakExecutionMemory).toString)
+    // executor CPU per query (ms) — separates real compute from
+    // scheduling/latency floors when picking optimization targets
+    val cpuJ    = jmap(r => (stat(r._1, _.cpuTimeNs.sum) / 1000000L).toString)
     // The artifact collector keeps only the LAST 2000 chars of output, and a
     // full 89-query map (~2.4 KB with names) cannot fit — which is exactly
     // how the timing map vanished from BENCH_r02–r04. So: (1) the COMPLETE
@@ -181,7 +184,7 @@ object Bench {
     // count of omitted (fastest) entries and a pointer to the full file.
     val rerunsJ = rerunLog.map { case (n, (a, b)) =>
       "\"" + n + "\":[" + fmt(a) + "," + fmt(b) + "]" }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rows":$rowsJ,"shuffle_bytes":$shufJ,"spilled_bytes":$spillJ,"peak_exec_mem":$peakJ,"reruns":$rerunsJ,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rows":$rowsJ,"shuffle_bytes":$shufJ,"spilled_bytes":$spillJ,"peak_exec_mem":$peakJ,"cpu_ms":$cpuJ,"reruns":$rerunsJ,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json: $e") }

@@ -56,6 +56,35 @@ object Tables {
       case _ => raw
     }
   }
+  /** Spread a NARROW scan across the cluster before expensive per-row
+    * work (guide §2.5: an unsplittable input file serializes the whole
+    * scan stage — "repartition immediately after the read"). The shipped
+    * testdata is one single-row-group parquet file per table, so every
+    * scan-stage computation (tokenize+hash pipelines, codec round-trips,
+    * n-gram explodes and their map-side partial aggregations) otherwise
+    * runs on ONE task regardless of cores. Scale-adaptive, not a local
+    * constant: the repartition fires only when the file layout yields
+    * fewer scan splits than the cluster's default parallelism — a
+    * production multi-row-group / multi-file table already scans wide and
+    * passes through untouched — and the shuffle it adds moves only the
+    * narrow pre-fan-out rows. Apply at the HEAD of measured-heavy per-row
+    * pipelines, not blanket: a sub-second scan→aggregate query would pay
+    * the extra exchange for nothing.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val splits = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val len = p.getFileSystem(hconf).getFileStatus(p).getLen
+      math.max(1L, (len + maxSplit - 1) / maxSplit)
+    }.sum
+    val target = spark.sparkContext.defaultParallelism
+    if (splits < target) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "customer")

@@ -128,7 +128,10 @@ object Dedup {
     * same sorted arrays.
     */
   private[graft] def clusterFrameOf(docs: DataFrame): DataFrame =
-    docs
+    // spread: the tokenize+hash+sort fan-out below runs in the SCAN stage,
+    // which the single-row-group fixture file otherwise serializes onto
+    // one task (Tables.spread scaladoc; guide §2.5)
+    Tables.spread(docs)
       .select(col("doc_id"),
         array_sort(transform(dtoks, t => poly_hash(t))).as("th"))
       .groupBy(col("th"))
@@ -350,7 +353,17 @@ object Dedup {
     * jac ≥ JaccardTau) — the output of the LSH pipeline, shared by
     * q_dedup_minhash_pairs and q_neardup_degree.
     */
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    // Memoized like its inputs (clusterFrame, qualifyingClusterPairs):
+    // ~14 declared queries start from this frame — the whole graph suite
+    // re-derived the member fan-out joins per consumer (and per SUBTREE:
+    // degreeAssortativity inlines pairs 4×). The declaring first consumer
+    // (q_dedup_minhash_pairs, bench declaration order) pays the compute in
+    // the timed pass after the cache clear; everyone downstream reads the
+    // narrow 6-column cached frame.
+    memoized(s, dir, "mhpairs")(minhashPairsPlan(s, dir))
+
+  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
     // MinHash signatures and Jaccard depend only on the distinct-token
     // SET, so first collapse docs into token-set equivalence clusters.
     // On a heavily-duplicated corpus the qualifying-pair output is
@@ -1116,10 +1129,13 @@ object Dedup {
          |       CAST(sum(uni) AS BIGINT) AS sum_uni
          |FROM fullj GROUP BY sig_agree
          |ORDER BY sig_agree""".stripMargin) { (s, dir) =>
+      // cluster-pair rows weighted by member-pair multiplicity: the
+      // weighted sums equal the doc-level count/sums exactly
       bandedCandidatesAll(s, dir)
         .groupBy("sig_agree")
-        .agg(count(lit(1)).as("n_pairs"), sum("inter").as("sum_inter"),
-          sum("uni").as("sum_uni"))
+        .agg(sum("n_pair").as("n_pairs"),
+          sum(expr("inter * n_pair")).as("sum_inter"),
+          sum(expr("uni * n_pair")).as("sum_uni"))
         .orderBy("sig_agree")
     }
   )
@@ -1150,7 +1166,9 @@ object Dedup {
     * q_content_chunks / q_dedup_savings_curve.
     */
   private[graft] def chunkFrame(docs: DataFrame): DataFrame = {
-    val base = docs
+    // spread: the per-position rolling-hash explode below is scan-stage
+    // work — serialized on the single-row-group fixture file otherwise
+    val base = Tables.spread(docs)
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
     val bounds = base.filter(col("n") >= ChunkW)
       .select(col("doc_id"), col("text"),
@@ -1263,7 +1281,59 @@ object Dedup {
     */
   final val CalibTiles = 64
 
+  /** CLUSTER-PLANE calibration candidates (round 15): one row per banded
+    * candidate TOKEN-SET-cluster pair (plus one per ≥2-member cluster for
+    * its intra pairs), weighted by the member-pair multiplicity `n_pair`.
+    * sig_agree / inter / uni are functions of the two token SETS alone,
+    * and two docs collide in a band iff their clusters' signatures share
+    * that band key — so the doc-level candidate set is exactly the member
+    * cross-product of colliding cluster pairs plus all intra-cluster
+    * pairs (identical signatures always collide), and the weighted rows
+    * aggregate to the identical curve (MinhashCalibrationSpec proves it
+    * against the doc-level reference). This replaces the tile-decomposed
+    * doc-level self-join: the measured hot band bucket (3,847 of 5,000
+    * docs on ONE key) is duplicate mass that collapses to a handful of
+    * cluster rows, so the skew the tiles existed to spread disappears,
+    * and the per-pair array intersections drop from Θ(doc pairs) to
+    * Θ(cluster pairs).
+    */
   private def bandedCandidatesAll(s: SparkSession, dir: String): DataFrame = {
+    val clusters = clusterFrame(s, dir)
+    val sz = clusters.select(col("cid"), col("th"), col("sig"),
+      size(col("ms")).cast("long").as("cnt"))
+    val bandRows = sz.select(col("cid"),
+      posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    val cand = bandRows.join(
+        bandRows.select(col("cid").as("cid2"), col("band").as("band2"),
+          col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("cid") < col("cid2"))
+      .select("cid", "cid2").distinct()
+    val l = sz.select(col("cid"), col("sig").as("sig1"), col("th").as("h1"),
+      col("cnt").as("c1"))
+    val r = sz.select(col("cid").as("cid2"), col("sig").as("sig2"),
+      col("th").as("h2"), col("cnt").as("c2"))
+    val inter = graft.functions.exprs.intersect_count_sorted(col("h1"), col("h2"))
+    val interC = cand.join(l, "cid").join(r, "cid2")
+      .select(
+        graft.functions.exprs.count_equal(col("sig1"), col("sig2")).as("sig_agree"),
+        inter.cast("long").as("inter"),
+        (size(col("h1")) + size(col("h2")) - inter).cast("long").as("uni"),
+        (col("c1") * col("c2")).as("n_pair"))
+    val intraC = sz.filter(col("cnt") >= 2)
+      .select(lit(NumPerms).as("sig_agree"),
+        size(col("th")).cast("long").as("inter"),
+        size(col("th")).cast("long").as("uni"),
+        expr("cnt * (cnt - 1) div 2").as("n_pair"))
+    interC.unionByName(intraC)
+  }
+
+  /** The doc-level reference formulation of [[bandedCandidatesAll]] —
+    * kept (not declared) as the equality oracle for the cluster-plane
+    * rewrite's spec.
+    */
+  private[graft] def bandedCandidatesAllReference(s: SparkSession,
+      dir: String): DataFrame = {
     val docs = memoized(s, dir, "calib_sig")(
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1303,7 +1373,9 @@ object Dedup {
     * documents frame — shared by q_winnowing and the containment scorer.
     */
   private[graft] def winnowFps(docs: DataFrame): DataFrame = {
-    val grams = docs
+    // spread: k-gram explode + hashing is scan-stage work (see
+    // Tables.spread) — the window below already re-keys by doc_id
+    val grams = Tables.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= WinK)
       .select(col("doc_id"), posexplode(expr(

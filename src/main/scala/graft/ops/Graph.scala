@@ -638,11 +638,25 @@ object Graph {
     val e = pairs.select(col("d1").as("v"), col("d2").as("w"))
       .union(pairs.select(col("d2").as("v"), col("d1").as("w")))
     val deg = e.groupBy("v").agg(count(lit(1)).as("deg"))
-    val xy = e.join(deg.select(col("v"), col("deg").as("x")), "v")
-      .join(deg.select(col("v").as("w"), col("deg").as("y")), "w")
-    xy.agg(count(lit(1)).as("n_endpoints"),
-        sum(expr("x * y")).as("sxy"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+    // Moment folding (round 15): the straightforward xy formulation joins
+    // deg onto the E-sized directed edge list TWICE (x then y — two
+    // exchanges + sorts of |E| rows). Grouping each edge's contribution by
+    // its SOURCE vertex needs only ONE E-sized join: v is a source exactly
+    // deg(v) times, so over directed edges Σx = Σ_v deg², Σx² = Σ_v deg³,
+    // n = Σ_v deg, and Σxy = Σ_v deg(v)·s(v) with s(v) = Σ_{w∈N(v)} deg(w)
+    // (one join on w + one vertex-keyed groupBy); the remaining join is
+    // V-sized. The y-moments equal the x-moments EXACTLY (both-ways union:
+    // in-multiset = out-multiset), but sy/syy stay separate columns so the
+    // final expression is the identical IEEE op sequence as the oracle —
+    // the integer inputs are equal, so the result is bit-for-bit the same.
+    val s = e.join(deg.select(col("v").as("w"), col("deg").as("dw")), "w")
+      .groupBy("v").agg(sum("dw").as("sw"))
+    deg.join(s, "v")
+      .agg(sum("deg").as("n_endpoints"),
+        sum(expr("deg * sw")).as("sxy"),
+        sum(expr("deg * deg")).as("sx"), sum(expr("deg * deg")).as("sy"),
+        sum(expr("deg * deg * deg")).as("sxx"),
+        sum(expr("deg * deg * deg")).as("syy"))
       .select(col("n_endpoints"),
         round(expr("CAST(n_endpoints * sxy - sx * sy AS DOUBLE)") /
           expr("nullif(sqrt(CAST(n_endpoints * sxx - sx * sx AS DOUBLE)" +

@@ -459,6 +459,10 @@ object LM {
     * ScaleProbe entry point). See q_naive_bayes_lang for the math.
     */
   private[graft] def naiveBayesLang(docs: DataFrame): DataFrame = {
+    // NOT spread (round 15, measured): parallelizing the scan stage here
+    // INFLATED total CPU ~8× (per-task model-frame setup dominates the
+    // narrow per-row work) and the wall regressed 3.9 → 4.8 s — the
+    // opposite trade of the tfidf/cluster pipelines.
     val (grid, cls) = nbModel(docs)
     nbScore(docs, grid, cls)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")

@@ -173,7 +173,7 @@ object Multimodal {
   /** documents → genuine PNG file bytes (every doc). */
   def encodePng(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // in-memory, no /tmp spill
         it.map(id => RealMedia(id, "png", imageBytes(id, "png")))
@@ -284,7 +284,7 @@ object Multimodal {
   /** documents → genuine PNG bytes of the perceptual-family raster. */
   def encodePerc(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => RealMedia(id, "png", percPngBytes(id)))
@@ -597,7 +597,7 @@ object Multimodal {
     */
   def encodeGif(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -809,7 +809,7 @@ object Multimodal {
     */
   def encodeAvi(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
@@ -1038,7 +1038,7 @@ object Multimodal {
     */
   def encodeTs(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select("doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
@@ -1165,7 +1165,7 @@ object Multimodal {
   /** documents → genuine BMP/WAV file bytes (even ids image, odd audio). */
   def encodeReal(spark: SparkSession, sfDir: String): Dataset[RealMedia] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select("doc_id").as[Long].map { id =>
+    Tables.spread(Tables.documents(spark, sfDir).select("doc_id")).as[Long].map { id =>
       if (id % 2 == 0) RealMedia(id, "image", bmpBytes(id))
       else RealMedia(id, "audio", wavBytes(id))
     }

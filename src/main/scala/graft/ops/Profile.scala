@@ -74,25 +74,47 @@ object Profile {
     * column. The collected aggregate is a single row of width
     * O(columns) — bounded model state, never data-proportional.
     */
-  def profileTable(df: DataFrame, table: String): DataFrame = {
-    val cols = df.schema.fields.toSeq
-    val aggs = cols.flatMap { f =>
-      Seq(count(col(f.name)).as(s"nn_${f.name}"),
-        countDistinct(col(f.name)).as(s"nd_${f.name}"),
-        renderSpark(min(col(f.name)), f.dataType).as(s"mn_${f.name}"),
-        renderSpark(max(col(f.name)), f.dataType).as(s"mx_${f.name}"))
+  def profileTable(df: DataFrame, table: String): DataFrame =
+    profileTables(Seq(df -> table))
+
+  /** Profile several tables with their one-pass aggregations submitted
+    * CONCURRENTLY (one driver thread each): the per-table jobs are
+    * independent, so the second table's tasks back-fill executors freed
+    * by the first's stragglers instead of waiting for a sequential
+    * `head()` round-trip per table (guide §2.6 overlap-independent-jobs;
+    * 2 tables ≈ the sweet spot). Results are assembled in input order, so
+    * output is identical to the sequential form.
+    */
+  def profileTables(tables: Seq[(DataFrame, String)]): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spark = tables.head._1.sparkSession
+    val futures = tables.map { case (df, table) =>
+      val cols = df.schema.fields.toSeq
+      val aggs = cols.flatMap { f =>
+        Seq(count(col(f.name)).as(s"nn_${f.name}"),
+          countDistinct(col(f.name)).as(s"nd_${f.name}"),
+          renderSpark(min(col(f.name)), f.dataType).as(s"mn_${f.name}"),
+          renderSpark(max(col(f.name)), f.dataType).as(s"mx_${f.name}"))
+      }
+      val agg = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      Future {
+        val row = agg.head()
+        val n   = row.getAs[Long]("n_rows")
+        cols.map { f =>
+          val nn = row.getAs[Long](s"nn_${f.name}")
+          val nd = row.getAs[Long](s"nd_${f.name}")
+          Row(table, f.name, n, n - nn, nd,
+            row.getAs[String](s"mn_${f.name}"),
+            row.getAs[String](s"mx_${f.name}"),
+            nn == n && nd == n)
+        }
+      }
     }
-    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
-    val n   = row.getAs[Long]("n_rows")
-    val out = cols.map { f =>
-      val nn = row.getAs[Long](s"nn_${f.name}")
-      val nd = row.getAs[Long](s"nd_${f.name}")
-      Row(table, f.name, n, n - nn, nd,
-        row.getAs[String](s"mn_${f.name}"), row.getAs[String](s"mx_${f.name}"),
-        nn == n && nd == n)
-    }
-    df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.parallelize(out, 1), outSchema)
+    val out = futures.flatMap(f => Await.result(f, Duration.Inf))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), outSchema)
   }
 
   private def profileSql(table: String, cols: Seq[(String, DataType)]): String =
@@ -358,8 +380,8 @@ object Profile {
          |UNION ALL
          |${profileSql("orders", OrdersCols)}
          |ORDER BY table_name, column_name""".stripMargin) { (s, dir) =>
-      profileTable(Tables.customer(s, dir), "customer")
-        .unionByName(profileTable(Tables.orders(s, dir), "orders"))
+      profileTables(Seq(Tables.customer(s, dir) -> "customer",
+          Tables.orders(s, dir) -> "orders"))
         .orderBy("table_name", "column_name")
     },
 

@@ -91,7 +91,10 @@ object Retrieval {
     * postings-layout probe).
     */
   private[graft] def postingsFrom(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // spread: token explode + map-side tf aggregation live in the scan
+    // stage — serialized by the single-row-group fixture file otherwise
+    Tables.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
 
   /** Per-document token lengths (doc_id, dl) — the doc-stats sidecar of
@@ -1012,7 +1015,11 @@ object Retrieval {
     * frame — the shared head of the all-pairs pipeline.
     */
   private[graft] def tfidfPostings(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    // spread: the bigram explode + map-side tf aggregation (the widest
+    // fan-out in the engine, ~5M rows per 5k docs) is scan-stage work —
+    // one task on the single-row-group fixture file without this
+    val toks = Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
     // size(ts) >= 2: keep a 1-token doc from feeding the descending
     // sequence(0, -1) (its null bigram is otherwise dropped only by
     // accident of the null-key join below).

@@ -61,9 +61,12 @@ object Tokenize {
     */
   final val TrainVocabCap = 1 << 18
 
-  /** (word, freq) — the single corpus-wide shuffle. */
+  /** (word, freq) — the single corpus-wide shuffle. spread: the token
+    * explode + map-side partial count is scan-stage work, serialized on
+    * the single-row-group fixture file otherwise (Tables.spread).
+    */
   def wordFreq(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
