@@ -522,7 +522,9 @@ object Dedup {
     */
   private[graft] def simhash128PairsFrom(docs: DataFrame): DataFrame = {
     import graft.functions.exprs.sim_hash128
-    val codes = docs
+    // spread: normalize + 128-bit SimHash per doc is scan-stage work —
+    // serialized on the single-row-group fixture file otherwise
+    val codes = Tables.spread(docs)
       .select(col("doc_id").as("vec_id"),
         sim_hash128(split(
           graft.functions.TextNormExprs.normalize_text(col("text")), " "))

@@ -33,6 +33,33 @@ object Graph {
   /** Fixed PageRank rounds (unrolled in the oracle SQL). */
   final val PrIters = 3
 
+  /** Checkpoint-fusion hygiene (the CC loop's pattern,
+    * [[Corpus]].componentsOf): build a checkpoint chain with AQE DISABLED
+    * and the checkpoints LAZY. AdaptiveSparkPlan.doExecute materializes
+    * its query stages eagerly at `toRdd`, so under AQE even a lazy
+    * localCheckpoint runs its shuffles as separate driver-blocking jobs at
+    * build time; with the toggle + `eager = false` the whole chain
+    * executes inside the consumer's ONE action (stages still parallel;
+    * lineage still truncated — the 463 s vs 33 s ScaleProbe blow-up the
+    * checkpoints exist for cannot return). The builder's output wraps
+    * checkpoint RDDs, so the toggle cannot leak into the consumer's own
+    * execution.
+    *
+    * MEASURED DECISION (round 15, sf0.1): applied to [[triangleCounts]]
+    * only (3.8 → 1.4 s; its joins are large self-joins AQE would not
+    * improve). The ROUND loops (labelProp/pageRank/ppr/kCore/kTruss) keep
+    * their eager per-round checkpoints: under AQE-off their per-round
+    * label/contrib/support joins lose the runtime small-side broadcast
+    * conversion and regress outright (kTruss 6.2 → 15.2 s, kCore
+    * 5.3 → 9.4 s measured).
+    */
+  private def lazyLoop(spark: org.apache.spark.sql.SparkSession)
+      (body: => DataFrame): DataFrame = {
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   /** Fixed label-propagation rounds (q_labelprop). */
   final val LpIters = 4
 
@@ -710,8 +737,9 @@ object Graph {
     * pair frame checkpoints once (it is the whole MinHash pipeline); the
     * wedge join and the closing-edge join both key on vertex ids.
     */
-  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame =
+      lazyLoop(pairs.sparkSession) {
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(false)
     val deg = p.select(col("d1").as("v")).union(p.select(col("d2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val withDeg = p
@@ -721,7 +749,7 @@ object Graph {
     val oriented = withDeg.select(
       when(fwd, col("d1")).otherwise(col("d2")).as("src"),
       when(fwd, col("d2")).otherwise(col("d1")).as("dst"))
-      .localCheckpoint() // reused three times in the wedge + closing joins
+      .localCheckpoint(false) // reused three times in the wedge + closing joins
     val tri = oriented.as("w1")
       .join(oriented.as("w2"),
         col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
@@ -736,5 +764,5 @@ object Graph {
     deg.join(perVertex, Seq("v"), "left")
       .select(col("v").as("doc_id"), col("deg"),
         coalesce(col("n"), lit(0L)).as("n_tri"))
-  }
+    }
 }

@@ -966,12 +966,28 @@ object Retrieval {
     * exposes cheaply.
     */
   private[graft] def tfidfCosinePairsFrom(docs: DataFrame): DataFrame = {
-    val w = tfidfPostings(docs).select("doc_id", "fid", "w")
+    // one materialization of the postings pipeline: three consumers (nrm,
+    // both self-join sides) otherwise re-execute the bigram explode + two
+    // aggregation passes each — AQE's runtime stage reuse does not
+    // collapse them (measured: no reuse, ~4× postings work in CPU)
+    val w = tfidfPostings(docs).select("doc_id", "fid", "w").localCheckpoint()
     val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
+    // pair-keyed repartition BEFORE the dot aggregation (guide §5): the
+    // map-side partial agg over the fid-partitioned join output held
+    // ~1.1M distinct pairs per task (every pair recurs in ~3.5 fid
+    // partitions) — large enough that execution-memory acquisition races
+    // made the hash map fall back to sort-based aggregation
+    // nondeterministically (measured 60 vs 152 executor-CPU-s on
+    // back-to-back identical runs). Hash-distributing the raw products by
+    // pair first gives each agg task 10.3M/partitions ≈ 0.3M groups —
+    // small stable maps — at the cost of shuffling the products unreduced.
     val dots = w.as("a").hint("SHUFFLE_HASH").join(w.as("b"),
         col("a.fid") === col("b.fid") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        (col("a.w") * col("b.w")).as("p"))
+      .repartition(col("d1"), col("d2"))
+      .groupBy("d1", "d2")
+      .agg(sum(col("p")).as("dot"))
     dots
       .join(nrm.select(col("doc_id").as("d1"), col("nsq").as("n1sq")), "d1")
       .join(nrm.select(col("doc_id").as("d2"), col("nsq").as("n2sq")), "d2")
@@ -1030,10 +1046,20 @@ object Retrieval {
           .as("f"))
     val tf = bg.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
     val nd = tf.select(countDistinct("doc_id").as("n")) // single-row total
+    // fid via row_number, NOT monotonically_increasing_id (round 15):
+    // mono_id is flagged non-deterministic, which blocks exchange reuse
+    // for EVERY subtree containing fid — the bigram+tf pipeline re-executed
+    // once per use (measured: 24 scans / 0 ReusedExchange in the final
+    // plan). row_number over the df-capped feature frame is deterministic
+    // and injective; the global window sorts only the bounded feature
+    // frame (the LM.scala model-frame rule), and reuse collapses the
+    // pipeline back to one execution per exchange.
     val df = tf.groupBy("f").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
       .filter(col("df") <= expr("n div 4"))
-      .select(col("f"), col("df"), monotonically_increasing_id().as("fid"),
+      .select(col("f"), col("df"), col("n"),
+        row_number().over(Window.orderBy("f")).as("fid"))
+      .select(col("f"), col("df"), col("fid"),
         // milli-nat idf snap on the bounded feature frame
         round(log(col("n").cast("double") / col("df")) * 1000)
           .cast("long").as("idf_milli"))
