@@ -27,6 +27,7 @@ object Bench {
     ops.Dedup.clearCaches(spark)
     ops.Corpus.clearCaches(spark)
     ops.Tokenize.clearCaches(spark)
+    ops.Multimodal.clearCaches(spark)
     // declaration order (SparkEntry.all), not Map hash order: shared
     // first-compute (cluster frame, qualifying pairs, CC components) then
     // lands deterministically on the query that declares it, and the
@@ -106,6 +107,7 @@ object Bench {
       ops.Dedup.clearCaches(spark)
       ops.Corpus.clearCaches(spark)
       ops.Tokenize.clearCaches(spark)
+      ops.Multimodal.clearCaches(spark)
       val t0 = System.nanoTime()
       val ok = try {
         SparkEntry.all.find(_.name == name).get.build(spark, sfDir).count(); true
@@ -192,6 +194,7 @@ object Bench {
     ops.Dedup.clearCaches(spark)
     ops.Corpus.clearCaches(spark)
     ops.Tokenize.clearCaches(spark)
+    ops.Multimodal.clearCaches(spark)
     spark.stop()
     // failures (-1) sort FIRST — a broken query must survive the byte
     // budget ahead of any timing; then slowest-first. Stop at the first

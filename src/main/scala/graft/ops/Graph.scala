@@ -705,6 +705,13 @@ object Graph {
     */
   private[graft] def kCore(pairs: DataFrame, iters: Int = KcIters): DataFrame = {
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    // Round-15 note: an attempted "one edge exchange per round" reorder
+    // (w-partitioned edge copy, w-semi first) MEASURED SLOWER (5.3 →
+    // 7.1 s build): AQE already broadcasts the ≤|V|-row alive frame into
+    // both semi-joins at runtime, so the v-partitioned loop below is
+    // exchange-free per round (the groupBy(v) reuses the edge
+    // partitioning) — there was nothing to save, and the reorder's
+    // groupBy(v) over a w-partitioned copy ADDED an edge-sized exchange.
     val edges = p.select(col("d1").as("v"), col("d2").as("w"))
       .union(p.select(col("d2").as("v"), col("d1").as("w")))
       .repartition(col("v")).localCheckpoint()

@@ -390,6 +390,30 @@ object Multimodal {
     }
   }
 
+  // ---- memoized perceptual code frame (round 15) ------------------------
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Both perceptual code families for the corpus, encoded+decoded ONCE
+    * and cached: five declared queries (dhash codes / MIH pairs, ahash
+    * codes, the agreement report, perceptual ingest) each re-ran the PNG
+    * codec round-trip per plan reference before (the agreement query's
+    * plan alone held it 3×). dhashCodes/ahashCodes compute the identical
+    * dhashOf/ahashOf values, so selecting the family's columns from this
+    * frame is value-identical (oracle-hash-checked). Same lifecycle as the
+    * Dedup memo — Bench clears it before the timed pass, so the first
+    * declared consumer pays the codec work inside its timed run.
+    */
+  private[graft] def percCodesFrame(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir),
+      percCodes(encodePerc(s, dir)).toDF().cache())
+
+  /** Unpersist and drop every frame memoized for `s` (all dirs). */
+  def clearCaches(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(_.unpersist(false))
+    }
+
   /** Both perceptual codes from ONE decode pass — the agreement query
     * never decodes a payload twice.
     */
@@ -1557,7 +1581,7 @@ object Multimodal {
       s"""$dhashCodesSql
          |SELECT media_id, dlo, dhi FROM dcodes ORDER BY media_id""".stripMargin) {
       (s, dir) =>
-        dhashCodes(encodePerc(s, dir)).toDF()
+        percCodesFrame(s, dir)
           .select("media_id", "dlo", "dhi").orderBy("media_id")
     },
 
@@ -1581,7 +1605,7 @@ object Multimodal {
          |      <= $DhashTau
          |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
       Similarity.mihPairsChunked(
-          dhashCodes(encodePerc(s, dir)).toDF()
+          percCodesFrame(s, dir).select("media_id", "dlo", "dhi")
             .withColumnRenamed("media_id", "vec_id"),
           Seq("dlo", "dhi"), DhashTau,
           Similarity.mihChunksFor(
@@ -1597,7 +1621,7 @@ object Multimodal {
       s"""$percPrefixSql$ahashCtesSql
          |SELECT media_id, alo, ahi FROM acodes ORDER BY media_id""".stripMargin) {
       (s, dir) =>
-        ahashCodes(encodePerc(s, dir)).toDF()
+        percCodesFrame(s, dir)
           .select("media_id", "alo", "ahi").orderBy("media_id")
     },
 
@@ -1626,7 +1650,7 @@ object Multimodal {
          |   OR bit_count(xor(a.alo, b.alo)) + bit_count(xor(a.ahi, b.ahi))
          |        <= $DhashTau
          |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
-      val codes = percCodes(encodePerc(s, dir)).toDF()
+      val codes = percCodesFrame(s, dir)
       val m = Similarity.mihChunksFor(
         Tables.documents(s, dir).count(), 64, DhashTau)
       val vc = codes.withColumnRenamed("media_id", "vec_id")
@@ -1670,7 +1694,7 @@ object Multimodal {
          |  ON bit_count(xor(i.dlo, x.dlo)) + bit_count(xor(i.dhi, x.dhi))
          |     <= $DhashTau
          |GROUP BY i.media_id ORDER BY i.media_id""".stripMargin) { (s, dir) =>
-      val codes = dhashCodes(encodePerc(s, dir)).toDF()
+      val codes = percCodesFrame(s, dir).select("media_id", "dlo", "dhi")
       val idx = codes.filter(col("media_id") % 5 === 0)
       val inc = codes.filter(col("media_id") % 5 === 1 ||
         col("media_id") % 5 === 2)

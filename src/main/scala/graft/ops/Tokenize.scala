@@ -61,12 +61,15 @@ object Tokenize {
     */
   final val TrainVocabCap = 1 << 18
 
-  /** (word, freq) — the single corpus-wide shuffle. spread: the token
-    * explode + map-side partial count is scan-stage work, serialized on
-    * the single-row-group fixture file otherwise (Tables.spread).
+  /** (word, freq) — the single corpus-wide shuffle. NOT spread (round 15,
+    * measured): the tokenizer trainers collect this frame driver-side and
+    * re-derive it per query; adding the narrow-scan repartition cost the
+    * vocab family +0.2–0.7 s per query in-bench with no offsetting win
+    * (the explode+count is cheap relative to the added exchange here —
+    * the opposite trade of the tfidf/cluster/codec heads).
     */
   def wordFreq(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
