@@ -116,6 +116,11 @@ object Dedup {
       memo.remove(k).foreach(_.unpersist(false))
     }
 
+  /** Number of frames currently memoized for `s` — the Bench rerun-replay
+    * probe (a query that grows this count is a shared-cache DECLARER).
+    */
+  def cacheCount(s: SparkSession): Int = memo.keys.count(_._1 eq s)
+
   private[graft] def clusterFrame(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "clusters")(clusterFrameOf(Tables.documents(s, dir)))
 
@@ -520,6 +525,16 @@ object Dedup {
     * pigeonholes any ≤ 8 flips). Output is chunk-count-invariant (exact
     * Hamming filter; the brute-force oracles re-prove it).
     */
+  /** [[simhash128PairsFrom]] over the corpus documents table, memoized per
+    * (session, dir) like [[minhashPairs]]: two declared queries consume the
+    * identical frame (q_simhash_pairs128 and q_ktruss's edge list) and each
+    * re-ran the full normalize+SimHash+MIH pipeline. Declaration order puts
+    * q_simhash_pairs128 first, so it pays the build in the bench's timed
+    * pass after the cache clear; q_ktruss reads the 33k-row cached frame.
+    */
+  private[graft] def simhash128Pairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "sh128pairs")(simhash128PairsFrom(Tables.documents(s, dir)))
+
   private[graft] def simhash128PairsFrom(docs: DataFrame): DataFrame = {
     import graft.functions.exprs.sim_hash128
     // spread: normalize + 128-bit SimHash per doc is scan-stage work —
@@ -1007,7 +1022,7 @@ object Dedup {
          |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
          |      + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= $Sim128Tau
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      simhash128PairsFrom(Tables.documents(s, dir)).orderBy("d1", "d2")
+      simhash128Pairs(s, dir).orderBy("d1", "d2")
     },
 
     // Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

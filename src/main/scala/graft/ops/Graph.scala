@@ -119,16 +119,26 @@ object Graph {
     val edges = p.select(col("d1").as("v"), col("d2").as("w"))
       .union(p.select(col("d2").as("v"), col("d1").as("w")))
       .repartition(col("v")).localCheckpoint()
+    // Loop-INVARIANT state materializes ONCE (round 16): deg and nn are
+    // pure functions of the checkpointed edge list, but referencing their
+    // PLANS inside the loop re-ran the E-sized degree aggregation and the
+    // nn broadcast chain in EVERY round's checkpoint job (measured at
+    // sf0.1: 1.79M directed edges × PrIters redundant agg passes). One
+    // V-sized checkpoint (still partitioned on v, so the per-round join
+    // with contrib stays exchange-free) removes them; the per-round values
+    // are bit-identical — same integers from the same aggregation.
     val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
-    val n = deg.agg(count(lit(1)).as("nn")) // single-row: allowlisted class
-    var r = deg.crossJoin(broadcast(n))
+    val degN = deg
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("nn")))) // single-row
+      .localCheckpoint()
+    var r = degN
       .select(col("v"), col("deg"), col("nn"),
         round(lit(1000000.0) / col("nn")).cast("long").as("pr"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = edges.join(r.select(col("v"), expr("pr div deg").as("c")), "v")
         .groupBy(col("w").as("v")).agg(sum("c").as("csum"))
-      r = deg.crossJoin(broadcast(n))
+      r = degN
         .join(contrib, Seq("v"), "left")
         .select(col("v"), col("deg"), col("nn"),
           round(lit(150000.0) / col("nn")
@@ -160,10 +170,17 @@ object Graph {
       .select((-col("m.nv")).as("v"))
     val ns = seeds.agg(count(lit(1)).as("ns")) // single-row: allowlisted class
     val sd = seeds.withColumn("is_seed", lit(true))
-    var r = deg.crossJoin(broadcast(ns))
+    // loop-invariant base frame checkpointed ONCE (the pageRank rationale):
+    // deg/ns/sd are functions of the checkpointed edges+docs, and inlining
+    // their plans in the loop re-ran the E-sized degree agg, the seed
+    // derivation and both broadcasts every round. Values are identical.
+    val base = deg.crossJoin(broadcast(ns))
       .join(broadcast(sd), Seq("v"), "left")
       .select(col("v"), col("deg"), col("ns"),
-        coalesce(col("is_seed"), lit(false)).as("is_seed"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    var r = base
+      .select(col("v"), col("deg"), col("ns"), col("is_seed"),
         when(col("is_seed"),
           round(lit(1000000.0) / col("ns")).cast("long"))
           .otherwise(lit(0L)).as("pr"))
@@ -171,12 +188,10 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = edges.join(r.select(col("v"), expr("pr div deg").as("c")), "v")
         .groupBy(col("w").as("v")).agg(sum("c").as("csum"))
-      r = deg.crossJoin(broadcast(ns))
-        .join(broadcast(sd), Seq("v"), "left")
+      r = base
         .join(contrib, Seq("v"), "left")
-        .select(col("v"), col("deg"), col("ns"),
-          coalesce(col("is_seed"), lit(false)).as("is_seed"),
-          round(when(coalesce(col("is_seed"), lit(false)),
+        .select(col("v"), col("deg"), col("ns"), col("is_seed"),
+          round(when(col("is_seed"),
             lit(150000.0) / col("ns")).otherwise(lit(0.0))
             + lit(0.85) * coalesce(col("csum"), lit(0L))).cast("long").as("pr"))
         .localCheckpoint()
@@ -559,7 +574,7 @@ object Graph {
          |${(1 to KtIters).map(i => ktRoundSql(s"kt_e${i - 1}", s"kt_e$i")).mkString("\n")}
          |SELECT v1 AS d1, v2 AS d2, sup FROM kt_e$KtIters
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      kTruss(Dedup.simhash128PairsFrom(Tables.documents(s, dir))
+      kTruss(Dedup.simhash128Pairs(s, dir)
         .select("d1", "d2")).orderBy("d1", "d2")
     }
   )
@@ -593,9 +608,7 @@ object Graph {
     * the degree-ordered wedge enumeration (each triangle found once at its
     * lowest-(deg, id) apex, then attributed to all three canonical edges).
     */
-  private def edgeSupports(ec: DataFrame): DataFrame = {
-    val deg = ec.select(col("v1").as("v")).union(ec.select(col("v2").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+  private def edgeSupports(ec: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = ec
       .join(deg.select(col("v").as("v1"), col("deg").as("deg1")), "v1")
       .join(deg.select(col("v").as("v2"), col("deg").as("deg2")), "v2")
@@ -642,9 +655,21 @@ object Graph {
       .select(least(col("d1"), col("d2")).as("v1"),
         greatest(col("d1"), col("d2")).as("v2"))
       .distinct().repartition(col("v1")).localCheckpoint()
+    // INITIAL-degree vertex order, computed once (round 16). Orientation by
+    // ANY fixed strict total order on vertices enumerates each triangle of
+    // the current edge set exactly once at its unique minimal apex, and an
+    // edge's support (the count of triangles containing it) is
+    // orientation-INDEPENDENT — so peeling with the round-0 (deg, v) order
+    // walks the identical survivor trajectory as recomputing degrees per
+    // round (GraphSpec's sequential-peel agreement stays the proof). The
+    // old per-round recompute paid an E-sized union+agg per round purely to
+    // rebuild the order; the Σ outdeg² wedge bound only tightens as edges
+    // drop (out-neighborhoods shrink monotonically under a fixed order).
+    val deg0 = ec.select(col("v1").as("v")).union(ec.select(col("v2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg")).localCheckpoint()
     var out = ec.withColumn("sup", lit(0L))
     for (_ <- 1 to iters) {
-      out = edgeSupports(ec)
+      out = edgeSupports(ec, deg0)
         .filter(col("sup") >= KtK - 2)
         .localCheckpoint()
       ec = out.select("v1", "v2")
@@ -718,8 +743,15 @@ object Graph {
     // greatest(..., 1): a degenerate empty pair graph must yield k = 0 in
     // BOTH engines (DuckDB's // errors on zero; Spark's div nulls) — same
     // empty-corpus convention as Corpus.componentsLoop's coalesced labelSum.
+    // Checkpointed ONCE (round 16): kf is a pure function of the
+    // checkpointed edge list, but inlining its plan in the loop re-ran the
+    // E-sized count(DISTINCT v) aggregation (two exchanges over 1.79M
+    // directed rows at sf0.1) inside EVERY peel round's checkpoint job and
+    // again in the final degree pass — KcIters+1 redundant passes. The
+    // single-row value is identical.
     val kf = edges.agg(
       expr("count(1) div (2 * greatest(count(DISTINCT v), 1))").as("k"))
+      .localCheckpoint()
     var alive = edges.select("v").distinct().localCheckpoint()
     for (_ <- 1 to iters) {
       alive = edges
