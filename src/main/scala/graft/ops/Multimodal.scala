@@ -414,6 +414,9 @@ object Multimodal {
       memo.remove(k).foreach(_.unpersist(false))
     }
 
+  /** Memoized-frame count for `s` — the Bench rerun-replay probe. */
+  def cacheCount(s: SparkSession): Int = memo.keys.count(_._1 eq s)
+
   /** Both perceptual codes from ONE decode pass — the agreement query
     * never decodes a payload twice.
     */
@@ -1654,13 +1657,11 @@ object Multimodal {
       val m = Similarity.mihChunksFor(
         Tables.documents(s, dir).count(), 64, DhashTau)
       val vc = codes.withColumnRenamed("media_id", "vec_id")
-      val cand = Similarity.mihPairsChunked(
-          vc.select("vec_id", "dlo", "dhi"), Seq("dlo", "dhi"), DhashTau, m)
-        .select("v1", "v2")
-        .unionByName(Similarity.mihPairsChunked(
-            vc.select("vec_id", "alo", "ahi"), Seq("alo", "ahi"), DhashTau, m)
-          .select("v1", "v2"))
-        .distinct()
+      // one fused OR-of-families MIH pass (round 16) instead of two full
+      // engine runs + union: same candidate coverage per family's
+      // pigeonhole, the exact (dham/aham) filter below is unchanged
+      val cand = Similarity.mihPairsChunkedOrCandidates(
+        vc, Seq(Seq("dlo", "dhi"), Seq("alo", "ahi")), DhashTau, m)
       val a = codes.select(col("media_id").as("v1"), col("dlo").as("dlo1"),
         col("dhi").as("dhi1"), col("alo").as("alo1"), col("ahi").as("ahi1"))
       val b = codes.select(col("media_id").as("v2"), col("dlo").as("dlo2"),

@@ -283,6 +283,44 @@ object Similarity {
       .filter(col("ham") <= tau)
   }
 
+  /** OR-of-families MIH candidates (round 16): one fused engine pass for a
+    * query that needs pairs close under ANY of several same-width code
+    * families (q_hash_agreement ran the full engine TWICE — two probe
+    * explodes, two shuffled joins, two distincts — then unioned). Chunk
+    * ids are offset per family (family t owns chunks [t·n, t·n+n)), so a
+    * single (chunk, key) join carries every family's collisions; the
+    * pigeonhole contract holds per family exactly as in
+    * [[mihPairsChunked]], hence any pair within `tau` under family t
+    * collides on one of t's probed chunks and the union of collisions
+    * covers the OR-predicate. Candidates only — the caller applies its
+    * exact Hamming filter (output therefore identical to unioning the
+    * per-family engines; the brute-force oracle re-proves completeness).
+    */
+  private[graft] def mihPairsChunkedOrCandidates(codes: DataFrame,
+      families: Seq[Seq[String]], tau: Int, nChunks: Int): DataFrame = {
+    require(families.map(_.length).distinct.size == 1,
+      "OR-families must share one code width")
+    val (maskArrays, keyExpr) = mihGeometry(families.head, tau, nChunks)
+    val ch = families.zipWithIndex.map { case (words, t) =>
+      chunkKeysOf(codes, words, nChunks, keyExpr)
+        .select(col("vec_id"), (col("c") + lit(t * nChunks)).as("c"),
+          col("key"))
+    }.reduce(_ unionByName _)
+    val probes = ch
+      .select(col("vec_id").as("v1"), col("c"), col("key"),
+        explode(element_at(typedlit(maskArrays),
+          pmod(col("c"), lit(nChunks)).cast("int") + 1)).as("m"))
+      .select(col("v1"), col("c"), col("key").bitwiseXOR(col("m")).as("pkey"))
+    // same SHUFFLE_HASH rationale as mihPairs: exploded-side stats are
+    // underestimated; pin the shuffled hash join
+    probes.join(
+        ch.select(col("vec_id").as("v2"), col("c"), col("key").as("pkey"))
+          .hint("SHUFFLE_HASH"),
+        Seq("c", "pkey"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+  }
+
   /** Cross-frame MIH: every (probe, index) pair within Hamming `tau`,
     * NOT a self-join — the ingest-vs-frozen-index shape. Probe rows
     * explode into per-chunk Hamming-ball keys and meet the index's plain
