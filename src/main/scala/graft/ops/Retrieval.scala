@@ -966,36 +966,80 @@ object Retrieval {
     * exposes cheaply.
     */
   private[graft] def tfidfCosinePairsFrom(docs: DataFrame): DataFrame = {
-    // one materialization of the postings pipeline: three consumers (nrm,
-    // both self-join sides) otherwise re-execute the bigram explode + two
-    // aggregation passes each — AQE's runtime stage reuse does not
-    // collapse them (measured: no reuse, ~4× postings work in CPU)
-    val w = tfidfPostings(docs).select("doc_id", "fid", "w").localCheckpoint()
-    val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
-    // pair-keyed repartition BEFORE the dot aggregation (guide §5): the
-    // map-side partial agg over the fid-partitioned join output held
-    // ~1.1M distinct pairs per task (every pair recurs in ~3.5 fid
-    // partitions) — large enough that execution-memory acquisition races
-    // made the hash map fall back to sort-based aggregation
-    // nondeterministically (measured 60 vs 152 executor-CPU-s on
-    // back-to-back identical runs). Hash-distributing the raw products by
-    // pair first gives each agg task 10.3M/partitions ≈ 0.3M groups —
-    // small stable maps — at the cost of shuffling the products unreduced.
-    val dots = w.as("a").hint("SHUFFLE_HASH").join(w.as("b"),
+    // One materialization of the postings pipeline (AQE's runtime stage
+    // reuse does not collapse the three consumers — measured round 15),
+    // now with two round-16 changes:
+    //  - nsq (the doc's squared norm) is folded INTO the checkpointed
+    //    frame, so each self-join side carries its norm along and the two
+    //    post-aggregation norm joins vanish (they planned as SortMergeJoins
+    //    with a full exchange+sort of the Θ(pairs) dot frame EACH — the
+    //    measured r16 before-plan, Exchange(13)/(25) + Sort(14)/(22)).
+    //  - the checkpoint is pre-partitioned on the join key fid, so the
+    //    self-join reads both sides co-partitioned: the two W-sized fid
+    //    exchanges (before-plan Exchange(3)/(6)) vanish too.
+    // two-step materialization: the postings pipeline (explode + three
+    // aggregation passes) runs ONCE into w0; the norm join reads the
+    // cached blocks (folding nrm into a single checkpoint re-ran the whole
+    // pipeline for both join sides — measured build 3.97 → 7.15 s; a
+    // window-based nsq measured slower still)
+    val w0 = tfidfPostings(docs).select("doc_id", "fid", "w").localCheckpoint()
+    val nrm0 = w0.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
+    // the norm-carrying frame is checkpointed too: leaving it inline made
+    // BOTH self-join sides re-run the doc exchange + norm join from the
+    // w0 cache (measured: count CPU 41 → 69 s)
+    val w = w0.join(nrm0, "doc_id")
+      .select(col("doc_id"), col("fid"), col("w"), col("nsq"))
+      .repartition(col("fid"))
+      .localCheckpoint()
+    // Pair-keyed exchange width sized from the MEASURED candidate count
+    // (guide §5 / the ccWidth precedent): the partial dot products of the
+    // self-join reduce by pair, and per-task group counts near ~1M made
+    // the hash aggregate fall back to sort-based aggregation
+    // nondeterministically (round 15: 60 vs 152 executor-CPU-s on
+    // back-to-back runs). partials = Σ_f C(df,2) is exact, costs one
+    // cheap pass over the cached checkpoint, and bounds groups/task at
+    // ~PairsPerAggTask regardless of core count or scale — the round-15
+    // repartition onto spark.sql.shuffle.partitions put 1.3M groups per
+    // task right back at 8 cores.
+    val partials = w0.groupBy("fid").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    val cores = w.sparkSession.sparkContext.defaultParallelism.toLong
+    val width = math.max(cores, partials / PairsPerAggTask + 1L)
+      .min(65536L).toInt
+    // The self-join itself is deliberately LEFT to AQE's coalescing (few
+    // fat tasks): each join task pays a fixed ~25 ms per reduce-partition
+    // FILE of the downstream pair exchange (bypass-merge writer), so the
+    // stage's cost is ≈ tasks × width × 25 ms almost independent of rows —
+    // measured task-run sums 17.6 s / 112 s / 234 s at 5 / 32 / 140 join
+    // tasks over the SAME 36.5M products, all ~3.5 s wall. Pinning the
+    // join wider only multiplies file-open overhead; pushing width past
+    // the sort-writer threshold traded it for a 2.7× CPU regression
+    // (serialized sort of the products). Fat tasks amortize the files.
+    //
+    // every product row of a pair carries the same two norms, so first()
+    // inside the pair aggregation reads back exactly the values the old
+    // norm joins attached — integer-identical, no join needed
+    w.as("a").hint("SHUFFLE_HASH").join(w.as("b"),
         col("a.fid") === col("b.fid") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        (col("a.w") * col("b.w")).as("p"))
-      .repartition(col("d1"), col("d2"))
+        (col("a.w") * col("b.w")).as("p"),
+        col("a.nsq").as("n1"), col("b.nsq").as("n2"))
+      .repartition(width, col("d1"), col("d2"))
       .groupBy("d1", "d2")
-      .agg(sum(col("p")).as("dot"))
-    dots
-      .join(nrm.select(col("doc_id").as("d1"), col("nsq").as("n1sq")), "d1")
-      .join(nrm.select(col("doc_id").as("d2"), col("nsq").as("n2sq")), "d2")
+      .agg(sum(col("p")).as("dot"),
+        first(col("n1")).as("n1sq"), first(col("n2")).as("n2sq"))
       .filter(col("dot").cast("decimal(38,0)") * col("dot") * 25
         >= col("n1sq").cast("decimal(38,0)") * col("n2sq") * 16)
       .select("d1", "d2", "dot", "n1sq", "n2sq")
       .orderBy("d1", "d2")
   }
+
+  /** Target distinct pair groups per dot-aggregation task — keeps each
+    * task's hash-aggregation map small enough to never fall back to
+    * sort-based aggregation (measured threshold ~1M groups; round 15).
+    */
+  private val PairsPerAggTask = 262144L
 
   /** The prefix-filtered variant of [[tfidfCosinePairsFrom]] — identical
     * output (RetrievalSpec proves plan-for-plan equality), with candidate
@@ -1046,20 +1090,35 @@ object Retrieval {
           .as("f"))
     val tf = bg.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
     val nd = tf.select(countDistinct("doc_id").as("n")) // single-row total
-    // fid via row_number, NOT monotonically_increasing_id (round 15):
-    // mono_id is flagged non-deterministic, which blocks exchange reuse
-    // for EVERY subtree containing fid — the bigram+tf pipeline re-executed
-    // once per use (measured: 24 scans / 0 ReusedExchange in the final
-    // plan). row_number over the df-capped feature frame is deterministic
-    // and injective; the global window sorts only the bounded feature
-    // frame (the LM.scala model-frame rule), and reuse collapses the
-    // pipeline back to one execution per exchange.
-    val df = tf.groupBy("f").agg(count(lit(1)).as("df"))
+    // fid via a TWO-LEVEL distributed row_number (round 16), NOT a global
+    // window and NOT monotonically_increasing_id. mono_id is flagged
+    // non-deterministic, which blocks exchange reuse for EVERY subtree
+    // containing fid (round 15: 24 scans / 0 ReusedExchange); the round-15
+    // global row_number window fixed that but sorted the whole feature
+    // frame on ONE task ("WindowExec: No Partition Defined") — the feature
+    // frame is df-capped but still grows with the corpus bigram
+    // vocabulary, a serial stage at scale (r15 VERDICT "What's wrong" #2).
+    // Two-level form: level 1 buckets features by a deterministic hash,
+    // level 2 numbers rows inside each bucket (parallel windows), and
+    // fid = bucket base offset + in-bucket rank. Deterministic, injective,
+    // and every stage is distributed; the only global window left runs
+    // over the FidBuckets-row bucket-size frame. fid is only ever an
+    // equi-join key (never ordered, compared, or emitted), so the changed
+    // id VALUES cannot change any output cell.
+    val capped = tf.groupBy("f").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
       .filter(col("df") <= expr("n div 4"))
-      .select(col("f"), col("df"), col("n"),
-        row_number().over(Window.orderBy("f")).as("fid"))
-      .select(col("f"), col("df"), col("fid"),
+      .withColumn("b", pmod(xxhash64(col("f")), lit(FidBuckets)).cast("int"))
+    val bases = capped.groupBy("b").agg(count(lit(1)).as("cnt"))
+      .select(col("b"),
+        (coalesce(sum(col("cnt")).over(
+          Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))).as("base"))
+    val df = capped
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("b").orderBy("f")))
+      .join(broadcast(bases), "b")
+      .select(col("f"), col("df"), (col("base") + col("rn")).as("fid"),
         // milli-nat idf snap on the bounded feature frame
         round(log(col("n").cast("double") / col("df")) * 1000)
           .cast("long").as("idf_milli"))
@@ -1067,6 +1126,13 @@ object Retrieval {
       .select(col("doc_id"), col("f"), col("df"),
         col("fid"), (col("tf") * col("idf_milli")).as("w"))
   }
+
+  /** Bucket count for the two-level fid assignment — far more distinct
+    * bucket values than any realistic task count (guide §2.5: synthetic
+    * keys need many more distinct values than partitions) while keeping
+    * the bucket-size offset frame a broadcast-trivial few thousand rows.
+    */
+  private val FidBuckets = 4096
 
   /** Prefix-filtered candidate pairs (Bayardo, Ma & Srikant 2007,
     * "Scaling Up All Pairs Similarity Search"): in a global feature order
