@@ -73,6 +73,14 @@ object LM {
 
   private[graft] def bigramNllFrom(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
+    // Round 16, measured and REVERTED (kept as-was): both spread and a
+    // localCheckpoint of the shared bigram subtree regressed this query.
+    // spread inflated cold-count CPU 2.8 → 17.9 s (the naiveBayesLang
+    // round-15 pattern: the parallel explode multiplies per-task partial-
+    // aggregation work); a checkpoint of bg (the subtree is consumed by
+    // three plan branches) measured a wash standalone but 2.0 → 3.9 s
+    // in-bench, rerun-confirmed — the ~4M-row materialization costs more
+    // than the duplicated serial explode saves at this scale.
     val bg = docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 2)
