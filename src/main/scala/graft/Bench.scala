@@ -32,7 +32,14 @@ object Bench {
     // first-compute (cluster frame, qualifying pairs, CC components) then
     // lands deterministically on the query that declares it, and the
     // downstream consumers measure their own marginal cost
+    def cacheCount(): Int =
+      ops.Dedup.cacheCount(spark) + ops.Corpus.cacheCount(spark) +
+        ops.Tokenize.cacheCount(spark) + ops.Multimodal.cacheCount(spark)
+    // queries that POPULATED a shared memo during the in-order timed pass,
+    // in declaration order — the rerun replay list (see rerunOnce)
+    val declarers = scala.collection.mutable.ArrayBuffer.empty[String]
     val results0 = SparkEntry.all.map { q =>
+      val c0 = cacheCount()
       val t0 = System.nanoTime()
       val rows = try Metrics.observe(spark, q.name)(q.build(spark, sfDir).count())
       catch { case e: Throwable =>
@@ -40,6 +47,7 @@ object Bench {
       }
       // failures are reported as -1 so a broken query can never read as fast
       val secs = if (rows >= 0) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (cacheCount() > c0) declarers += q.name
       (q.name, secs, rows)
     }
     // CONTENTION RE-RUN GUARDS: a single driver-window run can catch
@@ -103,18 +111,34 @@ object Bench {
         Map.empty
       }
     val rerunLog = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // A rerun must measure the SAME marginal cost as the in-order pass
+    // (round-15 VERDICT "What's wrong" #1: clearing the memos and timing a
+    // CONSUMER made its rerun re-pay the whole shared cluster/pair build
+    // that declaration order attributes to the first declaring query —
+    // kcore/ktruss/pagerank read 25-33% "regressed" while the total
+    // improved). So: clear the caches, replay UNTIMED the declarer queries
+    // that ran BEFORE the target in declaration order (restoring exactly
+    // the cache state the target originally saw), then time the target. A
+    // target that is itself a declarer re-pays its own build, as in-order.
+    val declIdx = SparkEntry.all.map(_.name).zipWithIndex.toMap
     def rerunOnce(name: String, secs: Double, why: String): Double = {
       ops.Dedup.clearCaches(spark)
       ops.Corpus.clearCaches(spark)
       ops.Tokenize.clearCaches(spark)
       ops.Multimodal.clearCaches(spark)
+      val replay = declarers.filter(d => declIdx(d) < declIdx.getOrElse(name, 0))
+      replay.foreach { d =>
+        try SparkEntry.all.find(_.name == d).get.build(spark, sfDir).count()
+        catch { case _: Throwable => }
+      }
       val t0 = System.nanoTime()
       val ok = try {
         SparkEntry.all.find(_.name == name).get.build(spark, sfDir).count(); true
       } catch { case _: Throwable => false }
       val secs2 = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       rerunLog(name) = (secs, secs2)
-      System.err.println(f"[bench] rerun $name: $secs%.3f -> $secs2%.3f ($why)")
+      System.err.println(f"[bench] rerun $name: $secs%.3f -> $secs2%.3f " +
+        f"(replayed ${replay.size} declarers; $why)")
       if (secs2 > 0) math.min(secs, secs2) else secs
     }
     val results1 = results0.map { case (name, secs, rows) =>

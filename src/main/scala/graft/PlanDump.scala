@@ -36,6 +36,9 @@ object PlanDump {
     val gc  = new java.util.concurrent.atomic.AtomicLong
     val fw  = new java.util.concurrent.atomic.AtomicLong
     val nt  = new java.util.concurrent.atomic.AtomicLong
+    // per-stage task durations — the guide §2.5 skew probe (max vs median)
+    val stages = scala.collection.concurrent.TrieMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -47,6 +50,9 @@ object PlanDump {
             gc.addAndGet(m.jvmGCTime)
             fw.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
             nt.incrementAndGet()
+            val b = stages.getOrElseUpdate(te.stageId,
+              scala.collection.mutable.ArrayBuffer.empty[Long])
+            b.synchronized { b += m.executorRunTime }
           }
         }
       })
@@ -55,6 +61,13 @@ object PlanDump {
       println(f"[plandump]   $label: tasks ${nt.getAndSet(0)}, " +
         f"run ${run.getAndSet(0) / 1e3}%.1f s, cpu ${cpu.getAndSet(0) / 1e3}%.1f s, " +
         f"gc ${gc.getAndSet(0) / 1e3}%.1f s, fetchWait ${fw.getAndSet(0) / 1e3}%.1f s")
+      val top = stages.toSeq.sortBy(-_._2.sum).take(5)
+      top.foreach { case (sid, ds) =>
+        val s = ds.sorted
+        println(f"[plandump]     stage $sid: n=${s.length} sum=${s.sum / 1e3}%.1f " +
+          f"max=${s.last / 1e3}%.2f med=${s(s.length / 2) / 1e3}%.2f")
+      }
+      stages.clear()
     }
     names.foreach { name =>
       val t0 = System.nanoTime()

@@ -40,6 +40,9 @@ object Corpus {
   def clearCaches(s: SparkSession): Unit =
     componentCache.keys.filter(_._1 eq s).foreach(componentCache.remove)
 
+  /** Memoized-frame count for `s` — the Bench rerun-replay probe. */
+  def cacheCount(s: SparkSession): Int = componentCache.keys.count(_._1 eq s)
+
   /** Partition count for one CC round's frames: enough tasks to keep each
     * under ~64k edge rows, clamped to [1, 2×defaultParallelism]. A literal
     * width either starves a big graph or fans a tiny one out into

@@ -171,6 +171,11 @@ object Tokenize {
     wpMemo.keys.filter(_._1 eq s).foreach(wpMemo.remove)
   }
 
+  /** Memoized-entry count for `s` — the Bench rerun-replay probe. */
+  def cacheCount(s: SparkSession): Int =
+    memo.keys.count(_._1 eq s) + ugMemo.keys.count(_._1 eq s) +
+      ugPrunedMemo.keys.count(_._1 eq s) + wpMemo.keys.count(_._1 eq s)
+
   /** Encode one symbol array through an ordered merge list (column form —
     * used by the vocab query and the spec's encode equivalence test).
     * The merge list enters the plan as ONE array-of-struct literal and a
